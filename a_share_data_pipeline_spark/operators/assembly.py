@@ -1,0 +1,93 @@
+"""Canonical-table assembly: the reference pipeline re-expressed as one
+lazy Spark plan.
+
+Reference dataflow (market/non_fq_daily_kline.py:87-132):
+    3 per-key fetches → pd.concat(axis=1) on MultiIndex (ts_code,
+    trade_date) [= FULL OUTER equi-join] → dropna(close) → left join
+    stock dim → rename → re-key (code, date) → CSV append.
+
+Spark restatement (SURVEY.md §3.1): because dropna(close) runs right
+after the outer concat, the net semantics are "daily rows with non-null
+close, LEFT OUTER joined to stk_limit and daily_basic" — so we declare
+exactly that and let Catalyst order it. The dim join is a broadcast
+hash join (the dim is ~2k rows vs billions of fact rows at scale).
+
+Two dim-join modes preserve the reference's asymmetry (SURVEY.md §2.3):
+- 'backfill': LEFT join against the pre-filtered dim
+  (market/non_fq_daily_kline.py:104 — facts were fetched per filtered
+  key, so every row matches),
+- 'delta': INNER join, which doubles as the main-board filter
+  (market/delta_non_fq_daily_kline.py:84 — the per-date fetch returns
+  all stocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import CANONICAL
+
+# rename map, reference market/non_fq_daily_kline.py:113-120 (P3)
+RENAME_MAP = {
+    "pre_close": "prev_close",
+    "pct_chg": "quote_rate",
+    "vol": "volume",
+    "amount": "turnover",
+    "up_limit": "high_limit",
+    "down_limit": "low_limit",
+}
+KEY_RENAME = {"ts_code": "code", "trade_date": "date"}
+
+MAIN_BOARD = "主板"  # reference market/non_fq_daily_kline.py:48 (P4)
+
+
+def filter_main_board(stock_basic: DataFrame) -> DataFrame:
+    """P4: keep main-board stocks (client-side residual filter)."""
+    return stock_basic.filter(F.col("market") == MAIN_BOARD)
+
+
+def join_facts(daily: DataFrame, stk_limit: DataFrame, daily_basic: DataFrame) -> DataFrame:
+    """J1+P5: anchor on non-null-close kline rows, left-join the other
+    two facts on the composite key (ts_code, trade_date).
+
+    At scale all three facts are co-partitioned by date → the joins
+    shuffle on the same composite key once (or not at all with
+    bucketed/cluster-by storage).
+    """
+    key = ["ts_code", "trade_date"]
+    anchor = daily.filter(F.col("close").isNotNull())
+    return anchor.join(stk_limit, key, "left").join(daily_basic, key, "left")
+
+
+def enrich_dim(fact: DataFrame, stock_dim: DataFrame, mode: str = "backfill") -> DataFrame:
+    """J2 (backfill, left) / J3 (delta, inner — doubles as P4 filter)."""
+    how = {"backfill": "left", "delta": "inner"}[mode]
+    return fact.join(F.broadcast(stock_dim), "ts_code", how)
+
+
+def to_canonical(df: DataFrame) -> DataFrame:
+    """P3+F1: rename, cast wire-format yyyyMMdd strings to dates, and
+    project in the reference's column order (FIXTURES.md §A6)."""
+    out = df
+    for src, dst in RENAME_MAP.items():
+        out = out.withColumnRenamed(src, dst)
+    out = (
+        out.withColumn("date", F.to_date(F.col("trade_date"), "yyyyMMdd"))
+        .withColumn("list_date", F.to_date(F.col("list_date"), "yyyyMMdd"))
+        .withColumnRenamed("ts_code", "code")
+    )
+    return out.select(*[f.name for f in CANONICAL.fields])
+
+
+def assemble_canonical(
+    daily: DataFrame,
+    stk_limit: DataFrame,
+    daily_basic: DataFrame,
+    stock_basic: DataFrame,
+    mode: str = "backfill",
+) -> DataFrame:
+    """Full reference pipeline as one declarative plan."""
+    dim = filter_main_board(stock_basic)
+    fact = join_facts(daily, stk_limit, daily_basic)
+    return to_canonical(enrich_dim(fact, dim, mode))

@@ -1,0 +1,127 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.12).
+
+All hashes are md5-based so the DuckDB oracle can recompute them
+exactly (see functions/hashing.py). Everything stays JVM-side —
+built-in expression trees only, no Python UDFs in any hot path.
+
+Scale design:
+- exact dedup groups on md5(text), not the full text → the shuffle
+  carries 32-byte keys instead of multi-KB documents,
+- MinHash/LSH: shingle explode → groupBy(doc) agg of k min-hashes →
+  band join. The candidate join is on (band_id, band_hash), so only
+  colliding docs meet — never an all-pairs product,
+- n-gram Jaccard runs on LSH candidates or shingle-bucket joins with a
+  minimum-overlap prune (HAVING n >= k) before the ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_BAND_SIZE, MINHASH_SEEDS
+
+
+def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Add `shingles: array<string>` of distinct word n-grams."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)])  # noqa: E731
+    shingles = F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn("shingles", shingles)
+
+
+def exploded_shingles(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return with_word_shingles(df).select(id_col, F.explode("shingles").alias("shingle"))
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k min-hashes per doc: h_i = min(md5(i || '|' || shingle)) over the
+    HEX STRING order — a uniform permutation family reproducible in SQL."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in MINHASH_SEEDS
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows of MINHASH_BAND_SIZE hashes), self-join on
+    (band, band_hash) → candidate pairs (a < b)."""
+    n_bands = len(MINHASH_SEEDS) // MINHASH_BAND_SIZE
+    bands = None
+    for b in range(n_bands):
+        cols = [f"h{i}" for i in MINHASH_SEEDS[b * MINHASH_BAND_SIZE : (b + 1) * MINHASH_BAND_SIZE]]
+        one = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *cols).alias("band_hash"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
+    b_ = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
+    return (
+        a.join(b_, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def pair_jaccard(shingled: DataFrame, pairs: DataFrame | None = None, min_overlap: int = 1) -> DataFrame:
+    """Jaccard similarity per doc pair via shingle-bucket join.
+
+    With `pairs` given, restricts to those candidates (LSH verify step);
+    otherwise considers every pair sharing >= min_overlap shingles.
+    """
+    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.select(F.col("doc_id").alias("a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= min_overlap)
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["a", "b"], "left_semi")
+    ca = counts.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over distinct tokens, md5-derived bits.
+
+    bit_j(token) = bit (j%4) of hex digit (j//4) of md5(token); the
+    doc's simhash sets bit j iff sum over tokens of (2*bit_j - 1) > 0.
+    Pure integer expression tree → identical in Spark and DuckDB.
+    """
+    tok = df.select(
+        id_col, F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w")
+    ).withColumn("hx", F.md5(F.col("w")))
+    # hex digit d (0-based) of the md5, as an int 0..15
+    digit_val = lambda d: F.conv(F.substring("hx", 1 + d, 1), 16, 10).cast("int")  # noqa: E731
+    aggs = []
+    for j in range(16):
+        d, b = j // 4, j % 4
+        bit = F.shiftright(digit_val(d), b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = tok.groupBy(id_col).agg(*aggs)
+    simhash = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select(id_col, simhash.cast("long").alias("simhash"))

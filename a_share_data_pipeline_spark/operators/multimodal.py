@@ -1,0 +1,78 @@
+"""Multimodal column plumbing (SURVEY.md §2.12).
+
+Images/audio/video are opaque `binary` columns with typed metadata.
+The decode/feature-extract step runs as an Arrow-batched
+`mapInPandas` — the real Spark-side plumbing (schema, batching,
+partition parallelism) — while the media decoding itself is STUBBED
+(the image/audio libraries are not in this container): features are a
+deterministic function of the raw bytes so tests and the DuckDB oracle
+can verify the pipeline end-to-end.
+
+At scale: binary payloads stay columnar in parquet, the pandas iterator
+processes one Arrow batch at a time (bounded memory per task), and the
+extraction parallelizes per input partition with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("head_hex", T.StringType()),
+        T.StructField("fake_width", T.LongType()),
+    ]
+)
+
+
+def real_decode(payload: bytes) -> dict:
+    """Placeholder for a real media decoder (PIL / torchaudio / ffmpeg).
+
+    Not available in this environment — the deterministic fake below
+    stands in; swap this out where the libs exist.
+    """
+    raise NotImplementedError("media decode libs are not installed in this container")
+
+
+def _fake_features(payload: bytes) -> tuple[int, str, int]:
+    # deterministic stand-in for decode: byte length, 8-byte header hex,
+    # and a pseudo "width" derived from the size
+    return len(payload), payload[:8].hex().upper(), len(payload) % 640
+
+
+def extract_features(binary_df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over a binary column."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [_fake_features(b) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [f[0] for f in feats],
+                    "head_hex": [f[1] for f in feats],
+                    "fake_width": [f[2] for f in feats],
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_binary(documents: DataFrame) -> DataFrame:
+    """Model the documents table as a multimodal source: utf-8 payload
+    bytes + metadata columns (the testdata has no real media blobs)."""
+    return documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), "source"
+    )

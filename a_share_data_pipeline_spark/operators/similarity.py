@@ -1,0 +1,81 @@
+"""Vector similarity search over `embeddings.embedding: array<float>`
+(SURVEY.md §2.12).
+
+Two paths:
+- brute-force cosine top-k: the correctness baseline. Queries are tiny
+  → broadcast them against the (huge) candidate side; the dot product
+  is a JVM expression (`zip_with` + `aggregate`), never a Python UDF.
+- sign-LSH ANN: bucket vectors by the sign pattern of dot products with
+  fixed hyperplanes (functions/hashing.py — integer-derived, so the
+  DuckDB oracle reproduces them bit-for-bit), then do exact cosine only
+  within buckets. At 100 TB the bucket join replaces the all-pairs
+  product; recall tunes with the number of planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import LSH_PLANES
+from ..functions.rounding import dround
+
+
+def as_double_vec(col: str | Column, alias: str = "v") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double")).alias(alias)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5, round_to: int = 6
+) -> DataFrame:
+    """Exact cosine top-k. `vectors`: (c_id, cv); `queries`: (q_id, qv).
+
+    Ranking is on the ROUNDED cosine with c_id as tiebreak, so the
+    result is engine-independent (raw float ordering is not).
+    """
+    pairs = vectors.crossJoin(F.broadcast(queries)).filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id", "c_id", dround(cosine("qv", "cv"), round_to).alias("cos")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def lsh_bucket(vec_col: str | Column) -> Column:
+    """Sign-LSH bucket id: bit j = (dot(v, plane_j) > 0)."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(LSH_PLANES):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(vec_col, plane_col) > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 3, round_to: int = 6) -> DataFrame:
+    """ANN: exact cosine restricted to same-LSH-bucket candidates."""
+    vb = vectors.withColumn("bucket", lsh_bucket("cv"))
+    qb = queries.withColumn("bucket", lsh_bucket("qv"))
+    pairs = vb.join(F.broadcast(qb), "bucket").filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id", "c_id", dround(cosine("qv", "cv"), round_to).alias("cos")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

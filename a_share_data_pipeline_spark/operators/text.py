@@ -1,0 +1,104 @@
+"""Text analysis operators over `documents` (SURVEY.md §2.12): language
+ID, quality scoring, token counting, fingerprinting.
+
+Every feature is a deterministic JVM-side expression (no UDFs, no
+model weights, no transcendental functions) so (a) it runs at full
+codegen speed over 100 TB and (b) the DuckDB oracle reproduces it
+exactly — including tie-breaks in the language argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from ..functions.rounding import dround
+
+# marker stopwords per language, priority order breaks ties
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "que", "de", "y"),
+}
+LANG_PRIORITY = ("en", "fr", "de", "es")
+# NOTE: literal characters, not \u escapes — Java regex would parse
+# 一 but DuckDB's RE2 would not; literal chars mean one pattern
+# string works in both engines.
+CJK_PATTERN = "[一-鿿]"
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def marker_count(text_col: str, markers: tuple[str, ...]) -> Column:
+    toks = _tokens(text_col)
+
+    def is_marker(x):  # OR chain — lambda runs JVM-side via F.filter
+        out = x == F.lit(markers[0])
+        for m in markers[1:]:
+            out = out | (x == F.lit(m))
+        return out
+
+    return F.size(F.filter(toks, is_marker))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based language ID: CJK chars → zh, else argmax of marker
+    stopword counts (fixed priority tie-break), else 'und'."""
+    out = df.withColumn("cjk_n", F.regexp_count(F.col(text_col), F.lit(CJK_PATTERN)))
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"{lang}_n", marker_count(text_col, markers))
+    pred = F.when(F.col("cjk_n") > 0, F.lit("zh"))
+    for i, lang in enumerate(LANG_PRIORITY):
+        cond = F.col(f"{lang}_n") > 0
+        for other in LANG_PRIORITY[i + 1 :]:
+            cond = cond & (F.col(f"{lang}_n") >= F.col(f"{other}_n"))
+        for other in LANG_PRIORITY[:i]:
+            cond = cond & (F.col(f"{lang}_n") > F.col(f"{other}_n"))
+        pred = pred.when(cond, F.lit(lang))
+    return out.withColumn("pred_lang", pred.otherwise(F.lit("und")))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a linear
+    quality score (rational arithmetic only — oracle-reproducible)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    nonspace = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    punct_n = F.regexp_count(F.col(text_col), F.lit("[.,!?;:]"))
+    stop_n = marker_count(text_col, LANG_MARKERS["en"])
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_chars_m", n_chars.cast("long"))
+        .withColumn("avg_token_len", dround(nonspace / n_tokens, 4))
+        .withColumn("punct_ratio", dround(punct_n / n_chars, 6))
+        .withColumn("stopword_ratio", dround(stop_n / n_tokens, 6))
+        .withColumn(
+            "quality_score",
+            dround(
+                F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+                + (stop_n / n_tokens) * 0.3
+                + F.greatest(F.lit(0.0), F.lit(1.0) - punct_n / n_tokens) * 0.2,
+                4,
+            ),
+        )
+    )
+
+
+# BPE-ish token pattern: word pieces, digit runs, single non-alnum marks
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("ws_tokens", F.size(_tokens(text_col)).cast("long")).withColumn(
+        "bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit document fingerprint: md5 prefix of the whitespace- and
+    case-normalized text (reference-free analog of a rolling hash)."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), " +", " ")))
+    return df.withColumn("fp", F.substring(F.md5(normalized), 1, 16))

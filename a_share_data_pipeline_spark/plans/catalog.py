@@ -1,0 +1,51 @@
+"""Query catalog: every operator from SURVEY.md §2 gets a named query.
+
+Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL
+oracle string (run by DuckDB over the same parquet) — the driver's
+correctness gate. Column names/types are aligned on both sides; float
+aggregates are rounded identically on both sides so order-of-summation
+noise cannot flip the value hash.
+
+Queries whose semantics are not SQL-expressible (streaming state,
+engine-level incrementality) register with ``oracle=None`` and get the
+driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    """All registered queries (importing the defining modules)."""
+    from . import queries_core  # noqa: F401
+    from . import queries_llm  # noqa: F401
+    from . import queries_pipeline  # noqa: F401
+
+    return dict(_REGISTRY)

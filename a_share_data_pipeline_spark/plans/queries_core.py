@@ -1,0 +1,580 @@
+"""Core analytics surface: scans, filters, joins, set ops, aggregations,
+windows, sorts/limits, scalar functions (SURVEY.md §2.2–§2.8).
+
+The reference contains only projections/renames/filters and three join
+shapes (SURVEY.md §2.2–§2.3); everything else here fills the [GAP] rows
+with Spark built-ins. Each query is paired with a DuckDB oracle.
+
+Scale notes are inline: every query is written so the 100 TB plan is
+the right one (filters reach the parquet scan, small dims broadcast,
+window partitions keyed on high-cardinality columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..functions.rounding import dround
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.5)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_pricing_summary", _Q1_SQL, doc="TPC-H Q1 shape: filtered scan → hash agg (partial+final)")
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Filter reaches the parquet scan (PushedFilters); agg is partial
+    # map-side then final — one shuffle on (returnflag, linestatus),
+    # 6 groups → trivially skew-free.
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_STATS_SQL = """
+SELECT l_returnflag,
+       COUNT(*)                                       AS n_rows,
+       COUNT(DISTINCT l_orderkey)                     AS n_orders,
+       ROUND(MIN(l_extendedprice), 2)                 AS min_price,
+       ROUND(MAX(l_extendedprice), 2)                 AS max_price,
+       ROUND(AVG(l_extendedprice), 4)                 AS avg_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4)         AS sd_price,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 4)       AS median_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 6)    AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_stats", _STATS_SQL, doc="stat aggregates: count/distinct/min/max/avg/stddev/exact-percentile/corr")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dround(F.min("l_extendedprice"), 2).alias("min_price"),
+        dround(F.max("l_extendedprice"), 2).alias("max_price"),
+        dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        dround(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        # exact interpolated percentile — matches DuckDB quantile_cont
+        dround(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL sketches are engine-specific; rows-only check by design
+    doc="approx_count_distinct (HLL++); no oracle — sketch estimates differ across engines",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", _ROLLUP_SQL, doc="hierarchical grouping sets (rollup)")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", _CUBE_SQL, doc="cube grouping sets")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_pivot", _PIVOT_SQL, doc="pivot (wide conditional aggregation)")
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])  # explicit values → no discovery pass
+        .sum("l_quantity")
+    )
+    return out.select(
+        "l_returnflag",
+        dround(F.col("O"), 2).alias("qty_open"),
+        dround(F.col("F"), 2).alias("qty_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2.3) — J1/J2/J3 analogs plus the [GAP] shapes
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
+@register("join_top_orders", _Q3_SQL, doc="TPC-H Q3 shape: broadcast dim join + agg + top-k")
+def join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customer is the small side → explicit broadcast; lineitem⋈orders is
+    # the big join and shuffles on orderkey (both sides keyed on it).
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("join_regional_revenue", _Q5_SQL, doc="TPC-H Q5 shape: 6-way join, dims broadcast")
+def join_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_LEFT_SQL = """
+SELECT c_custkey,
+       COUNT(o_orderkey)                        AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+GROUP BY c_custkey
+"""
+
+
+@register("join_left_outer", _LEFT_SQL, doc="left outer join with null-preserving aggregation (J1 analog)")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+@register("join_semi", _SEMI_SQL, doc="left-semi join (EXISTS)")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("join_anti", _ANTI_SQL, doc="left-anti join (NOT EXISTS)")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.4)
+# ---------------------------------------------------------------------------
+
+_SETOPS_SQL = """
+SELECT 'both' AS side, n FROM
+  (SELECT c_nationkey AS n FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
+UNION ALL
+SELECT 'customer_only' AS side, n FROM
+  (SELECT c_nationkey AS n FROM customer EXCEPT SELECT s_nationkey FROM supplier) t2
+UNION ALL
+SELECT 'all_distinct' AS side, n FROM
+  (SELECT c_nationkey AS n FROM customer UNION SELECT s_nationkey FROM supplier) t3
+"""
+
+
+@register("set_ops", _SETOPS_SQL, doc="INTERSECT / EXCEPT / UNION DISTINCT / UNION ALL (U1/U2)")
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    sn = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    both = cn.intersect(sn).select(F.lit("both").alias("side"), "n")
+    # subtract = set EXCEPT (exceptAll would keep keys whose left
+    # multiplicity merely exceeds the right's)
+    cust_only = cn.subtract(sn).select(F.lit("customer_only").alias("side"), "n")
+    all_d = cn.union(sn).distinct().select(F.lit("all_distinct").alias("side"), "n")
+    return both.unionByName(cust_only).unionByName(all_d)
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (§2.2 P8)
+# ---------------------------------------------------------------------------
+
+_PRED_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE (p_size BETWEEN 10 AND 30)
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#21')
+  AND (p_type LIKE 'SMALL%' OR p_type LIKE '%ECONOMY%')
+  AND NOT (p_name LIKE '%green%')
+  AND p_retailprice > 500
+"""
+
+
+@register("filter_predicates", _PRED_SQL, doc="BETWEEN / IN / LIKE / AND-OR-NOT predicate pushdown")
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#21")
+        & (F.col("p_type").like("SMALL%") | F.col("p_type").like("%ECONOMY%"))
+        & ~F.col("p_name").like("%green%")
+        & (F.col("p_retailprice") > 500)
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (§2.7)
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15
+"""
+
+
+@register("sort_topk", _TOPK_SQL, doc="global top-k (TakeOrderedAndProject, no full sort)")
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # heaps + driver merge — no global sort shuffle even at 100 TB.
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", dround("o_totalprice", 2).alias("total"), "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.6)
+# ---------------------------------------------------------------------------
+
+_WRANK_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)     AS rn,
+       RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)             AS prio_rank,
+       NTILE(4)     OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)    AS quartile
+FROM orders
+"""
+
+
+@register("window_rank", _WRANK_SQL, doc="ranking windows: row_number/rank/dense_rank/ntile")
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    by_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    by_prio = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    by_price_asc = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(by_date).alias("rn"),
+        F.rank().over(by_price).alias("price_rank"),
+        F.dense_rank().over(by_prio).alias("prio_rank"),
+        F.ntile(4).over(by_price_asc).alias("quartile"),
+    )
+
+
+_WRUN_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)         AS ma3
+FROM orders
+"""
+
+
+@register("window_running", _WRUN_SQL, doc="frame windows: running sum + moving average (MA-n over the canonical table)")
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_spend"
+        ),
+        dround(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 2).alias("ma3"),
+    )
+
+
+_WLAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(o_totalprice, 2) AS total,
+       ROUND(LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_total,
+       ROUND(LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_total,
+       ROUND(FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_total
+FROM orders
+"""
+
+
+@register("window_lag_lead", _WLAG_SQL, doc="analytic windows: lag/lead/first_value (returns over time)")
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dround("o_totalprice", 2).alias("total"),
+        dround(F.lag("o_totalprice").over(w), 2).alias("prev_total"),
+        dround(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+        dround(
+            F.first("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("first_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.8)
+# ---------------------------------------------------------------------------
+
+_STR_SQL = """
+SELECT p_partkey,
+       UPPER(p_name)                                   AS name_upper,
+       SUBSTRING(p_name, 1, 5)                         AS name_head,
+       LENGTH(p_name)                                  AS name_len,
+       CONCAT(p_brand, ':', p_type)                    AS brand_type,
+       REPLACE(p_name, ' ', '_')                       AS name_snake,
+       REGEXP_EXTRACT(p_name, '^[a-z]+')               AS first_word,
+       CONTAINS(p_name, 'red')                         AS has_red,
+       SPLIT_PART(p_type, ' ', 1)                      AS type_head
+FROM part
+WHERE p_partkey <= 2000
+"""
+
+
+@register("scalar_string", _STR_SQL, doc="string function library (F7): case/substr/len/concat/replace/regexp/split")
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.col("p_name").contains("red").alias("has_red"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+_DATE_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)    AS yr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER)   AS mo,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       STRFTIME(MIN(o_orderdate), '%Y%m%d')               AS first_day_str,
+       COUNT(*)                                           AS n_orders,
+       ROUND(SUM(o_totalprice), 2)                        AS revenue
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+@register("scalar_datetime", _DATE_SQL, doc="date functions (F1-F4): extract/trunc/format yyyyMMdd")
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyyMMdd").alias("first_day_str"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("yr", "mo", "month_start", "first_day_str", "n_orders", "revenue")
+    )
+
+
+_SEQ_SQL = """
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(d)
+),
+per_day AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT days.day, COALESCE(per_day.n, 0) AS n_events
+FROM days LEFT JOIN per_day ON days.day = per_day.day
+"""
+
+
+@register(
+    "date_sequence",
+    _SEQ_SQL,
+    doc="calendar-driven date expansion: sequence+explode (F4/T2 — replaces the reference's wall-clock day loop, market/delta_non_fq_daily_kline.py:69-72)",
+)
+def date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit("2024-01-01").cast("date"), F.lit("2024-01-30").cast("date"))
+        ).alias("day")
+    )
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    return days.join(per_day, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       COUNT(*)                                                    AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_extract", _JSON_SQL, doc="JSON scalar functions over events.props (F7)")
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1,0 +1,464 @@
+"""LLM-training-data queries: dedup family, similarity search, text
+analysis, multimodal plumbing (SURVEY.md §2.12) — each paired with a
+DuckDB oracle generated from the SAME constants (hash seeds, LSH
+planes, marker lists) as the Spark plan, so the two sides cannot
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import LSH_PLANES, MINHASH_BAND_SIZE, MINHASH_SEEDS
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators import text as TX
+from ..sources import load_table
+from ..functions.rounding import dround
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register(
+    "dedup_exact",
+    _EXACT_SQL,
+    doc="exact dedup: group on md5(text) (32-byte shuffle keys, not multi-KB docs), keep min doc_id",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("kept_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle CTE (word 3-grams, distinct per doc)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks
+)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT a, b, ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = a
+JOIN counts cb ON cb.doc_id = b
+WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.05
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_SQL,
+    doc="near-dup via word-3-gram Jaccard: shingle-bucket join + min-overlap prune, threshold 0.05",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.exploded_shingles(docs)
+    pairs = D.pair_jaccard(shingled, min_overlap=3)
+    return pairs.filter(F.col("jaccard") >= 0.05).select(
+        "a", "b", dround("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidates (verified with true Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sql() -> str:
+    n_bands = len(MINHASH_SEEDS) // MINHASH_BAND_SIZE
+    hash_exprs = ",\n         ".join(
+        f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in MINHASH_SEEDS
+    )
+    band_rows = []
+    for b in range(n_bands):
+        cols = " || ',' || ".join(
+            f"h{i}" for i in MINHASH_SEEDS[b * MINHASH_BAND_SIZE : (b + 1) * MINHASH_BAND_SIZE]
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS band_hash FROM sig")
+    bands_sql = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         {hash_exprs}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS n_inter
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  JOIN cand ON cand.a = s1.doc_id AND cand.b = s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = a
+JOIN counts cb ON cb.doc_id = b
+WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_sql(),
+    doc=(
+        "MinHash(8 perms, md5 hex-string family)+LSH(2 bands×4) candidate "
+        "pairs, verified at Jaccard>=0.5 — candidates meet via the band "
+        "join only, never an all-pairs product"
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.exploded_shingles(docs)
+    candidates = D.lsh_band_candidates(D.minhash_signatures(shingled))
+    verified = D.pair_jaccard(shingled, pairs=candidates)
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "a", "b", dround("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql() -> str:
+    sums = []
+    for j in range(16):
+        d, b = j // 4, j % 4
+        sums.append(
+            f"SUM(((('0x' || substr(hx, {1 + d}, 1))::INTEGER >> {b}) & 1) * 2 - 1) AS s{j}"
+        )
+    sum_exprs = ",\n         ".join(sums)
+    combine = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+),
+h AS (SELECT doc_id, md5(w) AS hx FROM tok),
+sums AS (
+  SELECT doc_id,
+         {sum_exprs}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register(
+    "dedup_simhash",
+    _simhash_sql(),
+    doc="16-bit SimHash over distinct tokens (md5-derived bits, pure integer expression tree)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash16(docs)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+_EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _EMB_NEARDUP_SQL,
+    doc="embedding-cosine near-dup pairs (>=0.95); brute-force here, LSH-bucketed variant is sim_ann_lsh",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = SIM.cosine("va", "vb")
+    return pairs.filter(cos >= 0.95).select("a", "b", dround(cos, 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force top-k and sign-LSH ANN
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+s AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+  FROM q, e c WHERE c.vec_id <> q.q_id
+),
+r AS (SELECT q_id, c_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM s)
+SELECT q_id, c_id, cos, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    _TOPK_SQL,
+    doc="brute-force cosine top-5 for 8 query vectors (broadcast queries, JVM zip_with/aggregate dot)",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    out = SIM.brute_force_topk(vectors, queries, k=5)
+    return out.select("q_id", "c_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+def _ann_sql() -> str:
+    def plane_literal(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {plane_literal(p)}) > 0 THEN {2**j} ELSE 0 END"
+        for j, p in enumerate(LSH_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM eb WHERE vec_id < 8),
+s AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+  FROM q JOIN eb c ON q.bucket = c.bucket AND c.vec_id <> q.q_id
+),
+r AS (SELECT q_id, c_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM s)
+SELECT q_id, c_id, cos, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+"""
+
+
+@register(
+    "sim_ann_lsh",
+    _ann_sql(),
+    doc=(
+        "ANN via sign-LSH: 8 integer-derived hyperplanes bucket the "
+        "vectors; exact cosine only within buckets (the 100 TB scale "
+        "path — bucket join, no all-pairs)"
+    ),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    out = SIM.lsh_topk(vectors, queries, k=3)
+    return out.select("q_id", "c_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _langid_sql() -> str:
+    count_exprs = []
+    for lang, markers in TX.LANG_MARKERS.items():
+        ors = " OR ".join(f"x = '{m}'" for m in markers)
+        count_exprs.append(
+            f"len(list_filter(string_split(text, ' '), x -> {ors})) AS {lang}_n"
+        )
+    counts = ",\n         ".join(count_exprs)
+    branches = []
+    for i, lang in enumerate(TX.LANG_PRIORITY):
+        conds = [f"{lang}_n > 0"]
+        conds += [f"{lang}_n >= {o}_n" for o in TX.LANG_PRIORITY[i + 1 :]]
+        conds += [f"{lang}_n > {o}_n" for o in TX.LANG_PRIORITY[:i]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "\n            ".join(branches)
+    return f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{TX.CJK_PATTERN}')) AS cjk_n,
+         {counts}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN cjk_n > 0 THEN 'zh'
+            {case}
+            ELSE 'und' END AS pred_lang
+FROM feats
+"""
+
+
+@register(
+    "text_langid",
+    _langid_sql(),
+    doc="rule-based language ID: CJK chars → zh, else marker-stopword argmax with fixed tie-break",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.lang_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+def _quality_sql() -> str:
+    en = TX.LANG_MARKERS["en"]
+    ors = " OR ".join(f"x = '{m}'" for m in en)
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))                          AS n_tokens,
+         length(text)                                          AS n_chars_m,
+         length(replace(text, ' ', ''))                        AS nonspace,
+         len(regexp_extract_all(text, '[.,!?;:]'))             AS punct_n,
+         len(list_filter(string_split(text, ' '), x -> {ors})) AS stop_n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT)              AS n_tokens,
+       CAST(n_chars_m AS BIGINT)             AS n_chars_m,
+       ROUND(nonspace / n_tokens, 4)         AS avg_token_len,
+       ROUND(punct_n / n_chars_m, 6)         AS punct_ratio,
+       ROUND(stop_n / n_tokens, 6)           AS stopword_ratio,
+       ROUND(least(n_tokens / 100.0, 1.0) * 0.5
+             + (stop_n / n_tokens) * 0.3
+             + greatest(0.0, 1.0 - punct_n / n_tokens) * 0.2, 4) AS quality_score
+FROM feats
+"""
+
+
+@register(
+    "text_quality",
+    _quality_sql(),
+    doc="quality features: length / punctuation / stopword ratios + linear score (rational arithmetic only)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.quality_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_m",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_TOKENS_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{TX.BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+@register(
+    "text_token_counts",
+    _TOKENS_SQL,
+    doc="corpus token accounting per source: whitespace tokens + BPE-ish regex tokens",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.token_counts(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+        )
+    )
+
+
+_FP_SQL = """
+SELECT doc_id,
+       substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 16) AS fp
+FROM documents
+"""
+
+
+@register(
+    "text_fingerprint",
+    _FP_SQL,
+    doc="64-bit document fingerprint: md5 prefix of normalized text",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.fingerprint(docs).select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_MM_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(hex(encode(text)), 1, 16)           AS head_hex,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width
+FROM documents
+"""
+
+
+@register(
+    "multimodal_features",
+    _MM_SQL,
+    doc=(
+        "multimodal plumbing: binary payload column + Arrow-batched "
+        "mapInPandas feature extraction (decode stubbed deterministically; "
+        "schema/batching/partitioning are the real thing)"
+    ),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.documents_as_binary(docs))

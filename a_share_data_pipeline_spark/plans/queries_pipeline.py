@@ -1,0 +1,325 @@
+"""Pipeline-shaped queries: the reference's dataflow patterns (assembly
+join chain, union-all append, watermark incrementality, as-of
+enrichment, time windows) exercised over the driver's testdata.
+
+The Tushare-shaped canonical pipeline itself is golden-tested against
+pandas-derived fixtures in tests/; here the same operator shapes run on
+the TPC-H-ish tables so the DuckDB oracle can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import as_of_join
+from ..sources import load_table
+from ..streaming.incremental import delta_slice, merge_increment
+from ..functions.rounding import dround
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Flagship: canonical wide-row assembly (J1+J2/J3+P3+P5 shape on testdata)
+# ---------------------------------------------------------------------------
+
+CANONICAL_ASSEMBLY_SQL = """
+SELECT l.l_orderkey                    AS order_key,
+       l.l_linenumber                  AS line_no,
+       ROUND(l.l_extendedprice, 2)     AS price,
+       ROUND(l.l_quantity, 2)          AS qty,
+       ROUND(p.p_retailprice, 2)       AS retail_price,
+       p.p_brand                       AS brand,
+       s.s_name                        AS supplier_name,
+       o.o_orderstatus                 AS order_status,
+       CAST(o.o_orderdate AS DATE)     AS order_date,
+       c.c_name                        AS customer_name,
+       c.c_mktsegment                  AS segment,
+       n.n_name                        AS nation
+FROM lineitem l
+LEFT JOIN part     p ON l.l_partkey = p.p_partkey
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders        o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation   n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_quantity IS NOT NULL AND o.o_orderstatus <> 'P'
+"""
+
+
+@register(
+    "canonical_assembly",
+    CANONICAL_ASSEMBLY_SQL,
+    doc=(
+        "Reference assembly shape (SURVEY.md §3.1) on testdata: non-null "
+        "anchor fact (P5) + composite left-join chain (J1) + inner "
+        "dim-join-as-filter (J3) + broadcast dim enrich (J2) + rename/"
+        "cast/project (P3/F1). Reference: market/non_fq_daily_kline.py:99-124."
+    ),
+)
+def canonical_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").isNotNull())
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    wide = (
+        li.join(part, li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+    )
+    return wide.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        dround("l_extendedprice", 2).alias("price"),
+        dround("l_quantity", 2).alias("qty"),
+        dround("p_retailprice", 2).alias("retail_price"),
+        F.col("p_brand").alias("brand"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: union-all append semantics (duplicate-tolerant, reference compat)
+# ---------------------------------------------------------------------------
+
+_UNION_SQL = """
+WITH appended AS (
+  SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_orderkey, COUNT(*) AS n_copies
+FROM appended GROUP BY o_orderkey HAVING COUNT(*) > 1
+"""
+
+
+@register(
+    "union_all_append",
+    _UNION_SQL,
+    doc=(
+        "U1 compat semantics: overlapping appends duplicate keys (bag "
+        "union, no dedup) — reference market/delta_non_fq_daily_kline.py:150"
+    ),
+)
+def union_all_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    new = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    appended = merge_increment(old.select("o_orderkey"), new.select("o_orderkey"), mode="compat")
+    return (
+        appended.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_MERGE_SQL = """
+WITH appended AS (
+  SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys
+FROM (SELECT DISTINCT o_orderkey FROM appended) t
+"""
+
+
+@register(
+    "merge_idempotent",
+    _MERGE_SQL,
+    doc="U1 merge mode: idempotent key-deduplicated append (engine upgrade over reference)",
+)
+def merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    new = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    merged = merge_increment(
+        old.select("o_orderkey"), new.select("o_orderkey"), keys=["o_orderkey"], mode="merge"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.countDistinct("o_orderkey").alias("n_keys")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1-T3: watermark incrementality (batch mode) over events
+# ---------------------------------------------------------------------------
+
+_INC_SQL = """
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_new,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events
+WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY 1
+"""
+
+
+@register(
+    "incremental_delta",
+    _INC_SQL,
+    doc=(
+        "watermark-driven delta slice (T1/T2): partition-pruned scan of "
+        "rows past the high-water mark — replaces the reference's "
+        "per-day loop (market/delta_non_fq_daily_kline.py:71-107)"
+    ),
+)
+def incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    delta = delta_slice(ev, "ts", "2024-01-20 00:00:00")
+    return delta.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new"),
+        dround(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: as-of join — latest event at-or-before each order date, per user
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       o.o_orderkey   AS last_order_key,
+       o.o_orderdate  AS last_order_date
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+@register(
+    "asof_join",
+    _ASOF_SQL,
+    doc="as-of join (J4 [GAP]): union-merge implementation, one shuffle, no range blow-up",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))  # deterministic among exact-ts ties
+    )
+    joined = as_of_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_orderdate").alias("last_order_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5 batch analogs: tumbling / sliding / session windows over events
+# ---------------------------------------------------------------------------
+
+_TUMBLE_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling", _TUMBLE_SQL, doc="tumbling 1h window aggregation (T5); streaming variant in streaming/windows.py")
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value"), 2).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
+_SLIDE_SQL = """
+WITH expanded AS (
+  SELECT unnest([DATE_TRUNC('hour', ts), DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS value_sum
+FROM expanded GROUP BY 1
+"""
+
+
+@register("events_sliding", _SLIDE_SQL, doc="sliding window (2h size, 1h slide) — each event lands in 2 windows")
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value"), 2).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "n", "value_sum")
+    )
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              WHEN LAG(ts) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "events_sessionize",
+    _SESSION_SQL,
+    doc="session windows, batch gap-based sessionization (T5); stateful streaming variant in streaming/",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    # microsecond-exact gap on both engines (a seconds cast would
+    # truncate sub-second gaps differently than DuckDB's interval math)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w_order)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w_order).isNull(), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_start").over(w_run).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,49 @@
+"""Batch readers for the engine's at-rest formats.
+
+Parquet is the native format (columnar, footer schema, predicate/column
+pushdown for free). CSV is kept as a reference-compat format (the
+reference stores everything as CSV — SURVEY.md §1.1) and always takes an
+explicit schema, never inference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver testdata table. Parquet scan → Catalyst pushes
+    filters/projections into the file scan (check .explain for
+    PushedFilters/ReadSchema)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it
+        # arrives as raw nanos — truncate to micros exactly like DuckDB
+        from pyspark.sql import functions as F
+
+        # integer `div`, not `/`: float division of ~1.7e18 nanos loses
+        # precision past the 53-bit double mantissa
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, **options) -> DataFrame:
+    """Reference-compat CSV read with a fixed schema (reference re-reads
+    its own CSVs at market/delta_non_fq_daily_kline.py:138,149)."""
+    opts = {"header": "true", **options}
+    return spark.read.schema(schema).options(**opts).csv(path)

@@ -1,0 +1,82 @@
+"""Differential harness mimicking the driver's correctness gate: run
+every catalog query through Spark AND its oracle SQL through DuckDB on
+the same parquet, then compare row count, column names, and
+order-insensitive values (floats rounded inside the queries
+themselves, by design)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from a_share_data_pipeline_spark.plans import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
+
+
+QUERIES = {name: q for name, q in registry().items() if q.oracle is not None}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_matches_oracle(spark, name):
+    q = QUERIES[name]
+    sdf = q.fn(spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_DIR)
+    cur = con.execute(q.oracle)
+    duck_cols = [d[0].lower() for d in cur.description]
+    duck_rows = cur.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sc = _canon(spark_rows, spark_cols)
+    dc = _canon(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+def test_all_queries_return_rows_or_empty_consistently(spark):
+    # queries without oracles must at least run and produce a stable schema
+    for name, q in registry().items():
+        if q.oracle is None:
+            df = q.fn(spark, SF_DIR)
+            assert df.columns, f"{name}: no columns"
+            df.limit(5).collect()
