@@ -22,20 +22,38 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MINHASH_BAND_SIZE, MINHASH_SEEDS
 
 
-def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Add `shingles: array<string>` of distinct word n-grams."""
+def word_shingles_col(text_col: str = "text", n: int = 3) -> "F.Column":
+    """`array<string>` of distinct word n-grams as a Column expression."""
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)])  # noqa: E731
-    shingles = F.when(
-        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
-    return df.withColumn("shingles", shingles)
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Add `shingles: array<string>` of distinct word n-grams."""
+    return df.withColumn("shingles", word_shingles_col(text_col, n))
 
 
 def exploded_shingles(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
-    return with_word_shingles(df).select(id_col, F.explode("shingles").alias("shingle"))
+    """(id, shingle) pairs, distinct per doc.
+
+    Repartitions the input first: document tables often arrive in a
+    handful of file splits, and the explode fans out 50-100× — without
+    the repartition all that expansion (and the md5 work downstream)
+    runs in as few tasks as there are splits.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
+    # explode the EXPRESSION, not a withColumn alias: exploding a named
+    # column makes Catalyst infer `size(c)>0 AND c IS NOT NULL`,
+    # substitute the full shingle expression into it, and push that
+    # below the exchange — evaluating the array construction 3× per
+    # row on the pre-repartition (often single) partition
+    return df.select(id_col, F.explode(word_shingles_col()).alias("shingle"))
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -78,6 +96,16 @@ def pair_jaccard(shingled: DataFrame, pairs: DataFrame | None = None, min_overla
     otherwise considers every pair sharing >= min_overlap shingles.
     """
     counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if pairs is not None:
+        # verify path: only candidate docs enter the shingle self-join —
+        # the candidate set is tiny relative to the corpus, so this
+        # turns an O(corpus-pairs) join into O(candidate-docs) work
+        cand_docs = (
+            pairs.select(F.col("a").alias("doc_id"))
+            .union(pairs.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        shingled = shingled.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     a = shingled.select(F.col("doc_id").alias("a"), "shingle")
     b = shingled.select(F.col("doc_id").alias("b"), "shingle")
     inter = (

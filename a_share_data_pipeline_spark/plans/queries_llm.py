@@ -143,8 +143,12 @@ WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    shingled = D.exploded_shingles(docs)
-    candidates = D.lsh_band_candidates(D.minhash_signatures(shingled))
+    # the shingle set feeds signatures AND the verify join — persist it
+    # once instead of recomputing the explode+distinct lineage 3×;
+    # candidates are tiny, so localCheckpoint severs their lineage from
+    # the whole minhash DAG before they fan back into two more joins
+    shingled = D.exploded_shingles(docs).persist()
+    candidates = D.lsh_band_candidates(D.minhash_signatures(shingled)).localCheckpoint()
     verified = D.pair_jaccard(shingled, pairs=candidates)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "a", "b", dround("jaccard", 6).alias("jaccard")

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Headline set: one representative per operator family (scan+agg, joins,
+windows, sessionization, as-of, incremental, dedup, similarity, text,
+JSON) — the 100 TB-relevant shapes, timed end-to-end including the
+action (count), excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from a_share_data_pipeline_spark.plans import registry  # noqa: E402
+from a_share_data_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_stats",
+    "join_top_orders",
+    "join_regional_revenue",
+    "canonical_assembly",
+    "window_running",
+    "window_rank",
+    "events_tumbling",
+    "events_sessionize",
+    "asof_join",
+    "incremental_delta",
+    "json_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "text_quality",
+    "text_token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    reg = registry()
+
+    # warmup: spin executors + codegen paths once, outside timing
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = reg[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
