@@ -87,7 +87,18 @@ def assemble_canonical(
     stock_basic: DataFrame,
     mode: str = "backfill",
 ) -> DataFrame:
-    """Full reference pipeline as one declarative plan."""
+    """Full reference pipeline as one declarative plan.
+
+    Backfill mode re-expresses the reference's key-driven scan (it
+    iterates ONLY filtered dim keys, market/non_fq_daily_kline.py:54-57)
+    as a broadcast semi-join of each fact against the filtered dim —
+    same output set, no driver loop; the subsequent dim join can then be
+    LEFT as in the reference (:104) because every fact row matches.
+    """
     dim = filter_main_board(stock_basic)
+    if mode == "backfill":
+        keys = dim.select("ts_code")
+        sj = lambda df: df.join(F.broadcast(keys), "ts_code", "left_semi")  # noqa: E731
+        daily, stk_limit, daily_basic = sj(daily), sj(stk_limit), sj(daily_basic)
     fact = join_facts(daily, stk_limit, daily_basic)
     return to_canonical(enrich_dim(fact, dim, mode))

@@ -1,0 +1,253 @@
+"""Golden pipeline tests (SURVEY.md §5.1): the Spark engine vs pandas
+goldens computed with the reference's own operations — covering J1/J2/J3
+join semantics, P4/P5 filters, P3 renames, S9/S10 sink semantics, U1
+rerun duplication, and T1 watermark advance/late-data drop."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from a_share_data_pipeline_spark import flows
+from a_share_data_pipeline_spark.operators import assembly
+from a_share_data_pipeline_spark.schemas import (
+    CANONICAL,
+    DAILY,
+    DAILY_BASIC,
+    STK_LIMIT,
+    STOCK_BASIC,
+    TRADE_CAL,
+)
+from a_share_data_pipeline_spark.sources import sinks
+from a_share_data_pipeline_spark.sources.readers import read_csv
+from a_share_data_pipeline_spark.streaming.incremental import WatermarkStore
+
+import fixtures_ashare as FX
+
+
+@pytest.fixture(scope="module")
+def fixture_pdfs():
+    cal = FX.gen_trade_cal()
+    basic = FX.gen_stock_basic()
+    daily, limit, dbasic = FX.gen_facts(basic, cal)
+    return {"cal": cal, "stock_basic": basic, "daily": daily, "limit": limit, "dbasic": dbasic}
+
+
+@pytest.fixture(scope="module")
+def fixture_sdfs(spark, fixture_pdfs):
+    p = fixture_pdfs
+    return {
+        "cal": spark.createDataFrame(p["cal"], TRADE_CAL),
+        "stock_basic": spark.createDataFrame(p["stock_basic"], STOCK_BASIC),
+        "daily": spark.createDataFrame(p["daily"], DAILY),
+        "limit": spark.createDataFrame(p["limit"], STK_LIMIT),
+        "dbasic": spark.createDataFrame(p["dbasic"], DAILY_BASIC),
+    }
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.sort_values(["code", "date"]).reset_index(drop=True)
+    return out[FX.CANONICAL_ORDER]
+
+
+def assert_matches_golden(spark_df, golden: pd.DataFrame):
+    got = _norm(spark_df.toPandas())
+    want = _norm(golden)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_backfill_matches_reference_golden(fixture_sdfs, fixture_pdfs):
+    """J1+J2+P4+P5+P3 chain ≡ the reference's per-stock pandas dataflow."""
+    s = fixture_sdfs
+    out = assembly.assemble_canonical(
+        s["daily"], s["limit"], s["dbasic"], s["stock_basic"], mode="backfill"
+    )
+    golden = FX.golden_backfill(
+        fixture_pdfs["daily"],
+        fixture_pdfs["limit"],
+        fixture_pdfs["dbasic"],
+        fixture_pdfs["stock_basic"],
+    )
+    assert len(golden) > 0
+    assert_matches_golden(out, golden)
+
+
+def test_delta_matches_reference_golden(fixture_sdfs, fixture_pdfs):
+    """Inner dim join doubles as main-board filter (J3)."""
+    cal_days = list(fixture_pdfs["cal"]["cal_date"])
+    after, until = cal_days[19], cal_days[-1]
+    s = fixture_sdfs
+    from pyspark.sql import functions as F
+
+    rng = lambda df: df.filter(  # noqa: E731
+        (F.col("trade_date") > after) & (F.col("trade_date") <= until)
+    )
+    out = assembly.assemble_canonical(
+        rng(s["daily"]), rng(s["limit"]), rng(s["dbasic"]), s["stock_basic"], mode="delta"
+    )
+    golden = FX.golden_delta(
+        fixture_pdfs["daily"],
+        fixture_pdfs["limit"],
+        fixture_pdfs["dbasic"],
+        fixture_pdfs["stock_basic"],
+        after,
+        until,
+    )
+    assert len(golden) > 0
+    assert_matches_golden(out, golden)
+
+
+def test_nonmain_board_rows_excluded(fixture_sdfs):
+    """P4: no 创业板/科创板 rows survive either mode."""
+    s = fixture_sdfs
+    for mode in ("backfill", "delta"):
+        out = assembly.assemble_canonical(
+            s["daily"], s["limit"], s["dbasic"], s["stock_basic"], mode=mode
+        )
+        assert out.filter(out.market != "主板").count() == 0
+
+
+def test_csv_append_header_once(spark, fixture_sdfs, tmp_path):
+    """S9: two appends → one header, sum of row counts."""
+    out = assembly.assemble_canonical(
+        fixture_sdfs["daily"],
+        fixture_sdfs["limit"],
+        fixture_sdfs["dbasic"],
+        fixture_sdfs["stock_basic"],
+    )
+    n = out.count()
+    path = str(tmp_path / "all-prices.csv")
+    sinks.append_csv(out, path)
+    sinks.append_csv(out, path)
+    with open(path) as f:
+        lines = f.readlines()
+    header = ",".join(out.columns)
+    assert lines[0].strip() == header
+    assert sum(1 for ln in lines if ln.strip() == header) == 1
+    assert len(lines) == 2 * n + 1
+    # and it round-trips through the schema'd reader
+    back = read_csv(spark, path, CANONICAL)
+    assert back.count() == 2 * n
+
+
+def test_backfill_flow_end_to_end(spark, fixture_sdfs, tmp_path):
+    """Flow 1: append + publish + initial watermark (S9/S11/T1)."""
+    pub = sinks.LocalDirPublisher(str(tmp_path / "hub"))
+    wm = WatermarkStore(str(tmp_path / ".last_update_date"))
+    end = dt.date(2024, 2, 9)
+    s = fixture_sdfs
+    out = flows.backfill_flow(
+        spark,
+        s["daily"],
+        s["limit"],
+        s["dbasic"],
+        s["stock_basic"],
+        str(tmp_path / "all-prices.csv"),
+        publisher=pub,
+        watermark=wm,
+        end=end,
+    )
+    assert pub.exists(flows.PRICES_FILE)
+    assert pub.exists(flows.WATERMARK_FILE)
+    assert wm.read() == end
+    published = read_csv(spark, pub.download(flows.PRICES_FILE), CANONICAL)
+    assert published.count() == out.count()
+
+
+def test_delta_flow_rerun_duplicates_in_compat_mode(spark, fixture_sdfs, fixture_pdfs, tmp_path):
+    """A9/U1: running the same delta twice duplicates (code,date) rows in
+    the published artifact — the reference's documented crash-rerun
+    semantics (UNION ALL, no dedup)."""
+    cal_days = list(fixture_pdfs["cal"]["cal_date"])
+    wm_day = dt.datetime.strptime(cal_days[19], "%Y%m%d").date()
+    end = dt.datetime.strptime(cal_days[-1], "%Y%m%d").date()
+    pub = sinks.LocalDirPublisher(str(tmp_path / "hub"))
+    s = fixture_sdfs
+
+    def run(i: int):
+        wm = WatermarkStore(str(tmp_path / f".wm{i}"))
+        wm.write(wm_day)  # reset watermark → simulated rerun
+        return flows.delta_flow(
+            spark,
+            s["daily"],
+            s["limit"],
+            s["dbasic"],
+            s["stock_basic"],
+            str(tmp_path / f"delta{i}.csv"),
+            pub,
+            wm,
+            end,
+            calendar=s["cal"],
+        )
+
+    d1 = run(1)
+    n = d1.count()
+    assert n > 0
+    run(2)
+    published = read_csv(spark, pub.download(flows.PRICES_FILE), CANONICAL)
+    assert published.count() == 2 * n  # bag union kept both runs
+    dup = published.groupBy("code", "date").count().filter("count > 1")
+    assert dup.count() > 0
+
+
+def test_delta_flow_drops_late_data_in_compat(spark, fixture_sdfs, fixture_pdfs, tmp_path):
+    """§2.9: rows at/before the watermark never enter the delta — the
+    reference loses them forever; compat mode reproduces that."""
+    cal_days = list(fixture_pdfs["cal"]["cal_date"])
+    wm_day = dt.datetime.strptime(cal_days[19], "%Y%m%d").date()
+    end = dt.datetime.strptime(cal_days[-1], "%Y%m%d").date()
+    pub = sinks.LocalDirPublisher(str(tmp_path / "hub"))
+    wm = WatermarkStore(str(tmp_path / ".wm"))
+    wm.write(wm_day)
+    s = fixture_sdfs
+    delta = flows.delta_flow(
+        spark,
+        s["daily"],
+        s["limit"],
+        s["dbasic"],
+        s["stock_basic"],
+        str(tmp_path / "delta.csv"),
+        pub,
+        wm,
+        end,
+        calendar=s["cal"],
+    )
+    late_cutoff = wm_day.isoformat()
+    assert delta.filter(delta.date <= late_cutoff).count() == 0
+    assert wm.read() == end  # advanced only after publish
+
+
+def test_delta_flow_empty_range_no_publish_no_advance(spark, fixture_sdfs, tmp_path):
+    """P6/T3: nothing pending → no artifact, watermark unchanged."""
+    pub = sinks.LocalDirPublisher(str(tmp_path / "hub"))
+    wm = WatermarkStore(str(tmp_path / ".wm"))
+    frozen = dt.date(2030, 1, 1)
+    wm.write(frozen)
+    s = fixture_sdfs
+    out = flows.delta_flow(
+        spark,
+        s["daily"],
+        s["limit"],
+        s["dbasic"],
+        s["stock_basic"],
+        str(tmp_path / "delta.csv"),
+        pub,
+        wm,
+        dt.date(2030, 1, 5),
+    )
+    assert out is None
+    assert not pub.exists(flows.PRICES_FILE)
+    assert wm.read() == frozen
+
+
+def test_calendar_flow_sorted(spark, fixture_sdfs, tmp_path):
+    """Flow 3: published calendar is ascending dates (O1)."""
+    pub = sinks.LocalDirPublisher(str(tmp_path / "hub"))
+    cal = flows.calendar_flow(
+        spark, fixture_sdfs["cal"], str(tmp_path / "calendar.csv"), publisher=pub
+    )
+    pdf = cal.toPandas()
+    assert list(pdf["cal_date"]) == sorted(pdf["cal_date"])
+    assert pub.exists(flows.CALENDAR_FILE)
