@@ -1,0 +1,104 @@
+"""Streaming-backed catalog queries (SURVEY.md M5, T2/T5).
+
+Each query materializes a real Structured Streaming run: events are
+landed as files, read back with a file-source stream, processed through
+windowed / stateful operators, executed to completion with
+Trigger.AvailableNow into a memory sink, and the sink's table is
+returned as the result DataFrame.
+
+Because an AvailableNow cycle over a static landing dir is
+deterministic, these carry full SQL oracles — DuckDB verifies the
+*streaming* engine's output, not a batch stand-in (the batch analogs
+live in queries_pipeline.py; tests/test_streaming.py proves
+stream≡batch on the same input).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..sources.readers import load_table
+from ..streaming import structured as ST
+from .catalog import register
+
+
+def _land_events(spark: SparkSession, sf_dir: str) -> tuple[str, "DataFrame"]:
+    """Write events (micros timestamps) into a fresh landing dir."""
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_landing_")
+    path = os.path.join(d, "files")
+    ev.write.mode("overwrite").parquet(path)
+    return path, ev
+
+
+def _run_to_table(spark: SparkSession, result: DataFrame, mode: str) -> DataFrame:
+    name = "q_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    ST.run_available_now(result, ckpt, output_mode=mode, query_name=name)
+    return spark.table(name)
+
+
+_STREAM_TUMBLE_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_tumbling",
+    _STREAM_TUMBLE_SQL,
+    doc="Structured Streaming tumbling window (AvailableNow file stream → memory sink); oracle checks the streaming output itself",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, ev = _land_events(spark, sf_dir)
+    stream = ST.read_file_stream(spark, path, ev.schema)
+    res = ST.tumbling_counts(stream, width="1 hour", watermark="2 hours")
+    out = _run_to_table(spark, res, "complete")
+    return out.select(
+        F.col("win_start").alias("window_start"),
+        "event_type",
+        F.col("n_events").alias("n"),
+        dround("sum_value", 2).alias("value_sum"),
+    )
+
+
+_STREAM_TOTALS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 2) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "stream_stateful_totals",
+    _STREAM_TOTALS_SQL,
+    doc="applyInPandasWithState running totals (update mode, multi-micro-batch); final state per user oracle-checked",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, ev = _land_events(spark, sf_dir)
+    # >1 file → >1 micro-batch → state actually carries across batches
+    stream = ST.read_file_stream(spark, path, ev.schema, max_files_per_trigger=1)
+    res = ST.running_totals_stateful(stream)
+    updates = _run_to_table(spark, res, "update")
+    # update-mode memory sink holds every per-batch emission; the final
+    # state per user is the one with the largest n_events (monotone)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", dround("sum_value", 2).alias("sum_value"))
+    )

@@ -1,0 +1,198 @@
+"""Structured Streaming variant of the incremental engine (SURVEY.md M5).
+
+The reference's delta flow is a hand-rolled micro-batch loop with a
+text-file watermark (market/delta_non_fq_daily_kline.py:29-41, 71-107,
+159-167). The native Spark restatement is a file-source stream:
+
+    readStream(source dir) → transform → writeStream
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ...)
+
+- `Trigger.AvailableNow` ≡ the reference's "process everything since
+  the watermark, then stop" cron semantics (T2/T4);
+- the checkpoint dir replaces `.last_update_date` (T1) — offsets commit
+  transactionally after each sink epoch, so a crash rerun resumes
+  instead of duplicating (strictly better than compat-mode U1);
+- `withWatermark` + windowed aggregation supplies the late-data
+  semantics the reference lacks (§2.9): late rows within the watermark
+  slack are merged, rows beyond it are dropped deterministically.
+
+Event-time operators (T5) target the `events` testdata table
+(event_id, ts, user_id, event_type, value, props).
+
+At scale: file-source streams list new files per micro-batch
+(maxFilesPerTrigger bounds batch size); state-store size for windowed
+aggs is bounded by the watermark horizon; session windows use the
+built-in session_window (state merges server-side, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory — the streaming
+    analog of the reference's 'new CSV appeared' model."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """T5: tumbling event-time window; late rows beyond `watermark` are
+    dropped, within it they update their window's aggregate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T5: sliding (hopping) window — each row lands in width/slide
+    overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """T5: gap-based session windows per user via the built-in
+    session_window — state merging happens in the JVM state store, no
+    Python in the loop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = "n_events bigint, sum_value double"
+RUNNING_OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+
+
+def running_totals_stateful(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator (§2.10 UDF surface): per-user running
+    totals via applyInPandasWithState — the arbitrary-state API the
+    reference's watermark file is a degenerate form of.
+
+    Arrow-batched: each micro-batch groups by user and updates a
+    (n_events, sum_value) state tuple; emits the running value per user
+    per batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    result: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    sink_format: str = "memory",
+    query_name: str = "stream_q",
+    out_path: str | None = None,
+) -> None:
+    """Execute one AvailableNow cycle to completion — the streaming
+    analog of one reference cron run (T2/T4). The checkpoint dir is the
+    watermark: re-running with the same dir processes only new files."""
+    writer = (
+        result.writeStream.outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format(sink_format)
+    )
+    if sink_format == "memory":
+        writer = writer.queryName(query_name)
+    if out_path is not None:
+        writer = writer.option("path", out_path)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def stream_delta_append(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    out_dir: str,
+    partition_col: str = "date",
+) -> None:
+    """Streaming restatement of flow 2: canonical rows land as files,
+    the stream appends them to the partitioned native table exactly
+    once (checkpointed offsets replace `.last_update_date`; crash rerun
+    resumes instead of duplicating — the MERGE-grade upgrade of U1)."""
+    src = read_file_stream(spark, landing_dir, schema)
+    q = (
+        src.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(partition_col)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()

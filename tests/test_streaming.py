@@ -1,0 +1,139 @@
+"""M5 Structured Streaming tests: AvailableNow file-source streams over
+the events fixture, checked against the equivalent batch plans, plus
+exactly-once semantics of the checkpointed delta append."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from a_share_data_pipeline_spark.sources.readers import load_table
+from a_share_data_pipeline_spark.streaming import structured as ST
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_landing(spark, tmp_path_factory):
+    """Events fixture re-written as micros-timestamp parquet files in a
+    landing dir (the raw testdata file is TIMESTAMP(NANOS), which the
+    file-source stream can't schema-infer)."""
+    d = tmp_path_factory.mktemp("events_landing")
+    ev = load_table(spark, SF, "events")
+    ev.coalesce(2).write.mode("overwrite").parquet(str(d / "files"))
+    schema = ev.schema
+    return str(d / "files"), schema, ev
+
+
+def _memory_df(spark, name):
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, events_landing, tmp_path):
+    path, schema, ev_batch = events_landing
+    stream = ST.read_file_stream(spark, path, schema)
+    result = ST.tumbling_counts(stream, width="1 hour", watermark="2 hours")
+    ST.run_available_now(
+        result, str(tmp_path / "ckpt"), output_mode="complete", query_name="tumb"
+    )
+    got = {tuple(r) for r in _memory_df(spark, "tumb").collect()}
+    want = {tuple(r) for r in ST.tumbling_counts(ev_batch, width="1 hour").collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_sliding_stream_matches_batch(spark, events_landing, tmp_path):
+    path, schema, ev_batch = events_landing
+    stream = ST.read_file_stream(spark, path, schema)
+    result = ST.sliding_counts(stream, width="2 hours", slide="1 hour", watermark="2 hours")
+    ST.run_available_now(
+        result, str(tmp_path / "ckpt"), output_mode="complete", query_name="slide"
+    )
+    got = {tuple(r) for r in _memory_df(spark, "slide").collect()}
+    want = {tuple(r) for r in ST.sliding_counts(ev_batch, width="2 hours", slide="1 hour").collect()}
+    assert got == want
+    # every event lands in 2 overlapping windows → sliding rows ≥ tumbling rows
+    assert len(got) > 0
+
+
+def test_session_stream_matches_batch(spark, events_landing, tmp_path):
+    path, schema, ev_batch = events_landing
+    stream = ST.read_file_stream(spark, path, schema)
+    result = ST.session_aggregate(stream, gap="30 minutes", watermark="2 hours")
+    ST.run_available_now(
+        result, str(tmp_path / "ckpt"), output_mode="complete", query_name="sess"
+    )
+    got = {tuple(r) for r in _memory_df(spark, "sess").collect()}
+    want = {tuple(r) for r in ST.session_aggregate(ev_batch, gap="30 minutes").collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stateful_running_totals(spark, events_landing, tmp_path):
+    """applyInPandasWithState: last update per user equals the batch
+    per-user totals."""
+    path, schema, ev_batch = events_landing
+    stream = ST.read_file_stream(spark, path, schema, max_files_per_trigger=1)
+    result = ST.running_totals_stateful(stream)
+    ST.run_available_now(
+        result, str(tmp_path / "ckpt"), output_mode="update", query_name="runtot"
+    )
+    # memory sink in update mode appends each update; with >1 micro-batch
+    # a user may appear multiple times — the LAST row per user is final
+    updates = _memory_df(spark, "runtot").toPandas()
+    final = updates.groupby("user_id").last()
+    want = (
+        ev_batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(want)
+    joined = final.join(want, lsuffix="_got", rsuffix="_want")
+    assert (joined["n_events_got"] == joined["n_events_want"]).all()
+    assert (abs(joined["sum_value_got"] - joined["sum_value_want"]) < 1e-6).all()
+
+
+def test_delta_append_exactly_once(spark, events_landing, tmp_path):
+    """The checkpointed stream processes each landed file exactly once
+    across reruns — the idempotent upgrade of the reference's U1
+    rerun-duplication (same scenario as A9, opposite outcome)."""
+    _, schema, ev_batch = events_landing
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "table")
+    os.makedirs(landing)
+
+    wave1 = ev_batch.limit(100).withColumn("date", F.to_date("ts"))
+    wave1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w1"))
+    for f in os.listdir(str(tmp_path / "w1")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "w1"), f), os.path.join(landing, "w1_" + f))
+
+    full_schema = wave1.schema
+    ST.stream_delta_append(spark, landing, full_schema, ckpt, out)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+
+    # rerun with no new files → no duplicates
+    ST.stream_delta_append(spark, landing, full_schema, ckpt, out)
+    assert spark.read.parquet(out).count() == n1
+
+    # land a second wave → only its rows are appended
+    wave2 = ev_batch.limit(150).withColumn("date", F.to_date("ts"))
+    wave2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w2"))
+    for f in os.listdir(str(tmp_path / "w2")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "w2"), f), os.path.join(landing, "w2_" + f))
+    ST.stream_delta_append(spark, landing, full_schema, ckpt, out)
+    assert spark.read.parquet(out).count() == n1 + 150
+
+    # partition layout: the table is date-partitioned (pruning path)
+    assert any(p.startswith("date=") for p in os.listdir(out))
