@@ -48,5 +48,6 @@ def registry() -> dict[str, Query]:
     from . import queries_llm  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_streaming  # noqa: F401
+    from . import queries_udf  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,149 @@
+"""UDF-lane and non-equi-join catalog queries (SURVEY.md §2.10, §2.3 J4).
+
+Each query exercises a lane of the UDF surface (functions/udfs.py) or a
+join shape the reference lacks (range / theta), with a DuckDB oracle
+proving the Python lanes preserve SQL semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..functions.udfs import WordExplode, geo_mean, price_band
+from ..sources.readers import load_table
+from .catalog import register
+
+_PBAND_SQL = """
+SELECT CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS band,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS band_revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register(
+    "udf_pandas_scalar",
+    _PBAND_SQL,
+    doc="Arrow-vectorized scalar pandas_udf (price banding) feeding a hash agg; oracle proves UDF ≡ SQL expression",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("band", price_band("l_extendedprice"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("l_extendedprice"), 2).alias("band_revenue"),
+        )
+    )
+
+
+_GEO_SQL = """
+SELECT l_returnflag,
+       ROUND(EXP(AVG(LN(l_quantity))), 6) AS geo_qty
+FROM lineitem
+WHERE l_quantity > 0
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "udf_grouped_agg",
+    _GEO_SQL,
+    doc="grouped-aggregate pandas_udf (geometric mean); whole-group Arrow batches, low-cardinality keys",
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy("l_returnflag").agg(dround(geo_mean("l_quantity"), 6).alias("geo_qty"))
+
+
+_UDTF_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT word, COUNT(*) AS n
+FROM words
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 25
+"""
+
+
+@register(
+    "udf_table_function",
+    _UDTF_SQL,
+    doc="Python UDTF (lateral word explode) + agg + deterministic top-k",
+)
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    spark.udtf.register("word_explode", WordExplode)
+    return spark.sql(
+        """
+        SELECT w.word, COUNT(*) AS n
+        FROM __docs_udtf d, LATERAL word_explode(d.text) w
+        GROUP BY w.word
+        ORDER BY n DESC, w.word
+        LIMIT 25
+        """
+    )
+
+
+_RANGE_SQL = """
+WITH bands AS (
+  SELECT band_id, lo, hi FROM (VALUES
+    (0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0), (3, 40.0, 1e9)
+  ) AS t(band_id, lo, hi)
+)
+SELECT b.band_id, COUNT(*) AS n, ROUND(AVG(l.l_quantity), 4) AS avg_qty
+FROM lineitem l JOIN bands b
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band_id
+"""
+
+
+@register(
+    "join_range",
+    _RANGE_SQL,
+    doc="range (interval containment) join: broadcast nested-loop against a tiny band table — at scale the small side MUST broadcast or this is a cross shuffle",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0), (3, 40.0, 1e9)],
+        "band_id int, lo double, hi double",
+    )
+    cond = (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi"))
+    return (
+        li.join(F.broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.avg("l_quantity"), 4).alias("avg_qty"))
+    )
+
+
+_THETA_SQL = """
+SELECT a.n_name AS nation_a, b.n_name AS nation_b
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+ORDER BY nation_a, nation_b
+"""
+
+
+@register(
+    "join_theta",
+    _THETA_SQL,
+    doc="theta join (inequality pairing within region): equi part shuffles/broadcasts, inequality stays residual",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("nation_a"), F.col("n_regionkey").alias("rk_a"))
+    b = n.select(F.col("n_name").alias("nation_b"), F.col("n_regionkey").alias("rk_b"))
+    return (
+        a.join(b, (F.col("rk_a") == F.col("rk_b")) & (F.col("nation_a") < F.col("nation_b")))
+        .select("nation_a", "nation_b")
+        .orderBy("nation_a", "nation_b")
+    )
