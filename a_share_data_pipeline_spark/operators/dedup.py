@@ -66,27 +66,49 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_band_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (rows of MINHASH_BAND_SIZE hashes), self-join on
-    (band, band_hash) → candidate pairs (a < b)."""
-    n_bands = len(MINHASH_SEEDS) // MINHASH_BAND_SIZE
-    bands = None
-    for b in range(n_bands):
-        cols = [f"h{i}" for i in MINHASH_SEEDS[b * MINHASH_BAND_SIZE : (b + 1) * MINHASH_BAND_SIZE]]
-        one = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *cols).alias("band_hash"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
-    a = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
-    b_ = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
+def _bucket_pairs(bucketed: DataFrame, id_col: str) -> DataFrame:
+    """(a, b) ordered pairs of ids sharing a bucket, via ONE aggregation:
+    groupBy(bucket) → collect ids → drop singletons → expand pairs with
+    an array-combinator expression. Versus a bucket self-join this halves
+    the shuffles, and the overwhelmingly-singleton buckets are discarded
+    in the (partially aggregated) groupBy instead of surviving into a
+    join probe side."""
     return (
-        a.join(b_, ["band", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+        bucketed.groupBy("bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    "  y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
     )
+
+
+def lsh_band_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows of MINHASH_BAND_SIZE hashes) and emit
+    candidate pairs (a < b) sharing any band bucket.
+
+    One pass over the signatures: posexplode of the band-hash array
+    (the previous union-per-band shape made Catalyst execute the whole
+    upstream aggregation once per band), then bucket-pair expansion."""
+    n_bands = len(MINHASH_SEEDS) // MINHASH_BAND_SIZE
+    band_cols = [
+        F.concat_ws(
+            ",",
+            *[f"h{i}" for i in MINHASH_SEEDS[b * MINHASH_BAND_SIZE : (b + 1) * MINHASH_BAND_SIZE]],
+        )
+        for b in range(n_bands)
+    ]
+    bands = signatures.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "band_hash")
+    ).select(id_col, F.concat_ws("#", F.col("band"), F.col("band_hash")).alias("bucket"))
+    return _bucket_pairs(bands, id_col).distinct()
 
 
 def pair_jaccard(shingled: DataFrame, pairs: DataFrame | None = None, min_overlap: int = 1) -> DataFrame:
@@ -106,11 +128,8 @@ def pair_jaccard(shingled: DataFrame, pairs: DataFrame | None = None, min_overla
             .distinct()
         )
         shingled = shingled.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    a = shingled.select(F.col("doc_id").alias("a"), "shingle")
-    b = shingled.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
+        _bucket_pairs(shingled.select("doc_id", F.col("shingle").alias("bucket")), "doc_id")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
         .filter(F.col("n_inter") >= min_overlap)

@@ -217,10 +217,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", SIM.as_double_vec("embedding", "v")
     )
-    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    # norms once per side (n arrays), not per pair (n²) — value identical
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), SIM.norm("v").alias("na"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), SIM.norm("v").alias("nb"))
     pairs = a.join(b, F.col("a") < F.col("b"))
-    cos = SIM.cosine("va", "vb")
+    cos = SIM.dot("va", "vb") / (F.col("na") * F.col("nb"))
     return pairs.filter(cos >= 0.95).select("a", "b", dround(cos, 6).alias("cos"))
 
 
