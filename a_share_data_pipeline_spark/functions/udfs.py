@@ -46,7 +46,7 @@ def geo_mean(x: pd.Series) -> float:
     return float(np.exp(np.log(x[x > 0]).mean()))
 
 
-@udtf(returnType=T.StructType([T.StructField("word", T.StringType())]))
+@udtf(returnType=T.StructType([T.StructField("word", T.StringType())]), useArrow=True)
 class WordExplode:
     """Python UDTF (lane 3): one output row per space-separated token.
     The same split semantics as the SQL oracle's string_split(text,' ')

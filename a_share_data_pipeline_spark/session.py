@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs default to row-at-a-time pickling; keep every
+        # Python lane Arrow-batched (plan shows ArrowEvalPythonUDTF)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
