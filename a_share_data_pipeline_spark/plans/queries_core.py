@@ -578,3 +578,31 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+_SALTED_SQL = """
+SELECT c.c_nationkey, COUNT(*) AS n, ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register(
+    "join_salted",
+    _SALTED_SQL,
+    doc=(
+        "skew-mitigated equi-join (operators/skew.salted_join): big side "
+        "salted, small side exploded, shuffle on (key, salt) — result "
+        "identical to the plain join, hot keys spread over N reducers"
+    ),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        salted_join(orders, customer, keys=["c_custkey"], salt_buckets=8)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
