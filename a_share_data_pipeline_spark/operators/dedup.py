@@ -56,13 +56,21 @@ def exploded_shingles(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, F.explode(word_shingles_col()).alias("shingle"))
 
 
-def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(
+    shingled: DataFrame, id_col: str = "doc_id", with_counts: bool = False
+) -> DataFrame:
     """k min-hashes per doc: h_i = min(md5(i || '|' || shingle)) over the
-    HEX STRING order — a uniform permutation family reproducible in SQL."""
+    HEX STRING order — a uniform permutation family reproducible in SQL.
+
+    with_counts=True also emits `n_sh` (distinct-shingle count) from the
+    SAME aggregation — callers that need both (LSH verify) save a second
+    full pass over the exploded shingle set."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in MINHASH_SEEDS
     ]
+    if with_counts:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return shingled.groupBy(id_col).agg(*aggs)
 
 
@@ -111,13 +119,23 @@ def lsh_band_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     return _bucket_pairs(bands, id_col).distinct()
 
 
-def pair_jaccard(shingled: DataFrame, pairs: DataFrame | None = None, min_overlap: int = 1) -> DataFrame:
+def pair_jaccard(
+    shingled: DataFrame,
+    pairs: DataFrame | None = None,
+    min_overlap: int = 1,
+    counts: DataFrame | None = None,
+) -> DataFrame:
     """Jaccard similarity per doc pair via shingle-bucket join.
 
     With `pairs` given, restricts to those candidates (LSH verify step);
     otherwise considers every pair sharing >= min_overlap shingles.
+    `counts` (doc_id, n_sh) can be supplied by a caller that already
+    aggregated the shingle set (minhash_signatures with_counts=True).
     """
-    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if counts is None:
+        counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        counts = counts.select("doc_id", "n_sh")
     if pairs is not None:
         # verify path: only candidate docs enter the shingle self-join —
         # the candidate set is tiny relative to the corpus, so this

@@ -77,6 +77,64 @@ def lsh_bucket(vec_col: str | Column) -> Column:
     return bucket.cast("long")
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "c_id",
+    vec_col: str = "cv",
+    nprobe: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: attach the `nprobe` nearest centroid
+    cells to each vector (nprobe=1 ≡ cell assignment).
+
+    `centroids` is (cell, ce) — a TINY table (8-64k rows at any scale),
+    broadcast; cost is |vectors| × |centroids| dot products, embarrass-
+    ingly parallel, no shuffle. Ranking uses the ROUNDED dot with cell
+    id as tiebreak so assignment is engine-independent (the DuckDB
+    oracle reproduces it exactly)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", dround(dot(vec_col, "ce"), round_to)
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .drop("__rn", "__sim", "ce")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF ANN: vectors are bucketed by nearest centroid ONCE (at scale:
+    precomputed at write time and stored as a partition/cluster column);
+    each query probes its `nprobe` nearest cells and runs exact cosine
+    only against those cells' members — the inverted-file analog of the
+    sign-LSH path, with recall tuned by nprobe instead of plane count."""
+    va = ivf_assign(vectors, centroids, "c_id", "cv", nprobe=1, round_to=round_to).withColumn(
+        "cn", norm("cv")
+    )
+    qa = ivf_assign(queries, centroids, "q_id", "qv", nprobe=nprobe, round_to=round_to).withColumn(
+        "qn", norm("qv")
+    )
+    pairs = va.join(F.broadcast(qa), "cell").filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        dround(dot("qv", "cv") / (F.col("qn") * F.col("cn")), round_to).alias("cos"),
+    )
+    # no dedup needed: each candidate lives in exactly ONE cell
+    # (nprobe=1 assignment), so a (q_id, c_id) pair matches at most once
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 3, round_to: int = 6) -> DataFrame:
     """ANN: exact cosine restricted to same-LSH-bucket candidates.
     Norms precomputed per side (see brute_force_topk)."""

@@ -144,12 +144,14 @@ WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the shingle set feeds signatures AND the verify join — persist it
-    # once instead of recomputing the explode+distinct lineage 3×;
+    # once instead of recomputing the explode+distinct lineage 3×; one
+    # aggregation produces minhashes AND per-doc shingle counts;
     # candidates are tiny, so localCheckpoint severs their lineage from
     # the whole minhash DAG before they fan back into two more joins
     shingled = D.exploded_shingles(docs).persist()
-    candidates = D.lsh_band_candidates(D.minhash_signatures(shingled)).localCheckpoint()
-    verified = D.pair_jaccard(shingled, pairs=candidates)
+    sig = D.minhash_signatures(shingled, with_counts=True).persist()
+    candidates = D.lsh_band_candidates(sig).localCheckpoint()
+    verified = D.pair_jaccard(shingled, pairs=candidates, counts=sig)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "a", "b", dround("jaccard", 6).alias("jaccard")
     )
@@ -467,3 +469,59 @@ FROM documents
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.documents_as_binary(docs))
+
+
+_IVF_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS ce FROM e WHERE vec_id < 8),
+va AS (
+  SELECT vec_id AS c_id, v AS cv, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(list_dot_product(v, ce), 6) DESC, cell) AS rn
+  FROM e, cent
+),
+cells AS (SELECT c_id, cv, cell FROM va WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 16),
+qp AS (
+  SELECT q_id, qv, cell,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(list_dot_product(qv, ce), 6) DESC, cell) AS rn
+  FROM q, cent
+),
+probes AS (SELECT q_id, qv, cell FROM qp WHERE rn <= 2),
+s AS (
+  SELECT p.q_id, m.c_id,
+         ROUND(list_dot_product(p.qv, m.cv)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(m.cv, m.cv))), 6) AS cos
+  FROM probes p JOIN cells m ON p.cell = m.cell AND m.c_id <> p.q_id
+),
+r AS (SELECT q_id, c_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM s)
+SELECT q_id, c_id, cos, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    _IVF_SQL,
+    doc=(
+        "ANN via IVF: deterministic coarse quantizer (8 centroid "
+        "vectors, broadcast), cell assignment at 'write time', queries "
+        "probe nprobe=2 cells — the inverted-file scale path; recall "
+        "tunes with nprobe"
+    ),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("ce")
+    )
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    out = SIM.ivf_topk(vectors, queries, centroids, k=3, nprobe=2)
+    return out.select("q_id", "c_id", "cos", F.col("rnk").cast("long").alias("rnk"))

@@ -30,6 +30,9 @@ HEADLINE = [
     "agg_stats",
     "join_top_orders",
     "join_regional_revenue",
+    "join_salted",
+    "join_range",
+    "udf_pandas_scalar",
     "canonical_assembly",
     "window_running",
     "window_rank",
@@ -42,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "text_quality",
     "text_token_counts",
 ]
@@ -54,8 +58,13 @@ def main() -> None:
     spark = get_spark("bench")
     reg = registry()
 
-    # warmup: spin executors + codegen paths once, outside timing
+    # warmup: spin executors + codegen + parquet reader infra once,
+    # outside timing (one-time Hadoop/parquet class-init otherwise
+    # lands on whichever query runs first)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from a_share_data_pipeline_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "lineitem").limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
