@@ -251,3 +251,33 @@ def test_calendar_flow_sorted(spark, fixture_sdfs, tmp_path):
     pdf = cal.toPandas()
     assert list(pdf["cal_date"]) == sorted(pdf["cal_date"])
     assert pub.exists(flows.CALENDAR_FILE)
+
+
+def test_cjk_literals_survive_csv_and_parquet_roundtrip(spark, fixture_sdfs, tmp_path):
+    """SURVEY §4: the 主板 predicate must keep working after the data
+    round-trips both at-rest formats (UTF-8 in CSV, dictionary-encoded
+    parquet)."""
+    out = assembly.assemble_canonical(
+        fixture_sdfs["daily"],
+        fixture_sdfs["limit"],
+        fixture_sdfs["dbasic"],
+        fixture_sdfs["stock_basic"],
+    )
+    n = out.count()
+    assert n > 0
+
+    csv_path = str(tmp_path / "roundtrip.csv")
+    sinks.overwrite_csv(out, csv_path)
+    back_csv = read_csv(spark, csv_path, CANONICAL)
+    assert back_csv.filter(back_csv.market == "主板").count() == n
+    assert back_csv.filter(back_csv.market != "主板").count() == 0
+
+    pq_path = str(tmp_path / "roundtrip_parquet")
+    out.write.mode("overwrite").parquet(pq_path)
+    back_pq = spark.read.parquet(pq_path)
+    assert back_pq.filter(back_pq.market == "主板").count() == n
+    # CJK name/area/industry values intact after both round-trips
+    sample_csv = {r.name for r in back_csv.select("name").distinct().collect()}
+    sample_pq = {r.name for r in back_pq.select("name").distinct().collect()}
+    assert sample_csv == sample_pq
+    assert any("银行" in s or "茅台" in s or "万科" in s for s in sample_pq)
