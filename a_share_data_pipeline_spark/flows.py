@@ -77,20 +77,33 @@ def delta_flow(
     watermark: WatermarkStore,
     end: date,
     calendar: DataFrame | None = None,
+    mode: str = "compat",
+    slack_days: int = 0,
 ) -> DataFrame | None:
     """Entry point 2. The reference's day loop + skip-empty + thread
     barrier (market/delta_non_fq_daily_kline.py:71-107) collapses to a
     date-range filter on each fact scan — at scale this is static
     partition pruning to exactly the pending date partitions.
 
-    Compat semantics kept on purpose: published = old UNION ALL new with
-    NO dedup (U1 — a crash rerun duplicates rows), late rows before the
-    watermark are lost (§2.9), and the watermark advances to `end` only
-    after a successful publish."""
+    mode='compat' (default) keeps reference semantics on purpose:
+    published = old UNION ALL new with NO dedup (U1 — a crash rerun
+    duplicates rows), and late rows before the watermark are lost
+    forever (§2.9).
+
+    mode='merge' is the strictly-better upgrade the reference can't do:
+    the delta window re-opens `slack_days` behind the watermark (so a
+    source backfilling a recent past date is picked up), and the
+    publish is an idempotent key-merge — reruns and the re-read slack
+    window dedup on (code, date), delta rows winning."""
+    if mode not in ("compat", "merge"):
+        raise ValueError(f"unknown mode: {mode}")
     wm = watermark.read()
     if wm is None:
         raise ValueError("delta flow needs an existing watermark")
-    lo = F.lit(wm.strftime("%Y%m%d"))
+    from datetime import timedelta
+
+    slack_from = wm - timedelta(days=slack_days) if mode == "merge" else wm
+    lo = F.lit(slack_from.strftime("%Y%m%d"))
     hi = F.lit(end.strftime("%Y%m%d"))
     in_range = lambda df: df.filter(  # noqa: E731
         (F.col("trade_date") > lo) & (F.col("trade_date") <= hi)
@@ -119,10 +132,12 @@ def delta_flow(
 
     from .schemas import CANONICAL
     from .sources.readers import read_csv
+    from .streaming.incremental import merge_increment
 
     if publisher.exists(PRICES_FILE):
         existing = read_csv(spark, publisher.download(PRICES_FILE), CANONICAL)
-        merged = existing.unionByName(delta)  # U1: bag union, no dedup
+        # compat: U1 bag union, no dedup; merge: idempotent, delta wins
+        merged = merge_increment(existing, delta, keys=["code", "date"], mode=mode)
     else:
         merged = delta
     published_local = staging_path + ".published"

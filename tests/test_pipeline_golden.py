@@ -281,3 +281,72 @@ def test_cjk_literals_survive_csv_and_parquet_roundtrip(spark, fixture_sdfs, tmp
     sample_pq = {r.name for r in back_pq.select("name").distinct().collect()}
     assert sample_csv == sample_pq
     assert any("银行" in s or "茅台" in s or "万科" in s for s in sample_pq)
+
+
+def test_delta_flow_merge_mode_recovers_late_data_idempotently(
+    spark, fixture_sdfs, fixture_pdfs, tmp_path
+):
+    """A8 upgrade path (§2.9): merge mode with watermark slack re-reads
+    a trailing window, picks up a late backfilled row the reference
+    would lose, and dedups on (code, date) — rerunning changes nothing."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cal_days = list(fixture_pdfs["cal"]["cal_date"])
+    wm_day = dt.datetime.strptime(cal_days[19], "%Y%m%d").date()
+    end = dt.datetime.strptime(cal_days[-1], "%Y%m%d").date()
+    pub = sinks.LocalDirPublisher(str(tmp_path / "hub"))
+    s = fixture_sdfs
+
+    def run(i, mode, daily, slack=0):
+        wm = WatermarkStore(str(tmp_path / f".wm{i}"))
+        wm.write(wm_day)
+        return flows.delta_flow(
+            spark, daily, s["limit"], s["dbasic"], s["stock_basic"],
+            str(tmp_path / f"delta{i}.csv"), pub, wm, end,
+            calendar=s["cal"], mode=mode, slack_days=slack,
+        )
+
+    base = run(1, "compat", s["daily"])
+    n_base = read_csv(spark, pub.download(flows.PRICES_FILE), CANONICAL).count()
+    assert base.count() == n_base
+
+    # a "late" row lands for a day INSIDE the already-processed window:
+    # day 18 < watermark (day 20) — compat would lose it forever
+    main_board_code = (
+        fixture_pdfs["stock_basic"]
+        .loc[lambda d: d["market"] == "主板", "ts_code"]
+        .iloc[0]
+    )
+    late_day = cal_days[17]
+    late = pd.DataFrame(
+        [{
+            "ts_code": main_board_code, "trade_date": late_day,
+            "open": 10.0, "high": 11.0, "low": 9.0, "close": 10.5,
+            "pre_close": 10.0, "pct_chg": 5.0, "vol": 1000.0, "amount": 10500.0,
+        }]
+    )
+    # the late row must not already exist in daily for that (code, day)
+    daily_with_late = s["daily"].filter(
+        ~((F.col("ts_code") == main_board_code) & (F.col("trade_date") == late_day))
+    ).unionByName(spark.createDataFrame(late, DAILY))
+
+    # slack window re-opens back past day 18 (wm - 5 calendar days)
+    slack = (wm_day - dt.datetime.strptime(late_day, "%Y%m%d").date()).days + 1
+    run(2, "merge", daily_with_late, slack=slack)
+    published = read_csv(spark, pub.download(flows.PRICES_FILE), CANONICAL)
+    late_date_iso = dt.datetime.strptime(late_day, "%Y%m%d").date().isoformat()
+    got_late = published.filter(
+        (published.code == main_board_code) & (published.date == late_date_iso)
+    )
+    assert got_late.count() == 1
+    assert abs(got_late.collect()[0].close - 10.5) < 1e-9
+    # idempotent: no (code, date) duplicates anywhere after the merge
+    assert published.groupBy("code", "date").count().filter("count > 1").count() == 0
+
+    # rerun the SAME merge → nothing changes (fixed point)
+    n_after = published.count()
+    run(3, "merge", daily_with_late, slack=slack)
+    again = read_csv(spark, pub.download(flows.PRICES_FILE), CANONICAL)
+    assert again.count() == n_after
+    assert again.groupBy("code", "date").count().filter("count > 1").count() == 0
