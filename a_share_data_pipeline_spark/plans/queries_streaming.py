@@ -102,3 +102,52 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", dround("sum_value", 2).alias("sum_value"))
     )
+
+
+_STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+              ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts)                           AS sess_start,
+       MAX(ts) + INTERVAL 30 MINUTE      AS sess_end,
+       COUNT(*)                          AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "stream_sessionize",
+    _STREAM_SESSION_SQL,
+    doc=(
+        "Structured Streaming session_window aggregation (gap 30min); "
+        "JVM state-store session merging, oracle reproduces the exact "
+        "boundary semantics (a gap of exactly 30min starts a NEW "
+        "session — Spark merges only strictly-overlapping windows)"
+    ),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, ev = _land_events(spark, sf_dir)
+    stream = ST.read_file_stream(spark, path, ev.schema)
+    res = ST.session_aggregate(stream, gap="30 minutes", watermark="2 hours")
+    out = _run_to_table(spark, res, "complete")
+    return out.select(
+        "user_id",
+        "sess_start",
+        "sess_end",
+        "n_events",
+        dround("sum_value", 2).alias("sum_value"),
+    )
