@@ -606,3 +606,47 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("o_totalprice"), 2).alias("revenue"))
     )
+
+
+_ARRAY_SQL = """
+WITH t AS (
+  SELECT l_orderkey,
+         list_sort(list(l_quantity ORDER BY l_linenumber)) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qtys)                             AS n_lines,
+       qtys[1]                               AS min_qty,
+       qtys[-1]                              AS max_qty,
+       ROUND(list_sum(qtys), 2)              AS total_qty,
+       list_contains(qtys, 1.0)              AS has_unit_qty
+FROM t
+ORDER BY l_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "scalar_array",
+    _ARRAY_SQL,
+    doc="array function library (F7): collect_list→sort/size/element_at/aggregate/contains — nested values stay JVM-side",
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    return (
+        grouped.select(
+            "l_orderkey",
+            F.size("qtys").alias("n_lines"),
+            F.element_at("qtys", 1).alias("min_qty"),
+            F.element_at("qtys", -1).alias("max_qty"),
+            dround(
+                F.aggregate("qtys", F.lit(0.0), lambda acc, x: acc + x), 2
+            ).alias("total_qty"),
+            F.array_contains("qtys", 1.0).alias("has_unit_qty"),
+        )
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
