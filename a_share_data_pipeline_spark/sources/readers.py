@@ -20,10 +20,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table. Parquet scan → Catalyst pushes
     filters/projections into the file scan (check .explain for
     PushedFilters/ReadSchema)."""
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot
+        # represent natively; nanosAsLong delivers raw int64 nanos.
+        # Set defensively here (runtime SQL conf) — the caller may be a
+        # session built outside session.py (e.g. the driver harness)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it
-        # arrives as raw nanos — truncate to micros exactly like DuckDB
+        # truncate nanos to micros exactly like DuckDB
         from pyspark.sql import functions as F
 
         # integer `div`, not `/`: float division of ~1.7e18 nanos loses
