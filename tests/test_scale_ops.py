@@ -114,3 +114,30 @@ def test_dim_cache_ttl(spark):
     cache.invalidate()
     cache.get("dim", loader)
     assert calls["n"] == 3
+
+
+def test_native_sink_partition_pruning(spark, tmp_path):
+    """write_native partitions by date; a date-equality filter on the
+    read side must prune to ONE partition directory (PartitionFilters
+    in the scan, not a post-scan filter) — the mechanism that makes the
+    incremental path O(delta) instead of O(table) at 100 TB."""
+    import os
+
+    from a_share_data_pipeline_spark.sources.sinks import write_native
+
+    ev = load_table(spark, SF, "events").withColumn("date", F.to_date("ts"))
+    out = str(tmp_path / "events_table")
+    write_native(ev, out, mode="overwrite", partition_by=("date",))
+    parts = [p for p in os.listdir(out) if p.startswith("date=")]
+    assert len(parts) > 1
+
+    one_day = parts[0].split("=", 1)[1]
+    q = spark.read.parquet(out).filter(F.col("date") == one_day)
+    p = plan_str(q)
+    assert "PartitionFilters" in p, p
+    pf_line = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "date" in pf_line and "isnotnull" in pf_line, pf_line
+    # the pruned scan must not enumerate all partition dirs
+    n = q.count()
+    full = spark.read.parquet(out).filter(F.to_date(F.col("ts")) == one_day).count()
+    assert n == full and n > 0
