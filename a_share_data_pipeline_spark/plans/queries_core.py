@@ -650,3 +650,52 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey")
         .limit(100)
     )
+
+
+_ROLLUP_INC_SQL = """
+SELECT DATE_TRUNC('month', o_orderdate) AS month,
+       o_orderstatus                    AS status,
+       ROUND(SUM(o_totalprice), 2)      AS sum_price,
+       COUNT(o_totalprice)              AS count_price,
+       ROUND(AVG(o_totalprice), 4)      AS avg_price,
+       MIN(o_totalprice)                AS min_price,
+       MAX(o_totalprice)                AS max_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "rollup_incremental",
+    _ROLLUP_INC_SQL,
+    doc=(
+        "continuous-rollup maintenance (operators/rollup.py): the table "
+        "is split at a cutoff, each side reduced to mergeable partial "
+        "state (sum/cnt/min/max), states merged by key, finalized — the "
+        "oracle proves partial(delta) ⊕ partial(old) ≡ full GROUP BY; "
+        "at scale the refresh is O(delta), not O(table)"
+    ),
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import finalize_rollup, merge_rollups, partial_rollup
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    keys, measures = ["month", "status"], ["o_totalprice"]
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    old = partial_rollup(orders.filter(F.col("month") < cutoff), keys, measures)
+    delta = partial_rollup(orders.filter(F.col("month") >= cutoff), keys, measures)
+    fin = finalize_rollup(merge_rollups(old, delta, keys, measures), keys, measures)
+    return fin.select(
+        # DuckDB's DATE_TRUNC('month', ts) yields a DATE; align types
+        F.col("month").cast("date").alias("month"),
+        "status",
+        dround("sum_o_totalprice", 2).alias("sum_price"),
+        F.col("count_o_totalprice").alias("count_price"),
+        dround("avg_o_totalprice", 4).alias("avg_price"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+    )
