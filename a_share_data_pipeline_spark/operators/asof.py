@@ -35,17 +35,28 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     payload: list[str],
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left as-of join; unmatched left rows keep null payload columns.
 
     ``payload``: right-side columns to carry onto each left row.
+    ``direction``: 'backward' (latest right.ts <= left.ts, the default)
+    or 'forward' (earliest right.ts >= left.ts) — forward is the same
+    union-merge with the sort reversed, still one shuffle.
+    ``tolerance``: max |left.ts - matched.ts| to accept, in SECONDS for
+    timestamp columns / plain units for numerics (pandas merge_asof
+    semantics: a match farther than tolerance becomes null).
     If several right rows share (key, ts), pre-deduplicate `right` —
     the match among exact ties is otherwise unspecified (DuckDB ASOF
     has the same caveat).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     # The payload rides in ONE struct column so a null field inside a
     # right row can't make ignorenulls fall back to an older row for
-    # just that field (row atomicity).
+    # just that field (row atomicity). The matched ts rides along for
+    # the tolerance check.
     pay = "__asof_payload"
     left_types = dict(left.dtypes)
     left_cols = list(left.columns)
@@ -54,7 +65,7 @@ def as_of_join(
         F.col(right_key).alias(_KEY),
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
-        F.struct(*payload).alias(pay),
+        F.struct(*payload, F.col(right_ts).alias("__matched_ts")).alias(pay),
     )
     for c in left_cols:
         r = r.withColumn(c, F.lit(None).cast(left_types[c]))
@@ -69,17 +80,27 @@ def as_of_join(
     ordered_cols = left_cols + [pay, _KEY, _TS, _SIDE]
     unioned = l.select(*ordered_cols).unionByName(r.select(*ordered_cols))
 
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
     w = (
         W.partitionBy(_KEY)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc())  # right rows first at equal ts → inclusive
         .rowsBetween(W.unboundedPreceding, 0)
     )
     filled = unioned.select(
         *left_cols,
+        _TS,
         _SIDE,
         F.last(pay, ignorenulls=True).over(w).alias(pay),
     )
-    return (
-        filled.filter(F.col(_SIDE) == 1)
-        .select(*left_cols, *[F.col(f"{pay}.{c}").alias(c) for c in payload])
-    )
+    out = filled.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        matched = F.col(f"{pay}.__matched_ts")
+        is_ts = dict(right.dtypes)[right_ts].startswith("timestamp")
+        if is_ts:
+            diff = F.abs(F.unix_micros(F.col(_TS)) - F.unix_micros(matched)) / F.lit(1e6)
+        else:
+            diff = F.abs(F.col(_TS) - matched)
+        out = out.withColumn(
+            pay, F.when(diff <= F.lit(tolerance), F.col(pay))  # else null payload
+        )
+    return out.select(*left_cols, *[F.col(f"{pay}.{c}").alias(c) for c in payload])

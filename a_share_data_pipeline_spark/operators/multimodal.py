@@ -76,3 +76,55 @@ def documents_as_binary(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), "source"
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    frame_bytes: int = 64,
+    stride: int = 256,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling over a binary column (the video-keyframe analog):
+    emit up to `max_frames` chunks of `frame_bytes` at byte offsets
+    0, stride, 2*stride, … — one input row fans out to N output rows.
+
+    A real decoder would seek keyframes; the byte-offset sampler is the
+    deterministic stand-in (real_decode above is the marked stub), and
+    the Spark-side shape is the real thing: Arrow-batched mapInPandas,
+    1→N row expansion inside the batch iterator, binary columns in and
+    out, zero shuffle — partition parallelism carries it at scale.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames, lens = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col], strict=True):
+                buf = bytes(payload)
+                for i in range(max_frames):
+                    off = i * stride
+                    if off >= len(buf):
+                        break
+                    chunk = buf[off : off + frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(chunk)
+                    lens.append(len(chunk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames, "frame_len": lens}
+            )
+
+    return binary_df.mapInPandas(run, schema=FRAME_SCHEMA)

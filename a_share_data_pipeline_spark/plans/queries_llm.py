@@ -525,3 +525,44 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
     out = SIM.ivf_topk(vectors, queries, centroids, k=3, nprobe=2)
     return out.select("q_id", "c_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+_FRAMES_SQL = """
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+idx AS (SELECT unnest(range(4)) AS frame_idx),
+f AS (
+  SELECT doc_id, frame_idx,
+         substr(h, CAST(frame_idx * 512 + 1 AS BIGINT), 128) AS frame_hex
+  FROM p, idx
+  WHERE frame_idx * 256 < n
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT)           AS frame_idx,
+       CAST(length(frame_hex) / 2 AS BIGINT) AS frame_len,
+       frame_hex
+FROM f
+"""
+
+
+@register(
+    "multimodal_frames",
+    _FRAMES_SQL,
+    doc=(
+        "frame sampling over binary payloads (video-keyframe analog): "
+        "Arrow mapInPandas, 1→N row fan-out inside the batch iterator, "
+        "binary in/out, zero shuffle; sampler is the deterministic "
+        "stand-in for the stubbed decoder"
+    ),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.documents_as_binary(docs))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_len",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )

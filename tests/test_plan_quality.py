@@ -97,6 +97,7 @@ def test_no_row_python_in_builtin_queries(spark):
         "udf_grouped_agg",
         "udf_table_function",
         "multimodal_features",
+        "multimodal_frames",
         "stream_stateful_totals",
     }
     for name, q in registry().items():
