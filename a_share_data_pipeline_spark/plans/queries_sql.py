@@ -1,0 +1,454 @@
+"""SQL front-end surface + subquery decorrelation + analytics extras.
+
+The reference has no SQL entry point (queries are Prefect flow calls,
+SURVEY.md §3); a Spark-native engine gets one for free. These queries
+go through ``spark.sql`` over temp views registered from the same
+parquet readers the DataFrame queries use, exercising capabilities
+that only exist in the SQL layer or that the rest of the catalog does
+not cover:
+
+- correlated scalar subqueries (Catalyst ScalarSubquery + decorrelation)
+- IN / NOT IN (null-aware anti join) / correlated EXISTS subqueries
+- GROUPING SETS with the GROUPING() marker
+- RANGE BETWEEN INTERVAL window frames over event time
+- percent_rank / cume_dist / nth_value distribution windows
+- two-level aggregation (TPC-H Q13 distribution shape)
+- TF-IDF and grouped embedding centroids (training-data analytics)
+
+Scale notes: every SQL query still compiles through Catalyst to the
+same physical operators the DataFrame API produces — subqueries
+decorrelate to broadcast/shuffle joins, interval range frames run in a
+single window exchange partitioned by the high-cardinality key.
+Rounding happens post-SQL with `dround` (DuckDB binary semantics) so
+value hashes cannot drift on .xx5 boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..sources import load_table
+from .catalog import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUB_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.41 * AVG(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "sql_scalar_subquery",
+    _SCALAR_SUB_SQL,
+    doc=(
+        "TPC-H Q17 shape via the SQL front end: correlated scalar "
+        "subquery; Catalyst decorrelates to an aggregate-then-join, so "
+        "lineitem is scanned twice but never nested-loop re-executed "
+        "per outer row"
+    ),
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    raw = spark.sql(
+        """
+        SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (SELECT 0.41 * AVG(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+    return raw.select(dround("avg_yearly", 2).alias("avg_yearly"))
+
+
+# ---------------------------------------------------------------------------
+# IN subquery with HAVING (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+_IN_SUB_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2)   AS total,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@register(
+    "sql_in_subquery",
+    _IN_SUB_SQL,
+    doc=(
+        "TPC-H Q18 shape: IN over an aggregated subquery — planned as a "
+        "left-semi join against the HAVING-filtered aggregate (shuffles "
+        "once on orderkey, reused by the outer join)"
+    ),
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    raw = spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, SUM(l_quantity) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """
+    )
+    return raw.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        dround("o_totalprice", 2).alias("total"),
+        dround("sum_qty", 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS (TPC-H Q4 shape, adapted to the testdata columns)
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_discount > 0.07 AND l_quantity > 30)
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_exists_correlated",
+    _EXISTS_SQL,
+    doc=(
+        "TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi "
+        "join; the inner filter is pushed below the semi join so only "
+        "qualifying lineitem rows shuffle"
+    ),
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_discount > 0.07 AND l_quantity > 30)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN — null-aware anti join (different semantics from NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_NOT_IN_SQL = """
+SELECT c_custkey, c_nationkey
+FROM customer
+WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+"""
+
+
+@register(
+    "sql_not_in",
+    _NOT_IN_SQL,
+    doc=(
+        "NOT IN subquery: null-aware anti join (one inner NULL empties "
+        "the result — distinct from the NOT EXISTS plan in join_anti); "
+        "small inner side broadcasts"
+    ),
+)
+def sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "supplier")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM customer
+        WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + GROUPING() marker (§2.5 beyond rollup/cube)
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    _GSETS_SQL,
+    doc=(
+        "explicit GROUPING SETS with GROUPING() null-disambiguation "
+        "markers — one Expand + single hash aggregate, not N scans"
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    raw = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               COUNT(*) AS n_rows,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+    return raw.select(
+        "l_returnflag",
+        "l_linestatus",
+        "g_rf",
+        "g_ls",
+        "n_rows",
+        dround("sum_qty", 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE BETWEEN INTERVAL window frames over event time (§2.6)
+# ---------------------------------------------------------------------------
+
+_WRANGE_SQL = """
+SELECT event_id, user_id, ts,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW), 4) AS sum_1h,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                AND CURRENT ROW) AS n_1h
+FROM events
+"""
+
+
+@register(
+    "window_range_interval",
+    _WRANGE_SQL,
+    doc=(
+        "time-based RANGE frame (trailing 1h per user) — the sliding "
+        "look-back the canonical table needs for rolling liquidity; one "
+        "window exchange partitioned by the high-cardinality user key"
+    ),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "events")
+    raw = spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               SUM(value) OVER w AS sum_1h,
+               COUNT(*)   OVER w AS n_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+    return raw.select(
+        "event_id", "user_id", "ts", dround("sum_1h", 4).alias("sum_1h"), "n_1h"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: percent_rank / cume_dist / nth_value (§2.6)
+# ---------------------------------------------------------------------------
+
+_WDIST_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+       ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey), 6)    AS cd,
+       ROUND(NTH_VALUE(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)       AS second_total
+FROM orders
+"""
+
+
+@register(
+    "window_distribution",
+    _WDIST_SQL,
+    doc="distribution windows: percent_rank / cume_dist / nth_value",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dround(F.percent_rank().over(w), 6).alias("pr"),
+        dround(F.cume_dist().over(w), 6).alias("cd"),
+        dround(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-level aggregation (TPC-H Q13 distribution shape)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+@register(
+    "agg_distribution",
+    _Q13_SQL,
+    doc=(
+        "TPC-H Q13 shape: outer join with a join-side residual predicate, "
+        "then aggregate-of-aggregate; second agg keys on the tiny c_count "
+        "domain so its shuffle is negligible"
+    ),
+)
+def agg_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF over documents (§2.12 text analysis)
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+WHERE tf.doc_id % 25 = 0
+"""
+
+
+@register(
+    "text_tfidf",
+    _TFIDF_SQL,
+    doc=(
+        "TF-IDF: tokenize → per-doc term freq → corpus doc freq → "
+        "tf*ln(N/df). DF table is tiny relative to the corpus and "
+        "broadcasts back onto the TF rows; the corpus count is a scalar "
+        "broadcast. Output restricted to a doc sample, DF computed "
+        "over the full corpus"
+    ),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; embedded as a literal in the plan
+    out = tf.join(F.broadcast(df), "term").filter(F.col("doc_id") % 25 == 0)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        dround(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped embedding centroids (§2.12 vector analytics)
+# ---------------------------------------------------------------------------
+
+_CENTROID_SQL = """
+SELECT label, i AS pos,
+       ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid,
+       COUNT(*) AS n_vectors
+FROM embeddings, range(64) t(i)
+GROUP BY label, i
+"""
+
+
+@register(
+    "embedding_centroids",
+    _CENTROID_SQL,
+    doc=(
+        "per-label centroid of a 64-dim embedding column: posexplode → "
+        "groupBy(label, pos) mean — the k-means update step as one "
+        "partial-aggregated shuffle on (label, pos), no driver loop"
+    ),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        ex.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            dround(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
