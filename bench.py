@@ -48,6 +48,8 @@ HEADLINE = [
     "sim_ann_ivf",
     "text_quality",
     "text_token_counts",
+    "sql_in_subquery",
+    "text_tfidf",
 ]
 
 

@@ -116,6 +116,28 @@ def test_aqe_enabled_and_applied(spark):
     assert "AdaptiveSparkPlan" in plan_str(q, "simple")
 
 
+def test_subqueries_decorrelate_to_joins(spark):
+    """Correlated subqueries must decorrelate: no per-outer-row
+    re-execution (nested loop / cartesian) anywhere; EXISTS → semi
+    join, NOT IN → null-aware anti join."""
+    for name in ("sql_scalar_subquery", "sql_exists_correlated", "sql_not_in"):
+        p = plan_str(registry()[name].fn(spark, SF), "simple")
+        assert "NestedLoop" not in p and "CartesianProduct" not in p, f"{name}:\n{p}"
+    assert "LeftSemi" in plan_str(registry()["sql_exists_correlated"].fn(spark, SF), "simple")
+    assert "LeftAnti" in plan_str(registry()["sql_not_in"].fn(spark, SF), "simple")
+
+
+def test_tfidf_prunes_tf_side_and_broadcasts_df(spark):
+    """TF-IDF: the output doc-sample predicate must reach the TF
+    branch's scan (so the expensive explode runs on the sample only),
+    while the DF branch scans the full corpus; the small DF table
+    broadcasts back onto TF."""
+    p = plan_str(registry()["text_tfidf"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "% 25" in p, p  # sample filter survives into the plan, not post-hoc
+    assert p.count("FileScan") == 2, p  # tf branch + df branch, nothing extra
+
+
 def test_broadcast_joins_in_star_queries(spark):
     """TPC-H-shaped star joins: every dim side must broadcast at these
     sizes (AQE or static) — shuffled sort-merge against region/nation
