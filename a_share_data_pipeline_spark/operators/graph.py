@@ -1,0 +1,79 @@
+"""Connected components over a pair graph (dedup clustering).
+
+Near-dup pipelines end with "group the pairs into clusters, keep one
+canonical doc per cluster" — that grouping is connected components on
+the candidate-pair graph. The reference has nothing iterative
+(SURVEY.md §3: three linear flows), so this is a pure [GAP] capability;
+it is also the one operator family here that genuinely cannot be a
+single Catalyst plan and needs a driver-side fixed-point loop.
+
+Scale design:
+- each iteration is one shuffle (edge⋈label join + min-aggregate);
+  label state is `localCheckpoint`ed every round so the plan/lineage
+  does not grow with the iteration count (the classic iterative-Spark
+  failure mode),
+- min-label propagation converges in O(diameter) rounds; dedup
+  clusters are near-cliques (diameter ≤ ~3), so 3-5 rounds finish.
+  For adversarial long-chain graphs switch `fold_edges=True`, which
+  additionally rewrites each edge endpoint to its current label
+  (pointer-doubling-style contraction, O(log n) rounds on chains),
+- convergence is detected with a count of changed labels — one extra
+  cheap action per round on an already-checkpointed frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 25,
+    fold_edges: bool = False,
+) -> DataFrame:
+    """(id, component) for every node; component = min reachable node id.
+
+    ``nodes``: one column `id_col` (isolated nodes keep their own id as
+    component). ``edges``: columns (a, b), undirected, any orientation.
+    """
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        # neighbor minimum: join edge source to its label, aggregate per dst
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least("lbl", "nbr_lbl").alias("lbl"), F.col("lbl").alias("old"))
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("lbl") < F.col("old")).limit(1).count()
+        labels = new_labels.select("node", "lbl")
+        if changed == 0:
+            break
+        if fold_edges:
+            # contract: re-point both edge endpoints at current labels —
+            # shortcuts long chains so rounds drop from O(n) to O(log n)
+            la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("sa"))
+            lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("sb"))
+            sym = (
+                sym.join(la, "src")
+                .join(lb, "dst")
+                .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            sym = sym.unionByName(
+                sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).localCheckpoint(eager=True)
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("component"))

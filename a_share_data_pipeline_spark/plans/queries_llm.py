@@ -566,3 +566,68 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_len",
         F.hex(F.col("frame")).alias("frame_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN counts ca ON ca.doc_id = a
+  JOIN counts cb ON cb.doc_id = b
+  WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.05
+),
+sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT src AS node, dst AS r FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+),
+comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(reach.r), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach ON reach.node = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
+"""
+
+
+@register(
+    "dedup_components",
+    _COMPONENTS_SQL,
+    doc=(
+        "dedup clustering: connected components over the jaccard>=0.05 "
+        "pair graph (operators/graph.py, iterative min-label propagation "
+        "with per-round localCheckpoint); component = min reachable "
+        "doc_id, canonical doc = component representative. Oracle: "
+        "DuckDB recursive-CTE transitive closure"
+    ),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.exploded_shingles(docs)
+    pairs = (
+        D.pair_jaccard(shingled, min_overlap=3)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("a", "b")
+    )
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs, id_col="id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

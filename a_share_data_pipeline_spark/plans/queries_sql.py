@@ -452,3 +452,42 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide → long reshape)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH agg AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 2)      AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price,
+         ROUND(SUM(l_discount), 2)      AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM agg
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
+UNION ALL SELECT l_returnflag, 'sum_disc',  sum_disc  FROM agg
+"""
+
+
+@register(
+    "agg_unpivot",
+    _UNPIVOT_SQL,
+    doc=(
+        "unpivot/melt (wide→long, the inverse of agg_pivot): Spark's "
+        "Expand operator emits one row per measure without re-scanning "
+        "— not a UNION of three aggregations"
+    ),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        dround(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
+    )
