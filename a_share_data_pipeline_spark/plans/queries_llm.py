@@ -631,3 +631,64 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over embeddings (Lloyd's, unrolled-SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int, iters: int, d: int = 64) -> str:
+    """Unroll `iters` Lloyd rounds as chained CTEs — the oracle computes
+    the same rounded distances/centroids as operators/kmeans.py."""
+    diff = "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+    dist = f"list_sum(list_transform(range(1, {d + 1}), i -> {diff} * {diff}))"
+    parts = [
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""d{t} AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND({dist}, 6), c.cid) AS rn
+  FROM embeddings e CROSS JOIN c{t} c
+),
+a{t} AS (SELECT vec_id, embedding, cid AS cluster FROM d{t} WHERE rn = 1),
+u{t} AS (
+  SELECT cluster, i, AVG(CAST(embedding[i + 1] AS DOUBLE)) AS m
+  FROM a{t}, range({d}) t(i) GROUP BY cluster, i
+),
+c{t + 1} AS (SELECT cluster AS cid, list(ROUND(m, 6) ORDER BY i) AS cvec
+             FROM u{t} GROUP BY cluster)"""
+        )
+    final = f"""df AS (
+  SELECT e.vec_id, c.cid, ROUND({dist}, 6) AS rd,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ROUND({dist}, 6), c.cid) AS rn
+  FROM embeddings e CROSS JOIN c{iters} c
+)
+SELECT vec_id, cid AS cluster, rd FROM df WHERE rn = 1"""
+    return "WITH " + ",\n".join(parts) + ",\n" + final
+
+
+@register(
+    "kmeans_embeddings",
+    _kmeans_oracle(k=8, iters=2),
+    doc=(
+        "distributed k-means (operators/kmeans.py): centroids live on "
+        "the driver and enter the plan as literal arrays, so assignment "
+        "is map-only (zero shuffle); the update is one (cluster, dim)-"
+        "keyed partial-aggregated shuffle; distances/centroids rounded "
+        "to 6 decimals so the unrolled DuckDB oracle matches exactly"
+    ),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=8, iters=2)
