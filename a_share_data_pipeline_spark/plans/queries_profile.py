@@ -1,0 +1,229 @@
+"""Data-profiling, sampling, and fuzzy-matching queries.
+
+A 100 TB ingest pipeline spends real time on corpus management:
+profiling columns before schema decisions, stratified sampling for
+training mixes, histogram sketches for partition planning, fuzzy key
+matching for entity resolution. Each shape here is one scan + one
+small shuffle — the profiles are long-format so adding a column adds
+a struct to an array literal, not a new scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..sources import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Regression / conditional aggregates
+# ---------------------------------------------------------------------------
+
+_REGR_SQL = """
+SELECT l_returnflag,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6)     AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6)        AS r2,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 6)          AS cov_qd,
+       CAST(COUNT_IF(l_discount > 0.05) AS BIGINT)           AS n_disc,
+       BOOL_AND(l_quantity > 0)                              AS all_pos,
+       BOOL_OR(l_tax > 0.07)                                 AS any_high_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_regression",
+    _REGR_SQL,
+    doc=(
+        "regression/conditional aggregates: regr_slope/intercept/r2, "
+        "covar_samp, count_if, bool_and/bool_or — all partial-aggregable "
+        "moment sketches, one shuffle"
+    ),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias("slope"),
+        dround(F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias(
+            "intercept"
+        ),
+        dround(F.regr_r2(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias("r2"),
+        dround(F.covar_samp(F.col("l_quantity"), F.col("l_discount")), 6).alias("cov_qd"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (hash-threshold, no RNG)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.9, "zh": 0.5}
+_SAMPLE_DEFAULT = 0.25
+
+
+def _hex_threshold(rate: float) -> str:
+    return format(int(rate * 16**8), "08x")
+
+
+def _sample_sql() -> str:
+    whens = "\n         ".join(
+        f"WHEN '{lang}' THEN '{_hex_threshold(r)}'" for lang, r in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang
+         {whens}
+         ELSE '{_hex_threshold(_SAMPLE_DEFAULT)}'
+      END
+"""
+
+
+@register(
+    "sample_stratified",
+    _sample_sql(),
+    doc=(
+        "deterministic stratified sampling for training-mix curation: "
+        "per-language keep-rates via md5 hash-threshold (no RNG — "
+        "reproducible across engines, reruns, and cluster sizes; a "
+        "map-only filter, no shuffle)"
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(_hex_threshold(_SAMPLE_DEFAULT))
+    for lang, r in _SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lang, F.lit(_hex_threshold(r))).otherwise(thr)
+    h = F.substring(
+        F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return docs.filter(h < thr).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Histogram profiling (fixed-width bins)
+# ---------------------------------------------------------------------------
+
+_HIST_SQL = """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 25000), 19) AS BIGINT) AS bin,
+       COUNT(*)                     AS n,
+       ROUND(MIN(o_totalprice), 2)  AS lo,
+       ROUND(MAX(o_totalprice), 2)  AS hi
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "profile_histogram",
+    _HIST_SQL,
+    doc=(
+        "fixed-width histogram (20 bins) — the distribution sketch that "
+        "drives partition/skew planning; one partial-aggregated shuffle "
+        "over a 20-key domain"
+    ),
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("long")
+    return o.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.min("o_totalprice"), 2).alias("lo"),
+        dround(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling: one scan, long-format output
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col,
+       COUNT(*) - COUNT({c})      AS n_null,
+       COUNT(DISTINCT {c})        AS n_distinct,
+       ROUND(MIN({c}), 6)         AS min_val,
+       ROUND(MAX({c}), 6)         AS max_val,
+       ROUND(AVG({c}), 6)         AS avg_val
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "profile_stats",
+    _PROFILE_SQL,
+    doc=(
+        "table profiling (null/distinct/min/max/avg per column) in ONE "
+        "scan: all per-column aggregates computed in a single "
+        "aggregation, reshaped long via an array-of-structs explode — "
+        "the UNION-ALL oracle scans once per column, we don't"
+    ),
+)
+def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            dround(F.min(c), 6).alias(f"{c}__min"),
+            dround(F.max(c), 6).alias(f"{c}__max"),
+            dround(F.avg(c), 6).alias(f"{c}__avg"),
+        ]
+    one_row = li.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n_null").alias("n_null"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+                F.col(f"{c}__avg").alias("avg_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one_row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching: edit-distance theta join
+# ---------------------------------------------------------------------------
+
+_EDIT_SQL = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 4
+"""
+
+
+@register(
+    "text_edit_distance",
+    _EDIT_SQL,
+    doc=(
+        "fuzzy entity matching: levenshtein theta join over a small dim "
+        "(broadcast nested loop is correct here — both sides are dims; "
+        "for fact-scale fuzzy joins, pre-block on a hash prefix first)"
+    ),
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a")
+    )
+    b = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b")
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(F.broadcast(b), (F.col("ka") < F.col("kb")) & (dist <= 4))
+        .select("name_a", "name_b", dist.cast("long").alias("dist"))
+    )
