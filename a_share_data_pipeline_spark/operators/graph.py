@@ -62,18 +62,27 @@ def connected_components(
         if changed == 0:
             break
         if fold_edges:
-            # contract: re-point both edge endpoints at current labels —
-            # shortcuts long chains so rounds drop from O(n) to O(log n)
+            # contract: re-point both edge endpoints at current labels
+            # (shortcuts long chains, pointer-doubling style), and keep a
+            # "star" edge node↔label for every relabeled node — without
+            # it, contracted-away nodes stop receiving updates and end
+            # with a stale intermediate label
             la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("sa"))
             lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("sb"))
-            sym = (
+            contracted = (
                 sym.join(la, "src")
                 .join(lb, "dst")
                 .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+            )
+            star = labels.filter(F.col("node") != F.col("lbl")).select(
+                F.col("node").alias("src"), F.col("lbl").alias("dst")
+            )
+            half = (
+                contracted.unionByName(star)
                 .filter(F.col("src") != F.col("dst"))
                 .distinct()
             )
-            sym = sym.unionByName(
-                sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            sym = half.unionByName(
+                half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             ).localCheckpoint(eager=True)
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("component"))
