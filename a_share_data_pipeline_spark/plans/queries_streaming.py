@@ -151,3 +151,39 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         dround("sum_value", 2).alias("sum_value"),
     )
+
+
+_STREAM_PEAKS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(MAX(COALESCE(value, 0)), 2) AS peak
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "stream_tws_peaks",
+    _STREAM_PEAKS_SQL,
+    doc=(
+        "transformWithStateInPandas (Spark 4 StatefulProcessor) running "
+        "per-user peaks: named ValueState on the processor handle, "
+        "multi-micro-batch state carry; final state oracle-checked"
+    ),
+)
+def stream_tws_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, ev = _land_events(spark, sf_dir)
+    stream = ST.read_file_stream(spark, path, ev.schema, max_files_per_trigger=1)
+    # TWS needs protobuf in the Python worker; same state semantics on
+    # the applyInPandasWithState lane where it's absent (this container)
+    peaks = ST.running_peaks_tws if ST.tws_available() else ST.running_peaks_state
+    res = peaks(stream)
+    updates = _run_to_table(spark, res, "update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", dround("peak", 2).alias("peak"))
+    )

@@ -196,3 +196,86 @@ def stream_delta_append(
         .start()
     )
     q.awaitTermination()
+
+
+PEAK_OUT_SCHEMA = "user_id bigint, n_events bigint, peak double"
+
+
+def running_peaks_tws(events: DataFrame) -> DataFrame:
+    """Per-user running peak via transformWithStateInPandas — Spark 4's
+    StatefulProcessor API (the successor of applyInPandasWithState):
+    named state variables on a handle, timer support, and a state store
+    that survives micro-batches. State here is one (peak, n) row per
+    user; emissions are Arrow-batched pandas frames.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PeakProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("peak", "peak double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            peak, n = (
+                (self._state.get() or (float("-inf"), 0))
+                if self._state.exists()
+                else (float("-inf"), 0)
+            )
+            for pdf in rows:
+                vals = pdf["value"].fillna(0.0)
+                if len(vals):
+                    peak = max(peak, float(vals.max()))
+                n += len(pdf)
+            self._state.update((peak, n))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "peak": [peak]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PeakProcessor(),
+        outputStructType=PEAK_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def running_peaks_state(events: DataFrame) -> DataFrame:
+    """Same per-user running-peak semantics on the applyInPandasWithState
+    lane — the fallback when transformWithStateInPandas's runtime
+    dependency (google.protobuf in the Python worker) is absent."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        peak, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdf_iter:
+            vals = pdf["value"].fillna(0.0)
+            if len(vals):
+                peak = max(peak, float(vals.max()))
+            n += len(pdf)
+        state.update((peak, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "peak": [peak]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=PEAK_OUT_SCHEMA,
+        stateStructType="peak double, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf in the Python worker
+    (its driver↔worker channel is proto-serialized); probe it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
