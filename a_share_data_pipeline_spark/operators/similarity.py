@@ -69,12 +69,21 @@ def brute_force_topk(
 
 
 def lsh_bucket(vec_col: str | Column) -> Column:
-    """Sign-LSH bucket id: bit j = (dot(v, plane_j) > 0)."""
-    bucket = F.lit(0)
-    for j, plane in enumerate(LSH_PLANES):
-        plane_col = F.array(*[F.lit(x) for x in plane])
-        bucket = bucket + F.when(dot(vec_col, plane_col) > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return bucket.cast("long")
+    """Sign-LSH bucket id: bit j = (dot(v, plane_j) > 0).
+
+    Implemented as ONE fold over a single 2-D literal plane array —
+    unrolling the planes as 8 separate 64-literal dot expressions makes
+    whole-stage codegen emit (and JIT) 8 copies of the fold body, and
+    that compile time dominated the ANN queries at small scale."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = F.array(*[F.array(*[F.lit(x) for x in p]) for p in LSH_PLANES])
+    bits = F.transform(
+        planes,
+        lambda p, i: F.when(
+            dot(v, p) > 0, F.pow(F.lit(2.0), i).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def ivf_assign(
