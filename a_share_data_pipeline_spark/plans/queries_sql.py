@@ -491,3 +491,99 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (F7: filter / exists / forall / transform+
+# aggregate / zip_with) — all JVM-side lambda expressions, no Python
+# ---------------------------------------------------------------------------
+
+_HOF_SQL = """
+WITH t AS (
+  SELECT l_orderkey, list_sort(list(l_quantity ORDER BY l_linenumber)) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(list_filter(qtys, x -> x >= 10))                    AS n_ge10,
+       len(list_filter(qtys, x -> x > 45)) > 0                 AS has_big,
+       len(list_filter(qtys, x -> x > 0)) = len(qtys)          AS all_pos,
+       ROUND(list_sum(list_transform(qtys, x -> x * 2)), 2)    AS doubled_sum,
+       ROUND(list_transform(range(1, len(qtys) + 1),
+                            i -> qtys[i] + qtys[len(qtys) - i + 1])[1], 2) AS zip_first
+FROM t
+WHERE l_orderkey <= 3000
+"""
+
+
+@register(
+    "scalar_hof",
+    _HOF_SQL,
+    doc=(
+        "higher-order array functions: filter/exists/forall/transform+"
+        "aggregate/zip_with — lambda expression trees inside codegen, "
+        "nested data processed without exploding or leaving the JVM"
+    ),
+)
+def scalar_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 3000)
+    t = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    return t.select(
+        "l_orderkey",
+        F.size(F.filter("qtys", lambda x: x >= 10)).cast("long").alias("n_ge10"),
+        F.exists("qtys", lambda x: x > 45).alias("has_big"),
+        F.forall("qtys", lambda x: x > 0).alias("all_pos"),
+        dround(
+            F.aggregate(
+                F.transform("qtys", lambda x: x * 2), F.lit(0.0), lambda a, x: a + x
+            ),
+            2,
+        ).alias("doubled_sum"),
+        dround(
+            F.element_at(
+                F.zip_with("qtys", F.reverse("qtys"), lambda a, b: a + b), 1
+            ),
+            2,
+        ).alias("zip_first"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional scalar functions (F7: nullif / coalesce / case / greatest /
+# least)
+# ---------------------------------------------------------------------------
+
+_COND_SQL = """
+SELECT event_id,
+       NULLIF(event_type, 'click')                       AS nt,
+       ROUND(COALESCE(value, -1.0), 4)                   AS v_filled,
+       CASE WHEN value > 100 THEN 'hi'
+            WHEN value > 10  THEN 'mid'
+            ELSE 'lo' END                                AS band,
+       ROUND(GREATEST(COALESCE(value, 0), 50.0), 4)      AS v_hi,
+       ROUND(LEAST(COALESCE(value, 0), 50.0), 4)         AS v_lo
+FROM events
+WHERE event_id % 7 = 0
+"""
+
+
+@register(
+    "scalar_conditional",
+    _COND_SQL,
+    doc="conditional scalars: nullif/coalesce/case/greatest/least",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    v0 = F.coalesce(F.col("value"), F.lit(0.0))
+    return ev.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("click")).alias("nt"),
+        dround(F.coalesce(F.col("value"), F.lit(-1.0)), 4).alias("v_filled"),
+        F.when(F.col("value") > 100, "hi")
+        .when(F.col("value") > 10, "mid")
+        .otherwise("lo")
+        .alias("band"),
+        dround(F.greatest(v0, F.lit(50.0)), 4).alias("v_hi"),
+        dround(F.least(v0, F.lit(50.0)), 4).alias("v_lo"),
+    )
