@@ -587,3 +587,148 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.greatest(v0, F.lit(50.0)), 4).alias("v_hi"),
         dround(F.least(v0, F.lit(50.0)), 4).alias("v_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# More TPC-H shapes: Q12 / Q14 / Q19 / Q22 adapted to the testdata columns
+# ---------------------------------------------------------------------------
+
+_CASE_COUNTS_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_case_counts",
+    _CASE_COUNTS_SQL,
+    doc="TPC-H Q12 shape: conditional CASE aggregation over a fact join",
+)
+def sql_case_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
+
+
+_PROMO_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@register(
+    "sql_promo_share",
+    _PROMO_SQL,
+    doc="TPC-H Q14 shape: conditional revenue share (ratio of two aggregates, one pass)",
+)
+def sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    raw = spark.sql(
+        """
+        SELECT 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        """
+    )
+    return raw.select(dround("promo_revenue_pct", 4).alias("promo_revenue_pct"))
+
+
+_DISJ_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register(
+    "sql_disjunctive_join",
+    _DISJ_SQL,
+    doc=(
+        "TPC-H Q19 shape: disjunctive mixed-side predicates over a join "
+        "— Catalyst extracts the common single-side conjuncts from the "
+        "OR and pushes them below the join"
+    ),
+)
+def sql_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    raw = spark.sql(
+        """
+        SELECT SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+        """
+    )
+    return raw.select(dround("revenue", 2).alias("revenue"), "n_lines")
+
+
+_GLOBAL_SUB_SQL = """
+SELECT c_nationkey AS cntrycode,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 350000)
+GROUP BY c_nationkey
+"""
+
+
+@register(
+    "sql_global_scalar_sub",
+    _GLOBAL_SUB_SQL,
+    doc=(
+        "TPC-H Q22 shape: uncorrelated scalar subquery (computed once, "
+        "broadcast as a literal at runtime) + NOT EXISTS anti join + "
+        "IN-list filter"
+    ),
+)
+def sql_global_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    raw = spark.sql(
+        """
+        SELECT c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               SUM(c_acctbal) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_totalprice > 350000)
+        GROUP BY c_nationkey
+        """
+    )
+    return raw.select("cntrycode", "numcust", dround("totacctbal", 2).alias("totacctbal"))
