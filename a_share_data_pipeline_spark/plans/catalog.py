@@ -53,3 +53,25 @@ def registry() -> dict[str, Query]:
     from . import queries_udf  # noqa: F401
 
     return dict(_REGISTRY)
+
+
+def catalog_markdown() -> str:
+    """QUERIES.md content: the full catalog with docs + oracle status."""
+    lines = [
+        "# QUERIES — the full catalog",
+        "",
+        "Generated from `plans/catalog.py` "
+        "(`python -c \"from a_share_data_pipeline_spark.plans.catalog import "
+        "catalog_markdown; print(catalog_markdown())\" > QUERIES.md`).",
+        "Every query is a callable `(spark, sf_dir) -> DataFrame` in "
+        "`__spark_entry__.queries()`; *oracled* means a DuckDB-equivalent "
+        "SQL string in `oracle_sql()` hash-verifies it per round.",
+        "",
+        "| Query | Oracle | What it exercises |",
+        "|---|---|---|",
+    ]
+    for name, q in sorted(registry().items()):
+        doc = " ".join((q.doc or "—").split())
+        lines.append(f"| `{name}` | {'✓' if q.oracle else 'rows-only'} | {doc} |")
+    lines.append("")
+    return "\n".join(lines)

@@ -732,3 +732,39 @@ def sql_global_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return raw.select("cntrycode", "numcust", dround("totacctbal", 2).alias("totacctbal"))
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON parsing: from_json with an explicit schema (vs per-value
+# get_json_object string extraction in json_extract)
+# ---------------------------------------------------------------------------
+
+_TYPED_JSON_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(COALESCE(value, 0)), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "json_typed_struct",
+    _TYPED_JSON_SQL,
+    doc=(
+        "from_json with an EXPLICIT schema → struct column (single "
+        "parse, typed field access, prunable) — the scale lane for "
+        "semi-structured columns; json_extract's get_json_object "
+        "re-parses per extraction"
+    ),
+)
+def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy(
+        "event_type", (F.col("p.k") % 10).alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("sum_value"),
+    )
