@@ -146,3 +146,39 @@ def test_broadcast_joins_in_star_queries(spark):
         p = executed_plan_str(registry()[name].fn(spark, SF))
         assert "BroadcastHashJoin" in p, f"{name}:\n{p}"
         assert "SortMergeJoin" not in p, f"{name} fell back to SMJ:\n{p}"
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Hash-threshold sampling must stay a scan+filter — an Exchange in
+    a sampling query means it shuffles 100 TB to keep 25%."""
+    p = plan_str(registry()["sample_stratified"].fn(spark, SF), "simple")
+    assert "Exchange" not in p, p
+    assert "FileScan" in p and "Filter" in p, p
+
+
+def test_profile_stats_single_scan(spark):
+    """All per-column profile aggregates must come from ONE scan (the
+    long-format reshape is an explode over one aggregated row), unlike
+    the per-column UNION-ALL oracle."""
+    p = plan_str(registry()["profile_stats"].fn(spark, SF), "simple")
+    assert p.count("FileScan") == 1, p
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """Scoring rows against driver-literal centroids must not shuffle:
+    no Exchange, no Join in the assignment plan."""
+    from a_share_data_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        init_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = init_centroids(emb, k=4)
+    p = plan_str(assign_clusters(emb, cents), "simple")
+    assert "Exchange" not in p and "Join" not in p, p
+
+
+def test_unpivot_single_scan_via_expand(spark):
+    p = plan_str(registry()["agg_unpivot"].fn(spark, SF), "simple")
+    assert p.count("FileScan") == 1, p
+    assert "Expand" in p, p
