@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -288,6 +289,68 @@ class AShareApiReader(DataSourceReader):
         yield pa.RecordBatch.from_pandas(pdf[fields], schema=arrow_schema, preserve_index=False)
 
 
+class AShareApiStreamReader(DataSourceStreamReader):
+    """Streaming access path: the reference's delta loop
+    (market/delta_non_fq_daily_kline.py:63-108 — wall-clock day
+    iteration + a hand-rolled watermark file) as a NATIVE streaming
+    source. Offsets are trade dates (`{"last_date": "yyyyMMdd"}`,
+    exclusive); each micro-batch covers the dates that appeared since
+    the committed offset, one InputPartition per date (same per-date
+    fetch as batch by_date mode). Spark's checkpoint replaces
+    `.last_update_date`: offsets commit transactionally after the sink
+    epoch, so a crash rerun resumes instead of duplicating."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema_ = schema
+        self.options = options
+        self.table = options["table"]
+        self._start = options["start_date"]  # stream begins AFTER this date
+
+    def _available_dates(self) -> list[str]:
+        client = FixtureApiClient(self.options["fixture_dir"])
+        col = "cal_date" if self.table == "trade_cal" else "trade_date"
+        pdf = client.fetch(self.table, fields=[col])
+        return sorted(pdf[col].dropna().unique())
+
+    def initialOffset(self) -> dict:
+        return {"last_date": self._start}
+
+    def latestOffset(self) -> dict:
+        dates = self._available_dates()
+        return {"last_date": dates[-1] if dates else self._start}
+
+    def partitions(self, start: dict, end: dict) -> "Sequence[InputPartition]":
+        days = [
+            d for d in self._available_dates() if start["last_date"] < d <= end["last_date"]
+        ]
+        return [_KeyPartition(d) for d in days]
+
+    def read(self, partition: _KeyPartition) -> "Iterator":
+        import pyarrow as pa
+
+        client = FixtureApiClient(
+            self.options["fixture_dir"],
+            log_calls=self.options.get("log_calls", "false") == "true",
+        )
+        fields = [f.name for f in self.schema_.fields]
+        pdf = with_retry(
+            lambda: client.fetch(self.table, trade_date=partition.value, fields=fields),
+            retries=int(self.options.get("retries", "3")),
+        )
+        if len(pdf) == 0:
+            return
+        arrow_schema = pa.schema(
+            [
+                (f.name, pa.float64() if isinstance(f.dataType, T.DoubleType) else pa.string())
+                for f in self.schema_.fields
+            ]
+        )
+        yield pa.RecordBatch.from_pandas(pdf[fields], schema=arrow_schema, preserve_index=False)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint
+
+
 class AShareApiDataSource(DataSource):
     """spark.read.format("ashare_api")
         .option("table", "daily").option("mode", "by_key")
@@ -305,6 +368,9 @@ class AShareApiDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> AShareApiReader:
         return AShareApiReader(schema, dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> AShareApiStreamReader:
+        return AShareApiStreamReader(schema, dict(self.options))
 
 
 def register(spark) -> None:

@@ -162,3 +162,55 @@ def test_token_bucket_throttles():
         b.acquire()
     elapsed = time.monotonic() - t0
     assert elapsed >= 0.04  # 5 refills at 100/s ≥ 50ms minus jitter slack
+
+
+def test_stream_reader_incremental_exactly_once(registered, fixture_dir, tmp_path):
+    """The streaming access path: offsets are trade dates; run 1
+    processes everything after start_date, appending new dates to the
+    upstream and re-running the SAME checkpoint processes only the new
+    dates (the native replacement for the reference's watermark file,
+    market/delta_non_fq_daily_kline.py:29-41, 159-167)."""
+    import pandas as pd
+
+    d, pdfs = fixture_dir
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    daily = pdfs["daily"]
+    dates = sorted(daily["trade_date"].unique())
+    assert len(dates) >= 3
+    first, rest = dates[:-1], dates[-1]
+    daily[daily["trade_date"].isin(first)].to_csv(os.path.join(src, "daily.csv"), index=False)
+
+    spark = registered
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_cycle():
+        stream = (
+            spark.readStream.format("ashare_api")
+            .option("table", "daily")
+            .option("fixture_dir", src)
+            .option("start_date", "00000000")
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out_dir)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).toPandas()
+
+    got1 = run_cycle()
+    assert sorted(got1["trade_date"].unique()) == first
+    assert len(got1) == int((daily["trade_date"].isin(first)).sum())
+
+    # upstream grows by one date; same checkpoint → only the delta lands
+    daily.to_csv(os.path.join(src, "daily.csv"), index=False)
+    got2 = run_cycle()
+    new_rows = got2[~got2["trade_date"].isin(first)]
+    assert sorted(new_rows["trade_date"].unique()) == [rest]
+    assert len(got2) == len(daily)  # no duplicates of already-seen dates
