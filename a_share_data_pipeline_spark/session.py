@@ -50,6 +50,9 @@ def get_spark(
         # nanos timestamp; read as long and convert at the source
         # (sources/readers.py truncates to micros, matching DuckDB)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the API-shaped Python DataSource implements pushFilters — the
+        # partition-pruning-from-predicates path needs this flag
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

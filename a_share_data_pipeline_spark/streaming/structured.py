@@ -279,3 +279,66 @@ def tws_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def stream_canonical_delta(
+    spark: SparkSession,
+    fixture_dir: str,
+    start_date: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """The ENTIRE reference delta flow as one streaming query:
+    the API streaming source drives micro-batches of new trade dates
+    (offsets checkpointed — market/delta_non_fq_daily_kline.py's
+    watermark file made native), and foreachBatch assembles each
+    batch's canonical rows and appends them to the date-partitioned
+    native table.
+
+    foreachBatch is the idiomatic shape here: the driving fact stream
+    picks WHICH dates are new; the other two facts + the dimension are
+    then fetched for exactly those dates through the batch source
+    (partition-pruned by keys=) and joined with the standard assembly —
+    a 3-way stream-stream join would add watermark state for what is
+    purely a per-date lookup. Exactly-once: offsets commit after each
+    batch's sink write; a crash rerun replays only uncommitted dates.
+    """
+    from ..operators import assembly
+    from ..sources import api_source, sinks
+
+    api_source.register(spark)
+
+    def opts(reader, table, **kw):
+        r = reader.format("ashare_api").option("table", table).option(
+            "fixture_dir", fixture_dir
+        )
+        for k, v in kw.items():
+            r = r.option(k, str(v))
+        return r
+
+    daily_stream = opts(spark.readStream, "daily", start_date=start_date).load()
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dates = sorted(r[0] for r in batch_df.select("trade_date").distinct().collect())
+        keys = ",".join(dates)
+        limit = opts(spark.read, "stk_limit", mode="by_date", keys=keys).load()
+        basic = opts(spark.read, "daily_basic", mode="by_date", keys=keys).load()
+        # stock_basic has no per-key partitions; fetch once driver-side
+        dim = spark.createDataFrame(
+            api_source.FixtureApiClient(fixture_dir).fetch("stock_basic"),
+            schema=api_source.TABLE_SCHEMAS["stock_basic"],
+        )
+        canonical = assembly.assemble_canonical(
+            batch_df, limit, basic, dim, mode="delta"
+        )
+        sinks.write_native(canonical, out_dir)
+
+    q = (
+        daily_stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()

@@ -137,3 +137,58 @@ def test_delta_append_exactly_once(spark, events_landing, tmp_path):
 
     # partition layout: the table is date-partitioned (pruning path)
     assert any(p.startswith("date=") for p in os.listdir(out))
+
+
+def test_stream_canonical_delta_end_to_end(spark, tmp_path):
+    """Reference flow 2 as ONE streaming query: API streaming source
+    (trade-date offsets) → foreachBatch assembly → date-partitioned
+    native sink. Output must equal the batch assembly of the same
+    fixture range; a rerun on the same checkpoint must add nothing;
+    new upstream dates land incrementally."""
+    import os
+
+    import fixtures_ashare as FX
+    from a_share_data_pipeline_spark.operators import assembly
+    from a_share_data_pipeline_spark.sources.api_source import TABLE_SCHEMAS
+    from a_share_data_pipeline_spark.streaming.structured import stream_canonical_delta
+
+    src = str(tmp_path / "api")
+    os.makedirs(src)
+    cal = FX.gen_trade_cal()
+    basic = FX.gen_stock_basic()
+    daily, limit, dbasic = FX.gen_facts(basic, cal)
+    dates = sorted(daily["trade_date"].unique())
+    head, tail = dates[:-1], dates[-1]
+
+    def land(subset_dates):
+        for name, pdf in {"daily": daily, "stk_limit": limit, "daily_basic": dbasic}.items():
+            pdf[pdf["trade_date"].isin(subset_dates)].to_csv(
+                os.path.join(src, f"{name}.csv"), index=False
+            )
+        basic.to_csv(os.path.join(src, "stock_basic.csv"), index=False)
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def batch_golden(subset_dates):
+        d = spark.createDataFrame(daily[daily["trade_date"].isin(subset_dates)], TABLE_SCHEMAS["daily"])
+        li = spark.createDataFrame(limit[limit["trade_date"].isin(subset_dates)], TABLE_SCHEMAS["stk_limit"])
+        db = spark.createDataFrame(dbasic[dbasic["trade_date"].isin(subset_dates)], TABLE_SCHEMAS["daily_basic"])
+        bs = spark.createDataFrame(basic, TABLE_SCHEMAS["stock_basic"])
+        return assembly.assemble_canonical(d, li, db, bs, mode="delta")
+
+    land(head)
+    stream_canonical_delta(spark, src, start_date="00000000", checkpoint_dir=ckpt, out_dir=out)
+    want1 = batch_golden(head)
+    got1 = spark.read.parquet(out).select(*want1.columns)
+    assert sorted(map(tuple, got1.collect())) == sorted(map(tuple, want1.collect()))
+
+    # rerun, nothing new upstream → no duplicates
+    stream_canonical_delta(spark, src, start_date="00000000", checkpoint_dir=ckpt, out_dir=out)
+    assert spark.read.parquet(out).count() == want1.count()
+
+    # a new date arrives → only it is appended
+    land(dates)
+    stream_canonical_delta(spark, src, start_date="00000000", checkpoint_dir=ckpt, out_dir=out)
+    want_all = batch_golden(dates)
+    got3 = spark.read.parquet(out).select(*want_all.columns)
+    assert sorted(map(tuple, got3.collect())) == sorted(map(tuple, want_all.collect()))
