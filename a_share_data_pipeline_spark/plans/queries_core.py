@@ -699,3 +699,40 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_o_totalprice").alias("min_price"),
         F.col("max_o_totalprice").alias("max_price"),
     )
+
+
+_FULL_OUTER_SQL = """
+SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+            WHEN o_orderkey IS NULL THEN 'customer_only'
+            ELSE 'matched' END                      AS side,
+       COUNT(*)                                     AS n,
+       ROUND(SUM(COALESCE(o_totalprice, 0)), 2)     AS total
+FROM (SELECT * FROM customer WHERE c_acctbal > 6000) c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+
+@register(
+    "join_full_outer",
+    _FULL_OUTER_SQL,
+    doc=(
+        "full outer join (the explicit form of the reference's J1 "
+        "index-union concat, market/non_fq_daily_kline.py:99) with "
+        "unmatched rows surviving on BOTH sides"
+    ),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 6000)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("matched")
+    )
+    return j.groupBy(side.alias("side")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("total"),
+    )
