@@ -84,10 +84,21 @@ def write_native(
     path: str,
     mode: str = "append",
     partition_by: tuple[str, ...] = ("date",),
+    cluster_by: tuple[str, ...] = (),
 ) -> None:
     """The scale path: Parquet partitioned by date. Incremental readers
     get static partition pruning on `date`; appends add new partitions
-    without touching existing ones."""
+    without touching existing ones.
+
+    `cluster_by` sorts rows WITHIN each task before writing (no extra
+    shuffle) — parquet row-group min/max stats on the sorted column
+    become tight, so selective scans (`WHERE code = X`) skip row groups
+    instead of reading whole date partitions."""
+    if cluster_by:
+        # prefix with the partition columns: the dynamic-partition writer
+        # requires an ordering on them and would re-sort (unstably,
+        # destroying the clustering) unless the input already satisfies it
+        df = df.sortWithinPartitions(*partition_by, *cluster_by)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

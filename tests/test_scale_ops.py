@@ -4,6 +4,8 @@ asserting RESULT equivalence and PLAN shape."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -141,3 +143,30 @@ def test_native_sink_partition_pruning(spark, tmp_path):
     n = q.count()
     full = spark.read.parquet(out).filter(F.to_date(F.col("ts")) == one_day).count()
     assert n == full and n > 0
+
+
+def test_write_native_cluster_by_sorts_row_groups(spark, tmp_path):
+    """cluster_by must sort rows within each written file (no extra
+    shuffle) so parquet min/max stats prune row groups on the
+    clustered column."""
+    import pyarrow.parquet as pq
+
+    from a_share_data_pipeline_spark.sources.sinks import write_native
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 7).cast("string").alias("date"),
+        F.concat(F.lit("c"), (F.col("id") * 997 % 1000)).alias("code"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = str(tmp_path / "clustered")
+    write_native(df, out, partition_by=("date",), cluster_by=("code",))
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    for path in files[:4]:
+        codes = pq.read_table(path, columns=["code"]).column("code").to_pylist()
+        assert codes == sorted(codes), path
