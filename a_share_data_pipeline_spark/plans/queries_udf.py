@@ -147,3 +147,75 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation_a", "nation_b")
         .orderBy("nation_a", "nation_b")
     )
+
+
+_ZSCORE_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+             / NULLIF(STDDEV_SAMP(o_totalprice) OVER w, 0), 6) AS z
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey)
+"""
+
+
+@register(
+    "udf_grouped_map",
+    _ZSCORE_SQL,
+    doc=(
+        "grouped-map applyInPandas (per-customer z-score): each group "
+        "arrives as ONE Arrow-backed pandas frame — the lane for "
+        "whole-group Python logic; oracle proves it ≡ window functions"
+    ),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)  # ≡ STDDEV_SAMP
+        z = (pdf["o_totalprice"] - mu) / sd if (pd.notna(sd) and sd != 0) else None
+        return pd.DataFrame(
+            {"o_custkey": pdf["o_custkey"], "o_orderkey": pdf["o_orderkey"], "z": z}
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    out = o.groupBy("o_custkey").applyInPandas(
+        zscore, schema="o_custkey bigint, o_orderkey bigint, z double"
+    )
+    return out.select("o_custkey", "o_orderkey", dround("z", 6).alias("z"))
+
+
+_ARROW_MAP_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       length(text)               AS n_chars
+FROM documents
+"""
+
+
+@register(
+    "udf_arrow_map",
+    _ARROW_MAP_SQL,
+    doc=(
+        "mapInArrow: RecordBatches in/out with pyarrow.compute kernels — "
+        "the zero-copy lane below mapInPandas (no pandas conversion)"
+    ),
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def measure(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.binary_length(pc.cast(text, pa.binary())),
+                    pc.utf8_length(text),
+                ],
+                names=["doc_id", "n_bytes", "n_chars"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(measure, schema="doc_id bigint, n_bytes long, n_chars long")
