@@ -211,8 +211,8 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(batch.schema.get_field_index("doc_id")),
-                    pc.binary_length(pc.cast(text, pa.binary())),
-                    pc.utf8_length(text),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
                 ],
                 names=["doc_id", "n_bytes", "n_chars"],
             )

@@ -96,6 +96,8 @@ def test_no_row_python_in_builtin_queries(spark):
         "udf_pandas_scalar",
         "udf_grouped_agg",
         "udf_table_function",
+        "udf_grouped_map",
+        "udf_arrow_map",
         "multimodal_features",
         "multimodal_frames",
         "stream_stateful_totals",
