@@ -97,7 +97,15 @@ def as_of_join(
         matched = F.col(f"{pay}.__matched_ts")
         is_ts = dict(right.dtypes)[right_ts].startswith("timestamp")
         if is_ts:
-            diff = F.abs(F.unix_micros(F.col(_TS)) - F.unix_micros(matched)) / F.lit(1e6)
+            # cast: unix_micros rejects TIMESTAMP_NTZ; session tz is UTC
+            # so NTZ→TZ is a deterministic relabel
+            diff = (
+                F.abs(
+                    F.unix_micros(F.col(_TS).cast("timestamp"))
+                    - F.unix_micros(matched.cast("timestamp"))
+                )
+                / F.lit(1e6)
+            )
         else:
             diff = F.abs(F.col(_TS) - matched)
         out = out.withColumn(

@@ -72,13 +72,29 @@ SELECT l_returnflag,
        ROUND(AVG(l_extendedprice), 4)                 AS avg_price,
        ROUND(STDDEV_SAMP(l_extendedprice), 4)         AS sd_price,
        ROUND(QUANTILE_CONT(l_quantity, 0.5), 4)       AS median_qty,
-       ROUND(CORR(l_quantity, l_extendedprice), 6)    AS corr_qty_price
+       ROUND(CORR(l_quantity, l_extendedprice), 6)    AS corr_qty_price,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6)     AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6)        AS r2,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 6)          AS cov_qd,
+       CAST(COUNT_IF(l_discount > 0.05) AS BIGINT)           AS n_disc,
+       BOOL_AND(l_quantity > 0)                              AS all_pos,
+       BOOL_OR(l_tax > 0.07)                                 AS any_high_tax
 FROM lineitem
 GROUP BY l_returnflag
 """
 
 
-@register("agg_stats", _STATS_SQL, doc="stat aggregates: count/distinct/min/max/avg/stddev/exact-percentile/corr")
+@register(
+    "agg_stats",
+    _STATS_SQL,
+    doc=(
+        "stat + regression aggregates in ONE scan: count/distinct/min/"
+        "max/avg/stddev/exact-percentile/corr + regr_slope/intercept/r2, "
+        "covar_samp, count_if, bool_and/bool_or — all partial-aggregable "
+        "moment sketches, one shuffle (absorbs round-1 agg_regression)"
+    ),
+)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -91,19 +107,49 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact interpolated percentile — matches DuckDB quantile_cont
         dround(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
         dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        dround(F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias("slope"),
+        dround(F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias(
+            "intercept"
+        ),
+        dround(F.regr_r2(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias("r2"),
+        dround(F.covar_samp(F.col("l_quantity"), F.col("l_discount")), 6).alias("cov_qd"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
     )
+
+
+_APPROX_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE                      AS within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 @register(
     "agg_approx_distinct",
-    None,  # HLL sketches are engine-specific; rows-only check by design
-    doc="approx_count_distinct (HLL++); no oracle — sketch estimates differ across engines",
+    _APPROX_SQL,
+    doc=(
+        "approx_count_distinct (HLL++, rsd=0.05) with a checkable "
+        "contract: the sketch value is engine-specific, so the hashed "
+        "output carries the exact count plus a boolean asserting the "
+        "estimate landed within 3×rsd of it — the oracle's side is the "
+        "exact count and a constant TRUE"
+    ),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    est = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+    return est.select(
+        "l_returnflag",
+        "exact_parts",
+        (err <= 0.15).alias("within_bounds"),  # 3×rsd — deterministic pass at any SF
     )
 
 
@@ -140,27 +186,41 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PIVOT_SQL = """
-SELECT l_returnflag,
-       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
-       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
-FROM lineitem
-GROUP BY l_returnflag
+WITH wide AS (
+  SELECT l_returnflag,
+         ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+         ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty_open' AS status, qty_open AS qty FROM wide
+UNION ALL
+SELECT l_returnflag, 'qty_filled', qty_filled FROM wide
 """
 
 
-@register("agg_pivot", _PIVOT_SQL, doc="pivot (wide conditional aggregation)")
+@register(
+    "agg_pivot",
+    _PIVOT_SQL,
+    doc=(
+        "pivot→unpivot round-trip: wide conditional aggregation "
+        "(explicit value list, no discovery pass) then melted back long "
+        "via Spark's Unpivot/Expand — one row per measure without "
+        "re-scanning (absorbs round-1 agg_unpivot)"
+    ),
+)
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    out = (
+    wide = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])  # explicit values → no discovery pass
         .sum("l_quantity")
-    )
-    return out.select(
+    ).select(
         "l_returnflag",
         dround(F.col("O"), 2).alias("qty_open"),
         dround(F.col("F"), 2).alias("qty_filled"),
     )
+    return wide.unpivot(["l_returnflag"], ["qty_open", "qty_filled"], "status", "qty")
 
 
 # ---------------------------------------------------------------------------
@@ -270,35 +330,40 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMI_SQL = """
-SELECT c_custkey, c_name
+_SEMI_ANTI_SQL = """
+SELECT 'has_big_order' AS kind, c_custkey, c_mktsegment
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-"""
-
-
-@register("join_semi", _SEMI_SQL, doc="left-semi join (EXISTS)")
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-_ANTI_SQL = """
-SELECT c_custkey, c_mktsegment
+UNION ALL
+SELECT 'no_orders' AS kind, c_custkey, c_mktsegment
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
-@register("join_anti", _ANTI_SQL, doc="left-anti join (NOT EXISTS)")
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "join_semi_anti",
+    _SEMI_ANTI_SQL,
+    doc=(
+        "left-semi (EXISTS) + left-anti (NOT EXISTS) over the same "
+        "fact, union-tagged — both existence-join lanes in one "
+        "driver-verified query (absorbs round-1 join_semi + join_anti)"
+    ),
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_mktsegment"
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    semi = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select(F.lit("has_big_order").alias("kind"), "c_custkey", "c_mktsegment")
     )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.lit("no_orders").alias("kind"), "c_custkey", "c_mktsegment")
+    )
+    return semi.unionByName(anti)
 
 
 # ---------------------------------------------------------------------------
@@ -389,12 +454,28 @@ SELECT o_custkey, o_orderkey,
        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)     AS rn,
        RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
        DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)             AS prio_rank,
-       NTILE(4)     OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)    AS quartile
+       NTILE(4)     OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)    AS quartile,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+       ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey), 6)    AS cd,
+       ROUND(NTH_VALUE(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)       AS second_total
 FROM orders
 """
 
 
-@register("window_rank", _WRANK_SQL, doc="ranking windows: row_number/rank/dense_rank/ntile")
+@register(
+    "window_rank",
+    _WRANK_SQL,
+    doc=(
+        "ranking + distribution windows: row_number/rank/dense_rank/"
+        "ntile/percent_rank/cume_dist/nth_value — one exchange on the "
+        "customer key serves all frames (absorbs round-1 "
+        "window_distribution)"
+    ),
+)
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     by_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -408,6 +489,14 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(by_price).alias("price_rank"),
         F.dense_rank().over(by_prio).alias("prio_rank"),
         F.ntile(4).over(by_price_asc).alias("quartile"),
+        dround(F.percent_rank().over(by_price_asc), 6).alias("pr"),
+        dround(F.cume_dist().over(by_price_asc), 6).alias("cd"),
+        dround(
+            F.nth_value("o_totalprice", 2).over(
+                by_price_asc.rowsBetween(W.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("second_total"),
     )
 
 
@@ -475,13 +564,29 @@ SELECT p_partkey,
        REPLACE(p_name, ' ', '_')                       AS name_snake,
        REGEXP_EXTRACT(p_name, '^[a-z]+')               AS first_word,
        CONTAINS(p_name, 'red')                         AS has_red,
-       SPLIT_PART(p_type, ' ', 1)                      AS type_head
+       SPLIT_PART(p_type, ' ', 1)                      AS type_head,
+       NULLIF(p_brand, 'Brand#1')                      AS brand_nn,
+       ROUND(COALESCE(NULLIF(p_retailprice, 0), -1.0), 2) AS price_filled,
+       CASE WHEN p_retailprice > 1500 THEN 'hi'
+            WHEN p_retailprice > 900  THEN 'mid'
+            ELSE 'lo' END                              AS price_band,
+       ROUND(GREATEST(p_retailprice, 1000.0), 2)       AS price_floor,
+       ROUND(LEAST(p_retailprice, 1000.0), 2)          AS price_cap
 FROM part
 WHERE p_partkey <= 2000
 """
 
 
-@register("scalar_string", _STR_SQL, doc="string function library (F7): case/substr/len/concat/replace/regexp/split")
+@register(
+    "scalar_string",
+    _STR_SQL,
+    doc=(
+        "string + conditional scalar library (F7): case/substr/len/"
+        "concat/replace/regexp/split + nullif/coalesce/case-when/"
+        "greatest/least — all codegen expressions (absorbs round-1 "
+        "scalar_conditional)"
+    ),
+)
 def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
     return p.select(
@@ -494,6 +599,16 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
         F.col("p_name").contains("red").alias("has_red"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#1")).alias("brand_nn"),
+        dround(F.coalesce(F.nullif("p_retailprice", F.lit(0.0)), F.lit(-1.0)), 2).alias(
+            "price_filled"
+        ),
+        F.when(F.col("p_retailprice") > 1500, "hi")
+        .when(F.col("p_retailprice") > 900, "mid")
+        .otherwise("lo")
+        .alias("price_band"),
+        dround(F.greatest("p_retailprice", F.lit(1000.0)), 2).alias("price_floor"),
+        dround(F.least("p_retailprice", F.lit(1000.0)), 2).alias("price_cap"),
     )
 
 
@@ -527,56 +642,39 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEQ_SQL = """
-WITH days AS (
-  SELECT CAST(d AS DATE) AS day
-  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(d)
-),
-per_day AS (
-  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
-  FROM events GROUP BY 1
-)
-SELECT days.day, COALESCE(per_day.n, 0) AS n_events
-FROM days LEFT JOIN per_day ON days.day = per_day.day
+_JSON_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*)                                                    AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       ROUND(SUM(COALESCE(value, 0)), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
 """
 
 
 @register(
-    "date_sequence",
-    _SEQ_SQL,
-    doc="calendar-driven date expansion: sequence+explode (F4/T2 — replaces the reference's wall-clock day loop, market/delta_non_fq_daily_kline.py:69-72)",
+    "json_extract",
+    _JSON_SQL,
+    doc=(
+        "JSON lanes (F7): get_json_object per-value extraction AND "
+        "from_json with an explicit schema → typed struct (single "
+        "parse, prunable — the scale lane for semi-structured columns) "
+        "feeding one aggregation (absorbs round-1 json_typed_struct)"
+    ),
 )
-def date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    days = spark.range(1).select(
-        F.explode(
-            F.sequence(F.lit("2024-01-01").cast("date"), F.lit("2024-01-30").cast("date"))
-        ).alias("day")
-    )
-    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
-    return days.join(per_day, "day", "left").select(
-        "day", F.coalesce("n", F.lit(0)).alias("n_events")
-    )
-
-
-_JSON_SQL = """
-SELECT event_type,
-       COUNT(*)                                                    AS n,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-FROM events
-GROUP BY event_type
-"""
-
-
-@register("json_extract", _JSON_SQL, doc="JSON scalar functions over events.props (F7)")
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy(
+        "event_type", (F.col("p.k") % 10).alias("k_bucket")
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         dround(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
+        dround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("sum_value"),
     )
 
 
@@ -619,7 +717,13 @@ SELECT l_orderkey,
        qtys[1]                               AS min_qty,
        qtys[-1]                              AS max_qty,
        ROUND(list_sum(qtys), 2)              AS total_qty,
-       list_contains(qtys, 1.0)              AS has_unit_qty
+       list_contains(qtys, 1.0)              AS has_unit_qty,
+       len(list_filter(qtys, x -> x >= 10))                    AS n_ge10,
+       len(list_filter(qtys, x -> x > 45)) > 0                 AS has_big,
+       len(list_filter(qtys, x -> x > 0)) = len(qtys)          AS all_pos,
+       ROUND(list_sum(list_transform(qtys, x -> x * 2)), 2)    AS doubled_sum,
+       ROUND(list_transform(range(1, len(qtys) + 1),
+                            i -> qtys[i] + qtys[len(qtys) - i + 1])[1], 2) AS zip_first
 FROM t
 ORDER BY l_orderkey
 LIMIT 100
@@ -629,7 +733,13 @@ LIMIT 100
 @register(
     "scalar_array",
     _ARRAY_SQL,
-    doc="array function library (F7): collect_list→sort/size/element_at/aggregate/contains — nested values stay JVM-side",
+    doc=(
+        "array + higher-order function library (F7): collect_list→sort/"
+        "size/element_at/contains + filter/exists/forall/transform+"
+        "aggregate/zip_with — lambda expression trees inside codegen, "
+        "nested data processed without exploding or leaving the JVM "
+        "(absorbs round-1 scalar_hof)"
+    ),
 )
 def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -646,6 +756,21 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.aggregate("qtys", F.lit(0.0), lambda acc, x: acc + x), 2
             ).alias("total_qty"),
             F.array_contains("qtys", 1.0).alias("has_unit_qty"),
+            F.size(F.filter("qtys", lambda x: x >= 10)).cast("long").alias("n_ge10"),
+            F.exists("qtys", lambda x: x > 45).alias("has_big"),
+            F.forall("qtys", lambda x: x > 0).alias("all_pos"),
+            dround(
+                F.aggregate(
+                    F.transform("qtys", lambda x: x * 2), F.lit(0.0), lambda a, x: a + x
+                ),
+                2,
+            ).alias("doubled_sum"),
+            dround(
+                F.element_at(
+                    F.zip_with("qtys", F.reverse("qtys"), lambda a, b: a + b), 1
+                ),
+                2,
+            ).alias("zip_first"),
         )
         .orderBy("l_orderkey")
         .limit(100)

@@ -315,7 +315,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _langid_sql() -> str:
+def _metrics_sql() -> str:
     count_exprs = []
     for lang, markers in TX.LANG_MARKERS.items():
         ors = " OR ".join(f"x = '{m}'" for m in markers)
@@ -332,70 +332,63 @@ def _langid_sql() -> str:
     case = "\n            ".join(branches)
     return f"""
 WITH feats AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text,
          len(regexp_extract_all(text, '{TX.CJK_PATTERN}')) AS cjk_n,
-         {counts}
+         {counts},
+         len(string_split(text, ' '))                          AS n_tokens,
+         length(text)                                          AS n_chars_m,
+         length(replace(text, ' ', ''))                        AS nonspace,
+         len(regexp_extract_all(text, '[.,!?;:]'))             AS punct_n,
+         len(regexp_extract_all(text, '{TX.BPE_PATTERN}'))     AS bpe_n
   FROM documents
 )
 SELECT doc_id, lang,
        CASE WHEN cjk_n > 0 THEN 'zh'
             {case}
-            ELSE 'und' END AS pred_lang
-FROM feats
-"""
-
-
-@register(
-    "text_langid",
-    _langid_sql(),
-    doc="rule-based language ID: CJK chars → zh, else marker-stopword argmax with fixed tie-break",
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return TX.lang_id(docs).select("doc_id", "lang", "pred_lang")
-
-
-def _quality_sql() -> str:
-    en = TX.LANG_MARKERS["en"]
-    ors = " OR ".join(f"x = '{m}'" for m in en)
-    return f"""
-WITH feats AS (
-  SELECT doc_id,
-         len(string_split(text, ' '))                          AS n_tokens,
-         length(text)                                          AS n_chars_m,
-         length(replace(text, ' ', ''))                        AS nonspace,
-         len(regexp_extract_all(text, '[.,!?;:]'))             AS punct_n,
-         len(list_filter(string_split(text, ' '), x -> {ors})) AS stop_n
-  FROM documents
-)
-SELECT doc_id,
+            ELSE 'und' END AS pred_lang,
        CAST(n_tokens AS BIGINT)              AS n_tokens,
        CAST(n_chars_m AS BIGINT)             AS n_chars_m,
        ROUND(nonspace / n_tokens, 4)         AS avg_token_len,
        ROUND(punct_n / n_chars_m, 6)         AS punct_ratio,
-       ROUND(stop_n / n_tokens, 6)           AS stopword_ratio,
+       ROUND(en_n / n_tokens, 6)             AS stopword_ratio,
        ROUND(least(n_tokens / 100.0, 1.0) * 0.5
-             + (stop_n / n_tokens) * 0.3
-             + greatest(0.0, 1.0 - punct_n / n_tokens) * 0.2, 4) AS quality_score
+             + (en_n / n_tokens) * 0.3
+             + greatest(0.0, 1.0 - punct_n / n_tokens) * 0.2, 4) AS quality_score,
+       CAST(bpe_n AS BIGINT)                 AS bpe_tokens,
+       substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 16) AS fp
 FROM feats
 """
 
 
 @register(
-    "text_quality",
-    _quality_sql(),
-    doc="quality features: length / punctuation / stopword ratios + linear score (rational arithmetic only)",
+    "text_metrics",
+    _metrics_sql(),
+    doc=(
+        "per-document text analysis in ONE scan: rule-based language ID "
+        "(CJK → zh, else marker-stopword argmax with fixed tie-break), "
+        "length/punctuation/stopword quality features + linear score, "
+        "BPE-ish token count, and md5-prefix fingerprint — all codegen "
+        "expressions, no UDFs; at 100 TB one pass over the corpus "
+        "instead of four (absorbs round-1 text_langid + text_quality + "
+        "text_fingerprint; per-source corpus accounting stays in "
+        "text_token_counts)"
+    ),
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return TX.quality_features(docs).select(
+    out = TX.fingerprint(TX.token_counts(TX.quality_features(TX.lang_id(docs))))
+    return out.select(
         "doc_id",
+        "lang",
+        "pred_lang",
         "n_tokens",
         "n_chars_m",
         "avg_token_len",
         "punct_ratio",
         "stopword_ratio",
         "quality_score",
+        "bpe_tokens",
+        "fp",
     )
 
 
@@ -425,23 +418,6 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_tokens").alias("bpe_tokens"),
         )
     )
-
-
-_FP_SQL = """
-SELECT doc_id,
-       substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 16) AS fp
-FROM documents
-"""
-
-
-@register(
-    "text_fingerprint",
-    _FP_SQL,
-    doc="64-bit document fingerprint: md5 prefix of normalized text",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return TX.fingerprint(docs).select("doc_id", "fp")
 
 
 # ---------------------------------------------------------------------------

@@ -90,44 +90,16 @@ def canonical_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # U1: union-all append semantics (duplicate-tolerant, reference compat)
 # ---------------------------------------------------------------------------
 
-_UNION_SQL = """
-WITH appended AS (
-  SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
-  UNION ALL
-  SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
-)
-SELECT o_orderkey, COUNT(*) AS n_copies
-FROM appended GROUP BY o_orderkey HAVING COUNT(*) > 1
-"""
-
-
-@register(
-    "union_all_append",
-    _UNION_SQL,
-    doc=(
-        "U1 compat semantics: overlapping appends duplicate keys (bag "
-        "union, no dedup) — reference market/delta_non_fq_daily_kline.py:150"
-    ),
-)
-def union_all_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    old = o.filter(F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
-    new = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    appended = merge_increment(old.select("o_orderkey"), new.select("o_orderkey"), mode="compat")
-    return (
-        appended.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_copies"))
-        .filter(F.col("n_copies") > 1)
-    )
-
-
 _MERGE_SQL = """
 WITH appended AS (
   SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
   UNION ALL
   SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
 )
-SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys
+SELECT (SELECT COUNT(*) FROM (SELECT o_orderkey FROM appended
+        GROUP BY o_orderkey HAVING COUNT(*) > 1) d) AS compat_dup_keys,
+       COUNT(*)                                     AS n_rows,
+       COUNT(DISTINCT o_orderkey)                   AS n_keys
 FROM (SELECT DISTINCT o_orderkey FROM appended) t
 """
 
@@ -135,18 +107,35 @@ FROM (SELECT DISTINCT o_orderkey FROM appended) t
 @register(
     "merge_idempotent",
     _MERGE_SQL,
-    doc="U1 merge mode: idempotent key-deduplicated append (engine upgrade over reference)",
+    doc=(
+        "U1 both halves in one query: compat mode (bag UNION ALL, "
+        "overlapping appends duplicate keys — reference "
+        "market/delta_non_fq_daily_kline.py:150) counted via "
+        "compat_dup_keys, and merge mode (idempotent key-deduplicated "
+        "append, the engine upgrade) summarized via n_rows/n_keys "
+        "(absorbs round-1 union_all_append)"
+    ),
 )
 def merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    old = o.filter(F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
-    new = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    merged = merge_increment(
-        old.select("o_orderkey"), new.select("o_orderkey"), keys=["o_orderkey"], mode="merge"
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey")
+    new = o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey")
+    compat = merge_increment(old, new, mode="compat")
+    dup_keys = (
+        compat.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .agg(F.count(F.lit(1)).alias("compat_dup_keys"))
     )
-    return merged.agg(
+    merged = merge_increment(old, new, keys=["o_orderkey"], mode="merge")
+    summary = merged.agg(
         F.count(F.lit(1)).alias("n_rows"), F.countDistinct("o_orderkey").alias("n_keys")
     )
+    return dup_keys.crossJoin(summary)  # 1×1 rows — trivially safe cross
 
 
 # ---------------------------------------------------------------------------
@@ -154,11 +143,21 @@ def merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _INC_SQL = """
-SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_new,
-       ROUND(SUM(value), 2) AS value_sum
-FROM events
-WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
-GROUP BY 1
+WITH days AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(d)
+),
+delta AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_new,
+         ROUND(SUM(value), 2) AS value_sum
+  FROM events
+  WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+  GROUP BY 1
+)
+SELECT days.day,
+       COALESCE(delta.n_new, 0)        AS n_new,
+       COALESCE(delta.value_sum, 0.0)  AS value_sum
+FROM days LEFT JOIN delta ON days.day = delta.day
 """
 
 
@@ -166,17 +165,30 @@ GROUP BY 1
     "incremental_delta",
     _INC_SQL,
     doc=(
-        "watermark-driven delta slice (T1/T2): partition-pruned scan of "
-        "rows past the high-water mark — replaces the reference's "
-        "per-day loop (market/delta_non_fq_daily_kline.py:71-107)"
+        "watermark-driven delta over a generated calendar (T1/T2 + F4): "
+        "sequence+explode date expansion left-joined with the partition-"
+        "pruned slice of rows past the high-water mark — replaces the "
+        "reference's wall-clock per-day loop "
+        "(market/delta_non_fq_daily_kline.py:69-107) with one plan "
+        "(absorbs round-1 date_sequence)"
     ),
 )
 def incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit("2024-01-01").cast("date"), F.lit("2024-01-30").cast("date"))
+        ).alias("day")
+    )
     delta = delta_slice(ev, "ts", "2024-01-20 00:00:00")
-    return delta.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_new"),
-        dround(F.sum("value"), 2).alias("value_sum"),
+    per_day = delta.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("value"), 2).alias("vs"),
+    )
+    return days.join(per_day, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_new"),
+        F.coalesce("vs", F.lit(0.0)).alias("value_sum"),
     )
 
 
@@ -189,18 +201,31 @@ WITH o AS (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
   FROM orders GROUP BY o_custkey, o_orderdate
 )
-SELECT e.event_id, e.user_id,
-       o.o_orderkey   AS last_order_key,
-       o.o_orderdate  AS last_order_date
+SELECT 'backward' AS direction, e.event_id, e.user_id,
+       o.o_orderkey   AS matched_order_key,
+       o.o_orderdate  AS matched_order_date
 FROM events e
 ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+UNION ALL
+SELECT 'forward_30d' AS direction, e.event_id, e.user_id,
+       CASE WHEN o.o_orderdate <= e.ts + INTERVAL 30 DAY THEN o.o_orderkey END,
+       CASE WHEN o.o_orderdate <= e.ts + INTERVAL 30 DAY THEN o.o_orderdate END
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
 """
 
 
 @register(
     "asof_join",
     _ASOF_SQL,
-    doc="as-of join (J4 [GAP]): union-merge implementation, one shuffle, no range blow-up",
+    doc=(
+        "as-of join (J4 [GAP]) in BOTH directions: backward (latest "
+        "order at-or-before each event) and forward with a 30-day "
+        "tolerance (earliest order at-or-after, match nulled past the "
+        "tolerance — pandas merge_asof semantics); union-merge "
+        "implementation, one shuffle per direction, no range blow-up; "
+        "oracle is DuckDB's native ASOF JOIN"
+    ),
 )
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -209,20 +234,87 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))  # deterministic among exact-ts ties
     )
-    joined = as_of_join(
-        events,
-        orders,
+    common = dict(
         left_key="user_id",
         right_key="o_custkey",
         left_ts="ts",
         right_ts="o_orderdate",
         payload=["o_orderkey", "o_orderdate"],
     )
-    return joined.select(
+    backward = as_of_join(events, orders, direction="backward", **common).select(
+        F.lit("backward").alias("direction"),
         "event_id",
         "user_id",
-        F.col("o_orderkey").alias("last_order_key"),
-        F.col("o_orderdate").alias("last_order_date"),
+        F.col("o_orderkey").alias("matched_order_key"),
+        F.col("o_orderdate").alias("matched_order_date"),
+    )
+    forward = as_of_join(
+        events, orders, direction="forward", tolerance=30 * 86400.0, **common
+    ).select(
+        F.lit("forward_30d").alias("direction"),
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("matched_order_key"),
+        F.col("o_orderdate").alias("matched_order_date"),
+    )
+    return backward.unionByName(forward)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed storage layout: the canonical table's scale path (S14 + W3)
+# ---------------------------------------------------------------------------
+
+_BUCKETED_MA_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+FROM orders
+"""
+
+
+@register(
+    "bucketed_ma",
+    _BUCKETED_MA_SQL,
+    doc=(
+        "bucketed canonical layout end-to-end: orders rewritten as a "
+        "managed table bucketed AND sorted by the window key "
+        "(bucketBy(8, o_custkey)), then a per-key moving average reads "
+        "it back — the bucketed scan already satisfies the window's "
+        "clustering, so the plan has ZERO Exchange (gate-tested in "
+        "tests/test_plan_quality.py); at 100 TB this removes the "
+        "dominant shuffle from every recurring per-key computation on "
+        "the canonical table"
+    ),
+)
+def bucketed_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # idempotent rewrite per call — the layout IS the thing under test.
+    # DROP covers a table registered in this session's catalog; the
+    # rmtree covers an orphaned warehouse dir left by a previous
+    # session (saveAsTable refuses LOCATION_ALREADY_EXISTS). Local-FS
+    # only — on a real cluster the warehouse is an object store and the
+    # catalog entry persists, so DROP alone suffices.
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed_ma")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(f"{wh}/orders_bucketed_ma", ignore_errors=True)
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey", "o_orderdate", "o_orderkey")
+        .saveAsTable("orders_bucketed_ma")
+    )
+    b = spark.table("orders_bucketed_ma")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return b.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        dround(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 2).alias("ma3"),
     )
 
 

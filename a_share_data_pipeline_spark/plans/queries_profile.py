@@ -18,47 +18,6 @@ from ..sources import load_table
 from .catalog import register
 
 # ---------------------------------------------------------------------------
-# Regression / conditional aggregates
-# ---------------------------------------------------------------------------
-
-_REGR_SQL = """
-SELECT l_returnflag,
-       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6)     AS slope,
-       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
-       ROUND(REGR_R2(l_extendedprice, l_quantity), 6)        AS r2,
-       ROUND(COVAR_SAMP(l_quantity, l_discount), 6)          AS cov_qd,
-       CAST(COUNT_IF(l_discount > 0.05) AS BIGINT)           AS n_disc,
-       BOOL_AND(l_quantity > 0)                              AS all_pos,
-       BOOL_OR(l_tax > 0.07)                                 AS any_high_tax
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-@register(
-    "agg_regression",
-    _REGR_SQL,
-    doc=(
-        "regression/conditional aggregates: regr_slope/intercept/r2, "
-        "covar_samp, count_if, bool_and/bool_or — all partial-aggregable "
-        "moment sketches, one shuffle"
-    ),
-)
-def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        dround(F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias("slope"),
-        dround(F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias(
-            "intercept"
-        ),
-        dround(F.regr_r2(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias("r2"),
-        dround(F.covar_samp(F.col("l_quantity"), F.col("l_discount")), 6).alias("cov_qd"),
-        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
-        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
-        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Deterministic stratified sampling (hash-threshold, no RNG)
 # ---------------------------------------------------------------------------
 

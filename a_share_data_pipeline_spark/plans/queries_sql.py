@@ -287,43 +287,6 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Distribution windows: percent_rank / cume_dist / nth_value (§2.6)
-# ---------------------------------------------------------------------------
-
-_WDIST_SQL = """
-SELECT o_custkey, o_orderkey,
-       ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_totalprice, o_orderkey), 6) AS pr,
-       ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
-                               ORDER BY o_totalprice, o_orderkey), 6)    AS cd,
-       ROUND(NTH_VALUE(o_totalprice, 2) OVER (
-             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)       AS second_total
-FROM orders
-"""
-
-
-@register(
-    "window_distribution",
-    _WDIST_SQL,
-    doc="distribution windows: percent_rank / cume_dist / nth_value",
-)
-def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    wf = w.rowsBetween(W.unboundedPreceding, 0)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        dround(F.percent_rank().over(w), 6).alias("pr"),
-        dround(F.cume_dist().over(w), 6).alias("cd"),
-        dround(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_total"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Two-level aggregation (TPC-H Q13 distribution shape)
 # ---------------------------------------------------------------------------
 
@@ -451,141 +414,6 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Unpivot / melt (wide → long reshape)
-# ---------------------------------------------------------------------------
-
-_UNPIVOT_SQL = """
-WITH agg AS (
-  SELECT l_returnflag,
-         ROUND(SUM(l_quantity), 2)      AS sum_qty,
-         ROUND(SUM(l_extendedprice), 2) AS sum_price,
-         ROUND(SUM(l_discount), 2)      AS sum_disc
-  FROM lineitem GROUP BY l_returnflag
-)
-SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM agg
-UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
-UNION ALL SELECT l_returnflag, 'sum_disc',  sum_disc  FROM agg
-"""
-
-
-@register(
-    "agg_unpivot",
-    _UNPIVOT_SQL,
-    doc=(
-        "unpivot/melt (wide→long, the inverse of agg_pivot): Spark's "
-        "Expand operator emits one row per measure without re-scanning "
-        "— not a UNION of three aggregations"
-    ),
-)
-def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
-        dround(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        dround(F.sum("l_discount"), 2).alias("sum_disc"),
-    )
-    return agg.unpivot(
-        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Higher-order array functions (F7: filter / exists / forall / transform+
-# aggregate / zip_with) — all JVM-side lambda expressions, no Python
-# ---------------------------------------------------------------------------
-
-_HOF_SQL = """
-WITH t AS (
-  SELECT l_orderkey, list_sort(list(l_quantity ORDER BY l_linenumber)) AS qtys
-  FROM lineitem GROUP BY l_orderkey
-)
-SELECT l_orderkey,
-       len(list_filter(qtys, x -> x >= 10))                    AS n_ge10,
-       len(list_filter(qtys, x -> x > 45)) > 0                 AS has_big,
-       len(list_filter(qtys, x -> x > 0)) = len(qtys)          AS all_pos,
-       ROUND(list_sum(list_transform(qtys, x -> x * 2)), 2)    AS doubled_sum,
-       ROUND(list_transform(range(1, len(qtys) + 1),
-                            i -> qtys[i] + qtys[len(qtys) - i + 1])[1], 2) AS zip_first
-FROM t
-WHERE l_orderkey <= 3000
-"""
-
-
-@register(
-    "scalar_hof",
-    _HOF_SQL,
-    doc=(
-        "higher-order array functions: filter/exists/forall/transform+"
-        "aggregate/zip_with — lambda expression trees inside codegen, "
-        "nested data processed without exploding or leaving the JVM"
-    ),
-)
-def scalar_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 3000)
-    t = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
-    )
-    return t.select(
-        "l_orderkey",
-        F.size(F.filter("qtys", lambda x: x >= 10)).cast("long").alias("n_ge10"),
-        F.exists("qtys", lambda x: x > 45).alias("has_big"),
-        F.forall("qtys", lambda x: x > 0).alias("all_pos"),
-        dround(
-            F.aggregate(
-                F.transform("qtys", lambda x: x * 2), F.lit(0.0), lambda a, x: a + x
-            ),
-            2,
-        ).alias("doubled_sum"),
-        dround(
-            F.element_at(
-                F.zip_with("qtys", F.reverse("qtys"), lambda a, b: a + b), 1
-            ),
-            2,
-        ).alias("zip_first"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Conditional scalar functions (F7: nullif / coalesce / case / greatest /
-# least)
-# ---------------------------------------------------------------------------
-
-_COND_SQL = """
-SELECT event_id,
-       NULLIF(event_type, 'click')                       AS nt,
-       ROUND(COALESCE(value, -1.0), 4)                   AS v_filled,
-       CASE WHEN value > 100 THEN 'hi'
-            WHEN value > 10  THEN 'mid'
-            ELSE 'lo' END                                AS band,
-       ROUND(GREATEST(COALESCE(value, 0), 50.0), 4)      AS v_hi,
-       ROUND(LEAST(COALESCE(value, 0), 50.0), 4)         AS v_lo
-FROM events
-WHERE event_id % 7 = 0
-"""
-
-
-@register(
-    "scalar_conditional",
-    _COND_SQL,
-    doc="conditional scalars: nullif/coalesce/case/greatest/least",
-)
-def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
-    v0 = F.coalesce(F.col("value"), F.lit(0.0))
-    return ev.select(
-        "event_id",
-        F.nullif(F.col("event_type"), F.lit("click")).alias("nt"),
-        dround(F.coalesce(F.col("value"), F.lit(-1.0)), 4).alias("v_filled"),
-        F.when(F.col("value") > 100, "hi")
-        .when(F.col("value") > 10, "mid")
-        .otherwise("lo")
-        .alias("band"),
-        dround(F.greatest(v0, F.lit(50.0)), 4).alias("v_hi"),
-        dround(F.least(v0, F.lit(50.0)), 4).alias("v_lo"),
     )
 
 
@@ -734,37 +562,3 @@ def sql_global_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("cntrycode", "numcust", dround("totacctbal", 2).alias("totacctbal"))
 
 
-# ---------------------------------------------------------------------------
-# Typed JSON parsing: from_json with an explicit schema (vs per-value
-# get_json_object string extraction in json_extract)
-# ---------------------------------------------------------------------------
-
-_TYPED_JSON_SQL = """
-SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-       COUNT(*) AS n,
-       ROUND(SUM(COALESCE(value, 0)), 2) AS sum_value
-FROM events
-GROUP BY 1, 2
-"""
-
-
-@register(
-    "json_typed_struct",
-    _TYPED_JSON_SQL,
-    doc=(
-        "from_json with an EXPLICIT schema → struct column (single "
-        "parse, typed field access, prunable) — the scale lane for "
-        "semi-structured columns; json_extract's get_json_object "
-        "re-parses per extraction"
-    ),
-)
-def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
-    return parsed.groupBy(
-        "event_type", (F.col("p.k") % 10).alias("k_bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        dround(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("sum_value"),
-    )

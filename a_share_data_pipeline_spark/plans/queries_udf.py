@@ -18,8 +18,10 @@ from .catalog import register
 _PBAND_SQL = """
 SELECT CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS band,
        COUNT(*) AS n,
-       ROUND(SUM(l_extendedprice), 2) AS band_revenue
+       ROUND(SUM(l_extendedprice), 2) AS band_revenue,
+       ROUND(EXP(AVG(LN(l_quantity))), 6) AS geo_qty
 FROM lineitem
+WHERE l_quantity > 0
 GROUP BY 1
 """
 
@@ -27,37 +29,26 @@ GROUP BY 1
 @register(
     "udf_pandas_scalar",
     _PBAND_SQL,
-    doc="Arrow-vectorized scalar pandas_udf (price banding) feeding a hash agg; oracle proves UDF ≡ SQL expression",
+    doc=(
+        "both batch pandas_udf lanes in one plan: Arrow-vectorized "
+        "scalar pandas_udf (price banding) feeds a hash agg that "
+        "includes a grouped-aggregate pandas_udf (geometric mean, "
+        "whole-group Arrow batches); oracle proves both UDFs ≡ SQL "
+        "expressions (absorbs round-1 udf_grouped_agg)"
+    ),
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.withColumn("band", price_band("l_extendedprice"))
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            dround(F.sum("l_extendedprice"), 2).alias("band_revenue"),
-        )
-    )
-
-
-_GEO_SQL = """
-SELECT l_returnflag,
-       ROUND(EXP(AVG(LN(l_quantity))), 6) AS geo_qty
-FROM lineitem
-WHERE l_quantity > 0
-GROUP BY l_returnflag
-"""
-
-
-@register(
-    "udf_grouped_agg",
-    _GEO_SQL,
-    doc="grouped-aggregate pandas_udf (geometric mean); whole-group Arrow batches, low-cardinality keys",
-)
-def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
-    return li.groupBy("l_returnflag").agg(dround(geo_mean("l_quantity"), 6).alias("geo_qty"))
+    banded = li.withColumn("band", price_band("l_extendedprice"))
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM
+    # aggregates in one Aggregate (INVALID_PANDAS_UDF_PLACEMENT), so
+    # the two lanes aggregate separately and join on the tiny band key
+    jvm = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("l_extendedprice"), 2).alias("band_revenue"),
+    )
+    geo = banded.groupBy("band").agg(dround(geo_mean("l_quantity"), 6).alias("geo_qty"))
+    return jvm.join(geo, "band").select("band", "n", "band_revenue", "geo_qty")
 
 
 _UDTF_SQL = """

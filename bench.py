@@ -28,6 +28,7 @@ from a_share_data_pipeline_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "agg_pricing_summary",
     "agg_stats",
+    "agg_grouping_sets",
     "join_top_orders",
     "join_regional_revenue",
     "join_salted",
@@ -36,6 +37,7 @@ HEADLINE = [
     "canonical_assembly",
     "window_running",
     "window_rank",
+    "bucketed_ma",
     "events_tumbling",
     "events_sessionize",
     "asof_join",
@@ -43,12 +45,15 @@ HEADLINE = [
     "json_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_components",
+    "kmeans_embeddings",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
-    "text_quality",
+    "text_metrics",
     "text_token_counts",
     "sql_in_subquery",
+    "sql_scalar_subquery",
     "text_tfidf",
 ]
 

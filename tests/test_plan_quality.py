@@ -94,7 +94,6 @@ def test_no_row_python_in_builtin_queries(spark):
     queries that exist to exercise them."""
     arrow_ok = {
         "udf_pandas_scalar",
-        "udf_grouped_agg",
         "udf_table_function",
         "udf_grouped_map",
         "udf_arrow_map",
@@ -181,6 +180,16 @@ def test_kmeans_assignment_is_map_only(spark):
 
 
 def test_unpivot_single_scan_via_expand(spark):
-    p = plan_str(registry()["agg_unpivot"].fn(spark, SF), "simple")
+    p = plan_str(registry()["agg_pivot"].fn(spark, SF), "simple")
     assert p.count("FileScan") == 1, p
     assert "Expand" in p, p
+
+
+def test_bucketed_ma_window_has_no_exchange(spark):
+    """bucketed_ma reads a table bucketed+sorted on the window key, so
+    the per-key window runs with ZERO Exchange — the storage layout
+    replaces the shuffle."""
+    q = registry()["bucketed_ma"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "Window" in p, p
+    assert "Exchange" not in p, p
