@@ -16,10 +16,14 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_BAND_SIZE, MINHASH_SEEDS
+
+_LOG = logging.getLogger(__name__)
 
 
 def word_shingles_col(text_col: str = "text", n: int = 3) -> "F.Column":
@@ -74,17 +78,40 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def _bucket_pairs(bucketed: DataFrame, id_col: str) -> DataFrame:
+def _bucket_pairs(
+    bucketed: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
     """(a, b) ordered pairs of ids sharing a bucket, via ONE aggregation:
     groupBy(bucket) → collect ids → drop singletons → expand pairs with
     an array-combinator expression. Versus a bucket self-join this halves
     the shuffles, and the overwhelmingly-singleton buckets are discarded
     in the (partially aggregated) groupBy instead of surviving into a
-    join probe side."""
-    return (
+    join probe side.
+
+    ``max_bucket`` is the hot-bucket guard (standard stop-shingle
+    filter): a bucket shared by n ids expands to n(n-1)/2 pairs INSIDE
+    one aggregate row, so a single stop-shingle shared by 1M docs would
+    materialize ~5·10¹¹ pairs in one task. Buckets above the cap are
+    dropped BEFORE expansion and the drop is counted and logged — never
+    silent. The count costs one extra (cheap, partially-aggregated)
+    job; pass None to skip both the guard and the job."""
+    grouped = (
         bucketed.groupBy("bucket")
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        n_hot = grouped.filter(F.size("ids") > max_bucket).count()
+        if n_hot:
+            _LOG.warning(
+                "_bucket_pairs: dropping %d hot bucket(s) with > %d members "
+                "before pair expansion (stop-shingle filter)",
+                n_hot,
+                max_bucket,
+            )
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    return (
+        grouped
         .select(
             F.explode(
                 F.expr(
@@ -98,7 +125,9 @@ def _bucket_pairs(bucketed: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def lsh_band_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_band_candidates(
+    signatures: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """Band the signature (rows of MINHASH_BAND_SIZE hashes) and emit
     candidate pairs (a < b) sharing any band bucket.
 
@@ -116,7 +145,7 @@ def lsh_band_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     bands = signatures.select(
         F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "band_hash")
     ).select(id_col, F.concat_ws("#", F.col("band"), F.col("band_hash")).alias("bucket"))
-    return _bucket_pairs(bands, id_col).distinct()
+    return _bucket_pairs(bands, id_col, max_bucket=max_bucket).distinct()
 
 
 def pair_jaccard(
@@ -124,6 +153,7 @@ def pair_jaccard(
     pairs: DataFrame | None = None,
     min_overlap: int = 1,
     counts: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity per doc pair via shingle-bucket join.
 
@@ -131,6 +161,11 @@ def pair_jaccard(
     otherwise considers every pair sharing >= min_overlap shingles.
     `counts` (doc_id, n_sh) can be supplied by a caller that already
     aggregated the shingle set (minhash_signatures with_counts=True).
+    ``max_bucket``: stop-shingle guard for the no-candidate path — a
+    shingle shared by more than this many docs is dropped (logged)
+    before the quadratic pair expansion; intersections through such
+    shingles are not counted, which is the standard near-dup trade
+    (stop-shingles carry no signal and their buckets are the OOM risk).
     """
     if counts is None:
         counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -147,7 +182,11 @@ def pair_jaccard(
         )
         shingled = shingled.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     inter = (
-        _bucket_pairs(shingled.select("doc_id", F.col("shingle").alias("bucket")), "doc_id")
+        _bucket_pairs(
+            shingled.select("doc_id", F.col("shingle").alias("bucket")),
+            "doc_id",
+            max_bucket=max_bucket,
+        )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
         .filter(F.col("n_inter") >= min_overlap)

@@ -55,12 +55,19 @@ sh AS (
 )
 """
 
+# stop-shingle cap: shingles shared by more docs than this are dropped
+# before the quadratic pair expansion (mirrored in the oracle below)
+_JACCARD_MAX_BUCKET = 1000
+
 _JACCARD_SQL = f"""
 WITH {_SHINGLE_CTE},
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING COUNT(*) <= {_JACCARD_MAX_BUCKET}),
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN ok ON ok.shingle = a.shingle
   GROUP BY 1, 2 HAVING COUNT(*) >= 3
 )
 SELECT a, b, ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
@@ -74,12 +81,19 @@ WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.05
 @register(
     "dedup_ngram_jaccard",
     _JACCARD_SQL,
-    doc="near-dup via word-3-gram Jaccard: shingle-bucket join + min-overlap prune, threshold 0.05",
+    doc=(
+        "near-dup via word-3-gram Jaccard: shingle-bucket join + "
+        "min-overlap prune, threshold 0.05; stop-shingle guard drops "
+        "buckets shared by > 1000 docs before the quadratic pair "
+        "expansion (logged, never silent — mirrored in the oracle), so "
+        "one hot shingle cannot materialize O(N²) pairs in a single "
+        "aggregate row at 100 TB"
+    ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingled = D.exploded_shingles(docs)
-    pairs = D.pair_jaccard(shingled, min_overlap=3)
+    pairs = D.pair_jaccard(shingled, min_overlap=3, max_bucket=_JACCARD_MAX_BUCKET)
     return pairs.filter(F.col("jaccard") >= 0.05).select(
         "a", "b", dround("jaccard", 6).alias("jaccard")
     )

@@ -170,3 +170,42 @@ def test_write_native_cluster_by_sorts_row_groups(spark, tmp_path):
     for path in files[:4]:
         codes = pq.read_table(path, columns=["code"]).column("code").to_pylist()
         assert codes == sorted(codes), path
+
+
+def test_hot_shingle_bucket_cap_bounds_pair_expansion(spark, caplog):
+    """A stop-shingle shared by every doc must NOT expand to O(N²)
+    pairs when the cap is set: the hot bucket is dropped (and logged)
+    before expansion, while small buckets still pair up."""
+    import logging
+
+    from a_share_data_pipeline_spark.operators.dedup import _bucket_pairs
+
+    n = 60
+    rows = [(i, "HOT") for i in range(n)]  # one bucket with all 60 ids
+    rows += [(1, "small"), (2, "small")]  # plus a legitimate 2-id bucket
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+
+    uncapped = _bucket_pairs(df, "doc_id").count()
+    assert uncapped == n * (n - 1) // 2 + 1
+
+    with caplog.at_level(logging.WARNING):
+        capped = _bucket_pairs(df, "doc_id", max_bucket=10)
+        got = {(r.a, r.b) for r in capped.collect()}
+    assert got == {(1, 2)}  # hot bucket gone, small bucket survives
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_pair_jaccard_cap_drops_stop_shingle_intersections(spark):
+    """With the cap, intersections through the stop-shingle are not
+    counted — two docs overlapping ONLY via the hot shingle produce no
+    pair, while genuinely near-dup docs still do."""
+    from a_share_data_pipeline_spark.operators import dedup as D
+
+    # 12 docs all share shingle 'stop'; docs 0/1 also share 3 real shingles
+    rows = [(i, "stop") for i in range(12)]
+    rows += [(0, f"real{k}") for k in range(3)] + [(1, f"real{k}") for k in range(3)]
+    shingled = spark.createDataFrame(rows, "doc_id long, shingle string")
+    out = D.pair_jaccard(shingled, min_overlap=3, max_bucket=10).collect()
+    assert {(r.a, r.b) for r in out} == {(0, 1)}
+    [r] = out
+    assert abs(r.jaccard - 3 / 5) < 1e-9  # 3 shared real / (4 + 4 - 3)
