@@ -100,5 +100,19 @@ def assemble_canonical(
         keys = dim.select("ts_code")
         sj = lambda df: df.join(F.broadcast(keys), "ts_code", "left_semi")  # noqa: E731
         daily, stk_limit, daily_basic = sj(daily), sj(stk_limit), sj(daily_basic)
+    if mode == "delta":
+        # Reference parity: the per-day loop skips a day ENTIRELY when
+        # any of the three fetches returns empty
+        # (market/delta_non_fq_daily_kline.py:84 'continue') — so the
+        # anchor keeps only dates present in BOTH secondary facts.
+        # Backfill keeps such rows with null limit/basic columns (the
+        # reference's outer concat does too). The date sets are tiny
+        # relative to the facts → broadcast semi-join, no extra shuffle.
+        present = (
+            stk_limit.select("trade_date")
+            .distinct()
+            .join(daily_basic.select("trade_date").distinct(), "trade_date")
+        )
+        daily = daily.join(F.broadcast(present), "trade_date", "left_semi")
     fact = join_facts(daily, stk_limit, daily_basic)
     return to_canonical(enrich_dim(fact, dim, mode))

@@ -1,9 +1,17 @@
 """Skew mitigation for large equi-joins (SURVEY.md 'Optimize for scale').
 
 AQE's skew-join splitting (on in session.py) handles most cases at
-runtime; explicit salting remains the tool when one join key dwarfs the
-others so badly that even split sub-partitions of it won't fit, or when
-AQE is unavailable (e.g. inside a cached subtree).
+runtime; explicit salting remains the tool when:
+- the join feeds an aggregation/window ON THE JOIN KEY: the downstream
+  operator's required hash distribution pins the join's partitioning,
+  so AQE refuses to split the skewed partition (splitting would break
+  the reused Exchange) — the hot key still lands in one reducer. This
+  is the common fact⋈dim → groupBy(fact key) shape; pinned as an
+  executed-plan fact in tests/test_scale_ops.py::
+  test_salted_join_wins_where_aqe_skew_split_cannot_apply.
+- one join key dwarfs the others so badly that even split
+  sub-partitions won't fit, or
+- AQE is unavailable (e.g. inside a cached subtree).
 
 `salted_join(big, small, keys)`:
 - the BIG side gets a uniform salt in [0, salt_buckets);

@@ -93,12 +93,32 @@ def write_native(
     `cluster_by` sorts rows WITHIN each task before writing (no extra
     shuffle) — parquet row-group min/max stats on the sorted column
     become tight, so selective scans (`WHERE code = X`) skip row groups
-    instead of reading whole date partitions."""
+    instead of reading whole date partitions.
+
+    mode='overwrite_partitions' is the IDEMPOTENT batch write: dynamic
+    partition overwrite replaces exactly the partitions present in
+    `df` and leaves every other partition untouched. Replaying the
+    same batch (crash between sink write and offset commit) converges
+    to the same bytes instead of duplicating rows — this is what turns
+    an at-least-once foreachBatch sink into an effectively-exactly-once
+    one."""
     if cluster_by:
         # prefix with the partition columns: the dynamic-partition writer
         # requires an ordering on them and would re-sort (unstably,
         # destroying the clustering) unless the input already satisfies it
         df = df.sortWithinPartitions(*partition_by, *cluster_by)
+    if mode == "overwrite_partitions":
+        if not partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        spark = df.sparkSession
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set(conf_key, prev)
+        return
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

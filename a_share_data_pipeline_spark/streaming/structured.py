@@ -300,8 +300,16 @@ def stream_canonical_delta(
     then fetched for exactly those dates through the batch source
     (partition-pruned by keys=) and joined with the standard assembly —
     a 3-way stream-stream join would add watermark state for what is
-    purely a per-date lookup. Exactly-once: offsets commit after each
-    batch's sink write; a crash rerun replays only uncommitted dates.
+    purely a per-date lookup.
+
+    Exactly-once: offsets commit after each batch's sink write, and the
+    sink write itself is IDEMPOTENT (dynamic partition overwrite of
+    exactly the batch's date partitions). foreachBatch alone is only
+    at-least-once — a crash after the parquet write but before the
+    offset commit replays the batch; with overwrite_partitions the
+    replay rewrites the same date partitions to the same bytes instead
+    of appending duplicates (proven by the replay test in
+    tests/test_streaming.py).
     """
     from ..operators import assembly
     from ..sources import api_source, sinks
@@ -333,7 +341,7 @@ def stream_canonical_delta(
         canonical = assembly.assemble_canonical(
             batch_df, limit, basic, dim, mode="delta"
         )
-        sinks.write_native(canonical, out_dir)
+        sinks.write_native(canonical, out_dir, mode="overwrite_partitions")
 
     q = (
         daily_stream.writeStream.foreachBatch(process)

@@ -350,3 +350,64 @@ def test_delta_flow_merge_mode_recovers_late_data_idempotently(
     again = read_csv(spark, pub.download(flows.PRICES_FILE), CANONICAL)
     assert again.count() == n_after
     assert again.groupBy("code", "date").count().filter("count > 1").count() == 0
+
+
+def test_delta_skips_day_when_any_fact_empty(spark, fixture_sdfs, fixture_pdfs):
+    """Reference parity (market/delta_non_fq_daily_kline.py:84): the
+    per-day loop 'continue's when any of the three fetches is empty, so
+    a date with zero stk_limit rows must vanish from the DELTA output
+    entirely — while BACKFILL keeps it with null limit columns (the
+    reference's outer concat does too)."""
+    from pyspark.sql import functions as F
+
+    s = fixture_sdfs
+    drop_date = sorted(fixture_pdfs["limit"]["trade_date"].unique())[1]
+    limit_missing_day = s["limit"].filter(F.col("trade_date") != drop_date)
+
+    delta = assembly.assemble_canonical(
+        s["daily"], limit_missing_day, s["dbasic"], s["stock_basic"], mode="delta"
+    )
+    gone = dt.datetime.strptime(drop_date, "%Y%m%d").date()
+    assert delta.filter(F.col("date") == F.lit(gone)).count() == 0
+    # other days unaffected
+    assert delta.count() > 0
+
+    backfill = assembly.assemble_canonical(
+        s["daily"], limit_missing_day, s["dbasic"], s["stock_basic"], mode="backfill"
+    )
+    kept = backfill.filter(F.col("date") == F.lit(gone))
+    assert kept.count() > 0
+    assert kept.filter(F.col("high_limit").isNotNull()).count() == 0
+
+
+class _FailingPublisher(sinks.LocalDirPublisher):
+    """upload() raises — models a hub outage mid-publish."""
+
+    def upload(self, local_path: str, repo_path: str) -> None:
+        raise IOError("hub unavailable")
+
+
+def test_publish_failure_does_not_advance_watermark(spark, fixture_sdfs, tmp_path):
+    """T1 transactional ordering (the reference's one real guarantee,
+    market/delta_non_fq_daily_kline.py:159-167): the watermark advances
+    ONLY after publish success. A failing publisher must surface the
+    error and leave the watermark untouched, so the next run re-covers
+    the same window."""
+    pub = _FailingPublisher(str(tmp_path / "hub"))
+    wm = WatermarkStore(str(tmp_path / ".wm"))
+    frozen = dt.date(2024, 1, 2)
+    wm.write(frozen)
+    s = fixture_sdfs
+    with pytest.raises(IOError, match="hub unavailable"):
+        flows.delta_flow(
+            spark,
+            s["daily"],
+            s["limit"],
+            s["dbasic"],
+            s["stock_basic"],
+            str(tmp_path / "delta.csv"),
+            pub,
+            wm,
+            dt.date(2030, 1, 1),
+        )
+    assert wm.read() == frozen  # not advanced past the failed publish

@@ -192,3 +192,60 @@ def test_stream_canonical_delta_end_to_end(spark, tmp_path):
     want_all = batch_golden(dates)
     got3 = spark.read.parquet(out).select(*want_all.columns)
     assert sorted(map(tuple, got3.collect())) == sorted(map(tuple, want_all.collect()))
+
+
+def test_write_native_overwrite_partitions_is_idempotent(spark, tmp_path):
+    """mode='overwrite_partitions' replaces exactly the partitions in
+    the batch and leaves others alone — the property that makes a
+    foreachBatch replay converge instead of duplicate."""
+    from a_share_data_pipeline_spark.sources.sinks import write_native
+
+    out = str(tmp_path / "t")
+    d1 = spark.createDataFrame([(1, "2024-01-01"), (2, "2024-01-02")], "v int, date string")
+    write_native(d1, out, mode="overwrite_partitions")
+    # replay the second day (same rows) plus an update — day 1 untouched
+    d2 = spark.createDataFrame([(99, "2024-01-02")], "v int, date string")
+    write_native(d2, out, mode="overwrite_partitions")
+    # partition-column values come back type-inferred (DATE)
+    got = {(r.v, str(r.date)) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "2024-01-01"), (99, "2024-01-02")}
+    # exact replay converges (no duplicates)
+    write_native(d2, out, mode="overwrite_partitions")
+    assert spark.read.parquet(out).count() == 2
+    # the session conf is restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+
+
+def test_stream_canonical_delta_full_replay_no_duplicates(spark, tmp_path):
+    """Crash-replay model: a foreachBatch whose offsets were lost
+    (fresh checkpoint) replays every date; the idempotent partition
+    overwrite must converge to the same rows, not append duplicates —
+    this is what upgrades the sink from at-least-once to
+    effectively-exactly-once."""
+    import os
+
+    import fixtures_ashare as FX
+    from a_share_data_pipeline_spark.streaming.structured import stream_canonical_delta
+
+    src = str(tmp_path / "api")
+    os.makedirs(src)
+    cal = FX.gen_trade_cal()
+    basic = FX.gen_stock_basic()
+    daily, limit, dbasic = FX.gen_facts(basic, cal)
+    for name, pdf in {"daily": daily, "stk_limit": limit, "daily_basic": dbasic}.items():
+        pdf.to_csv(os.path.join(src, f"{name}.csv"), index=False)
+    basic.to_csv(os.path.join(src, "stock_basic.csv"), index=False)
+
+    out = str(tmp_path / "out")
+    stream_canonical_delta(
+        spark, src, start_date="00000000",
+        checkpoint_dir=str(tmp_path / "ckpt1"), out_dir=out,
+    )
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # lost checkpoint → full replay of all dates into the same out dir
+    stream_canonical_delta(
+        spark, src, start_date="00000000",
+        checkpoint_dir=str(tmp_path / "ckpt2"), out_dir=out,
+    )
+    assert spark.read.parquet(out).count() == n1
