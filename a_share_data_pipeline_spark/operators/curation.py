@@ -1,0 +1,191 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(SURVEY.md §2.12 extensions): repetition signals, composite quality
+gates, benchmark decontamination, and sequence packing.
+
+These are the standard published curation steps (Gopher/RefinedWeb-
+style heuristic filters, n-gram test-set decontamination, concat-and-
+chunk packing) re-expressed as Spark expression trees / built-in
+operators — no Python in any hot path, every output reproducible by
+the DuckDB oracle.
+
+Scale notes:
+- repetition signals: two explodes (words, bigrams) each followed by a
+  partial-aggregated groupBy on (doc_id, gram) — shuffle keys are
+  md5-free short strings, volume ~tokens, same budget as TF-IDF.
+- quality gates: pure per-row expressions — map-only, zero shuffle.
+- decontamination: the benchmark gram set is tiny relative to the
+  corpus (eval sets are MBs, corpora are TBs) → broadcast hash join
+  against the training grams; nothing all-pairs.
+- packing: per-shard (source) running token count — one window
+  exchange partitioned by shard, the packing itself is arithmetic on
+  the cumsum. A single global ORDER BY would serialize 100 TB through
+  one partition; per-shard is how production packers run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from .text import LANG_MARKERS, marker_count
+
+# Gopher-style gate thresholds (stated constants, mirrored in oracles)
+MIN_WORDS = 15
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_STOP_HITS = 1
+
+TOP_WORD_FRAC_MAX = 0.20  # most frequent word may cover <= 20% of doc
+DUP_BIGRAM_FRAC_MAX = 0.50  # bigrams occurring 2+ times may cover <= 50%
+
+
+def _word_grams(text_col: str, n: int) -> Column:
+    """NON-distinct word n-grams (repetition needs multiplicities).
+    Guarded like dedup.word_shingles_col: F.sequence(1, 0) would emit a
+    DESCENDING [1, 0] for too-short docs, not an empty array."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])  # noqa: E731
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc repetition metrics: fraction of the doc covered by its
+    most frequent word, and fraction covered by bigrams that occur more
+    than once — the Gopher repetition-removal signals."""
+    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("g"))
+    wc = words.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    word_sig = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        (F.max("c") / F.sum("c")).alias("top_word_frac"),
+    )
+    bigrams = df.select(id_col, F.explode(_word_grams(text_col, 2)).alias("g"))
+    bc = bigrams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    bigram_sig = bc.groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / F.sum("c")
+        ).alias("dup_bigram_frac")
+    )
+    out = word_sig.join(bigram_sig, id_col, "left")
+    return out.select(
+        id_col,
+        "n_words",
+        dround("top_word_frac", 6).alias("top_word_frac"),
+        dround(F.coalesce("dup_bigram_frac", F.lit(0.0)), 6).alias("dup_bigram_frac"),
+        (
+            (F.col("top_word_frac") <= TOP_WORD_FRAC_MAX)
+            & (F.coalesce("dup_bigram_frac", F.lit(0.0)) <= DUP_BIGRAM_FRAC_MAX)
+        ).alias("passes_repetition"),
+    )
+
+
+def quality_gates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style composite quality gate — every signal a per-row
+    expression (map-only, zero shuffle): word-count bounds, mean word
+    length bounds, symbol ratio, minimum stopword hits."""
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks)
+    nonspace = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    mean_wl = nonspace / n_words
+    symbols = F.regexp_count(F.col(text_col), F.lit("[^a-zA-Z0-9 ]"))
+    symbol_ratio = symbols / F.length(F.col(text_col))
+    stop_hits = marker_count(text_col, LANG_MARKERS["en"])
+    gates = {
+        "gate_word_count": (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS),
+        "gate_word_len": (mean_wl >= MIN_MEAN_WORD_LEN) & (mean_wl <= MAX_MEAN_WORD_LEN),
+        "gate_symbols": symbol_ratio <= MAX_SYMBOL_RATIO,
+        "gate_stopwords": stop_hits >= MIN_STOP_HITS,
+    }
+    keep = None
+    for g in gates.values():
+        keep = g if keep is None else keep & g
+    return df.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        dround(mean_wl, 4).alias("mean_word_len"),
+        dround(symbol_ratio, 6).alias("symbol_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        *[c.alias(n) for n, c in gates.items()],
+        keep.alias("keep"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with the benchmark (eval-set) docs.
+
+    The benchmark's distinct gram set is broadcast (eval sets are MBs
+    vs TB corpora); the corpus side stays a distinct-gram explode +
+    broadcast semi-ish join + per-doc aggregate. Returns one row per
+    CONTAMINATED doc: hit count, total grams, hit fraction."""
+    from .dedup import word_shingles_col
+
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles_col(text_col, n)).alias("g")).distinct()
+    )
+    corpus_grams = corpus.select(
+        id_col, F.explode(word_shingles_col(text_col, n)).alias("g")
+    )
+    per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(per_doc, id_col)
+        .select(
+            id_col,
+            "n_hits",
+            "n_grams",
+            dround(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents
+    are laid out in id order and the token stream is cut into
+    `context_len`-token windows. Emits each doc's start offset, the
+    window (bin) it starts in, and whether it straddles a boundary.
+
+    One window exchange on the shard key; everything after the cumsum
+    is arithmetic. Per-shard (not global) ordering is the scale form —
+    a global ORDER BY would serialize the corpus through one task."""
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = W.partitionBy(shard_col).orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = df.select(shard_col, id_col, n_tokens.alias("n_tokens")).select(
+        shard_col,
+        id_col,
+        "n_tokens",
+        start.alias("start_tok"),
+    )
+    bin_id = F.floor(F.col("start_tok") / context_len)
+    end_bin = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / context_len)
+    return out.select(
+        shard_col,
+        id_col,
+        "n_tokens",
+        "start_tok",
+        bin_id.cast("long").alias("bin_id"),
+        (end_bin > bin_id).alias("crosses_boundary"),
+    )

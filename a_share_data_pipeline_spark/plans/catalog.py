@@ -122,6 +122,7 @@ def registry() -> dict[str, Query]:
     the driver's capped correctness run covers every operator; the
     extended tier follows alphabetically."""
     from . import queries_core  # noqa: F401
+    from . import queries_curation  # noqa: F401
     from . import queries_llm  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_profile  # noqa: F401

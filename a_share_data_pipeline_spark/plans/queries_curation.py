@@ -1,0 +1,209 @@
+"""Corpus-curation catalog queries (SURVEY.md §2.12 extensions): the
+published LLM-training-data curation steps — repetition removal and
+heuristic quality gates (Gopher/RefinedWeb style), benchmark n-gram
+decontamination, and concat-and-chunk sequence packing — each with a
+DuckDB oracle built from the SAME thresholds/constants as the Spark
+plan (operators/curation.py).
+
+Extended tier: registered past the driver's 50-query window (the core
+window already covers every SURVEY §2 operator); verified by the same
+oracle harness locally via tests/test_oracle_diff.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as CU
+from ..operators.text import LANG_MARKERS
+from ..sources import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher repetition-removal)
+# ---------------------------------------------------------------------------
+
+_REP_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents
+),
+wc AS (SELECT doc_id, g, COUNT(*) AS c FROM words GROUP BY 1, 2),
+ws AS (
+  SELECT doc_id, SUM(c) AS n_words,
+         ROUND(MAX(c) / SUM(c), 6) AS top_word_frac
+  FROM wc GROUP BY doc_id
+),
+bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM bt WHERE len(t) >= 2
+),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c), 6) AS dup_bigram_frac
+  FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id, ws.n_words, ws.top_word_frac,
+       COALESCE(bs.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+       (ws.top_word_frac <= {CU.TOP_WORD_FRAC_MAX}
+        AND COALESCE(bs.dup_bigram_frac, 0.0) <= {CU.DUP_BIGRAM_FRAC_MAX})
+         AS passes_repetition
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+@register(
+    "curation_repetition",
+    _REP_SQL,
+    doc=(
+        "Gopher-style repetition signals per doc: fraction covered by "
+        "the most frequent word + fraction covered by repeated bigrams, "
+        "with a pass/fail flag — two partial-aggregated gram shuffles, "
+        "no Python"
+    ),
+)
+def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.repetition_signals(docs)
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gates (map-only)
+# ---------------------------------------------------------------------------
+
+
+def _gates_sql() -> str:
+    ors = " OR ".join(f"x = '{m}'" for m in LANG_MARKERS["en"])
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))                          AS n_words,
+         length(replace(text, ' ', ''))                        AS nonspace,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))        AS symbols,
+         length(text)                                          AS n_chars,
+         len(list_filter(string_split(text, ' '), x -> {ors})) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT)                 AS n_words,
+       ROUND(nonspace / n_words, 4)            AS mean_word_len,
+       ROUND(symbols / n_chars, 6)             AS symbol_ratio,
+       CAST(stop_hits AS BIGINT)               AS stop_hits,
+       n_words BETWEEN {CU.MIN_WORDS} AND {CU.MAX_WORDS}  AS gate_word_count,
+       nonspace / n_words BETWEEN {CU.MIN_MEAN_WORD_LEN} AND {CU.MAX_MEAN_WORD_LEN}
+                                               AS gate_word_len,
+       symbols / n_chars <= {CU.MAX_SYMBOL_RATIO} AS gate_symbols,
+       stop_hits >= {CU.MIN_STOP_HITS}         AS gate_stopwords,
+       (n_words BETWEEN {CU.MIN_WORDS} AND {CU.MAX_WORDS})
+         AND (nonspace / n_words BETWEEN {CU.MIN_MEAN_WORD_LEN} AND {CU.MAX_MEAN_WORD_LEN})
+         AND (symbols / n_chars <= {CU.MAX_SYMBOL_RATIO})
+         AND (stop_hits >= {CU.MIN_STOP_HITS}) AS keep
+FROM feats
+"""
+
+
+@register(
+    "curation_quality_gates",
+    _gates_sql(),
+    doc=(
+        "Gopher/RefinedWeb-style composite quality gate: word-count "
+        "bounds, mean-word-length bounds, symbol ratio, stopword "
+        "presence — every signal a per-row codegen expression, map-only "
+        "with zero shuffle at any corpus size"
+    ),
+)
+def curation_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.quality_gates(docs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a broadcast eval set)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5
+_BENCH_MOD = 97  # deterministic eval-set stand-in: doc_id % 97 == 0
+
+_DECON_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - {_DECON_N - 2}),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+  FROM t WHERE len(t) >= {_DECON_N}
+),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, g FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hits
+  FROM corpus c JOIN bench b ON c.g = b.g
+  GROUP BY c.doc_id
+)
+SELECT h.doc_id, h.n_hits, p.n_grams,
+       ROUND(h.n_hits / p.n_grams, 6) AS hit_frac
+FROM hits h JOIN per_doc p ON h.doc_id = p.doc_id
+"""
+
+
+@register(
+    "curation_decontaminate",
+    _DECON_SQL,
+    doc=(
+        "test-set decontamination: flag corpus docs sharing any word "
+        "5-gram with the benchmark docs (deterministic eval-set "
+        "stand-in: doc_id % 97 == 0). The benchmark gram set broadcasts "
+        "(eval sets are MBs vs TB corpora); corpus side is one "
+        "distinct-gram explode + broadcast join + per-doc aggregate"
+    ),
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return CU.decontaminate(corpus, bench, n=_DECON_N)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk into context windows)
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 256
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+s AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM t
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(FLOOR(start_tok / {_PACK_LEN}) AS BIGINT) AS bin_id,
+       FLOOR((start_tok + n_tokens - 1) / {_PACK_LEN}) > FLOOR(start_tok / {_PACK_LEN})
+         AS crosses_boundary
+FROM s
+"""
+
+
+@register(
+    "curation_pack_sequences",
+    _PACK_SQL,
+    doc=(
+        "concat-and-chunk sequence packing for pretraining: within each "
+        "shard (source) docs are laid out in id order and the token "
+        "stream is cut into 256-token context windows — one window "
+        "exchange on the shard key, then pure arithmetic; per-shard "
+        "ordering is the scale form (a global ORDER BY would serialize "
+        "the corpus through one task)"
+    ),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.pack_sequences(docs, context_len=_PACK_LEN)

@@ -193,3 +193,13 @@ def test_bucketed_ma_window_has_no_exchange(spark):
     p = plan_str(q, "simple")
     assert "Window" in p, p
     assert "Exchange" not in p, p
+
+
+def test_curation_gates_map_only_and_decontaminate_broadcasts(spark):
+    """Quality gates must be scan+project (zero shuffle at any corpus
+    size); decontamination must broadcast the benchmark gram set, never
+    shuffle the corpus against it."""
+    p = plan_str(registry()["curation_quality_gates"].fn(spark, SF), "simple")
+    assert "Exchange" not in p, p
+    p2 = plan_str(registry()["curation_decontaminate"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p2, p2
