@@ -144,6 +144,128 @@ def ivf_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def l2sq(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _fixed_point(c: Column, round_to: int) -> Column:
+    """Round to `round_to` decimals then scale to an INTEGER — partial
+    distances become longs, so the cross-partition SUM is exact integer
+    arithmetic and can never drift with aggregation order (what lets
+    the DuckDB oracle reproduce ADC distances bit-for-bit)."""
+    return F.round(dround(c, round_to) * F.lit(float(10**round_to)), 0).cast("long")
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    id_col: str = "c_id",
+    vec_col: str = "cv",
+    m: int = 8,
+    k: int = 16,
+    d: int = 64,
+) -> DataFrame:
+    """Deterministic PQ codebooks: subspace `mi`'s codes are the `mi`-th
+    subvectors of the first `k` vectors by id (the same deterministic-
+    quantizer convention as ivf_topk's centroids — a trained k-means
+    codebook plugs in without touching the encode/ADC plumbing).
+    Output: (m, code, sub) — m·k rows, tiny at any scale → broadcast."""
+    d_sub = d // m
+    base = vectors.orderBy(id_col).limit(k)
+    coded = base.withColumn(
+        "code",
+        F.row_number().over(W.orderBy(id_col)).cast("int") - 1,
+    )
+    return coded.select(
+        "code", F.posexplode(F.array(*[F.slice(vec_col, mi * d_sub + 1, d_sub) for mi in range(m)])).alias("m", "sub")
+    ).select("m", "code", "sub")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "c_id",
+    vec_col: str = "cv",
+    m: int = 8,
+    d: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ encoding: per vector and subspace, the nearest code (rounded
+    L2, code id tiebreak). Map-only against the broadcast codebook —
+    at scale this runs at write time and the 8-byte code row replaces
+    the 256-byte float vector (32× compression here)."""
+    d_sub = d // m
+    sub = vectors.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.slice(vec_col, mi * d_sub + 1, d_sub) for mi in range(m)])
+        ).alias("m", "vsub"),
+    )
+    scored = sub.join(F.broadcast(codebook), "m").withColumn(
+        "__d", _fixed_point(l2sq("vsub", "sub"), round_to)
+    )
+    w = W.partitionBy(id_col, "m").orderBy("__d", "code")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "m", "code")
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    d: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation: candidates live as
+    m-byte PQ codes; each query precomputes an (m × n_codes) partial-
+    distance table against the codebook, and the approximate distance
+    of a candidate is a table-lookup SUM over its codes — no candidate
+    vector is ever touched at query time.
+
+    Scale shape: encode is write-time and map-only; the per-query
+    distance table is q·m·n_codes rows (KBs) → broadcast; the query-
+    time join is codes ⋈ table on (m, code) followed by one partial-
+    aggregated (q_id, c_id) sum. Distances are fixed-point longs, so
+    the sum is exact and engine-independent."""
+    d_sub = d // m
+    codebook = pq_codebooks(vectors, "c_id", "cv", m=m, k=n_codes, d=d)
+    encoded = pq_encode(vectors, codebook, "c_id", "cv", m=m, d=d, round_to=round_to)
+    qsub = queries.select(
+        "q_id",
+        F.posexplode(
+            F.array(*[F.slice("qv", mi * d_sub + 1, d_sub) for mi in range(m)])
+        ).alias("m", "qsub"),
+    )
+    dtable = qsub.join(F.broadcast(codebook), "m").select(
+        "q_id", "m", "code", _fixed_point(l2sq("qsub", "sub"), round_to).alias("pd")
+    )
+    scored = (
+        encoded.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("pd").alias("__adist"))
+    )
+    w = W.partitionBy("q_id").orderBy("__adist", "c_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            dround(F.col("__adist") / F.lit(float(10**round_to)), round_to).alias("adist"),
+            "rnk",
+        )
+    )
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 3, round_to: int = 6) -> DataFrame:
     """ANN: exact cosine restricted to same-LSH-bucket candidates.
     Norms precomputed per side (see brute_force_topk)."""

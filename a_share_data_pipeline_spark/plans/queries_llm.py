@@ -559,6 +559,85 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PQ ANN: product quantization with asymmetric distance computation
+# ---------------------------------------------------------------------------
+
+_PQ_L2 = (
+    "CAST(ROUND(ROUND(list_sum(list_transform(range(1, 9), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6) * 1e6, 0) AS BIGINT)"
+)
+
+_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+coded AS (
+  SELECT vec_id, v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT CAST(t.m AS INTEGER) AS m, code, v[t.m*8+1 : t.m*8+8] AS sub
+  FROM coded, range(8) t(m)
+),
+sub AS (
+  SELECT vec_id AS c_id, CAST(t.m AS INTEGER) AS m, v[t.m*8+1 : t.m*8+8] AS vsub
+  FROM e, range(8) t(m)
+),
+escored AS (
+  SELECT c_id, s.m, cb.code, {_PQ_L2.format(a='s.vsub', b='cb.sub')} AS d
+  FROM sub s JOIN cb ON s.m = cb.m
+),
+enc AS (
+  SELECT c_id, m, code FROM (
+    SELECT c_id, m, code, ROW_NUMBER() OVER (PARTITION BY c_id, m ORDER BY d, code) AS rn
+    FROM escored) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
+qsub AS (
+  SELECT q_id, CAST(t.m AS INTEGER) AS m, qv[t.m*8+1 : t.m*8+8] AS qs
+  FROM q, range(8) t(m)
+),
+dtable AS (
+  SELECT q_id, s.m, cb.code, {_PQ_L2.format(a='s.qs', b='cb.sub')} AS pd
+  FROM qsub s JOIN cb ON s.m = cb.m
+),
+scored AS (
+  SELECT d.q_id, e2.c_id, SUM(d.pd) AS adist
+  FROM enc e2 JOIN dtable d ON e2.m = d.m AND e2.code = d.code
+  WHERE e2.c_id <> d.q_id
+  GROUP BY 1, 2
+),
+r AS (SELECT q_id, c_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
+      FROM scored)
+SELECT q_id, c_id, ROUND(adist / 1e6, 6) AS adist, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+@register(
+    "sim_ann_pq",
+    _PQ_SQL,
+    doc=(
+        "PQ ANN (asymmetric distance computation): 64-dim vectors "
+        "compressed to 8 one-byte codes against deterministic per-"
+        "subspace codebooks (write-time, map-only — 32× compression); "
+        "each query broadcasts an 8×16 partial-distance table and the "
+        "approximate distance is an exact integer SUM of table lookups "
+        "— candidate vectors are never touched at query time. Fixed-"
+        "point distances make the oracle reproduce ADC bit-for-bit"
+    ),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    queries = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 24)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return SIM.pq_adc_topk(vectors, queries, k=3, m=8, n_codes=16, d=64)
+
+
+# ---------------------------------------------------------------------------
 # Dedup clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
