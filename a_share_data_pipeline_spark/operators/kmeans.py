@@ -119,6 +119,11 @@ def kmeans_assignments(
 ) -> DataFrame:
     """Run `iters` Lloyd rounds then a final assignment; returns
     (id, cluster, rd). Empty clusters drop out between rounds."""
+    # Each round re-scans the input. Measured at bench scale the scan
+    # is NOT the cost (codegen compile of the k×d literal plans is), so
+    # no persist here; at 100 TB wrap `vectors` in
+    # .persist(StorageLevel.MEMORY_AND_DISK) at the call site — the
+    # iteration structure is unchanged.
     cents = init_centroids(vectors, k, id_col, vec_col)
     for _ in range(iters):
         assigned = assign_clusters(vectors, cents, id_col, vec_col)

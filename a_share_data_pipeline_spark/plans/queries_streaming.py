@@ -153,6 +153,37 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, ts FROM events
+"""
+
+
+@register(
+    "stream_dedup",
+    _STREAM_DEDUP_SQL,
+    doc=(
+        "streaming exact dedup: the landing dir holds every event "
+        "TWICE (a replayed upstream), dropDuplicatesWithinWatermark on "
+        "the key collapses them across micro-batches — state is bounded "
+        "by the event-time watermark horizon, the scale property plain "
+        "dropDuplicates lacks; oracle = the original distinct rows"
+    ),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    path = os.path.join(d, "files")
+    ev.write.mode("overwrite").parquet(path)
+    ev.write.mode("append").parquet(path)  # the duplicate replay
+    stream = ST.read_file_stream(spark, path, ev.schema, max_files_per_trigger=4)
+    # watermark far behind max event time: nothing is dropped as late,
+    # dedup state spans the whole replayed range
+    res = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return _run_to_table(spark, res, "append").select("event_id", "user_id", "ts")
+
+
 _STREAM_PEAKS_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
