@@ -125,15 +125,10 @@ def _bucket_pairs(
     )
 
 
-def lsh_band_candidates(
-    signatures: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
-) -> DataFrame:
-    """Band the signature (rows of MINHASH_BAND_SIZE hashes) and emit
-    candidate pairs (a < b) sharing any band bucket.
-
-    One pass over the signatures: posexplode of the band-hash array
-    (the previous union-per-band shape made Catalyst execute the whole
-    upstream aggregation once per band), then bucket-pair expansion."""
+def _band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, bucket) rows: one bucket per LSH band, via a single
+    posexplode of the band-hash array (a union-per-band shape would
+    make Catalyst execute the upstream aggregation once per band)."""
     n_bands = len(MINHASH_SEEDS) // MINHASH_BAND_SIZE
     band_cols = [
         F.concat_ws(
@@ -142,10 +137,40 @@ def lsh_band_candidates(
         )
         for b in range(n_bands)
     ]
-    bands = signatures.select(
+    return signatures.select(
         F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "band_hash")
     ).select(id_col, F.concat_ws("#", F.col("band"), F.col("band_hash")).alias("bucket"))
-    return _bucket_pairs(bands, id_col, max_bucket=max_bucket).distinct()
+
+
+def lsh_band_candidates(
+    signatures: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing any band bucket — one pass over
+    the signatures, then bucket-pair expansion."""
+    return _bucket_pairs(_band_buckets(signatures, id_col), id_col, max_bucket=max_bucket).distinct()
+
+
+def lsh_incremental_candidates(
+    signatures: DataFrame, new_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental-corpus candidates: pairs sharing a band bucket where
+    at least ONE side is a new doc. The standing corpus's old×old pairs
+    are never formed (they were checked when those docs arrived) — the
+    cost of absorbing a batch scales with the batch, not the corpus.
+    The new batch's buckets broadcast (a batch is small vs the corpus);
+    the corpus side stays a streamed probe of the bucket join."""
+    bands = _band_buckets(signatures, id_col)
+    new_bands = bands.join(F.broadcast(new_ids.select(id_col)), id_col, "left_semi")
+    n = new_bands.select(F.col(id_col).alias("__n_id"), "bucket")
+    pairs = (
+        bands.join(F.broadcast(n), "bucket")
+        .filter(F.col("__n_id") != F.col(id_col))
+        .select(
+            F.least("__n_id", id_col).alias("a"),
+            F.greatest("__n_id", id_col).alias("b"),
+        )
+    )
+    return pairs.distinct()
 
 
 def pair_jaccard(

@@ -104,7 +104,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(new_min: int | None = None) -> str:
     n_bands = len(MINHASH_SEEDS) // MINHASH_BAND_SIZE
     hash_exprs = ",\n         ".join(
         f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in MINHASH_SEEDS
@@ -116,6 +116,10 @@ def _minhash_sql() -> str:
         )
         band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS band_hash FROM sig")
     bands_sql = "\nUNION ALL\n".join(band_rows)
+    # incremental mode: only candidate pairs touching a NEW doc
+    new_pred = (
+        f"\n    AND (a.doc_id >= {new_min} OR b.doc_id >= {new_min})" if new_min else ""
+    )
     return f"""
 WITH {_SHINGLE_CTE},
 sig AS (
@@ -129,7 +133,7 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id{new_pred}
 ),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -165,6 +169,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = D.exploded_shingles(docs).persist()
     sig = D.minhash_signatures(shingled, with_counts=True).persist()
     candidates = D.lsh_band_candidates(sig).localCheckpoint()
+    verified = D.pair_jaccard(shingled, pairs=candidates, counts=sig)
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "a", "b", dround("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup: absorb a new batch against a standing corpus
+# ---------------------------------------------------------------------------
+
+_INC_NEW_MIN = 450  # docs with id >= this model the newly-arrived batch
+
+
+@register(
+    "dedup_incremental",
+    _minhash_sql(new_min=_INC_NEW_MIN),
+    doc=(
+        "incremental-corpus dedup: a new batch (doc_id >= 450) is "
+        "LSH-checked against the standing corpus WITHOUT re-pairing "
+        "old×old (those pairs were verified when they arrived) — the "
+        "new batch's band buckets broadcast against the corpus bands, "
+        "so absorbing a batch costs O(batch), not O(corpus²); "
+        "candidates verified at true Jaccard >= 0.5"
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.exploded_shingles(docs).persist()
+    sig = D.minhash_signatures(shingled, with_counts=True).persist()
+    new_ids = docs.filter(F.col("doc_id") >= _INC_NEW_MIN).select("doc_id")
+    candidates = D.lsh_incremental_candidates(sig, new_ids).localCheckpoint()
     verified = D.pair_jaccard(shingled, pairs=candidates, counts=sig)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "a", "b", dround("jaccard", 6).alias("jaccard")
