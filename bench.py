@@ -50,11 +50,17 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_pq",
+    "dedup_incremental",
     "text_metrics",
     "text_token_counts",
     "sql_in_subquery",
     "sql_scalar_subquery",
     "text_tfidf",
+    "curation_repetition",
+    "curation_quality_gates",
+    "curation_decontaminate",
+    "curation_pack_sequences",
 ]
 
 

@@ -270,3 +270,56 @@ def test_salted_join_wins_where_aqe_skew_split_cannot_apply(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_write_tightens_stats_on_both_columns(spark, tmp_path):
+    """Z-clustered files must have NARROW min/max spans on BOTH
+    participating columns (any contiguous Morton range is a small
+    hyper-rectangle), while hash-distributed files span nearly the full
+    range of each — the property that lets parquet stats skip files/
+    row-groups whichever dimension the predicate hits."""
+    import pyarrow.parquet as pq
+
+    from a_share_data_pipeline_spark.operators.layout import zorder_write
+
+    orders = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+
+    def file_spans(root):
+        spans = {"o_custkey": [], "o_totalprice": []}
+        for dp, _, fs in os.walk(root):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(dp, f))
+                for col in spans:
+                    lo, hi = None, None
+                    for rg in range(md.num_row_groups):
+                        for ci in range(md.num_columns):
+                            c = md.row_group(rg).column(ci)
+                            if c.path_in_schema == col and c.statistics:
+                                s = c.statistics
+                                lo = s.min if lo is None else min(lo, s.min)
+                                hi = s.max if hi is None else max(hi, s.max)
+                    if lo is not None:
+                        spans[col].append(hi - lo)
+        return spans
+
+    z_out = str(tmp_path / "zordered")
+    zorder_write(orders, z_out, ["o_custkey", "o_totalprice"], bits=8, n_files=16)
+    base_out = str(tmp_path / "hashed")
+    orders.repartition(16).write.parquet(base_out)
+
+    rows = orders.agg(
+        F.max("o_custkey") - F.min("o_custkey"),
+        F.max("o_totalprice") - F.min("o_totalprice"),
+    ).first()
+    global_span = {"o_custkey": rows[0], "o_totalprice": rows[1]}
+
+    z, h = file_spans(z_out), file_spans(base_out)
+    for col in ("o_custkey", "o_totalprice"):
+        z_avg = sum(z[col]) / len(z[col]) / global_span[col]
+        h_avg = sum(h[col]) / len(h[col]) / global_span[col]
+        # hash files span ~the whole range; z files a fraction of it
+        assert h_avg > 0.8, (col, h_avg)
+        assert z_avg < 0.55, (col, z_avg)
+        assert z_avg < h_avg / 1.8, (col, z_avg, h_avg)
