@@ -43,6 +43,17 @@ TOP_WORD_FRAC_MAX = 0.20  # most frequent word may cover <= 20% of doc
 DUP_BIGRAM_FRAC_MAX = 0.50  # bigrams occurring 2+ times may cover <= 50%
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition before an explode fan-out (same rationale as
+    dedup.exploded_shingles): document tables often arrive in a handful
+    of file splits, and without this the 50-100× gram expansion runs
+    with the input's file parallelism — often ONE task."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, key)
+    return df
+
+
 def _word_grams(text_col: str, n: int) -> Column:
     """NON-distinct word n-grams (repetition needs multiplicities).
     Guarded like dedup.word_shingles_col: F.sequence(1, 0) would emit a
@@ -59,6 +70,7 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """Per-doc repetition metrics: fraction of the doc covered by its
     most frequent word, and fraction covered by bigrams that occur more
     than once — the Gopher repetition-removal signals."""
+    df = _spread(df, id_col)
     words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("g"))
     wc = words.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     word_sig = wc.groupBy(id_col).agg(
@@ -135,9 +147,12 @@ def decontaminate(
     bench_grams = (
         benchmark.select(F.explode(word_shingles_col(text_col, n)).alias("g")).distinct()
     )
-    corpus_grams = corpus.select(
+    corpus_grams = _spread(corpus, id_col).select(
         id_col, F.explode(word_shingles_col(text_col, n)).alias("g")
     )
+    # the gram set feeds BOTH the per-doc totals and the hit join —
+    # persist it instead of re-running the explode lineage twice
+    corpus_grams = corpus_grams.persist()
     per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "g")

@@ -53,17 +53,28 @@ def assign_clusters(
     """(id, vec, cluster, rd): nearest centroid per row, map-only.
 
     argmin via array_min over (rounded distance, cluster id) structs —
-    deterministic under distance ties.
+    deterministic under distance ties. The centroids enter as ONE 2-D
+    literal array scored by a single transform+fold (same codegen shape
+    as similarity.lsh_bucket): unrolling k separate 64-literal distance
+    expressions makes whole-stage codegen emit and JIT k copies of the
+    fold body, and that compile time dominates each Lloyd round at
+    bench scale.
     """
     from ..functions.rounding import dround
 
-    cands = F.array(
-        *[
-            F.struct(dround(_dist_col(vec_col, c), 6).alias("d"), F.lit(cid).alias("c"))
-            for cid, c in centroids
-        ]
-    )
-    best = F.array_min(cands)
+    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in centroids])
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in centroids])
+    v = F.col(vec_col)
+
+    def score(c, i):
+        sq = F.zip_with(v, c, lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(sq, F.lit(0.0), lambda acc, s: acc + s)
+        return F.struct(
+            dround(d, 6).alias("d"),
+            F.element_at(cid_arr, (i + F.lit(1)).cast("int")).alias("c"),
+        )
+
+    best = F.array_min(F.transform(cent_arr, score))
     v = vectors.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),

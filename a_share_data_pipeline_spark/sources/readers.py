@@ -20,11 +20,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table. Parquet scan → Catalyst pushes
     filters/projections into the file scan (check .explain for
     PushedFilters/ReadSchema)."""
+    # Defensive runtime confs — the caller may be a session built
+    # outside session.py (e.g. the driver harness): timestamps must be
+    # interpreted in UTC to match the (timezone-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot
         # represent natively; nanosAsLong delivers raw int64 nanos.
-        # Set defensively here (runtime SQL conf) — the caller may be a
-        # session built outside session.py (e.g. the driver harness)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
