@@ -323,3 +323,69 @@ def test_zorder_write_tightens_stats_on_both_columns(spark, tmp_path):
         assert h_avg > 0.8, (col, h_avg)
         assert z_avg < 0.55, (col, z_avg)
         assert z_avg < h_avg / 1.8, (col, z_avg, h_avg)
+
+
+def test_ann_paths_recall_against_brute_force(spark):
+    """The three ANN paths are approximations — their oracles prove the
+    IMPLEMENTATION is exact, this proves the RETRIEVAL is useful:
+    top-3 overlap vs the brute-force ranking on the fixture embeddings
+    must clear a floor for every path."""
+    from a_share_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("ce")
+    )
+
+    def topk_sets(df, score_col, k=3):
+        out: dict[int, set] = {}
+        for r in df.collect():
+            if r.rnk <= k:
+                out.setdefault(r.q_id, set()).add(r.c_id)
+        return out
+
+    exact = topk_sets(SIM.brute_force_topk(vectors, queries, k=3), "cos")
+
+    def recall(approx):
+        hits = total = 0
+        for q, want in exact.items():
+            got = approx.get(q, set())
+            hits += len(got & want)
+            total += len(want)
+        return hits / total
+
+    lsh = topk_sets(SIM.lsh_topk(vectors, queries, k=3), "cos")
+    ivf = topk_sets(SIM.ivf_topk(vectors, queries, centroids, k=3, nprobe=2), "cos")
+    pq = topk_sets(SIM.pq_adc_topk(vectors, queries, k=3, m=8, n_codes=16, d=64), "adist")
+
+    # floors chosen from the fixture's measured behavior (lsh 0.375,
+    # ivf@nprobe2 0.542, pq 0.125) with slack: the point is a
+    # regression guard — a bucketing/encoding bug drops recall to ~0.
+    # PQ's untrained first-k codebooks trade recall for deterministic
+    # oracle reproducibility; a trained codebook plugs into
+    # pq_codebooks' contract unchanged.
+    assert recall(lsh) >= 0.25, recall(lsh)
+    assert recall(ivf) >= 0.40, recall(ivf)
+    assert recall(pq) >= 0.10, recall(pq)
+
+
+def test_core_window_is_exactly_the_driver_prefix(spark):
+    """The driver verifies only the first ~50 catalog entries; this pins
+    that the prefix IS the covering CORE_WINDOW (50 entries, ordered),
+    so an accidental import-order or registration change cannot silently
+    push an operator family out of the verification window."""
+    from a_share_data_pipeline_spark.plans.catalog import CORE_WINDOW, registry
+
+    names = list(registry())
+    assert len(CORE_WINDOW) == 50
+    assert tuple(names[:50]) == tuple(CORE_WINDOW)
+    # every family prefix that must be driver-verified has a witness
+    for prefix in ("agg_", "window_", "join_", "scalar_", "sql_", "udf_",
+                   "dedup_", "sim_", "text_", "events_", "multimodal_"):
+        assert any(n.startswith(prefix) for n in CORE_WINDOW), prefix
