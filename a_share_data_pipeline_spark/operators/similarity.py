@@ -167,21 +167,62 @@ def pq_codebooks(
     m: int = 8,
     k: int = 16,
     d: int = 64,
+    refine_iters: int = 0,
+    round_to: int = 6,
 ) -> DataFrame:
-    """Deterministic PQ codebooks: subspace `mi`'s codes are the `mi`-th
+    """PQ codebooks: subspace `mi`'s codes start as the `mi`-th
     subvectors of the first `k` vectors by id (the same deterministic-
-    quantizer convention as ivf_topk's centroids — a trained k-means
-    codebook plugs in without touching the encode/ADC plumbing).
-    Output: (m, code, sub) — m·k rows, tiny at any scale → broadcast."""
+    quantizer convention as ivf_topk's centroids); `refine_iters` Lloyd
+    rounds train them — per round, ONE encode pass assigns every
+    (vector, subspace) to its nearest code and ONE (m, code, dim)-keyed
+    partial-aggregated shuffle computes the new means (all m subspaces
+    train in the same two jobs; per-round driver collect is m·k·d_sub
+    doubles, independent of table size). Means round to `round_to`
+    decimals so the trained codebook is as engine-deterministic as the
+    init. Output: (m, code, sub) — m·k rows, tiny at any scale →
+    broadcast."""
     d_sub = d // m
     base = vectors.orderBy(id_col).limit(k)
     coded = base.withColumn(
         "code",
         F.row_number().over(W.orderBy(id_col)).cast("int") - 1,
     )
-    return coded.select(
+    cb = coded.select(
         "code", F.posexplode(F.array(*[F.slice(vec_col, mi * d_sub + 1, d_sub) for mi in range(m)])).alias("m", "sub")
     ).select("m", "code", "sub")
+    if not refine_iters:
+        return cb
+    import math
+
+    def _round6(x: float) -> float:
+        s = 10.0**round_to
+        return -(math.floor((-x) * s + 0.5) / s) if x < 0 else math.floor(x * s + 0.5) / s
+
+    spark = vectors.sparkSession
+    sub = vectors.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.slice(vec_col, mi * d_sub + 1, d_sub) for mi in range(m)])
+        ).alias("m", "vsub"),
+    )
+    for _ in range(refine_iters):
+        enc = pq_encode(vectors, cb, id_col, vec_col, m=m, d=d, round_to=round_to)
+        rows = (
+            enc.join(sub, [id_col, "m"])
+            .select("m", "code", F.posexplode("vsub").alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        by_mc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by_mc.setdefault((r["m"], r["code"]), {})[r["pos"]] = _round6(r["mean"])
+        data = [
+            (mi, code, [dims[p] for p in sorted(dims)])
+            for (mi, code), dims in sorted(by_mc.items())
+        ]
+        cb = spark.createDataFrame(data, "m int, code int, sub array<double>")
+    return cb
 
 
 def pq_encode(
@@ -223,6 +264,7 @@ def pq_adc_topk(
     n_codes: int = 16,
     d: int = 64,
     round_to: int = 6,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """PQ ANN via asymmetric distance computation: candidates live as
     m-byte PQ codes; each query precomputes an (m × n_codes) partial-
@@ -236,7 +278,9 @@ def pq_adc_topk(
     aggregated (q_id, c_id) sum. Distances are fixed-point longs, so
     the sum is exact and engine-independent."""
     d_sub = d // m
-    codebook = pq_codebooks(vectors, "c_id", "cv", m=m, k=n_codes, d=d)
+    codebook = pq_codebooks(
+        vectors, "c_id", "cv", m=m, k=n_codes, d=d, refine_iters=refine_iters
+    )
     encoded = pq_encode(vectors, codebook, "c_id", "cv", m=m, d=d, round_to=round_to)
     qsub = queries.select(
         "q_id",

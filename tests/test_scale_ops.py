@@ -389,3 +389,41 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     for prefix in ("agg_", "window_", "join_", "scalar_", "sql_", "udf_",
                    "dedup_", "sim_", "text_", "events_", "multimodal_"):
         assert any(n.startswith(prefix) for n in CORE_WINDOW), prefix
+
+
+def test_pq_codebook_training_improves_recall(spark):
+    """One+ Lloyd rounds over the per-subspace codebooks must beat the
+    untrained first-k init on recall@3 (measured: 0.125 -> 0.25 on the
+    fixture). The catalog query keeps refine_iters=0 so its oracle
+    stays a single SQL expression; this pins that the trained path the
+    docstring promises actually pays."""
+    from a_share_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+    def topk_sets(df, k=3):
+        out: dict[int, set] = {}
+        for r in df.collect():
+            if r.rnk <= k:
+                out.setdefault(r.q_id, set()).add(r.c_id)
+        return out
+
+    exact = topk_sets(SIM.brute_force_topk(vectors, queries, k=3))
+
+    def recall(approx):
+        hits = total = 0
+        for q, want in exact.items():
+            hits += len(approx.get(q, set()) & want)
+            total += len(want)
+        return hits / total
+
+    base = recall(topk_sets(SIM.pq_adc_topk(vectors, queries, k=3)))
+    trained = recall(topk_sets(SIM.pq_adc_topk(vectors, queries, k=3, refine_iters=2)))
+    assert trained > base, (base, trained)
+    assert trained >= 0.2, trained
