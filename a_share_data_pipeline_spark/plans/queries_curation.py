@@ -192,6 +192,73 @@ FROM s
 """
 
 
+_PIPELINE_SQL = f"""
+WITH gates AS (
+  SELECT doc_id, keep FROM ({_gates_sql()}) g
+),
+rep AS (
+  SELECT doc_id, passes_repetition FROM ({_REP_SQL}) r
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+surv AS (
+  SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_tokens
+  FROM documents d
+  JOIN gates USING (doc_id)
+  JOIN rep   USING (doc_id)
+  JOIN canon USING (doc_id)
+  WHERE gates.keep AND rep.passes_repetition
+),
+s AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM surv
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(FLOOR(start_tok / {_PACK_LEN}) AS BIGINT) AS bin_id,
+       FLOOR((start_tok + n_tokens - 1) / {_PACK_LEN}) > FLOOR(start_tok / {_PACK_LEN})
+         AS crosses_boundary
+FROM s
+"""
+
+
+@register(
+    "curation_pipeline",
+    _PIPELINE_SQL,
+    doc=(
+        "the END-TO-END curation flow as ONE composed plan: quality "
+        "gates ∧ repetition pass ∧ exact-dedup canonical survivor "
+        "selection, then per-shard sequence packing of the survivors — "
+        "operators compose lazily, Catalyst fuses the per-row gates "
+        "into the survivor scan, and the only shuffles are the two "
+        "repetition gram aggregations, the md5 dedup group, and the "
+        "packing window exchange"
+    ),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gates = CU.quality_gates(docs).select("doc_id", "keep").filter(F.col("keep"))
+    rep = (
+        CU.repetition_signals(docs)
+        .select("doc_id", "passes_repetition")
+        .filter(F.col("passes_repetition"))
+    )
+    canon = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = (
+        docs.join(gates.select("doc_id"), "doc_id", "left_semi")
+        .join(rep.select("doc_id"), "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+    )
+    return CU.pack_sequences(surv, context_len=_PACK_LEN)
+
+
 @register(
     "curation_pack_sequences",
     _PACK_SQL,
