@@ -310,6 +310,72 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    d: int = 64,
+    nprobe: int = 2,
+    round_to: int = 6,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector shape — IVF restricts
+    WHICH candidates are scored (each query probes `nprobe` cells), PQ
+    decides HOW they are scored (ADC over m-byte codes, candidate
+    vectors never touched at query time).
+
+    Write-time: cell assignment + PQ encoding, both map-only against
+    broadcast tables — the stored row is (cell, m codes), ~m bytes.
+    Query-time: broadcast the per-query distance tables, join the
+    probed cells' code rows, one partial-aggregated (q, c) integer sum.
+    Memory per candidate and bytes scanned per query both drop by the
+    compression factor versus plain IVF."""
+    d_sub = d // m
+    codebook = pq_codebooks(
+        vectors, "c_id", "cv", m=m, k=n_codes, d=d, refine_iters=refine_iters
+    )
+    cells = ivf_assign(vectors, centroids, "c_id", "cv", nprobe=1, round_to=round_to).select(
+        "c_id", "cell"
+    )
+    encoded = pq_encode(vectors, codebook, "c_id", "cv", m=m, d=d, round_to=round_to).join(
+        cells, "c_id"
+    )
+    qcells = ivf_assign(
+        queries, centroids, "q_id", "qv", nprobe=nprobe, round_to=round_to
+    ).select("q_id", "cell")
+    qsub = queries.select(
+        "q_id",
+        F.posexplode(
+            F.array(*[F.slice("qv", mi * d_sub + 1, d_sub) for mi in range(m)])
+        ).alias("m", "qsub"),
+    )
+    dtable = (
+        qsub.join(F.broadcast(codebook), "m")
+        .select("q_id", "m", "code", _fixed_point(l2sq("qsub", "sub"), round_to).alias("pd"))
+        .join(F.broadcast(qcells), "q_id")  # one dtable row set per probed cell
+    )
+    scored = (
+        encoded.join(F.broadcast(dtable), ["cell", "m", "code"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("pd").alias("__adist"))
+    )
+    w = W.partitionBy("q_id").orderBy("__adist", "c_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            dround(F.col("__adist") / F.lit(float(10**round_to)), round_to).alias("adist"),
+            "rnk",
+        )
+    )
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 3, round_to: int = 6) -> DataFrame:
     """ANN: exact cosine restricted to same-LSH-bucket candidates.
     Norms precomputed per side (see brute_force_topk)."""

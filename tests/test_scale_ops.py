@@ -427,3 +427,45 @@ def test_pq_codebook_training_improves_recall(spark):
     trained = recall(topk_sets(SIM.pq_adc_topk(vectors, queries, k=3, refine_iters=2)))
     assert trained > base, (base, trained)
     assert trained >= 0.2, trained
+
+
+def test_ivf_pq_consistent_with_pq_and_cell_restricted(spark):
+    """IVF-PQ must score with the SAME ADC distances as plain PQ (same
+    codebook → identical fixed-point sums for any shared pair) while
+    returning only candidates from the probed cells, and still find
+    genuinely-near neighbors."""
+    from a_share_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("ce")
+    )
+    full = {
+        (r.q_id, r.c_id): r.adist
+        for r in SIM.pq_adc_topk(vectors, queries, k=100).collect()
+    }
+    ivfpq = SIM.ivf_pq_topk(vectors, queries, centroids, k=3, nprobe=2).collect()
+    assert ivfpq
+    per_q: dict[int, int] = {}
+    for r in ivfpq:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+        if (r.q_id, r.c_id) in full:
+            assert full[(r.q_id, r.c_id)] == r.adist, (r.q_id, r.c_id)
+    assert all(n <= 3 for n in per_q.values())
+    # probed-cell restriction: each returned candidate's cell must be
+    # one of its query's nprobe cells
+    cells = {
+        r.c_id: r.cell
+        for r in SIM.ivf_assign(vectors, centroids, "c_id", "cv", nprobe=1).collect()
+    }
+    probes: dict[int, set] = {}
+    for r in SIM.ivf_assign(queries, centroids, "q_id", "qv", nprobe=2).collect():
+        probes.setdefault(r.q_id, set()).add(r.cell)
+    for r in ivfpq:
+        assert cells[r.c_id] in probes[r.q_id], (r.q_id, r.c_id)
