@@ -721,7 +721,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    shingled = D.exploded_shingles(docs)
+    # the exploded shingle set feeds BOTH passes inside pair_jaccard
+    # (per-doc counts + the bucket-pair intersection) — persist instead
+    # of re-running the 50× explode lineage twice (same as minhash)
+    shingled = D.exploded_shingles(docs).persist()
     pairs = (
         D.pair_jaccard(shingled, min_overlap=3)
         .filter(F.col("jaccard") >= 0.05)
