@@ -85,14 +85,18 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         ).alias("dup_bigram_frac")
     )
     out = word_sig.join(bigram_sig, id_col, "left")
+    # threshold the ROUNDED fractions — the emitted columns and the
+    # DuckDB oracle both carry ROUND(...,6), so gating on the raw values
+    # could contradict them for a doc landing within 5e-7 of a threshold
+    top_r = dround("top_word_frac", 6)
+    dup_r = dround(F.coalesce("dup_bigram_frac", F.lit(0.0)), 6)
     return out.select(
         id_col,
         "n_words",
-        dround("top_word_frac", 6).alias("top_word_frac"),
-        dround(F.coalesce("dup_bigram_frac", F.lit(0.0)), 6).alias("dup_bigram_frac"),
+        top_r.alias("top_word_frac"),
+        dup_r.alias("dup_bigram_frac"),
         (
-            (F.col("top_word_frac") <= TOP_WORD_FRAC_MAX)
-            & (F.coalesce("dup_bigram_frac", F.lit(0.0)) <= DUP_BIGRAM_FRAC_MAX)
+            (top_r <= TOP_WORD_FRAC_MAX) & (dup_r <= DUP_BIGRAM_FRAC_MAX)
         ).alias("passes_repetition"),
     )
 
@@ -151,8 +155,12 @@ def decontaminate(
         id_col, F.explode(word_shingles_col(text_col, n)).alias("g")
     )
     # the gram set feeds BOTH the per-doc totals and the hit join —
-    # persist it instead of re-running the explode lineage twice
-    corpus_grams = corpus_grams.persist()
+    # materialize it once instead of re-running the explode lineage
+    # twice. localCheckpoint, not persist: its blocks are freed by the
+    # ContextCleaner when the result frame is dropped, while persist()
+    # would pin them in the CacheManager until an unpersist() that no
+    # caller of a lazily-returned plan can safely place.
+    corpus_grams = corpus_grams.localCheckpoint()
     per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "g")

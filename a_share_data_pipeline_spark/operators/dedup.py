@@ -151,15 +151,44 @@ def lsh_band_candidates(
 
 
 def lsh_incremental_candidates(
-    signatures: DataFrame, new_ids: DataFrame, id_col: str = "doc_id"
+    signatures: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental-corpus candidates: pairs sharing a band bucket where
     at least ONE side is a new doc. The standing corpus's old×old pairs
     are never formed (they were checked when those docs arrived) — the
     cost of absorbing a batch scales with the batch, not the corpus.
     The new batch's buckets broadcast (a batch is small vs the corpus);
-    the corpus side stays a streamed probe of the bucket join."""
+    the corpus side stays a streamed probe of the bucket join.
+
+    ``max_bucket`` is the hot-bucket guard for this path. Band buckets
+    go hot exactly when the corpus carries mass-duplicated boilerplate —
+    the thing dedup targets — and here the pairs form through a bucket
+    JOIN rather than an array expansion, so the guard is a pre-join
+    bucket-size filter: buckets above the cap are dropped from the
+    corpus side (which removes every pair through them) BEFORE the join,
+    counted and logged — never silent."""
     bands = _band_buckets(signatures, id_col)
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("bucket")
+        )
+        n_hot = hot.count()
+        if n_hot:
+            _LOG.warning(
+                "lsh_incremental_candidates: dropping %d hot band bucket(s) "
+                "with > %d members before the bucket join (stop-shingle filter)",
+                n_hot,
+                max_bucket,
+            )
+            # hot buckets are few by construction (each holds > max_bucket
+            # of a finite corpus) — broadcast the anti-join side
+            bands = bands.join(F.broadcast(hot), "bucket", "left_anti")
     new_bands = bands.join(F.broadcast(new_ids.select(id_col)), id_col, "left_semi")
     n = new_bands.select(F.col(id_col).alias("__n_id"), "bucket")
     pairs = (

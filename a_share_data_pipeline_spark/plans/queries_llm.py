@@ -130,9 +130,15 @@ sig AS (
 bands AS (
 {bands_sql}
 ),
+bands_ok AS (
+  SELECT band, band_hash FROM bands
+  GROUP BY band, band_hash HAVING COUNT(*) <= {_JACCARD_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM bands a JOIN bands b
+  FROM bands a
+  JOIN bands_ok ok ON a.band = ok.band AND a.band_hash = ok.band_hash
+  JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id{new_pred}
 ),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -156,19 +162,26 @@ WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
     doc=(
         "MinHash(8 perms, md5 hex-string family)+LSH(2 bands×4) candidate "
         "pairs, verified at Jaccard>=0.5 — candidates meet via the band "
-        "join only, never an all-pairs product"
+        "join only, never an all-pairs product; band buckets shared by "
+        "> 1000 docs are dropped before pair expansion (logged, mirrored "
+        "in the oracle), so mass-duplicated boilerplate cannot blow one "
+        "aggregate row up to O(N²) pairs"
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # the shingle set feeds signatures AND the verify join — persist it
-    # once instead of recomputing the explode+distinct lineage 3×; one
-    # aggregation produces minhashes AND per-doc shingle counts;
-    # candidates are tiny, so localCheckpoint severs their lineage from
-    # the whole minhash DAG before they fan back into two more joins
-    shingled = D.exploded_shingles(docs).persist()
-    sig = D.minhash_signatures(shingled, with_counts=True).persist()
-    candidates = D.lsh_band_candidates(sig).localCheckpoint()
+    # the shingle set feeds signatures AND the verify join; one
+    # aggregation produces minhashes AND per-doc shingle counts.
+    # localCheckpoint (not persist): it materializes the shared frame
+    # once AND its blocks are ContextCleaner-freed when the result frame
+    # is dropped — persist() would pin blocks in the CacheManager until
+    # an unpersist() no caller can safely place, leaking executor memory
+    # across invocations in a long-lived driver. On a real cluster the
+    # recompute-on-executor-loss trade is the standard one for derived
+    # (cheap-to-rebuild) frames.
+    shingled = D.exploded_shingles(docs).localCheckpoint()
+    sig = D.minhash_signatures(shingled, with_counts=True).localCheckpoint()
+    candidates = D.lsh_band_candidates(sig, max_bucket=_JACCARD_MAX_BUCKET).localCheckpoint()
     verified = D.pair_jaccard(shingled, pairs=candidates, counts=sig)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "a", "b", dround("jaccard", 6).alias("jaccard")
@@ -191,15 +204,20 @@ _INC_NEW_MIN = 450  # docs with id >= this model the newly-arrived batch
         "old×old (those pairs were verified when they arrived) — the "
         "new batch's band buckets broadcast against the corpus bands, "
         "so absorbing a batch costs O(batch), not O(corpus²); "
-        "candidates verified at true Jaccard >= 0.5"
+        "candidates verified at true Jaccard >= 0.5; hot band buckets "
+        "(> 1000 members) are filtered before the bucket join (logged, "
+        "oracle-mirrored)"
     ),
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    shingled = D.exploded_shingles(docs).persist()
-    sig = D.minhash_signatures(shingled, with_counts=True).persist()
+    # localCheckpoint, not persist — see dedup_minhash_lsh
+    shingled = D.exploded_shingles(docs).localCheckpoint()
+    sig = D.minhash_signatures(shingled, with_counts=True).localCheckpoint()
     new_ids = docs.filter(F.col("doc_id") >= _INC_NEW_MIN).select("doc_id")
-    candidates = D.lsh_incremental_candidates(sig, new_ids).localCheckpoint()
+    candidates = D.lsh_incremental_candidates(
+        sig, new_ids, max_bucket=_JACCARD_MAX_BUCKET
+    ).localCheckpoint()
     verified = D.pair_jaccard(shingled, pairs=candidates, counts=sig)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "a", "b", dround("jaccard", 6).alias("jaccard")
@@ -679,9 +697,12 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPONENTS_SQL = f"""
 WITH RECURSIVE {_SHINGLE_CTE},
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING COUNT(*) <= {_JACCARD_MAX_BUCKET}),
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN ok ON ok.shingle = a.shingle
   GROUP BY 1, 2 HAVING COUNT(*) >= 3
 ),
 pairs AS (
@@ -713,8 +734,11 @@ SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
         "dedup clustering: connected components over the jaccard>=0.05 "
         "pair graph (operators/graph.py, iterative min-label propagation "
         "with per-round localCheckpoint); component = min reachable "
-        "doc_id, canonical doc = component representative. Oracle: "
-        "DuckDB recursive-CTE transitive closure"
+        "doc_id, canonical doc = component representative; the pair "
+        "graph is built through the SAME stop-shingle guard as "
+        "dedup_ngram_jaccard (buckets > 1000 docs dropped pre-expansion, "
+        "oracle-mirrored). Oracle: DuckDB recursive-CTE transitive "
+        "closure"
     ),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,11 +746,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # the exploded shingle set feeds BOTH passes inside pair_jaccard
-    # (per-doc counts + the bucket-pair intersection) — persist instead
-    # of re-running the 50× explode lineage twice (same as minhash)
-    shingled = D.exploded_shingles(docs).persist()
+    # (per-doc counts + the bucket-pair intersection) — materialize it
+    # once; localCheckpoint, not persist — see dedup_minhash_lsh
+    shingled = D.exploded_shingles(docs).localCheckpoint()
     pairs = (
-        D.pair_jaccard(shingled, min_overlap=3)
+        D.pair_jaccard(shingled, min_overlap=3, max_bucket=_JACCARD_MAX_BUCKET)
         .filter(F.col("jaccard") >= 0.05)
         .select("a", "b")
     )

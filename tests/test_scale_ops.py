@@ -211,6 +211,61 @@ def test_pair_jaccard_cap_drops_stop_shingle_intersections(spark):
     assert abs(r.jaccard - 3 / 5) < 1e-9  # 3 shared real / (4 + 4 - 3)
 
 
+def test_lsh_band_candidates_cap_drops_hot_band_bucket(spark, caplog):
+    """Mass-duplicated boilerplate puts N docs in ONE band bucket; with
+    the cap their N(N-1)/2 candidate pairs must not materialize, while
+    an ordinary 2-doc bucket still pairs up."""
+    import logging
+
+    from a_share_data_pipeline_spark.operators import dedup as D
+
+    # 30 docs with IDENTICAL shingle sets → identical signatures → one
+    # hot bucket per band; 2 other docs share their own distinct set
+    rows = [(i, f"x{k}") for i in range(30) for k in range(3)]
+    rows += [(d, f"y{k}") for d in (100, 101) for k in range(3)]
+    shingled = spark.createDataFrame(rows, "doc_id long, shingle string")
+    sig = D.minhash_signatures(shingled)
+
+    uncapped = D.lsh_band_candidates(sig).count()
+    assert uncapped == 30 * 29 // 2 + 1
+
+    with caplog.at_level(logging.WARNING):
+        capped = {
+            (r.a, r.b)
+            for r in D.lsh_band_candidates(sig, max_bucket=10).collect()
+        }
+    assert capped == {(100, 101)}
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_lsh_incremental_candidates_cap_filters_before_bucket_join(spark, caplog):
+    """The incremental path forms pairs via a bucket JOIN, so its guard
+    is a pre-join bucket-size filter: a new doc landing in a hot bucket
+    must not fan out against every standing-corpus member."""
+    import logging
+
+    from a_share_data_pipeline_spark.operators import dedup as D
+
+    rows = [(i, f"x{k}") for i in range(30) for k in range(3)]
+    rows += [(d, f"y{k}") for d in (100, 101) for k in range(3)]
+    shingled = spark.createDataFrame(rows, "doc_id long, shingle string")
+    sig = D.minhash_signatures(shingled)
+    new_ids = spark.createDataFrame([(29,), (101,)], "doc_id long")
+
+    uncapped = D.lsh_incremental_candidates(sig, new_ids).count()
+    assert uncapped == 29 + 1  # doc 29 × standing 0..28, plus (100, 101)
+
+    with caplog.at_level(logging.WARNING):
+        capped = {
+            (r.a, r.b)
+            for r in D.lsh_incremental_candidates(
+                sig, new_ids, max_bucket=10
+            ).collect()
+        }
+    assert capped == {(100, 101)}
+    assert any("hot band bucket" in r.message for r in caplog.records)
+
+
 def test_salted_join_wins_where_aqe_skew_split_cannot_apply(spark):
     """WHY skew.py exists when AQE has skew-join splitting: AQE splits
     a skewed shuffle partition only when nothing downstream requires
