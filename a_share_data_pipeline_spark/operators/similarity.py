@@ -18,8 +18,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import LSH_PLANES
+from ..functions.hashing import LSH_PLANES, lsh_planes
 from ..functions.rounding import dround
+
+# banded sign-LSH shape for embedding near-dup candidate generation:
+# 8 bands × 8 planes. AND within a band (all 8 sign bits must agree),
+# OR across bands (collide in ANY band → candidate). For a pair at
+# cosine 0.95 (θ/π ≈ 0.101) a band agrees with prob (1-θ/π)^8 ≈ 0.43,
+# so the miss probability over 8 bands is (1-0.43)^8 ≈ 1.2% — a ~99%
+# recall contract at the 0.95 threshold, higher above it.
+NEARDUP_BANDS = 8
+NEARDUP_BAND_PLANES = 8
 
 
 def as_double_vec(col: str | Column, alias: str = "v") -> Column:
@@ -374,6 +383,45 @@ def ivf_pq_topk(
             "rnk",
         )
     )
+
+
+def banded_lsh_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_bands: int = NEARDUP_BANDS,
+    band_size: int = NEARDUP_BAND_PLANES,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (a < b) of vectors colliding in ANY sign-LSH band
+    — the OR-amplified construction (MinHash-LSH's shape applied to
+    random hyperplanes), replacing an all-pairs product for embedding
+    near-dup detection.
+
+    Each vector computes n_bands·band_size plane dots in ONE map-only
+    pass (each dot evaluated exactly once: the per-band fold walks only
+    that band's slice of the single 2-D plane literal), posexplodes its
+    band hashes, and pairs form through dedup._bucket_pairs — including
+    its hot-bucket guard (``max_bucket``), since embedding clusters can
+    make a band bucket go hot exactly like stop-shingles do."""
+    from .dedup import _bucket_pairs
+
+    planes = lsh_planes(n_planes=n_bands * band_size)
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    v = F.col(vec_col)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(planes_lit, b * band_size + 1, band_size),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc * 2
+            + F.when(dot(v, p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        ),
+    )
+    buckets = vectors.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "h")
+    ).select(id_col, F.concat_ws("#", F.col("band"), F.col("h")).alias("bucket"))
+    return _bucket_pairs(buckets, id_col, max_bucket=max_bucket).distinct()
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 3, round_to: int = 6) -> DataFrame:

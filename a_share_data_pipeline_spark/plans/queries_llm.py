@@ -266,30 +266,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
-_EMB_NEARDUP_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+def _emb_neardup_sql() -> str:
+    """Banded sign-LSH candidates + exact-cosine verify, generated from
+    the SAME plane constants as the Spark plan (functions/hashing.py)."""
+    from ..functions.hashing import lsh_planes
+
+    n_bands, band_size = SIM.NEARDUP_BANDS, SIM.NEARDUP_BAND_PLANES
+    planes = lsh_planes(n_planes=n_bands * band_size)
+
+    def plane_literal(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+    band_hash = []
+    for b in range(n_bands):
+        terms = " + ".join(
+            f"CASE WHEN list_dot_product(v, {plane_literal(planes[b * band_size + p])}) > 0"
+            f" THEN {2 ** (band_size - 1 - p)} ELSE 0 END"
+            for p in range(band_size)
+        )
+        band_hash.append(f"({terms}) AS h{b}")
+    hashes = ",\n         ".join(band_hash)
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, h{b} AS h FROM eb" for b in range(n_bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eb AS (
+  SELECT vec_id, v,
+         {hashes}
+  FROM e
+),
+bands AS (
+{band_rows}
+),
+bands_ok AS (
+  SELECT band, h FROM bands GROUP BY band, h HAVING COUNT(*) <= {_JACCARD_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM bands a
+  JOIN bands_ok ok ON a.band = ok.band AND a.h = ok.h
+  JOIN bands b ON a.band = b.band AND a.h = b.h AND a.vec_id < b.vec_id
+)
+SELECT cand.a, cand.b,
+       ROUND(list_dot_product(ea.v, eb2.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb2.v, eb2.v))), 6) AS cos
+FROM cand
+JOIN e ea  ON ea.vec_id  = cand.a
+JOIN e eb2 ON eb2.vec_id = cand.b
+WHERE list_dot_product(ea.v, eb2.v)
+      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb2.v, eb2.v))) >= 0.95
 """
 
 
 @register(
     "dedup_embedding_cosine",
-    _EMB_NEARDUP_SQL,
-    doc="embedding-cosine near-dup pairs (>=0.95); brute-force here, LSH-bucketed variant is sim_ann_lsh",
+    _emb_neardup_sql(),
+    doc=(
+        "embedding-cosine near-dup pairs (>=0.95) via banded sign-LSH: "
+        "8 bands × 8 hyperplanes, candidates collide in ANY band "
+        "(OR-amplification — ~99% recall at cos 0.95, stated contract), "
+        "exact cosine verifies candidates only. No all-pairs product "
+        "anywhere; hot band buckets (> 1000 members) drop before pair "
+        "expansion, oracle-mirrored"
+    ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", SIM.as_double_vec("embedding", "v")
     )
-    # norms once per side (n arrays), not per pair (n²) — value identical
+    cand = SIM.banded_lsh_pairs(emb, max_bucket=_JACCARD_MAX_BUCKET)
+    # norms once per side (n arrays), not per pair — value identical
     a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), SIM.norm("v").alias("na"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), SIM.norm("v").alias("nb"))
-    pairs = a.join(b, F.col("a") < F.col("b"))
+    pairs = cand.join(a, "a").join(b, "b")
     cos = SIM.dot("va", "vb") / (F.col("na") * F.col("nb"))
     return pairs.filter(cos >= 0.95).select("a", "b", dround(cos, 6).alias("cos"))
 

@@ -128,6 +128,14 @@ def test_subqueries_decorrelate_to_joins(spark):
     assert "LeftAnti" in plan_str(registry()["sql_not_in"].fn(spark, SF), "simple")
 
 
+def test_embedding_neardup_has_no_cartesian(spark):
+    """dedup_embedding_cosine must pair via banded sign-LSH buckets —
+    an all-pairs product over the embedding table is a cartesian at
+    100 TB (this was round 2's scale-killer #3)."""
+    p = plan_str(registry()["dedup_embedding_cosine"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
 def test_tfidf_prunes_tf_side_and_broadcasts_df(spark):
     """TF-IDF: the output doc-sample predicate must reach the TF
     branch's scan (so the expensive explode runs on the sample only),

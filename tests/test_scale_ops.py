@@ -430,6 +430,39 @@ def test_ann_paths_recall_against_brute_force(spark):
     assert recall(pq) >= 0.10, recall(pq)
 
 
+def test_banded_lsh_pairs_catch_near_dups_without_all_pairs(spark):
+    """The banded sign-LSH candidate generator (dedup_embedding_cosine's
+    scale path) must surface genuinely near-identical vectors while
+    producing far fewer candidates than the all-pairs product it
+    replaces."""
+    import hashlib
+
+    from a_share_data_pipeline_spark.operators import similarity as SIM
+
+    dim = 64
+
+    def vec(seed: int) -> list[float]:
+        # md5-derived components: independent across seeds (an LCG fixture
+        # here yields mutually-correlated vectors that legitimately share
+        # sign buckets, which tests the fixture, not the operator)
+        return [
+            int(hashlib.md5(f"{seed}-{i}".encode()).hexdigest()[:8], 16)
+            / float(16**8)
+            * 2.0
+            - 1.0
+            for i in range(dim)
+        ]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    base = vec(0)
+    rows += [(100, [x + 0.01 for x in base]), (101, [x + 0.02 for x in base])]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    pairs = {(r.a, r.b) for r in SIM.banded_lsh_pairs(emb).collect()}
+    assert {(0, 100), (0, 101), (100, 101)} <= pairs
+    assert len(pairs) < 42 * 41 // 2 / 4  # nowhere near all-pairs
+
+
 def test_core_window_is_exactly_the_driver_prefix(spark):
     """The driver verifies only the first ~50 catalog entries; this pins
     that the prefix IS the covering CORE_WINDOW (50 entries, ordered),
