@@ -44,6 +44,18 @@ _REGISTRY: dict[str, Query] = {}
 # with join_range; the true-streaming stream_* variants are proven
 # stream≡batch in tests/test_streaming.py against the driver-verified
 # events_* batch queries).
+#
+# Round-3 rotation (VERDICT r2 item 2): four redundant witnesses moved
+# to the extended tier — join_left_outer (⊂ canonical_assembly +
+# join_full_outer), window_lag_lead (⊂ window_rank/window_running +
+# local window tests), sql_not_in (⊂ sql_in_subquery + the LeftAnti
+# plan gate), scalar_array (⊂ scalar_string + HOF local tests) — so
+# the round-2 operator families gain driver-green rows: curation
+# (curation_pipeline composes repetition+gates+decontaminate+packing
+# in ONE verified query), incremental-corpus dedup (dedup_incremental),
+# PQ ANN (sim_ann_pq), and deterministic sampling (sample_stratified).
+# Every retained name is unchanged — CORRECTNESS keys are the driver's
+# contract and renames reset verification history.
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
@@ -55,7 +67,6 @@ CORE_WINDOW: tuple[str, ...] = (
     # windows
     "window_rank",
     "window_running",
-    "window_lag_lead",
     # sort / filter / set ops
     "sort_topk",
     "filter_predicates",
@@ -63,7 +74,6 @@ CORE_WINDOW: tuple[str, ...] = (
     # join shapes
     "join_top_orders",
     "join_regional_revenue",
-    "join_left_outer",
     "join_semi_anti",
     "join_full_outer",
     "join_salted",
@@ -72,12 +82,10 @@ CORE_WINDOW: tuple[str, ...] = (
     # scalar function library
     "scalar_string",
     "scalar_datetime",
-    "scalar_array",
     "json_extract",
     # SQL front end / subquery decorrelation
     "sql_scalar_subquery",
     "sql_in_subquery",
-    "sql_not_in",
     # pipeline / incrementality / time windows / storage layout
     "merge_idempotent",
     "incremental_delta",
@@ -94,15 +102,19 @@ CORE_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_pq",
     "kmeans_embeddings",
     "text_metrics",
     "text_tfidf",
+    "curation_pipeline",
+    "sample_stratified",
     "multimodal_features",
 )
 

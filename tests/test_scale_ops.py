@@ -475,8 +475,14 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     assert tuple(names[:50]) == tuple(CORE_WINDOW)
     # every family prefix that must be driver-verified has a witness
     for prefix in ("agg_", "window_", "join_", "scalar_", "sql_", "udf_",
-                   "dedup_", "sim_", "text_", "events_", "multimodal_"):
+                   "dedup_", "sim_", "text_", "events_", "multimodal_",
+                   "curation_", "sample_"):
         assert any(n.startswith(prefix) for n in CORE_WINDOW), prefix
+    # round-3 rotation: the round-2 operator families must sit INSIDE
+    # the driver window, witnessed by these exact (stable) names
+    for name in ("curation_pipeline", "dedup_incremental", "sim_ann_pq",
+                 "sample_stratified"):
+        assert name in CORE_WINDOW, name
 
 
 def test_pq_codebook_training_improves_recall(spark):
