@@ -95,10 +95,26 @@ def as_of_join(
     out = filled.filter(F.col(_SIDE) == 1)
     if tolerance is not None:
         matched = F.col(f"{pay}.__matched_ts")
-        is_ts = dict(right.dtypes)[right_ts].startswith("timestamp")
+        l_type = dict(left.dtypes)[left_ts]
+        r_type = dict(right.dtypes)[right_ts]
+        is_ts = r_type.startswith("timestamp")
+        if is_ts and "timestamp_ntz" in (l_type, r_type):
+            # unix_micros rejects TIMESTAMP_NTZ, so NTZ goes through a
+            # cast to TIMESTAMP — which relabels the wall time in the
+            # SESSION timezone. That is instant-preserving arithmetic
+            # only under a fixed-offset zone: in a DST zone, two wall
+            # times straddling a transition skew the diff by the DST
+            # shift. load_table forces UTC, but guard HERE so any other
+            # caller fails loudly instead of silently mis-matching.
+            tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "GMT", "Z", "+00:00", "Etc/UTC", "Etc/GMT"):
+                raise ValueError(
+                    "as_of_join tolerance over TIMESTAMP_NTZ needs a UTC "
+                    f"session timezone; spark.sql.session.timeZone={tz!r}. "
+                    "Set it to UTC (sources.readers.load_table does) or "
+                    "cast the ts columns to TIMESTAMP first."
+                )
         if is_ts:
-            # cast: unix_micros rejects TIMESTAMP_NTZ; session tz is UTC
-            # so NTZ→TZ is a deterministic relabel
             diff = (
                 F.abs(
                     F.unix_micros(F.col(_TS).cast("timestamp"))

@@ -192,6 +192,10 @@ def pq_codebooks(
     broadcast."""
     d_sub = d // m
     base = vectors.orderBy(id_col).limit(k)
+    # global (unpartitioned) window: intentional and bounded — it runs
+    # over the limit(k) frame above, i.e. at most k=16 rows on one task,
+    # never the vector table. (Source of the benign "No Partition
+    # Defined" WindowExec log line.)
     coded = base.withColumn(
         "code",
         F.row_number().over(W.orderBy(id_col)).cast("int") - 1,
@@ -215,6 +219,13 @@ def pq_codebooks(
         ).alias("m", "vsub"),
     )
     for _ in range(refine_iters):
+        # previous codebook state, m·k rows — a code that receives ZERO
+        # assignments this round keeps its previous centroid (standard
+        # Lloyd empty-cluster handling) so the codebook never shrinks
+        # below the documented k codes per subspace
+        prev: dict[tuple[int, int], list[float]] = {
+            (r["m"], r["code"]): list(r["sub"]) for r in cb.collect()
+        }
         enc = pq_encode(vectors, cb, id_col, vec_col, m=m, d=d, round_to=round_to)
         rows = (
             enc.join(sub, [id_col, "m"])
@@ -227,8 +238,14 @@ def pq_codebooks(
         for r in rows:
             by_mc.setdefault((r["m"], r["code"]), {})[r["pos"]] = _round6(r["mean"])
         data = [
-            (mi, code, [dims[p] for p in sorted(dims)])
-            for (mi, code), dims in sorted(by_mc.items())
+            (
+                mi,
+                code,
+                [by_mc[(mi, code)][p] for p in sorted(by_mc[(mi, code)])]
+                if (mi, code) in by_mc
+                else prev[(mi, code)],
+            )
+            for (mi, code) in sorted(prev)  # every existing code survives
         ]
         cb = spark.createDataFrame(data, "m int, code int, sub array<double>")
     return cb

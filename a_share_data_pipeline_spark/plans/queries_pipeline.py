@@ -318,6 +318,54 @@ def bucketed_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 300 AND o_totalprice > 150000
+"""
+
+
+@register(
+    "layout_zorder",
+    _ZORDER_SQL,
+    doc=(
+        "Z-order (Morton) clustered layout end-to-end: orders rewritten "
+        "as 16 z-clustered parquet files on (o_custkey, o_totalprice) "
+        "via operators/layout.py, read back through a TWO-dimensional "
+        "predicate — the rewrite is semantics-preserving (the oracle "
+        "runs the same predicate on the original table), while the "
+        "physical claim (narrow per-file min/max spans on BOTH columns "
+        "→ most files skipped whichever dimension the filter hits) is "
+        "asserted by tests/test_scale_ops.py::"
+        "test_zorder_write_tightens_stats_on_both_columns"
+    ),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urllib.parse import urlparse
+
+    from ..operators.layout import zorder_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    # idempotent rewrite per call (mode=overwrite); local-FS warehouse,
+    # same convention as bucketed_ma — on a real cluster this is an
+    # object-store prefix and only the path literal changes
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/orders_zorder"
+    zorder_write(orders, path, ["o_custkey", "o_totalprice"], bits=8, n_files=16)
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("o_custkey").between(100, 300) & (F.col("o_totalprice") > 150000)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        dround("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # T5 batch analogs: tumbling / sliding / session windows over events
 # ---------------------------------------------------------------------------

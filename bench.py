@@ -14,6 +14,7 @@ action (count), excluding session startup.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -38,6 +39,7 @@ HEADLINE = [
     "window_running",
     "window_rank",
     "bucketed_ma",
+    "layout_zorder",
     "events_tumbling",
     "events_sessionize",
     "asof_join",
@@ -83,6 +85,16 @@ def main() -> None:
     if missing:  # loud on stderr, never a crashed bench record
         print(f"bench: skipping unknown queries {missing}", file=sys.stderr)
 
+    def isolate() -> None:
+        # measure plans, not session residue: drop cached blocks left by
+        # a previous entry (CacheManager), release Python-side refs so
+        # the ContextCleaner can free localCheckpoint RDD blocks, and
+        # nudge the JVM GC so its reference queue actually drains before
+        # the next timing starts
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in missing:
@@ -90,7 +102,8 @@ def main() -> None:
         fn = reg[name].fn
         best = float("inf")
         for _ in range(2):  # best-of-2: shields the record from
-            t0 = time.perf_counter()  # one-off JIT/IO/scheduler noise
+            isolate()  # one-off JIT/IO/scheduler noise
+            t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)

@@ -418,16 +418,19 @@ def test_ann_paths_recall_against_brute_force(spark):
     lsh = topk_sets(SIM.lsh_topk(vectors, queries, k=3), "cos")
     ivf = topk_sets(SIM.ivf_topk(vectors, queries, centroids, k=3, nprobe=2), "cos")
     pq = topk_sets(SIM.pq_adc_topk(vectors, queries, k=3, m=8, n_codes=16, d=64), "adist")
+    ivfpq = topk_sets(SIM.ivf_pq_topk(vectors, queries, centroids, k=3, nprobe=2), "adist")
 
     # floors chosen from the fixture's measured behavior (lsh 0.375,
-    # ivf@nprobe2 0.542, pq 0.125) with slack: the point is a
-    # regression guard — a bucketing/encoding bug drops recall to ~0.
-    # PQ's untrained first-k codebooks trade recall for deterministic
-    # oracle reproducibility; a trained codebook plugs into
-    # pq_codebooks' contract unchanged.
+    # ivf@nprobe2 0.542, pq 0.125, ivf-pq 0.125) with slack: the point
+    # is a regression guard — a bucketing/encoding bug drops recall to
+    # ~0. PQ's untrained first-k codebooks trade recall for
+    # deterministic oracle reproducibility; a trained codebook plugs
+    # into pq_codebooks' contract unchanged. IVF-PQ compounds PQ's
+    # distortion with the probed-cell restriction, hence the lowest bar.
     assert recall(lsh) >= 0.25, recall(lsh)
     assert recall(ivf) >= 0.40, recall(ivf)
     assert recall(pq) >= 0.10, recall(pq)
+    assert recall(ivfpq) >= 0.08, recall(ivfpq)
 
 
 def test_banded_lsh_pairs_catch_near_dups_without_all_pairs(spark):
