@@ -212,3 +212,54 @@ def pack_sequences(
         bin_id.cast("long").alias("bin_id"),
         (end_bin > bin_id).alias("crosses_boundary"),
     )
+
+
+# PII redaction patterns — RE2-compatible (no backreferences/lookarounds)
+# so the SAME pattern string runs in Spark's Java regex AND DuckDB's RE2
+# oracle. Order matters: emails go first (their domains would otherwise
+# feed the IPv4/phone digit patterns on already-half-redacted text).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the curation step every published pipeline runs
+    before training: emails, IPv4 addresses, and international phone
+    numbers replaced with typed placeholder tokens.
+
+    Pure map-only regexp expressions (zero shuffle, whole-stage
+    codegen); each pattern's hit count is taken on the text state it
+    actually sees (sequential semantics: the email pass runs first, so
+    an address inside an email never double-counts as a phone)."""
+    cols = [F.col(c) for c in df.columns if c != text_col]
+    red = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, token)
+    return df.select(*cols, *counts, red.alias("text_redacted"))
+
+
+def mixture_rates(
+    counts: DataFrame,
+    weights: dict[str, float],
+    default_weight: float,
+    budget_docs: Column,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group keep-rates that shape a corpus toward a target mixture:
+    group g with weight w_g receives rate = min(1, budget·w_g / n_g).
+
+    `counts` is the tiny per-group count frame (one partial-aggregated
+    shuffle over a handful of keys); the returned frame is rates-only —
+    broadcast it against the corpus and filter with a deterministic
+    hash fraction for a map-only, RNG-free downsample. Rates round to
+    9 decimals so an oracle engine reproduces the comparison exactly."""
+    w = F.lit(float(default_weight))
+    for g, wg in weights.items():
+        w = F.when(F.col(group_col) == g, F.lit(float(wg))).otherwise(w)
+    rate = F.least(F.lit(1.0), dround(budget_docs * w / F.col("n"), 9))
+    return counts.select(group_col, rate.alias("keep_rate"))

@@ -274,3 +274,60 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return CU.pack_sequences(docs, context_len=_PACK_LEN)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / IPv4 / phone numbers -> typed placeholder tokens)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no PII, so both engines append the SAME
+# deterministic doc_id-derived contact block to a subset of docs before
+# redacting — the fixture augmentation is part of the query contract
+# (documented here, mirrored verbatim in the oracle), the operator under
+# test is operators/curation.redact_pii.
+_PII_AUG = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@ex'"
+    " || (doc_id % 7) || '.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 250)"
+    " || '.0.' || (doc_id % 100) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' tel +86-21-5550-'"
+    " || (1000 + doc_id % 9000) ELSE '' END"
+)
+
+
+def _pii_sql() -> str:
+    (n1, p1, t1), (n2, p2, t2), (n3, p3, t3) = CU.PII_PATTERNS
+    return f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS t FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{p1}')) AS n_{n1},
+              regexp_replace(t, '{p1}', '{t1}', 'g') AS t FROM aug),
+s2 AS (SELECT doc_id, n_{n1}, len(regexp_extract_all(t, '{p2}')) AS n_{n2},
+              regexp_replace(t, '{p2}', '{t2}', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_{n1}, n_{n2},
+              len(regexp_extract_all(t, '{p3}')) AS n_{n3},
+              regexp_replace(t, '{p3}', '{t3}', 'g') AS t FROM s2)
+SELECT doc_id, CAST(n_{n1} AS BIGINT) AS n_{n1},
+       CAST(n_{n2} AS BIGINT) AS n_{n2},
+       CAST(n_{n3} AS BIGINT) AS n_{n3}, t AS text_redacted
+FROM s3
+"""
+
+
+@register(
+    "curation_pii_redact",
+    _pii_sql(),
+    doc=(
+        "PII scrubbing (emails, IPv4s, phone numbers -> typed "
+        "placeholder tokens) with per-doc hit counts — pure map-only "
+        "regexp expressions inside whole-stage codegen, zero shuffle; "
+        "the patterns are RE2-compatible so the identical pattern "
+        "strings run in Spark's Java regex and the DuckDB oracle; "
+        "sequential semantics (email pass first) keep an address inside "
+        "an email from double-counting as a phone/IP"
+    ),
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_AUG).alias("text"))
+    return CU.redact_pii(aug)

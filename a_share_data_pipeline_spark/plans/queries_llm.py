@@ -8,6 +8,7 @@ drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import LSH_PLANES, MINHASH_BAND_SIZE, MINHASH_SEEDS
@@ -744,7 +745,10 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup clustering: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-_COMPONENTS_SQL = f"""
+# shared CTE prefix: pair graph -> transitive closure -> per-doc
+# component label; dedup_components reads it straight, and
+# dedup_keep_canonical picks one representative doc per component
+_COMPONENTS_CTE = f"""
 WITH RECURSIVE {_SHINGLE_CTE},
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 ok AS (SELECT shingle FROM sh GROUP BY shingle
@@ -772,8 +776,20 @@ comp AS (
          LEAST(d.doc_id, COALESCE(MIN(reach.r), d.doc_id)) AS component
   FROM documents d LEFT JOIN reach ON reach.node = d.doc_id
   GROUP BY d.doc_id
-)
+)"""
+
+_COMPONENTS_SQL = f"""{_COMPONENTS_CTE}
 SELECT doc_id, component, doc_id = component AS is_canonical FROM comp
+"""
+
+_KEEP_CANONICAL_SQL = f"""{_COMPONENTS_CTE},
+ranked AS (
+  SELECT c.doc_id, c.component, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component, n_chars FROM ranked WHERE rn = 1
 """
 
 
@@ -811,6 +827,31 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "component",
         (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    _KEEP_CANONICAL_SQL,
+    doc=(
+        "the dedup END PRODUCT: near-dup clusters collapse to ONE "
+        "surviving document each — the longest (max n_chars, ties to "
+        "min doc_id), the keep-the-most-complete-version policy; "
+        "composes dedup_components' cluster labels with a per-component "
+        "ranking window (one exchange on the component key — components "
+        "are tiny, so no skew), singleton docs survive as their own "
+        "component. Output IS the cleaned-corpus doc list"
+    ),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    w = W.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "n_chars")
     )
 
 

@@ -366,6 +366,35 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSONL_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+@register(
+    "source_jsonl",
+    _JSONL_SQL,
+    doc=(
+        "JSON Lines corpus ingest round-trip — the LLM-corpus "
+        "interchange format: documents written as JSONL (one object "
+        "per line, splittable, parallel read/write) and read back with "
+        "an EXPLICIT schema; schema inference at 100 TB is a full "
+        "extra pass over the data and silently widens types, so the "
+        "reader never pays it. The oracle checks the round-trip is "
+        "lossless against the original table"
+    ),
+)
+def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urllib.parse import urlparse
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/documents_jsonl"
+    docs.write.mode("overwrite").json(path)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return spark.read.schema(schema).json(path)
+
+
 # ---------------------------------------------------------------------------
 # T5 batch analogs: tumbling / sliding / session windows over events
 # ---------------------------------------------------------------------------

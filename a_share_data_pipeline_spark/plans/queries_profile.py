@@ -186,3 +186,71 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), (F.col("ka") < F.col("kb")) & (dist <= 4))
         .select("name_a", "name_b", dist.cast("long").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Target-mixture downsampling (training-mix shaping)
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.30, "src1": 0.20}
+_MIX_DEFAULT_W = 0.025
+_MIX_BUDGET_FRAC = 0.2
+# Knuth multiplicative hash -> [0,1) fraction: pure 64-bit integer
+# arithmetic, bit-identical in any engine (md5-hex thresholds need a
+# hex->int cast DuckDB and Spark spell differently). doc_id * C stays
+# within int64 up to ~3.5e9 docs; past that, switch the fraction to a
+# 128-bit or md5-derived hash — only this expression changes.
+_MIX_HASH = "(doc_id * 2654435761) % 1048576 / 1048576.0"
+
+
+def _mixture_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{g}' THEN {w}" for g, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT COUNT(*) AS total FROM documents),
+rates AS (
+  SELECT source,
+         LEAST(1.0, ROUND(ROUND(CAST(tot.total AS DOUBLE) * {_MIX_BUDGET_FRAC}, 0)
+                          * (CASE source {whens} ELSE {_MIX_DEFAULT_W} END)
+                          / CAST(n AS DOUBLE), 9)) AS keep_rate
+  FROM counts, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_MIX_HASH} < r.keep_rate
+"""
+
+
+@register(
+    "sample_mixture",
+    _mixture_sql(),
+    doc=(
+        "target-mixture downsampling: per-source keep-rates derived "
+        "from target mixture weights and a total doc budget "
+        "(rate = min(1, budget*w/n), operators/curation.mixture_rates) "
+        "— the rate table is a tiny broadcast against the corpus and "
+        "the keep decision is a deterministic RNG-free hash-fraction "
+        "filter, so the downsample is map-only, reproducible across "
+        "engines/reruns/cluster sizes, and re-runnable incrementally"
+    ),
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as CU
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    budget = F.round(F.col("total").cast("double") * F.lit(_MIX_BUDGET_FRAC), 0)
+    rates = CU.mixture_rates(
+        counts.crossJoin(F.broadcast(total)),  # 1-row side: safe product
+        _MIX_WEIGHTS,
+        _MIX_DEFAULT_W,
+        budget,
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.expr(_MIX_HASH) < F.col("keep_rate"))
+        .select("doc_id", "source")
+    )

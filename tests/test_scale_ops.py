@@ -566,3 +566,74 @@ def test_ivf_pq_consistent_with_pq_and_cell_restricted(spark):
         probes.setdefault(r.q_id, set()).add(r.cell)
     for r in ivfpq:
         assert cells[r.c_id] in probes[r.q_id], (r.q_id, r.c_id)
+
+
+def test_redact_pii_counts_and_sequential_semantics(spark):
+    """Counts reflect the text state each pattern actually sees: the
+    email pass runs first, so digits inside an address never re-count
+    as a phone/IP; clean text passes through byte-identical."""
+    from a_share_data_pipeline_spark.operators.curation import redact_pii
+
+    rows = [
+        (1, "reach a.b@x.com or 10.1.2.3 call +1-202-555-0100 now"),
+        (2, "plain text with no contact details at all"),
+        (3, "two mails p@q.io and r.s%t@u-v.org here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+
+    r1 = out[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_phone) == (1, 1, 1)
+    assert "<EMAIL>" in r1.text_redacted and "<IP>" in r1.text_redacted
+    assert "<PHONE>" in r1.text_redacted
+    for raw in ("a.b@x.com", "10.1.2.3", "+1-202-555-0100"):
+        assert raw not in r1.text_redacted
+
+    r2 = out[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_phone) == (0, 0, 0)
+    assert r2.text_redacted == rows[1][1]
+
+    assert out[3].n_email == 2
+    assert out[3].text_redacted.count("<EMAIL>") == 2
+
+
+def test_mixture_rates_cap_and_target_shape(spark):
+    """rate = min(1, budget*w/n): an under-represented group saturates
+    at 1.0 (can't invent docs), an over-represented one is cut to the
+    budgeted share."""
+    from a_share_data_pipeline_spark.operators.curation import mixture_rates
+
+    counts = spark.createDataFrame(
+        [("big", 100), ("small", 10)], "source string, n long"
+    )
+    rates = {
+        r.source: r.keep_rate
+        for r in mixture_rates(
+            counts, {"big": 0.5, "small": 0.5}, 0.1, F.lit(40.0)
+        ).collect()
+    }
+    assert rates["big"] == 0.2  # 40*0.5/100
+    assert rates["small"] == 1.0  # 40*0.5/10 = 2.0, capped
+
+
+def test_keep_canonical_is_longest_per_component(spark):
+    """dedup_keep_canonical returns exactly one survivor per component,
+    and it is the component's longest doc (ties to min doc_id)."""
+    from a_share_data_pipeline_spark.plans.queries_llm import (
+        dedup_components,
+        dedup_keep_canonical,
+    )
+
+    comp = {r.doc_id: r.component for r in dedup_components(spark, SF).collect()}
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    }
+    kept = dedup_keep_canonical(spark, SF).collect()
+
+    assert len({r.component for r in kept}) == len(kept)  # one per component
+    assert {r.component for r in kept} == set(comp.values())
+    for r in kept:
+        members = [d for d, c in comp.items() if c == r.component]
+        best = min(members, key=lambda d: (-docs[d], d))
+        assert r.doc_id == best, (r.component, r.doc_id, best)
