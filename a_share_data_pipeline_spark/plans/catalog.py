@@ -56,6 +56,19 @@ _REGISTRY: dict[str, Query] = {}
 # PQ ANN (sim_ann_pq), and deterministic sampling (sample_stratified).
 # Every retained name is unchanged — CORRECTNESS keys are the driver's
 # contract and renames reset verification history.
+#
+# Round-3 additions rotated in (same policy as round 2: new operator
+# families get driver rows by retiring subsumed witnesses):
+# window_running (running sum + MA ⊂ bucketed_ma's rows-frame MA +
+# window_rank's exchange) → dedup_keep_canonical (the dedup end
+# product — cluster → longest-survivor selection — composing the
+# driver-green dedup_components); join_top_orders (3-table broadcast
+# join + agg + top-k ⊂ join_regional_revenue's 6-table join cycle +
+# sort_topk's TakeOrdered) → curation_pii_redact (PII scrubbing, the
+# curation step round 2's pipeline lacked). The other round-3 queries
+# (sample_mixture, layout_zorder, source_jsonl) stay extended: their
+# operator families are already window-witnessed by sample_stratified
+# and bucketed_ma.
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
@@ -66,13 +79,11 @@ CORE_WINDOW: tuple[str, ...] = (
     "agg_pivot",
     # windows
     "window_rank",
-    "window_running",
     # sort / filter / set ops
     "sort_topk",
     "filter_predicates",
     "set_ops",
     # join shapes
-    "join_top_orders",
     "join_regional_revenue",
     "join_semi_anti",
     "join_full_outer",
@@ -106,6 +117,7 @@ CORE_WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
+    "dedup_keep_canonical",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
@@ -114,6 +126,7 @@ CORE_WINDOW: tuple[str, ...] = (
     "text_metrics",
     "text_tfidf",
     "curation_pipeline",
+    "curation_pii_redact",
     "sample_stratified",
     "multimodal_features",
 )

@@ -484,7 +484,8 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # round-3 rotation: the round-2 operator families must sit INSIDE
     # the driver window, witnessed by these exact (stable) names
     for name in ("curation_pipeline", "dedup_incremental", "sim_ann_pq",
-                 "sample_stratified"):
+                 "sample_stratified", "dedup_keep_canonical",
+                 "curation_pii_redact"):
         assert name in CORE_WINDOW, name
 
 
