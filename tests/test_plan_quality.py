@@ -211,3 +211,37 @@ def test_curation_gates_map_only_and_decontaminate_broadcasts(spark):
     assert "Exchange" not in p, p
     p2 = plan_str(registry()["curation_decontaminate"].fn(spark, SF), "simple")
     assert "BroadcastHashJoin" in p2, p2
+
+
+def test_layout_zorder_readback_pushes_both_predicates(spark):
+    """The z-clustered read-back must push BOTH dimensions of the
+    predicate into the parquet scan (that's what the layout buys:
+    narrow per-file min/max on every z-order column -> file/row-group
+    skipping whichever dimension the filter hits)."""
+    q = registry()["layout_zorder"].fn(spark, SF)
+    p = plan_str(q)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    # the rewritten table's scan carries both column filters
+    z = next(ln for ln in pushed if "o_custkey" in ln)
+    assert "GreaterThanOrEqual(o_custkey,100)" in z, z
+    assert "LessThanOrEqual(o_custkey,300)" in z, z
+    assert "GreaterThan(o_totalprice,150000" in z, z
+
+
+def test_pii_redact_is_map_only(spark):
+    """PII redaction is a regexp projection — any Exchange would mean
+    an accidental shuffle in a per-row operator."""
+    q = registry()["curation_pii_redact"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p, p  # stays JVM-side
+
+
+def test_sample_mixture_broadcasts_rate_table(spark):
+    """The corpus side of the mixture downsample must meet the per-
+    source rate table via broadcast — a shuffle join keyed on `source`
+    (20 keys at any corpus size) would be both needless and skewed."""
+    q = registry()["sample_mixture"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
