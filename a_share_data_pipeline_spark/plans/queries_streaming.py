@@ -218,3 +218,36 @@ def stream_tws_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", dround("peak", 2).alias("peak"))
     )
+
+
+def _gates_oracle() -> str:
+    from .queries_curation import _gates_sql
+
+    return _gates_sql()
+
+
+@register(
+    "stream_curation_gates",
+    _gates_oracle(),
+    doc=(
+        "the curation family on a LIVE STREAM: Gopher-style quality "
+        "gates applied to a document file-stream (AvailableNow) — the "
+        "gates are pure per-row expressions, so the exact same operator "
+        "(operators/curation.quality_gates) runs on the stream with no "
+        "watermark, no state, and append-mode output; this is how a "
+        "100 TB ingest scores docs ON ARRIVAL instead of re-scanning "
+        "the corpus later. Oracle checks the streamed output directly"
+    ),
+)
+def stream_curation_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators import curation as CU
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="stream_docs_")
+    path = os.path.join(d, "files")
+    docs.write.mode("overwrite").parquet(path)
+    stream = ST.read_file_stream(spark, path, docs.schema)
+    res = CU.quality_gates(stream)
+    return _run_to_table(spark, res, "append")
