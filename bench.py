@@ -63,6 +63,8 @@ HEADLINE = [
     "curation_quality_gates",
     "curation_decontaminate",
     "curation_pack_sequences",
+    "curation_pii_redact",
+    "sample_mixture",
 ]
 
 
