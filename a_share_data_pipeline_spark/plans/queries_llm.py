@@ -863,9 +863,12 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle(k: int, iters: int, d: int = 64) -> str:
-    """Unroll `iters` Lloyd rounds as chained CTEs — the oracle computes
-    the same rounded distances/centroids as operators/kmeans.py."""
+def _kmeans_ctes(k: int, iters: int, d: int = 64) -> str:
+    """Unroll `iters` Lloyd rounds as chained CTEs — computes the same
+    rounded distances/centroids as operators/kmeans.py. Ends with
+    `asg AS (SELECT vec_id, cluster, rd ...)`, the final assignment,
+    so downstream oracles (kmeans_embeddings, dedup_semantic) can
+    build on the cluster labels."""
     diff = "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
     dist = f"list_sum(list_transform(range(1, {d + 1}), i -> {diff} * {diff}))"
     parts = [
@@ -891,14 +894,20 @@ u{t} AS (
 c{t + 1} AS (SELECT cluster AS cid, list(ROUND(m, 6) ORDER BY i) AS cvec
              FROM u{t} GROUP BY cluster)"""
         )
-    final = f"""df AS (
+    parts.append(
+        f"""df AS (
   SELECT e.vec_id, c.cid, ROUND({dist}, 6) AS rd,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
                             ORDER BY ROUND({dist}, 6), c.cid) AS rn
   FROM embeddings e CROSS JOIN c{iters} c
-)
-SELECT vec_id, cid AS cluster, rd FROM df WHERE rn = 1"""
-    return "WITH " + ",\n".join(parts) + ",\n" + final
+),
+asg AS (SELECT vec_id, cid AS cluster, rd FROM df WHERE rn = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(k: int, iters: int, d: int = 64) -> str:
+    return "WITH " + _kmeans_ctes(k, iters, d) + "\nSELECT vec_id, cluster, rd FROM asg"
 
 
 @register(

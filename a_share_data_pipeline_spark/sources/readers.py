@@ -25,17 +25,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # interpreted in UTC to match the (timezone-naive) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot
-        # represent natively; nanosAsLong delivers raw int64 nanos.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS) across testdata generations; nanosAsLong
+        # covers the NANOS case (Spark cannot represent it natively and
+        # would otherwise fail the scan).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # truncate nanos to micros exactly like DuckDB
         from pyspark.sql import functions as F
 
-        # integer `div`, not `/`: float division of ~1.7e18 nanos loses
-        # precision past the 53-bit double mantissa
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as raw int64 nanos: truncate to
+            # micros exactly like DuckDB. Integer `div`, not `/` —
+            # float division of ~1.7e18 nanos loses precision past the
+            # 53-bit double mantissa.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false): relabel to
+            # TIMESTAMP — exact under the UTC session tz forced above,
+            # and keeps every downstream query/oracle seeing one type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
