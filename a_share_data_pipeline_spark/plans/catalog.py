@@ -65,10 +65,20 @@ _REGISTRY: dict[str, Query] = {}
 # driver-green dedup_components); join_top_orders (3-table broadcast
 # join + agg + top-k ⊂ join_regional_revenue's 6-table join cycle +
 # sort_topk's TakeOrdered) → curation_pii_redact (PII scrubbing, the
-# curation step round 2's pipeline lacked). The other round-3 queries
-# (sample_mixture, layout_zorder, source_jsonl) stay extended: their
-# operator families are already window-witnessed by sample_stratified
-# and bucketed_ma.
+# curation step round 2's pipeline lacked).
+#
+# Round-4 rotation (VERDICT r3 item 5): the last never-driver-verified
+# operator families enter the window — layout_zorder (Morton-key
+# multi-dim layout; bucketed_ma witnesses bucketing, not z-order),
+# source_jsonl (corpus-interchange ingest), sample_mixture
+# (rate-table mixture sampling; sample_stratified witnesses only the
+# hash-threshold family). Retired to extended (redundant witnesses,
+# all with driver-green r1-r3 history): scalar_datetime (⊂
+# incremental_delta's yyyyMMdd parse + canonical_assembly's date
+# casts), agg_pivot (unpivot/Expand is plan-gated; the grouping-set
+# family is witnessed by agg_grouping_sets), dedup_simhash (the
+# fingerprint family is witnessed by text_metrics' md5 fingerprint +
+# the minhash rows). Every retained name is unchanged.
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
@@ -76,7 +86,6 @@ CORE_WINDOW: tuple[str, ...] = (
     "agg_stats",
     "agg_approx_distinct",
     "agg_grouping_sets",
-    "agg_pivot",
     # windows
     "window_rank",
     # sort / filter / set ops
@@ -92,7 +101,6 @@ CORE_WINDOW: tuple[str, ...] = (
     "asof_join",
     # scalar function library
     "scalar_string",
-    "scalar_datetime",
     "json_extract",
     # SQL front end / subquery decorrelation
     "sql_scalar_subquery",
@@ -104,6 +112,8 @@ CORE_WINDOW: tuple[str, ...] = (
     "events_tumbling",
     "events_sessionize",
     "bucketed_ma",
+    "layout_zorder",
+    "source_jsonl",
     # UDF lanes
     "udf_pandas_scalar",
     "udf_table_function",
@@ -114,7 +124,6 @@ CORE_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
     "dedup_keep_canonical",
@@ -128,6 +137,7 @@ CORE_WINDOW: tuple[str, ...] = (
     "curation_pipeline",
     "curation_pii_redact",
     "sample_stratified",
+    "sample_mixture",
     "multimodal_features",
 )
 

@@ -848,6 +848,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # recomputes dedup_components wholesale BY DESIGN: the driver and
+    # bench time each catalog query independently, so sharing state here
+    # would let one query's cache subsidize the other's record. A caller
+    # running both in one session should localCheckpoint(eager=False)
+    # the components frame and pass it to both consumers.
     comp = dedup_components(spark, sf_dir).select("doc_id", "component")
     w = W.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
     return (

@@ -46,6 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP — exact under the UTC session tz forced above,
             # and keeps every downstream query/oracle seeing one type.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type == "timestamp":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=true): already the type
+            # every downstream query expects.
+            pass
+        else:
+            # fail at load time, not as a confusing oracle mismatch three
+            # operators downstream, if a future testdata generation ships
+            # events.ts as yet another physical type
+            raise ValueError(f"unexpected events.ts dtype {ts_type}")
     return df
 
 

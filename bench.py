@@ -65,6 +65,10 @@ HEADLINE = [
     "curation_pack_sequences",
     "curation_pii_redact",
     "sample_mixture",
+    # the streaming lane: a real AvailableNow file-stream cycle (landing
+    # write + micro-batch run + memory sink), timed end-to-end so the
+    # Structured Streaming machinery has a tracked cost per round
+    "stream_curation_gates",
 ]
 
 
@@ -98,6 +102,7 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in HEADLINE:
         if name in missing:
             continue
@@ -117,6 +122,9 @@ def main() -> None:
                 if lo2 <= lo * 1.10:
                     break
         timings[name] = round(min(times), 3)
+        # every rep, in run order — so a record reader can separate
+        # noise from regression (VERDICT r3: min() alone cannot)
+        detail[name] = {"reps": len(times), "times": [round(t, 3) for t in times]}
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -124,6 +132,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "detail": detail,
         "sf": sf,
     }
     if missing:

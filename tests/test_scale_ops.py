@@ -487,6 +487,10 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
                  "sample_stratified", "dedup_keep_canonical",
                  "curation_pii_redact"):
         assert name in CORE_WINDOW, name
+    # round-4 rotation (VERDICT r3 item 5): the last never-driver-
+    # verified families now sit inside the window
+    for name in ("layout_zorder", "source_jsonl", "sample_mixture"):
+        assert name in CORE_WINDOW, name
 
 
 def test_pq_codebook_training_improves_recall(spark):
