@@ -270,6 +270,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
+# The synthetic embeddings are near-orthogonal (no >=0.95-cosine pair
+# exists at any sf), so a near-dup query over the raw table verifies
+# vacuously — 0 rows matching 0 rows proves nothing about the cosine or
+# LSH math (VERDICT r3 item 2). Both engines therefore append the SAME
+# deterministic near-duplicate vectors derived from existing rows
+# before pairing: every STRIDE-th vector is copied with a tiny per-dim
+# perturbation (0.001 · ((src_id + dim) % 7 - 3), ‖δ‖ ≈ 0.016 on unit
+# vectors → cosine ≈ 0.9999 with its source). The augmentation is part
+# of the query contract (the _PII_AUG pattern, queries_curation.py);
+# the operators under test are banded_lsh_pairs / kmeans / the exact-
+# cosine verify.
+_EMB_AUG_STRIDE = 50
+_EMB_AUG_OFFSET = 100000
+_EMB_DIM = 64
+
+
+def _emb_aug_sql(vec_alias: str = "v") -> str:
+    """DuckDB CTE body for the augmented embedding set:
+    (vec_id, {vec_alias}: DOUBLE[]) = base table ∪ derived near-dups.
+    Same float op order as _emb_augmented (cast → int delta → 0.001·δ
+    product → add), so the vectors are bit-identical across engines."""
+    return (
+        f"SELECT vec_id, embedding::DOUBLE[] AS {vec_alias} FROM embeddings\n"
+        f"  UNION ALL\n"
+        f"  SELECT src + {_EMB_AUG_OFFSET} AS vec_id,\n"
+        f"         list_transform(range(1, {_EMB_DIM + 1}),\n"
+        f"                        i -> CAST(embedding[i] AS DOUBLE)\n"
+        f"                             + 0.001 * ((src + i - 1) % 7 - 3)) AS {vec_alias}\n"
+        f"  FROM (SELECT vec_id AS src, embedding FROM embeddings\n"
+        f"        WHERE vec_id % {_EMB_AUG_STRIDE} = 0)"
+    )
+
+
+def _emb_augmented(emb: DataFrame) -> DataFrame:
+    """Spark side of _emb_aug_sql. `emb`: (vec_id, v: array<double>).
+
+    The source id is renamed to ``src`` BEFORE the output ``vec_id``
+    alias exists (same subquery structure as the SQL): with a single
+    select, the analyzer resolves the ``vec_id`` inside the transform
+    lambda against the already-aliased output column (src + offset),
+    silently shifting the delta pattern by offset % 7."""
+    base = emb.filter(F.col("vec_id") % _EMB_AUG_STRIDE == 0).select(
+        F.col("vec_id").alias("src"), "v"
+    )
+    aug = base.select(
+        (F.col("src") + _EMB_AUG_OFFSET).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + F.lit(0.001) * ((F.col("src") + i) % 7 - 3)
+        ).alias("v"),
+    )
+    return emb.unionByName(aug)
+
+
 def _emb_neardup_sql() -> str:
     """Banded sign-LSH candidates + exact-cosine verify, generated from
     the SAME plane constants as the Spark plan (functions/hashing.py)."""
@@ -294,7 +347,9 @@ def _emb_neardup_sql() -> str:
         f"SELECT vec_id, {b} AS band, h{b} AS h FROM eb" for b in range(n_bands)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (
+  {_emb_aug_sql("v")}
+),
 eb AS (
   SELECT vec_id, v,
          {hashes}
@@ -332,12 +387,17 @@ WHERE list_dot_product(ea.v, eb2.v)
         "(OR-amplification — ~99% recall at cos 0.95, stated contract), "
         "exact cosine verifies candidates only. No all-pairs product "
         "anywhere; hot band buckets (> 1000 members) drop before pair "
-        "expansion, oracle-mirrored"
+        "expansion, oracle-mirrored. Runs over the deterministic "
+        "near-dup fixture augmentation (_emb_aug_sql, both engines) so "
+        "the >=0.95 pairs actually exist and the hash check is "
+        "non-vacuous"
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", SIM.as_double_vec("embedding", "v")
+    emb = _emb_augmented(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", SIM.as_double_vec("embedding", "v")
+        )
     )
     cand = SIM.banded_lsh_pairs(emb, max_bucket=_JACCARD_MAX_BUCKET)
     # norms once per side (n arrays), not per pair — value identical
@@ -868,19 +928,20 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_ctes(k: int, iters: int, d: int = 64) -> str:
+def _kmeans_ctes(k: int, iters: int, d: int = 64, src: str = "embeddings") -> str:
     """Unroll `iters` Lloyd rounds as chained CTEs — computes the same
     rounded distances/centroids as operators/kmeans.py. Ends with
     `asg AS (SELECT vec_id, cluster, rd ...)`, the final assignment,
-    so downstream oracles (kmeans_embeddings, dedup_semantic) can
-    build on the cluster labels."""
+    so downstream oracles (kmeans_embeddings, dedup_semantic) build on
+    the cluster labels. ``src`` names the (vec_id, embedding) relation
+    to cluster — dedup_semantic points it at the augmented CTE."""
     diff = "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
     dist = f"list_sum(list_transform(range(1, {d + 1}), i -> {diff} * {diff}))"
     parts = [
         f"""c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
          list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT {k})
 )"""
     ]
     for t in range(iters):
@@ -889,7 +950,7 @@ def _kmeans_ctes(k: int, iters: int, d: int = 64) -> str:
   SELECT e.vec_id, e.embedding, c.cid,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
                             ORDER BY ROUND({dist}, 6), c.cid) AS rn
-  FROM embeddings e CROSS JOIN c{t} c
+  FROM {src} e CROSS JOIN c{t} c
 ),
 a{t} AS (SELECT vec_id, embedding, cid AS cluster FROM d{t} WHERE rn = 1),
 u{t} AS (
@@ -904,7 +965,7 @@ c{t + 1} AS (SELECT cluster AS cid, list(ROUND(m, 6) ORDER BY i) AS cvec
   SELECT e.vec_id, c.cid, ROUND({dist}, 6) AS rd,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
                             ORDER BY ROUND({dist}, 6), c.cid) AS rn
-  FROM embeddings e CROSS JOIN c{iters} c
+  FROM {src} e CROSS JOIN c{iters} c
 ),
 asg AS (SELECT vec_id, cid AS cluster, rd FROM df WHERE rn = 1)"""
     )
@@ -931,3 +992,177 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assignments(emb, k=8, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): k-means clusters scope the candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def _semantic_sql(k: int = 8, iters: int = 2) -> str:
+    return f"""
+WITH eu AS (
+  {_emb_aug_sql("embedding")}
+),
+{_kmeans_ctes(k, iters, src="eu")},
+ok AS (SELECT cluster FROM asg GROUP BY cluster
+       HAVING COUNT(*) <= {_JACCARD_MAX_BUCKET}),
+pv AS (
+  SELECT a1.vec_id AS a, a2.vec_id AS b, a1.cluster
+  FROM asg a1
+  JOIN ok ON ok.cluster = a1.cluster
+  JOIN asg a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+),
+sc AS (
+  SELECT pv.a, pv.b, pv.cluster,
+         list_dot_product(ea.embedding, eb.embedding)
+         / (sqrt(list_dot_product(ea.embedding, ea.embedding))
+            * sqrt(list_dot_product(eb.embedding, eb.embedding))) AS cos
+  FROM pv
+  JOIN eu ea ON ea.vec_id = pv.a
+  JOIN eu eb ON eb.vec_id = pv.b
+)
+SELECT a, b, cluster, ROUND(cos, 6) AS cos
+FROM sc WHERE ROUND(cos, 6) >= 0.95
+"""
+
+
+@register(
+    "dedup_semantic",
+    _semantic_sql(),
+    doc=(
+        "semantic dedup (the SemDeDup shape): k-means cluster labels "
+        "RESTRICT the candidate pairs — exact cosine runs only within a "
+        "cluster, never across the corpus, so the pair space is "
+        "Σ n_c² with n_c bounded by choosing k ∝ N (at 100 TB the "
+        "clustering is the cheap map-only stage and each cluster "
+        "dedups independently); pairs form through the guarded "
+        "_bucket_pairs expansion (clusters > 1000 members drop, "
+        "logged, oracle-mirrored) and verify at rounded cosine >= "
+        "0.95. Runs over the same near-dup fixture augmentation as "
+        "dedup_embedding_cosine; oracle = unrolled-Lloyd CTEs "
+        "(_kmeans_ctes over the augmented set) + within-cluster pair "
+        "join"
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_assignments
+
+    emb = _emb_augmented(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", SIM.as_double_vec("embedding", "v")
+        )
+    ).localCheckpoint(eager=False)  # feeds every Lloyd round AND the verify
+    asg = kmeans_assignments(emb, k=8, iters=2, vec_col="v").select(
+        "vec_id", "cluster"
+    )
+    pairs = D._bucket_pairs(
+        asg.select("vec_id", F.col("cluster").cast("string").alias("bucket")),
+        "vec_id",
+        max_bucket=_JACCARD_MAX_BUCKET,
+    )
+    lab = asg.select(F.col("vec_id").alias("a"), "cluster")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), SIM.norm("v").alias("na"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), SIM.norm("v").alias("nb"))
+    scored = pairs.join(lab, "a").join(a, "a").join(b, "b")
+    cos = dround(SIM.dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return scored.filter(cos >= 0.95).select("a", "b", "cluster", cos.alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN: the composed production billion-vector shape
+# ---------------------------------------------------------------------------
+
+_IVFPQ_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS ce FROM e WHERE vec_id < 8),
+va AS (
+  SELECT vec_id AS c_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(list_dot_product(v, ce), 6) DESC, cell) AS rn
+  FROM e, cent
+),
+cells AS (SELECT c_id, cell FROM va WHERE rn = 1),
+coded AS (
+  SELECT vec_id, v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT CAST(t.m AS INTEGER) AS m, code, v[t.m*8+1 : t.m*8+8] AS sub
+  FROM coded, range(8) t(m)
+),
+sub AS (
+  SELECT vec_id AS c_id, CAST(t.m AS INTEGER) AS m, v[t.m*8+1 : t.m*8+8] AS vsub
+  FROM e, range(8) t(m)
+),
+escored AS (
+  SELECT c_id, s.m, cb.code, {_PQ_L2.format(a='s.vsub', b='cb.sub')} AS d
+  FROM sub s JOIN cb ON s.m = cb.m
+),
+enc AS (
+  SELECT c_id, m, code FROM (
+    SELECT c_id, m, code, ROW_NUMBER() OVER (PARTITION BY c_id, m ORDER BY d, code) AS rn
+    FROM escored) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 24 AND vec_id < 32),
+qp AS (
+  SELECT q_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ROUND(list_dot_product(qv, ce), 6) DESC, cell) AS rn
+  FROM q, cent
+),
+probes AS (SELECT q_id, cell FROM qp WHERE rn <= 2),
+qsub AS (
+  SELECT q_id, CAST(t.m AS INTEGER) AS m, qv[t.m*8+1 : t.m*8+8] AS qs
+  FROM q, range(8) t(m)
+),
+dtable AS (
+  SELECT q_id, s.m, cb.code, {_PQ_L2.format(a='s.qs', b='cb.sub')} AS pd
+  FROM qsub s JOIN cb ON s.m = cb.m
+),
+scored AS (
+  SELECT d.q_id, e2.c_id, SUM(d.pd) AS adist
+  FROM enc e2
+  JOIN cells cl ON cl.c_id = e2.c_id
+  JOIN probes p ON p.cell = cl.cell
+  JOIN dtable d ON e2.m = d.m AND e2.code = d.code AND d.q_id = p.q_id
+  WHERE e2.c_id <> d.q_id
+  GROUP BY 1, 2
+),
+r AS (SELECT q_id, c_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
+      FROM scored)
+SELECT q_id, c_id, ROUND(adist / 1e6, 6) AS adist, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+@register(
+    "sim_ann_ivfpq",
+    _IVFPQ_SQL,
+    doc=(
+        "IVF-PQ ANN (similarity.ivf_pq_topk): the production "
+        "billion-vector composition — IVF decides WHICH candidates are "
+        "scored (each query probes nprobe=2 cells), PQ decides HOW "
+        "(integer ADC over m-byte codes; candidate vectors never "
+        "touched at query time). Write-time cell assignment + encoding "
+        "are map-only against broadcast tables; the stored row is "
+        "(cell, 8 codes) ≈ 32× smaller than the float vector. Oracle "
+        "composes the sim_ann_ivf assignment SQL with the sim_ann_pq "
+        "codebook/ADC SQL"
+    ),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("ce")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    queries = emb.filter((F.col("vec_id") >= 24) & (F.col("vec_id") < 32)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return SIM.ivf_pq_topk(
+        vectors, queries, centroids, k=3, m=8, n_codes=16, d=64, nprobe=2
+    )

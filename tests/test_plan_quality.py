@@ -131,9 +131,13 @@ def test_subqueries_decorrelate_to_joins(spark):
 def test_embedding_neardup_has_no_cartesian(spark):
     """dedup_embedding_cosine must pair via banded sign-LSH buckets —
     an all-pairs product over the embedding table is a cartesian at
-    100 TB (this was round 2's scale-killer #3)."""
-    p = plan_str(registry()["dedup_embedding_cosine"].fn(spark, SF), "simple")
-    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    100 TB (this was round 2's scale-killer #3). Same contract for
+    dedup_semantic: k-means labels (map-only literal scoring) scope the
+    pairs, which form through the guarded _bucket_pairs expansion —
+    never a join-shaped product."""
+    for name in ("dedup_embedding_cosine", "dedup_semantic"):
+        p = plan_str(registry()[name].fn(spark, SF), "simple")
+        assert "CartesianProduct" not in p and "NestedLoop" not in p, f"{name}:\n{p}"
 
 
 def test_tfidf_prunes_tf_side_and_broadcasts_df(spark):
