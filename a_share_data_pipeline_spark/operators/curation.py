@@ -245,6 +245,49 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return df.select(*cols, *counts, red.alias("text_redacted"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_len: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG /
+    long-context prep step (pack_sequences cuts a concatenated token
+    stream at hard boundaries; this keeps each doc intact and emits
+    overlapping windows so no span is ever split without context).
+
+    chunk i covers tokens [i·stride, i·stride + chunk_len) with
+    stride = chunk_len - overlap; every doc emits at least one chunk
+    (short docs yield one short chunk). Pure expression fan-out —
+    split → bounded sequence → explode → slice — no shuffle beyond the
+    explode-parallelism repartition, so at 100 TB chunking rides the
+    same scan as the rest of the per-doc pipeline."""
+    stride = chunk_len - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # ceil((n - overlap) / stride), floored at 1 — double division is
+    # exact for any realistic token count (integers < 2^52)
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((n - overlap + stride - 1) / F.lit(float(stride))),
+    )
+    fanned = _spread(df, id_col).select(
+        id_col,
+        toks.alias("__toks"),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return fanned.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_len).cast("long"), F.col("__n") - start).alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice("__toks", (start + 1).cast("int"), chunk_len)).alias("chunk_text"),
+    )
+
+
 def mixture_rates(
     counts: DataFrame,
     weights: dict[str, float],

@@ -314,6 +314,53 @@ FROM s3
 """
 
 
+# ---------------------------------------------------------------------------
+# Sliding-window chunking with overlap (RAG / long-context prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN, _CHUNK_OVERLAP = 64, 16
+_CHUNK_STRIDE = _CHUNK_LEN - _CHUNK_OVERLAP
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n, toks,
+         unnest(range(CAST(GREATEST(1, FLOOR((n - {_CHUNK_OVERLAP} + {_CHUNK_STRIDE - 1})
+                                             / {float(_CHUNK_STRIDE)})) AS BIGINT))) AS chunk_idx
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST({_CHUNK_LEN}, n - chunk_idx * {_CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS BIGINT)
+                            : CAST(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN} AS BIGINT)],
+                       ' ') AS chunk_text
+FROM c
+"""
+
+
+@register(
+    "curation_chunk_docs",
+    _CHUNK_SQL,
+    doc=(
+        "sliding-window chunking with overlap (64-token chunks, stride "
+        "48): the RAG / long-context prep that keeps each document "
+        "intact and emits overlapping windows — vs pack_sequences' "
+        "hard concat-and-cut; pure expression fan-out (split → bounded "
+        "sequence explode → slice), no shuffle beyond the explode-"
+        "parallelism repartition; every doc emits >= 1 chunk"
+    ),
+)
+def curation_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.chunk_documents(docs, chunk_len=_CHUNK_LEN, overlap=_CHUNK_OVERLAP)
+
+
 @register(
     "curation_pii_redact",
     _pii_sql(),

@@ -251,3 +251,43 @@ def stream_curation_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ST.read_file_stream(spark, path, docs.schema)
     res = CU.quality_gates(stream)
     return _run_to_table(spark, res, "append")
+
+
+_STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(e.value, 0)), 2) AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_enrich_join",
+    _STREAM_ENRICH_SQL,
+    doc=(
+        "stream-static join: the event file-stream enriches against a "
+        "broadcast static dimension (customer segment) inside the "
+        "micro-batch plan — the standard on-arrival enrichment shape "
+        "(at 100 TB/day the dimension broadcasts once per batch, the "
+        "stream never shuffles for the join) — then a streaming "
+        "aggregation rolls up per (segment, event_type) in complete "
+        "mode. Oracle joins/aggregates the same inputs statically"
+    ),
+)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, ev = _land_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = ST.read_file_stream(spark, path, ev.schema)
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    res = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+    )
+    out = _run_to_table(spark, res, "complete")
+    return out.select(
+        "segment", "event_type", "n_events", dround("sum_value", 2).alias("sum_value")
+    )

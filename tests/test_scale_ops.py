@@ -466,6 +466,31 @@ def test_banded_lsh_pairs_catch_near_dups_without_all_pairs(spark):
     assert len(pairs) < 42 * 41 // 2 / 4  # nowhere near all-pairs
 
 
+def test_embedding_neardup_queries_are_not_vacuous(spark):
+    """VERDICT r3 item 2: the embedding near-dup rows must actually
+    exercise the cosine math. The fixture augmentation plants one
+    near-duplicate per STRIDE-th vector; both dedup_embedding_cosine
+    (banded LSH path) and dedup_semantic (cluster-scoped path) must
+    recover every planted (src, src+offset) pair — if a testdata
+    regeneration or an augmentation edit ever silences these queries
+    back to 0 rows, this fails loudly instead of hash-matching 0≡0."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_llm import (
+        _EMB_AUG_OFFSET,
+        _EMB_AUG_STRIDE,
+    )
+
+    n_vec = load_table(spark, SF, "embeddings").count()
+    planted = {
+        (a, a + _EMB_AUG_OFFSET) for a in range(0, n_vec, _EMB_AUG_STRIDE)
+    }
+    for name in ("dedup_embedding_cosine", "dedup_semantic"):
+        rows = registry()[name].fn(spark, SF).collect()
+        got = {(r.a, r.b) for r in rows}
+        assert planted <= got, f"{name} missed planted pairs: {planted - got}"
+        assert all(r.cos >= 0.95 for r in rows), name
+
+
 def test_core_window_is_exactly_the_driver_prefix(spark):
     """The driver verifies only the first ~50 catalog entries; this pins
     that the prefix IS the covering CORE_WINDOW (50 entries, ordered),
