@@ -288,6 +288,72 @@ def chunk_documents(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    seg_tokens: int = 16,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level line dedup (the C4 / RefinedWeb boilerplate-removal
+    step): split every document into lines, drop each line that occurs
+    ``min_count``+ times ACROSS the corpus (navigation chrome, cookie
+    banners, license footers), and reassemble the surviving lines in
+    order. Since the synthetic corpus has no newline structure, a
+    "line" here is a fixed ``seg_tokens``-token segment — the segmenter
+    is the pluggable part, the corpus-wide counting/removal/reassembly
+    is the operator.
+
+    Scale shape: the segment explode shuffles on md5(segment) (32-byte
+    keys, not the text) for the corpus-wide count; the hot-line set is
+    tiny by construction (only text repeated >= min_count times — MBs
+    of boilerplate vs TBs of corpus) → broadcast left join back onto
+    the segments; reassembly is ONE per-doc aggregation of (idx, seg)
+    structs — array_sort + filter + concat_ws, no window."""
+    stride = seg_tokens
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_segs = F.greatest(
+        F.lit(1).cast("long"), F.floor((n + stride - 1) / F.lit(float(stride)))
+    )
+    segs = _spread(df, id_col).select(
+        id_col,
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_segs - 1)).alias("seg_idx"),
+    ).select(
+        id_col,
+        "seg_idx",
+        F.concat_ws(
+            " ", F.slice("__toks", (F.col("seg_idx") * stride + 1).cast("int"), stride)
+        ).alias("seg"),
+    ).withColumn("fp", F.md5("seg"))
+    hot = (
+        segs.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("fp", F.lit(True).alias("__hot"))
+    )
+    flagged = segs.join(F.broadcast(hot), "fp", "left").select(
+        id_col,
+        "seg_idx",
+        "seg",
+        F.coalesce("__hot", F.lit(False)).alias("is_hot"),
+    )
+    rows = F.array_sort(
+        F.collect_list(F.struct("seg_idx", "seg", "is_hot"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_hot").cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(rows, lambda s: ~s["is_hot"]), lambda s: s["seg"]
+            ),
+        ).alias("text_clean"),
+    )
+
+
 def mixture_rates(
     counts: DataFrame,
     weights: dict[str, float],

@@ -315,6 +315,77 @@ FROM s3
 
 
 # ---------------------------------------------------------------------------
+# Corpus-level line dedup (C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no repeated boilerplate, so both engines
+# prepend the SAME 16-token boilerplate "line" to every 4th doc before
+# deduping — aligned at segment 0 so its ~125 occurrences collide; the
+# fixture augmentation is part of the query contract (the _PII_AUG
+# pattern), the operator under test is curation.dedup_lines.
+_LINE_SEG_TOKENS, _LINE_MIN_COUNT = 16, 3
+_LINE_BOILER = (
+    "subscribe to our newsletter follow us on social media "
+    "all rights reserved privacy policy terms apply"
+)
+_LINE_AUG = (
+    f"CASE WHEN doc_id % 4 = 0 THEN '{_LINE_BOILER} ' || text ELSE text END"
+)
+
+
+def _line_dedup_sql() -> str:
+    st = _LINE_SEG_TOKENS
+    return f"""
+WITH aug AS (SELECT doc_id, {_LINE_AUG} AS text FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM aug),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(CAST(GREATEST(1, FLOOR((n + {st - 1}) / {float(st)})) AS BIGINT))) AS seg_idx
+  FROM t
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(toks[CAST(seg_idx * {st} + 1 AS BIGINT)
+                              : CAST(seg_idx * {st} + {st} AS BIGINT)], ' ') AS seg
+  FROM s
+),
+hot AS (SELECT md5(seg) AS fp FROM segs
+        GROUP BY md5(seg) HAVING COUNT(*) >= {_LINE_MIN_COUNT}),
+flagged AS (
+  SELECT doc_id, seg_idx, seg, (hot.fp IS NOT NULL) AS is_hot
+  FROM segs LEFT JOIN hot ON hot.fp = md5(seg)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT is_hot THEN seg END, ' ' ORDER BY seg_idx), '') AS text_clean
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register(
+    "curation_line_dedup",
+    _line_dedup_sql(),
+    doc=(
+        "corpus-level line dedup (C4/RefinedWeb boilerplate removal): "
+        "every 16-token 'line' occurring >= 3 times across the corpus "
+        "is dropped from every document, surviving lines reassemble in "
+        "order — segment counting shuffles on md5 keys, the hot-line "
+        "set broadcasts back (boilerplate is MBs vs a TB corpus), "
+        "reassembly is one per-doc struct-sort aggregation, no window; "
+        "runs over a deterministic boilerplate augmentation (every 4th "
+        "doc) so removal is non-vacuous"
+    ),
+)
+def curation_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_LINE_AUG).alias("text"))
+    return CU.dedup_lines(aug, seg_tokens=_LINE_SEG_TOKENS, min_count=_LINE_MIN_COUNT)
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window chunking with overlap (RAG / long-context prep)
 # ---------------------------------------------------------------------------
 
