@@ -66,6 +66,89 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-size per-group sampling (balanced eval sets)
+# ---------------------------------------------------------------------------
+
+_GROUP_FIXED_N = 50
+
+_GROUP_FIXED_SQL = f"""
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= {_GROUP_FIXED_N}
+"""
+
+
+@register(
+    "sample_group_fixed",
+    _GROUP_FIXED_SQL,
+    doc=(
+        "fixed-size per-group sampling (balanced eval sets): EXACTLY "
+        "50 docs per source, chosen by md5-hash rank — deterministic "
+        "across engines and reruns where rate-based sampling only hits "
+        "the size in expectation. One exchange on the group key; the "
+        "rn <= k filter rewrites to WindowGroupLimit (plan-gated), so "
+        "each map task keeps a 50-row heap per group and the shuffle "
+        "carries k·groups rows, not the corpus"
+    ),
+)
+def sample_group_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GROUP_FIXED_N)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: global top-k tokens
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+_VOCAB_SQL = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+r AS (SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk FROM c)
+SELECT w, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {_VOCAB_K}
+"""
+
+
+@register(
+    "text_vocab_topk",
+    _VOCAB_SQL,
+    doc=(
+        "corpus vocabulary head: global top-100 tokens by frequency "
+        "(tokenizer training / stopword discovery). Token counting is "
+        "one partial-aggregated shuffle on the token string; the "
+        "global top-k goes through TakeOrdered (never a full sort), "
+        "and the rank column is a window over the ALREADY-limited "
+        "k-row frame — the bounded-window pattern, not a global sort"
+    ),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "w").limit(_VOCAB_K)
+    # global window over the limit(k) frame above — bounded to k rows
+    # on one task by construction (same pattern as pq_codebooks)
+    rnk = F.row_number().over(W.orderBy(F.col("n").desc(), "w"))
+    return top.withColumn("rnk", rnk.cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # Histogram profiling (fixed-width bins)
 # ---------------------------------------------------------------------------
 

@@ -64,6 +64,7 @@ HEADLINE = [
     "curation_decontaminate",
     "curation_pack_sequences",
     "curation_pii_redact",
+    "curation_line_dedup",
     "sample_mixture",
     # the streaming lane: a real AvailableNow file-stream cycle (landing
     # write + micro-batch run + memory sink), timed end-to-end so the

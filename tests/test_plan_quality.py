@@ -151,6 +151,16 @@ def test_tfidf_prunes_tf_side_and_broadcasts_df(spark):
     assert p.count("FileScan") == 2, p  # tf branch + df branch, nothing extra
 
 
+def test_group_fixed_sample_uses_window_group_limit(spark):
+    """sample_group_fixed's rn <= k filter must rewrite to
+    WindowGroupLimit: each map task then keeps a k-row heap per group
+    BEFORE the exchange, so the shuffle carries k·groups rows instead
+    of the corpus — without it the full table sorts inside every
+    window partition."""
+    p = executed_plan_str(registry()["sample_group_fixed"].fn(spark, SF))
+    assert "WindowGroupLimit" in p, p
+
+
 def test_broadcast_joins_in_star_queries(spark):
     """TPC-H-shaped star joins: every dim side must broadcast at these
     sizes (AQE or static) — shuffled sort-merge against region/nation
