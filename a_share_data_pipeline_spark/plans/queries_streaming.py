@@ -253,6 +253,73 @@ def stream_curation_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(spark, res, "append")
 
 
+_STREAM_SS_JOIN_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       ROUND(COALESCE(p.value, 0), 2) AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register(
+    "stream_stream_join",
+    _STREAM_SS_JOIN_SQL,
+    doc=(
+        "stream-stream inner join (click→purchase attribution within "
+        "30 min, per user): two watermarked event streams join on key "
+        "+ event-time range inside the state store — the time "
+        "constraint is what lets Spark expire join state instead of "
+        "buffering both streams forever, the property a static join "
+        "rewrite lacks; append mode, every match emitted exactly once. "
+        "Oracle runs the equivalent static range join"
+    ),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, ev = _land_events(spark, sf_dir)
+    clicks = (
+        ST.read_file_stream(spark, path, ev.schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "3650 days")
+    )
+    purchases = (
+        ST.read_file_stream(spark, path, ev.schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "3650 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = _run_to_table(spark, joined, "append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        "click_ts",
+        "purchase_ts",
+        dround(F.coalesce("value", F.lit(0.0)), 2).alias("purchase_value"),
+    )
+
+
 _STREAM_ENRICH_SQL = """
 SELECT c.c_mktsegment AS segment,
        e.event_type,
