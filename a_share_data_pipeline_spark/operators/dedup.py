@@ -260,6 +260,87 @@ def pair_jaccard(
     )
 
 
+def substring_dup_stats(
+    df: DataFrame,
+    win_tokens: int = 16,
+    stride: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication stats (the suffix-array exact-
+    substring dedup of Lee et al., approximated with rolling windows):
+    fingerprint every ``win_tokens``-token window at ``stride`` offsets,
+    and count per doc how many of its windows also occur in >=
+    ``min_docs`` - 1 OTHER documents — the cross-document duplicated-
+    span signal line dedup misses when boilerplate is not segment-
+    aligned. Only FULL windows fingerprint (a 3-token tail is not a
+    16-token substring); docs shorter than the window report 0 windows.
+
+    Scale shape: window explode fans out n/stride per doc (shuffles on
+    md5 keys); the duplicated-fingerprint set is distinct-doc-counted
+    in one partial-aggregated groupBy and broadcasts back (duplicated
+    text is small vs the corpus); per-doc rollup is one aggregation."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_wins = F.when(
+        n >= win_tokens,
+        F.floor((n - win_tokens) / F.lit(float(stride))).cast("long") + 1,
+    ).otherwise(F.lit(0).cast("long"))
+    base = df.select(F.col(id_col), toks.alias("__toks"), n_wins.alias("__w"))
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        base = base.repartition(target, id_col)
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("__w") > 0,
+                F.sequence(F.lit(0).cast("long"), F.col("__w") - 1),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("wi"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("__toks", (F.col("wi") * stride + 1).cast("int"), win_tokens)
+            )
+        ).alias("fp"),
+    )
+    hot = (
+        wins.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("fp", F.lit(True).alias("__hot"))
+    )
+    per = (
+        wins.join(F.broadcast(hot), "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__hot"), F.lit(False)).cast("long")).alias("n_dup"),
+        )
+    )
+    from ..functions.rounding import dround
+
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            dround(
+                F.when(
+                    F.col("n_windows") > 0, F.col("n_dup") / F.col("n_windows")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct tokens, md5-derived bits.
 

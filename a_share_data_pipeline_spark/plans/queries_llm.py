@@ -1004,6 +1004,94 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Substring-level dedup stats (rolling-window fingerprints)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no cross-document substrings, so both
+# engines append the SAME 16-token license block to every 5th doc
+# before fingerprinting (the _PII_AUG contract pattern). APPENDED, not
+# prepended: its start offset varies per doc, which is exactly the
+# non-aligned case segment/line dedup misses and rolling windows catch
+# — the window grid is doc-relative, so the block still produces at
+# least one shared full window per doc when padded to alignment; we
+# pad each doc to a multiple of the 8-token stride first so the
+# appended block lands on the window grid of every carrier doc.
+_SUBSTR_BOILER = (
+    "this work is licensed under a creative commons attribution "
+    "international license see full terms for details"
+)
+assert len(_SUBSTR_BOILER.split(" ")) == 16  # must fill one full window
+def _substr_aug_sql(ntok: str) -> str:
+    """Augmentation expression: text padded with 'pad' tokens to a
+    multiple of the 8-token stride, then the 16-token license block
+    appended. ``ntok`` is the dialect's token-count expression — the
+    ONLY part that differs between Spark SQL (size(split(...))) and
+    DuckDB (len(string_split(...))); everything else is common, so the
+    two sides stay value-identical."""
+    return (
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' ' || "
+        f"repeat('pad ', CAST((8 - {ntok} % 8) % 8 AS INT))"
+        f" || '{_SUBSTR_BOILER}' ELSE text END"
+    )
+
+
+_SUBSTR_AUG_SPARK = _substr_aug_sql("size(split(text, ' '))")
+_SUBSTR_AUG_DUCK = _substr_aug_sql("len(string_split(text, ' '))")
+
+
+@register(
+    "dedup_substring",
+    f"""
+WITH aug AS (SELECT doc_id, {_SUBSTR_AUG_DUCK} AS text FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM aug),
+w AS (
+  SELECT doc_id, toks,
+         unnest(range(CAST(CASE WHEN n >= 16
+                                THEN FLOOR((n - 16) / 8.0) + 1
+                                ELSE 0 END AS BIGINT))) AS wi
+  FROM t
+),
+wins AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[CAST(wi * 8 + 1 AS BIGINT)
+                                  : CAST(wi * 8 + 16 AS BIGINT)], ' ')) AS fp
+  FROM w
+),
+hot AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT wins.doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN hot.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM wins LEFT JOIN hot ON hot.fp = wins.fp
+  GROUP BY wins.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup,
+       ROUND(CASE WHEN per.n_windows > 0 THEN per.n_dup / per.n_windows
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+""",
+    doc=(
+        "substring-level duplication stats (Lee-et-al exact-substring "
+        "dedup, rolling-window approximation): 16-token windows at "
+        "stride 8, windows shared by >= 2 DISTINCT docs flagged — the "
+        "cross-document duplicated-span signal that line/segment dedup "
+        "misses when boilerplate is not segment-aligned; window "
+        "explode shuffles md5 keys, the duplicated-fingerprint set is "
+        "distinct-doc-counted once and broadcast back. Runs over a "
+        "deterministic appended-license augmentation (every 5th doc, "
+        "stride-padded) so duplication is non-vacuous"
+    ),
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_SUBSTR_AUG_SPARK).alias("text"))
+    return D.substring_dup_stats(aug, win_tokens=16, stride=8, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup): k-means clusters scope the candidate pairs
 # ---------------------------------------------------------------------------
 

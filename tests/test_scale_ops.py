@@ -489,6 +489,11 @@ def test_embedding_neardup_queries_are_not_vacuous(spark):
         got = {(r.a, r.b) for r in rows}
         assert planted <= got, f"{name} missed planted pairs: {planted - got}"
         assert all(r.cos >= 0.95 for r in rows), name
+    # same contract for the substring stats: every doc carrying the
+    # planted license block must report >= 1 duplicated window
+    sub = registry()["dedup_substring"].fn(spark, SF).collect()
+    assert all(r.n_dup >= 1 for r in sub if r.doc_id % 5 == 0)
+    assert any(r.n_dup == 0 for r in sub)  # and clean docs stay clean
 
 
 def test_core_window_is_exactly_the_driver_prefix(spark):
