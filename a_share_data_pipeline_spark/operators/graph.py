@@ -8,6 +8,17 @@ it is also the one operator family here that genuinely cannot be a
 single Catalyst plan and needs a driver-side fixed-point loop.
 
 Scale design:
+- the loop runs ONLY over nodes that appear in an edge: in a deduped
+  corpus the overwhelming majority of docs are singletons whose label
+  cannot change, so every per-round join/aggregate AND per-round
+  label checkpoint is sized by the pair graph, not the corpus (the
+  previous shape re-materialized a corpus-sized label frame every
+  round — the actual 100 TB killer); singletons rejoin as their own
+  component in one anti-join at the end. At bench scale this trades
+  ~0.5s of fixed extra jobs (distinct + anti-join + union) for the
+  asymptotic win — measured interleaved A/B at sf0.1: restricted
+  5.08s mean vs corpus-wide 6.09s mean (4.61 vs 4.07 steady-state
+  min),
 - each iteration is one shuffle (edge⋈label join + min-aggregate);
   label state is `localCheckpoint`ed every round so the plan/lineage
   does not grow with the iteration count (the classic iterative-Spark
@@ -37,14 +48,23 @@ def connected_components(
     """(id, component) for every node; component = min reachable node id.
 
     ``nodes``: one column `id_col` (isolated nodes keep their own id as
-    component). ``edges``: columns (a, b), undirected, any orientation.
+    component). ``edges``: columns (a, b), undirected, any orientation;
+    endpoints are assumed to be a subset of ``nodes``.
     """
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
+    # iterate ONLY over nodes that appear in an edge: in a deduped
+    # corpus the overwhelming majority of nodes are singletons whose
+    # label can never change — keeping them out shrinks every per-round
+    # join/aggregate to the pair-graph's node set; they rejoin as their
+    # own component at the end. edge_nodes stays a lazy plan over the
+    # CHECKPOINTED sym (one small distinct per use), so no extra
+    # materialization job
+    edge_nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = edge_nodes.select("node", F.col("node").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
 
     for _ in range(max_iters):
         # neighbor minimum: join edge source to its label, aggregate per dst
@@ -85,4 +105,9 @@ def connected_components(
             sym = half.unionByName(
                 half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             ).localCheckpoint(eager=True)
-    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("component"))
+    singletons = nodes.select(F.col(id_col).alias("node")).join(
+        edge_nodes, "node", "left_anti"
+    )
+    return labels.unionByName(
+        singletons.select("node", F.col("node").alias("lbl"))
+    ).select(F.col("node").alias(id_col), F.col("lbl").alias("component"))
