@@ -52,6 +52,38 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     return df.withColumn(ZORDER_COL, key.cast("long"))
 
 
+def compact_files(
+    df: DataFrame,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction (the lakehouse OPTIMIZE shape): rewrite a
+    fragmented table as ceil(table_bytes / target_bytes) files.
+    Streaming ingests and per-batch appends leave thousands of KB-MB
+    files; at 100 TB the resulting task-scheduling and footer-read
+    overhead dominates scans, so periodic compaction to ~128 MB files
+    is standard table maintenance.
+
+    The size estimate comes from Catalyst's plan statistics (file
+    footer sizes — no driver-side FS walk, works on any scheme). With
+    ``sort_col`` the rewrite range-partitions + sorts on it, so
+    compaction and re-clustering (tight per-file min/max on the sort
+    column) happen in the same single shuffle any rewrite pays.
+    Returns the target file count."""
+    import math
+
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    n = max(1, math.ceil(size / target_bytes))
+    if sort_col is not None:
+        out = df.repartitionByRange(n, F.col(sort_col)).sortWithinPartitions(sort_col)
+    else:
+        out = df.repartition(n)
+    out.write.mode(mode).parquet(dst_path)
+    return n
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

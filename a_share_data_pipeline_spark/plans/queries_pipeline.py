@@ -366,6 +366,41 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_SQL = "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+
+
+@register(
+    "layout_compact",
+    _COMPACT_SQL,
+    doc=(
+        "small-file compaction (the lakehouse OPTIMIZE shape): events "
+        "fragmented into 64 tiny files (a streaming ingest's leftover) "
+        "are rewritten as ceil(bytes/target) ts-clustered files — size "
+        "from Catalyst plan statistics (no driver FS walk), one "
+        "repartitionByRange shuffle doing compaction AND re-clustering "
+        "together; oracle checks the rewrite is lossless. File-count "
+        "bound asserted by tests/test_scale_ops.py::"
+        "test_compact_files_bounds_file_count"
+    ),
+)
+def layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urllib.parse import urlparse
+
+    from ..operators.layout import compact_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    frag = f"{wh}/events_fragmented"
+    compacted = f"{wh}/events_compacted"
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_files(spark.read.parquet(frag), compacted, target_bytes=1 << 20, sort_col="ts")
+    return spark.read.parquet(compacted).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 _JSONL_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
 

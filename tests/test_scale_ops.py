@@ -496,6 +496,39 @@ def test_embedding_neardup_queries_are_not_vacuous(spark):
     assert any(r.n_dup == 0 for r in sub)  # and clean docs stay clean
 
 
+def test_compact_files_bounds_file_count(spark, tmp_path):
+    """compact_files must collapse a fragmented table to the computed
+    ceil(bytes/target) file count (±1 for range-partition boundaries),
+    lose no rows, and with sort_col produce non-overlapping per-file
+    ranges (compaction + re-clustering in one pass)."""
+    import os
+
+    from a_share_data_pipeline_spark.operators.layout import compact_files
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "user_id")
+    frag = str(tmp_path / "frag")
+    ev.repartition(64).write.parquet(frag)
+    fragged = spark.read.parquet(frag)
+    n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_in == 64
+    dst = str(tmp_path / "compacted")
+    n = compact_files(fragged, dst, target_bytes=1 << 20, sort_col="ts")
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) <= max(n, 1) + 1 and len(files) < n_in
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    # per-file ts ranges must not overlap (range partition + sort)
+    spans = []
+    for f in files:
+        mm = spark.read.parquet(os.path.join(dst, f)).agg(
+            F.min("ts"), F.max("ts")
+        ).first()
+        spans.append((mm[0], mm[1]))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+
+
 def test_core_window_is_exactly_the_driver_prefix(spark):
     """The driver verifies only the first ~50 catalog entries; this pins
     that the prefix IS the covering CORE_WINDOW (50 entries, ordered),
