@@ -79,6 +79,21 @@ _REGISTRY: dict[str, Query] = {}
 # family is witnessed by agg_grouping_sets), dedup_simhash (the
 # fingerprint family is witnessed by text_metrics' md5 fingerprint +
 # the minhash rows). Every retained name is unchanged.
+#
+# Round-5 rotation candidates (new round-4 families currently in the
+# extended tier, strongest first): dedup_semantic (SemDeDup — no
+# driver row for cluster-scoped dedup), curation_line_dedup (C4
+# boilerplate removal), dedup_substring (rolling-window span dedup),
+# stream_stream_join / stream_enrich_join (the streaming-join
+# families), sim_ann_ivfpq, layout_compact, curation_chunk_docs,
+# sample_group_fixed, text_vocab_topk. Retirement candidates by the
+# same redundant-witness policy: agg_approx_distinct (sketch family
+# also witnessed by agg_stats' percentile row? NO — keep; it is the
+# only sketch witness), join_salted (manual salting ⊂ AQE skew path +
+# join_regional_revenue), udf_table_function (UDTF lane ⊂ the three
+# other UDF witnesses), merge_idempotent (⊂ incremental_delta's
+# MERGE + rollup_incremental), sql_scalar_subquery (⊂ sql_in_subquery
+# + the decorrelation plan gates).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
