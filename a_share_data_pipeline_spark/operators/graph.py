@@ -105,8 +105,11 @@ def connected_components(
             sym = half.unionByName(
                 half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             ).localCheckpoint(eager=True)
+    # anti-join against the CHECKPOINTED labels (same node set as
+    # edge_nodes) so the final job reads materialized blocks instead of
+    # recomputing the distinct
     singletons = nodes.select(F.col(id_col).alias("node")).join(
-        edge_nodes, "node", "left_anti"
+        labels.select("node"), "node", "left_anti"
     )
     return labels.unionByName(
         singletons.select("node", F.col("node").alias("lbl"))
