@@ -1,10 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints,
+as its FINAL stdout line, ONE compact JSON record:
 
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Per-rep detail (every rep's time, in run order — so a reader can
+separate noise from regression) goes to STDERR, never the final line:
+the driver captures only the TAIL of stdout and parses the last line,
+and round 4 proved that folding `detail` into the record pushes the
+line's front (metric/value/queries) past the capture window —
+BENCH_r04.json recorded `parsed: null`. Last-and-short wins.
 
 Headline set: one representative per operator family (scan+agg, joins,
 windows, sessionization, as-of, incremental, dedup, similarity, text,
@@ -47,12 +54,15 @@ HEADLINE = [
     "json_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_semantic",
+    "dedup_substring",
     "dedup_components",
     "kmeans_embeddings",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
     "dedup_incremental",
     "text_metrics",
     "text_token_counts",
@@ -66,10 +76,11 @@ HEADLINE = [
     "curation_pii_redact",
     "curation_line_dedup",
     "sample_mixture",
-    # the streaming lane: a real AvailableNow file-stream cycle (landing
+    # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round
     "stream_curation_gates",
+    "stream_stream_join",
 ]
 
 
@@ -109,9 +120,11 @@ def main() -> None:
             continue
         fn = reg[name].fn
         # adaptive best-of-N (2..4): stop once the two fastest reps
-        # agree within 10% — stable queries pay 2 reps, a rep hit by
-        # one-off JIT/IO/scheduler noise triggers up to 2 more instead
-        # of polluting the record
+        # agree within 10% AND the overall rep spread is within 20% —
+        # stable queries pay 2 reps; a rep hit by one-off JIT/IO/
+        # scheduler noise, or a wide-spread iterative query (VERDICT
+        # r4 item 7: dedup_components spread exceeded 20%), triggers
+        # up to 2 more instead of polluting the record
         times: list[float] = []
         while len(times) < 4:
             isolate()
@@ -120,7 +133,7 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
             if len(times) >= 2:
                 lo, lo2 = sorted(times)[:2]
-                if lo2 <= lo * 1.10:
+                if lo2 <= lo * 1.10 and max(times) <= lo * 1.20:
                     break
         timings[name] = round(min(times), 3)
         # every rep, in run order — so a record reader can separate
@@ -128,12 +141,14 @@ def main() -> None:
         detail[name] = {"reps": len(times), "times": [round(t, 3) for t in times]}
 
     total = round(sum(timings.values()), 3)
+    # per-rep detail on stderr: out of the driver's stdout-tail parse
+    # path entirely, still in the round log for human readers
+    print(json.dumps({"bench_detail": detail}), file=sys.stderr)
     record = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "detail": detail,
         "sf": sf,
     }
     if missing:
