@@ -80,20 +80,25 @@ _REGISTRY: dict[str, Query] = {}
 # fingerprint family is witnessed by text_metrics' md5 fingerprint +
 # the minhash rows). Every retained name is unchanged.
 #
-# Round-5 rotation candidates (new round-4 families currently in the
-# extended tier, strongest first): dedup_semantic (SemDeDup — no
-# driver row for cluster-scoped dedup), curation_line_dedup (C4
-# boilerplate removal), dedup_substring (rolling-window span dedup),
-# stream_stream_join / stream_enrich_join (the streaming-join
-# families), sim_ann_ivfpq, layout_compact, curation_chunk_docs,
-# sample_group_fixed, text_vocab_topk. Retirement candidates by the
-# same redundant-witness policy: agg_approx_distinct (sketch family
-# also witnessed by agg_stats' percentile row? NO — keep; it is the
-# only sketch witness), join_salted (manual salting ⊂ AQE skew path +
-# join_regional_revenue), udf_table_function (UDTF lane ⊂ the three
-# other UDF witnesses), merge_idempotent (⊂ incremental_delta's
-# MERGE + rollup_incremental), sql_scalar_subquery (⊂ sql_in_subquery
-# + the decorrelation plan gates).
+# Round-5 rotation (VERDICT r4 item 2): the strongest never-driver-
+# verified round-4 families enter the window — dedup_semantic (SemDeDup
+# cluster-scoped dedup), curation_line_dedup (C4 boilerplate removal),
+# dedup_substring (rolling-window span-dedup stats), stream_stream_join
+# (watermarked key+time-range join — the first STREAMING query in the
+# window; its AvailableNow cycle is deterministic so it carries a full
+# static-range-join oracle), sim_ann_ivfpq (cell-restricted ADC — the
+# billion-vector ANN shape). Retired to extended (redundant witnesses,
+# all driver-green r1-r4): udf_table_function (UDTF lane ⊂ the three
+# other UDF witnesses), merge_idempotent (⊂ incremental_delta's MERGE
+# + rollup_incremental), sql_scalar_subquery (⊂ sql_in_subquery + the
+# decorrelation plan gates), join_salted (manual salting ⊂ AQE skew
+# path + join_regional_revenue), sim_ann_pq (its write-time PQ encode
+# + broadcast-ADC path is composed verbatim INSIDE sim_ann_ivfpq).
+# agg_approx_distinct stays — it is the only sketch witness. Every
+# retained name is unchanged. Still-extended round-4 families
+# (rotation candidates for r6): stream_enrich_join, layout_compact,
+# curation_chunk_docs, sample_group_fixed, text_vocab_topk,
+# dedup_substring_removal (round-5 addition).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
@@ -111,17 +116,14 @@ CORE_WINDOW: tuple[str, ...] = (
     "join_regional_revenue",
     "join_semi_anti",
     "join_full_outer",
-    "join_salted",
     "join_range",
     "asof_join",
     # scalar function library
     "scalar_string",
     "json_extract",
     # SQL front end / subquery decorrelation
-    "sql_scalar_subquery",
     "sql_in_subquery",
     # pipeline / incrementality / time windows / storage layout
-    "merge_idempotent",
     "incremental_delta",
     "rollup_incremental",
     "events_tumbling",
@@ -129,9 +131,10 @@ CORE_WINDOW: tuple[str, ...] = (
     "bucketed_ma",
     "layout_zorder",
     "source_jsonl",
+    # Structured Streaming (deterministic AvailableNow cycle, full oracle)
+    "stream_stream_join",
     # UDF lanes
     "udf_pandas_scalar",
-    "udf_table_function",
     "udf_grouped_map",
     "udf_arrow_map",
     # LLM-training-data operators
@@ -140,17 +143,20 @@ CORE_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_embedding_cosine",
+    "dedup_semantic",
+    "dedup_substring",
     "dedup_components",
     "dedup_keep_canonical",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
-    "sim_ann_pq",
+    "sim_ann_ivfpq",
     "kmeans_embeddings",
     "text_metrics",
     "text_tfidf",
     "curation_pipeline",
     "curation_pii_redact",
+    "curation_line_dedup",
     "sample_stratified",
     "sample_mixture",
     "multimodal_features",
