@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_BAND_SIZE, MINHASH_SEEDS
+from .common import spread as _spread
 
 _LOG = logging.getLogger(__name__)
 
@@ -44,14 +45,12 @@ def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> Dat
 def exploded_shingles(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) pairs, distinct per doc.
 
-    Repartitions the input first: document tables often arrive in a
-    handful of file splits, and the explode fans out 50-100× — without
-    the repartition all that expansion (and the md5 work downstream)
-    runs in as few tasks as there are splits.
+    Repartitions the input first (common.spread): document tables often
+    arrive in a handful of file splits, and the explode fans out
+    50-100× — without the repartition all that expansion (and the md5
+    work downstream) runs in as few tasks as there are splits.
     """
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, id_col)
+    df = _spread(df, id_col)
     # explode the EXPRESSION, not a withColumn alias: exploding a named
     # column makes Catalyst infer `size(c)>0 AND c IS NOT NULL`,
     # substitute the full shingle expression into it, and push that
@@ -287,10 +286,7 @@ def substring_dup_stats(
         n >= win_tokens,
         F.floor((n - win_tokens) / F.lit(float(stride))).cast("long") + 1,
     ).otherwise(F.lit(0).cast("long"))
-    base = df.select(F.col(id_col), toks.alias("__toks"), n_wins.alias("__w"))
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
-        base = base.repartition(target, id_col)
+    base = _spread(df.select(F.col(id_col), toks.alias("__toks"), n_wins.alias("__w")), id_col)
     wins = base.select(
         id_col,
         F.explode(
@@ -338,6 +334,83 @@ def substring_dup_stats(
                 6,
             ).alias("dup_frac"),
         )
+    )
+
+
+def remove_dup_substrings(
+    df: DataFrame,
+    win_tokens: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span REMOVAL companion to ``substring_dup_stats`` — the actual
+    Lee et al. exact-substring dedup outcome: cut each doc into
+    DISJOINT ``win_tokens``-token windows (tail remainder kept as a
+    short final window), drop every window whose fingerprint occurs in
+    >= ``min_docs`` DISTINCT documents, and reassemble the survivors in
+    order. Stats use overlapping windows (stride < win) for detection
+    sensitivity; removal uses disjoint windows so dropping one
+    duplicated span never deletes tokens a neighboring clean span still
+    owns, and a fully-clean doc reassembles byte-identical.
+
+    Only FULL ``win_tokens``-token windows are removal candidates: a
+    short tail window is a handful of tokens that collides across
+    unrelated documents by chance (measured on the synthetic corpus),
+    which is why Lee et al. impose a minimum duplicated-span length —
+    tails always survive reassembly.
+
+    Scale shape = dedup_lines' (curation.py): window explode shuffles
+    md5 keys (32 bytes, not text) for the corpus-wide distinct-doc
+    count; the hot set is tiny by construction (cross-doc duplicated
+    text — MBs vs a TB corpus) and broadcasts back; reassembly is ONE
+    per-doc aggregation of (idx, seg) structs — array_sort + filter +
+    concat_ws, no window function."""
+    stride = win_tokens
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_wins = F.greatest(
+        F.lit(1).cast("long"), F.floor((n + stride - 1) / F.lit(float(stride)))
+    )
+    wins = (
+        _spread(df, id_col)
+        .select(
+            id_col,
+            toks.alias("__toks"),
+            n.alias("__n"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_wins - 1)).alias("wi"),
+        )
+        .select(
+            id_col,
+            "wi",
+            (F.col("wi") * stride + stride <= F.col("__n")).alias("is_full"),
+            F.concat_ws(
+                " ", F.slice("__toks", (F.col("wi") * stride + 1).cast("int"), stride)
+            ).alias("seg"),
+        )
+        .withColumn("fp", F.md5("seg"))
+    )
+    # hot set from FULL windows only; a tail's fp can never equal a
+    # full window's (different token counts → different text), so the
+    # left join below is naturally tail-safe
+    hot = (
+        wins.filter("is_full")
+        .groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("fp", F.lit(True).alias("__hot"))
+    )
+    flagged = wins.join(F.broadcast(hot), "fp", "left").select(
+        id_col, "wi", "seg", F.coalesce("__hot", F.lit(False)).alias("is_hot")
+    )
+    rows = F.array_sort(F.collect_list(F.struct("wi", "seg", "is_hot")))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.col("is_hot").cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(F.filter(rows, lambda s: ~s["is_hot"]), lambda s: s["seg"]),
+        ).alias("text_clean"),
     )
 
 

@@ -1091,6 +1091,71 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.substring_dup_stats(aug, win_tokens=16, stride=8, min_docs=2)
 
 
+# Removal variant: disjoint 16-token windows, so the augmentation pads
+# to a multiple of 16 (not the stats query's stride-8 grid) — the
+# appended license block then occupies exactly one full window in every
+# carrier doc and is droppable without touching neighboring spans.
+def _substr_aug16_sql(ntok: str) -> str:
+    return (
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' ' || "
+        f"repeat('pad ', CAST((16 - {ntok} % 16) % 16 AS INT))"
+        f" || '{_SUBSTR_BOILER}' ELSE text END"
+    )
+
+
+_SUBSTR_AUG16_SPARK = _substr_aug16_sql("size(split(text, ' '))")
+_SUBSTR_AUG16_DUCK = _substr_aug16_sql("len(string_split(text, ' '))")
+
+
+@register(
+    "dedup_substring_removal",
+    f"""
+WITH aug AS (SELECT doc_id, {_SUBSTR_AUG16_DUCK} AS text FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM aug),
+w AS (
+  SELECT doc_id, toks, n,
+         unnest(range(CAST(GREATEST(1, FLOOR((n + 15) / 16.0)) AS BIGINT))) AS wi
+  FROM t
+),
+wins AS (
+  SELECT doc_id, wi, (wi * 16 + 16 <= n) AS is_full,
+         array_to_string(toks[CAST(wi * 16 + 1 AS BIGINT)
+                              : CAST(wi * 16 + 16 AS BIGINT)], ' ') AS seg
+  FROM w
+),
+hot AS (SELECT md5(seg) AS fp FROM wins WHERE is_full
+        GROUP BY md5(seg) HAVING COUNT(DISTINCT doc_id) >= 2),
+flagged AS (
+  SELECT doc_id, wi, seg, (hot.fp IS NOT NULL) AS is_hot
+  FROM wins LEFT JOIN hot ON hot.fp = md5(seg)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT is_hot THEN seg END, ' ' ORDER BY wi), '') AS text_clean
+FROM flagged GROUP BY doc_id
+""",
+    doc=(
+        "substring-level span REMOVAL (the Lee-et-al exact-substring "
+        "dedup outcome; dedup_substring reports, this rewrites): "
+        "disjoint 16-token windows, any window shared by >= 2 DISTINCT "
+        "docs is dropped and each doc reassembles from its surviving "
+        "windows in order — md5-key shuffle for the corpus-wide "
+        "distinct-doc count, tiny hot-span set broadcast back, one "
+        "array_sort reassembly aggregation (no window function); runs "
+        "over a deterministic appended-license augmentation (every 5th "
+        "doc, padded to the window grid) so carrier docs shrink and "
+        "clean docs reassemble byte-identical"
+    ),
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_SUBSTR_AUG16_SPARK).alias("text"))
+    return D.remove_dup_substrings(aug, win_tokens=16, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup): k-means clusters scope the candidate pairs
 # ---------------------------------------------------------------------------
