@@ -273,11 +273,15 @@ FROM events c JOIN events p
     doc=(
         "stream-stream inner join (click→purchase attribution within "
         "30 min, per user): two watermarked event streams join on key "
-        "+ event-time range inside the state store — the time "
-        "constraint is what lets Spark expire join state instead of "
-        "buffering both streams forever, the property a static join "
-        "rewrite lacks; append mode, every match emitted exactly once. "
-        "Oracle runs the equivalent static range join"
+        "+ event-time range inside the state store; append mode, every "
+        "match emitted exactly once. The 3650-day watermark here is a "
+        "REPLAY parameter (this AvailableNow cycle re-processes a "
+        "bounded historical landing dir, so nothing may be dropped as "
+        "late); a deployment against an unbounded stream sizes the "
+        "delay to real lateness (minutes-hours) and the time "
+        "constraint then expires join state — proven with a tight "
+        "watermark + stateOperators metrics in tests/test_streaming.py."
+        " Oracle runs the equivalent static range join"
     ),
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:

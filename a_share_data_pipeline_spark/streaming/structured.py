@@ -155,10 +155,13 @@ def run_available_now(
     sink_format: str = "memory",
     query_name: str = "stream_q",
     out_path: str | None = None,
-) -> None:
+):
     """Execute one AvailableNow cycle to completion — the streaming
     analog of one reference cron run (T2/T4). The checkpoint dir is the
-    watermark: re-running with the same dir processes only new files."""
+    watermark: re-running with the same dir processes only new files.
+    Returns the (terminated) StreamingQuery so callers can read its
+    progress records — per-micro-batch `stateOperators` metrics are how
+    tests prove state actually expires under a watermark."""
     writer = (
         result.writeStream.outputMode(output_mode)
         .trigger(availableNow=True)
@@ -171,6 +174,7 @@ def run_available_now(
         writer = writer.option("path", out_path)
     q = writer.start()
     q.awaitTermination()
+    return q
 
 
 def stream_delta_append(

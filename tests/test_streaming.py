@@ -101,6 +101,93 @@ def test_stateful_running_totals(spark, events_landing, tmp_path):
     assert (abs(joined["sum_value_got"] - joined["sum_value_want"]) < 1e-6).all()
 
 
+def test_stream_stream_join_state_expires_under_tight_watermark(spark, tmp_path):
+    """VERDICT r4 item 3: the catalog's stream_stream_join runs with a
+    replay-sized watermark (bounded input, one batch — expiry never
+    exercised). This drives the SAME join shape with a TIGHT (30 min)
+    watermark over 8 days landed as one file per day (one micro-batch
+    each): (a) every in-window match still emits, (b) the join state
+    store stays bounded — days that the watermark has passed are
+    evicted instead of accumulating, the property that makes the
+    operator deployable against an unbounded stream."""
+    import datetime as dt
+    import json as _json
+    import shutil as _sh
+
+    base = dt.datetime(2024, 1, 1)
+    days, per_day = 8, 20
+    rows, eid = [], 0
+    for d in range(days):
+        for k in range(per_day):
+            t = base + dt.timedelta(days=d, minutes=3 * k)
+            rows.append((eid, t, k % 5, "click", None))
+            eid += 1
+            rows.append((eid, t + dt.timedelta(minutes=10), k % 5, "purchase", float(k)))
+            eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ev = spark.createDataFrame(rows, schema)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for d in range(days):  # one file per day, landed in time order
+        day_dir = str(tmp_path / f"day{d}")
+        lo = base + dt.timedelta(days=d)
+        hi = lo + dt.timedelta(days=1)
+        ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))).coalesce(
+            1
+        ).write.parquet(day_dir)
+        for f in os.listdir(day_dir):
+            if f.endswith(".parquet"):
+                # copy (not move) so mtimes ascend with event time — the
+                # file source orders batches by file timestamp
+                _sh.copy(os.path.join(day_dir, f), os.path.join(landing, f"d{d}_{f}"))
+
+    def sides(src):
+        clicks = src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        if src.isStreaming:
+            clicks = clicks.withWatermark("click_ts", "30 minutes")
+            purchases = purchases.withWatermark("purchase_ts", "30 minutes")
+        return clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select("click_id", "purchase_id")
+
+    stream = ST.read_file_stream(spark, landing, ev.schema, max_files_per_trigger=1)
+    q = ST.run_available_now(
+        sides(stream), str(tmp_path / "ckpt"), output_mode="append", query_name="ssj_wm"
+    )
+    got = {tuple(r) for r in _memory_df(spark, "ssj_wm").collect()}
+    want = {tuple(r) for r in sides(ev).collect()}
+    # (a) nothing lost: files arrive in event-time order, so no row is
+    # ever behind the watermark — every static match emits exactly once
+    assert got == want
+    assert len(got) >= days * per_day  # every click finds at least its purchase
+
+    # (b) state bounded: by the final micro-batch the watermark has
+    # passed days 0..6, so their buffered rows are evicted; the store
+    # holds ~1 day of rows, never the 8-day replay
+    progresses = [_json.loads(p.json) for p in q.recentProgress]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    total_rows = days * per_day * 2
+    assert max(state_rows) < total_rows / 2
+    assert state_rows[-1] <= 2 * per_day * 2  # ≤ ~2 days resident at the end
+
+
 def test_delta_append_exactly_once(spark, events_landing, tmp_path):
     """The checkpointed stream processes each landed file exactly once
     across reruns — the idempotent upgrade of the reference's U1
