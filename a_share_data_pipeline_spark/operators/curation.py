@@ -29,6 +29,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround
+from .common import spread as _spread
 from .text import LANG_MARKERS, marker_count
 
 # Gopher-style gate thresholds (stated constants, mirrored in oracles)
@@ -41,17 +42,6 @@ MIN_STOP_HITS = 1
 
 TOP_WORD_FRAC_MAX = 0.20  # most frequent word may cover <= 20% of doc
 DUP_BIGRAM_FRAC_MAX = 0.50  # bigrams occurring 2+ times may cover <= 50%
-
-
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Repartition before an explode fan-out (same rationale as
-    dedup.exploded_shingles): document tables often arrive in a handful
-    of file splits, and without this the 50-100× gram expansion runs
-    with the input's file parallelism — often ONE task."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, key)
-    return df
 
 
 def _word_grams(text_col: str, n: int) -> Column:

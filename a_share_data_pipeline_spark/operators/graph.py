@@ -49,12 +49,31 @@ def connected_components(
 
     ``nodes``: one column `id_col` (isolated nodes keep their own id as
     component). ``edges``: columns (a, b), undirected, any orientation;
-    endpoints are assumed to be a subset of ``nodes``.
+    endpoints outside ``nodes`` are DROPPED along with the edges through
+    them (enforced below), so the output is always keyed exactly by the
+    ``nodes`` input and connectivity never flows through an unknown node.
     """
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
+    # enforce endpoints ⊆ nodes without shuffling the (corpus-sized)
+    # nodes frame: the distinct endpoint set is pair-graph-sized, so it
+    # broadcasts into a map-only semi-join over one nodes scan; the
+    # validated set then broadcasts back over sym. An edge with a stray
+    # endpoint disappears entirely — its surviving endpoint becomes a
+    # singleton, same as the pre-round-4 corpus-wide-labels contract.
+    raw_edge_nodes = sym.select(F.col("src").alias("node")).distinct()
+    valid = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(F.broadcast(raw_edge_nodes), "node", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        sym.join(F.broadcast(valid.withColumnRenamed("node", "src")), "src", "left_semi")
+        .join(F.broadcast(valid.withColumnRenamed("node", "dst")), "dst", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     # iterate ONLY over nodes that appear in an edge: in a deduped
     # corpus the overwhelming majority of nodes are singletons whose
     # label can never change — keeping them out shrinks every per-round

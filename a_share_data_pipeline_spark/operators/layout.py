@@ -24,6 +24,26 @@ from pyspark.sql import functions as F
 ZORDER_COL = "__zorder"
 
 
+def _input_file_bytes(df: DataFrame) -> int:
+    """On-disk bytes of the frame's scanned files, summed driver-side
+    from `df.inputFiles()` — the Spark Connect fallback for plan-stats
+    sizing (and exact where plan stats would apply a compression
+    factor). Only `file:` paths are walkable without a JVM FS client."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for p in df.inputFiles():
+        u = urlparse(p)
+        if u.scheme not in ("", "file"):
+            raise NotImplementedError(
+                f"compact_files sizing needs the JVM plan stats for scheme "
+                f"{u.scheme!r}; only local files are walkable without it"
+            )
+        total += os.path.getsize(unquote(u.path))
+    return total
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     """Attach the Morton key for `cols` (numeric; cast to double for
     range scaling). `bits` per column; bits·len(cols) must fit a long.
@@ -67,14 +87,21 @@ def compact_files(
     is standard table maintenance.
 
     The size estimate comes from Catalyst's plan statistics (file
-    footer sizes — no driver-side FS walk, works on any scheme). With
-    ``sort_col`` the rewrite range-partitions + sorts on it, so
-    compaction and re-clustering (tight per-file min/max on the sort
-    column) happen in the same single shuffle any rewrite pays.
+    footer sizes — no driver-side FS walk, works on any scheme). That
+    path reads the local JVM gateway (`df._jdf`); under Spark Connect
+    there is no gateway, so it falls back to summing the scan's input
+    file sizes (`df.inputFiles()` — exact on-disk bytes for local
+    paths; non-local schemes without a JVM have no FS client and
+    raise). With ``sort_col`` the rewrite range-partitions + sorts on
+    it, so compaction and re-clustering (tight per-file min/max on the
+    sort column) happen in the same single shuffle any rewrite pays.
     Returns the target file count."""
     import math
 
-    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # Spark Connect / no local JVM gateway
+        size = _input_file_bytes(df)
     n = max(1, math.ceil(size / target_bytes))
     if sort_col is not None:
         out = df.repartitionByRange(n, F.col(sort_col)).sortWithinPartitions(sort_col)

@@ -481,6 +481,14 @@ def test_embedding_neardup_queries_are_not_vacuous(spark):
     )
 
     n_vec = load_table(spark, SF, "embeddings").count()
+    # the augmented ids live at src + OFFSET: a real vec_id at or above
+    # the offset would collide and silently corrupt the fixture in BOTH
+    # engines at once (ADVICE r4) — fail loudly here instead
+    max_id = load_table(spark, SF, "embeddings").selectExpr("max(vec_id) AS m").first().m
+    assert max_id < _EMB_AUG_OFFSET, (
+        f"embeddings.vec_id reaches {max_id} >= _EMB_AUG_OFFSET "
+        f"({_EMB_AUG_OFFSET}); raise the offset before trusting the fixture"
+    )
     planted = {
         (a, a + _EMB_AUG_OFFSET) for a in range(0, n_vec, _EMB_AUG_STRIDE)
     }
@@ -494,6 +502,52 @@ def test_embedding_neardup_queries_are_not_vacuous(spark):
     sub = registry()["dedup_substring"].fn(spark, SF).collect()
     assert all(r.n_dup >= 1 for r in sub if r.doc_id % 5 == 0)
     assert any(r.n_dup == 0 for r in sub)  # and clean docs stay clean
+
+
+def test_substring_removal_matches_python_reference(spark):
+    """VERDICT r4 item 4: remove_dup_substrings must actually REWRITE.
+    Checked against an independent pure-Python reference of the whole
+    semantics (disjoint 16-token windows, full-windows-only hotness by
+    distinct-doc count, in-order reassembly): every augmentation carrier
+    loses the planted license window, docs that are natural corpus
+    duplicates lose their shared full windows, and untouched docs
+    reassemble byte-identical."""
+    from collections import defaultdict
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_llm import _SUBSTR_BOILER
+
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+
+    def augmented(i: int, t: str) -> str:
+        if i % 5 != 0:
+            return t
+        k = (16 - len(t.split(" ")) % 16) % 16
+        return t + " " + "pad " * k + _SUBSTR_BOILER
+
+    wins: dict[int, list[list[str]]] = {}
+    holders: dict[str, set[int]] = defaultdict(set)
+    for i, t in docs.items():
+        toks = augmented(i, t).split(" ")
+        ws = [toks[j : j + 16] for j in range(0, len(toks), 16)]
+        wins[i] = ws
+        for w in ws:
+            if len(w) == 16:  # only full windows are removal candidates
+                holders[" ".join(w)].add(i)
+    expected = {}
+    for i, ws in wins.items():
+        kept = [w for w in ws if not (len(w) == 16 and len(holders[" ".join(w)]) >= 2)]
+        expected[i] = (len(ws), len(ws) - len(kept), " ".join(" ".join(w) for w in kept))
+
+    out = registry()["dedup_substring_removal"].fn(spark, SF).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        assert (r.n_windows, r.n_removed, r.text_clean) == expected[r.doc_id], r.doc_id
+    # the fixture actually exercises both directions:
+    assert all(expected[i][1] >= 1 for i in docs if i % 5 == 0)  # carriers shrink
+    assert any(  # some clean doc reassembles byte-identical
+        expected[i][1] == 0 and expected[i][2] == docs[i] for i in docs if i % 5 != 0
+    )
 
 
 def test_compact_files_bounds_file_count(spark, tmp_path):
@@ -529,6 +583,50 @@ def test_compact_files_bounds_file_count(spark, tmp_path):
         assert hi1 <= lo2
 
 
+def test_compact_files_output_sizes_near_target(spark, tmp_path):
+    """VERDICT r4 item 5: the sizing estimate must translate into real
+    on-disk file sizes — a wrong estimate would silently produce one
+    giant file or a dust pile of tiny ones while still passing the
+    count/range/losslessness tests. Every compacted file must land
+    within ~2x of target_bytes at fixture scale (parquet per-file
+    overhead and sorted-data compression drift rule out exactness)."""
+    import os
+
+    from a_share_data_pipeline_spark.operators.layout import compact_files
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    frag = str(tmp_path / "frag")
+    li.repartition(32).write.parquet(frag)
+    fragged = spark.read.parquet(frag)
+    target = 256 << 10
+    dst = str(tmp_path / "compacted")
+    n = compact_files(fragged, dst, target_bytes=target, sort_col="l_orderkey")
+    sizes = sorted(
+        os.path.getsize(os.path.join(dst, f))
+        for f in os.listdir(dst)
+        if f.endswith(".parquet")
+    )
+    assert abs(len(sizes) - n) <= 1
+    assert max(sizes) <= 2 * target  # no single giant file
+    assert max(sizes) >= target // 4  # nor everything tiny
+
+
+def test_compact_files_sizing_fallback_matches_plan_stats(spark, tmp_path):
+    """The Spark Connect fallback (summing inputFiles' on-disk bytes)
+    must agree with the JVM plan-stats path on a plain scan — same
+    file-footer bytes, two routes."""
+    from a_share_data_pipeline_spark.operators.layout import _input_file_bytes
+
+    frag = str(tmp_path / "frag")
+    load_table(spark, SF, "events").repartition(8).write.parquet(frag)
+    df = spark.read.parquet(frag)
+    jvm = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    walked = _input_file_bytes(df)
+    # plan stats apply a (default 1.0) compression factor on top of the
+    # same file sizes; equality holds at defaults, tolerate rounding
+    assert abs(jvm - walked) <= max(64, jvm // 100)
+
+
 def test_core_window_is_exactly_the_driver_prefix(spark):
     """The driver verifies only the first ~50 catalog entries; this pins
     that the prefix IS the covering CORE_WINDOW (50 entries, ordered),
@@ -546,7 +644,9 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
         assert any(n.startswith(prefix) for n in CORE_WINDOW), prefix
     # round-3 rotation: the round-2 operator families must sit INSIDE
     # the driver window, witnessed by these exact (stable) names
-    for name in ("curation_pipeline", "dedup_incremental", "sim_ann_pq",
+    # (sim_ann_pq rotated back out in r5 — its encode+ADC path is
+    # composed verbatim inside the in-window sim_ann_ivfpq)
+    for name in ("curation_pipeline", "dedup_incremental",
                  "sample_stratified", "dedup_keep_canonical",
                  "curation_pii_redact"):
         assert name in CORE_WINDOW, name
@@ -554,6 +654,12 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # verified families now sit inside the window
     for name in ("layout_zorder", "source_jsonl", "sample_mixture"):
         assert name in CORE_WINDOW, name
+    # round-5 rotation (VERDICT r4 item 2): the strongest round-4
+    # families enter; the PQ family stays witnessed via sim_ann_ivfpq
+    for name in ("dedup_semantic", "curation_line_dedup", "dedup_substring",
+                 "stream_stream_join", "sim_ann_ivfpq"):
+        assert name in CORE_WINDOW, name
+    assert any(n.startswith("stream_") for n in CORE_WINDOW)
 
 
 def test_pq_codebook_training_improves_recall(spark):
