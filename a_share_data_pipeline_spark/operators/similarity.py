@@ -454,3 +454,74 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 3, round_to: int =
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# Johnson–Lindenstrauss random projection: 64 → 16 dims. Ranking by
+# cosine in the projected space approximately preserves the full-space
+# ranking (JL lemma), so a coarse candidate scan costs dim/RP_DIM = 4×
+# less arithmetic and shuffles 4× fewer bytes per vector; the exact
+# re-rank touches only coarse_m candidates per query. At 100 TB this is
+# the standard prefix of an ANN pipeline (project → coarse → re-rank),
+# composable with IVF (project inside each probed cell).
+RP_DIM = 16
+
+
+def random_project(vec_col: str | Column, n_out: int = RP_DIM) -> Column:
+    """Map-only JL projection: array of dot(v, plane_j) for n_out
+    deterministic integer-derived planes (functions/hashing.py — the
+    same literals are inlined into the DuckDB oracle, so both engines
+    compute bit-identical projections). No scaling factor: cosine is
+    scale-invariant, so 1/sqrt(n_out) would cancel anyway."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = lsh_planes(n_planes=n_out)
+    return F.array(*[dot(v, F.array(*[F.lit(x) for x in p])) for p in planes])
+
+
+def rp_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    coarse_m: int = 10,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Coarse-then-exact top-k: rank ALL candidates by cosine in the
+    RP_DIM projected space (cheap scan), keep the coarse_m best per
+    query, then exact-cosine re-rank only those in the full space.
+
+    `vectors`: (c_id, cv); `queries`: (q_id, qv) — queries are tiny and
+    broadcast twice (projected for the coarse scan, full for the
+    re-rank); the big side is never shuffled: coarse scoring is
+    map-only against the broadcast, and the re-rank joins the
+    coarse_m·|queries| candidate ids back to `vectors` via one
+    broadcast hash join. Both rankings order by the ROUNDED cosine
+    with c_id tiebreak (engine-independent, see brute_force_topk)."""
+    vp = vectors.select("c_id", "cv", random_project("cv").alias("cr"))
+    qp = queries.select("q_id", "qv", random_project("qv").alias("qr"))
+    coarse = (
+        vp.crossJoin(F.broadcast(qp.select("q_id", F.col("qr").alias("qr"), norm("qr").alias("qrn"))))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            dround(dot("qr", "cr") / (F.col("qrn") * norm("cr")), round_to).alias("ccos"),
+        )
+    )
+    cw = W.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("c_id"))
+    cand = (
+        coarse.withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= coarse_m)
+        .select("q_id", "c_id")
+    )
+    # candidates are coarse_m·|queries| rows → broadcast them into the
+    # big vector table; queries' full vectors broadcast once more
+    exact = (
+        vectors.join(F.broadcast(cand), "c_id")
+        .join(F.broadcast(queries.withColumn("qn", norm("qv"))), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            dround(dot("qv", "cv") / (F.col("qn") * norm("cv")), round_to).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return exact.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

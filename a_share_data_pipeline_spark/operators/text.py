@@ -102,3 +102,45 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     case-normalized text (reference-free analog of a rolling hash)."""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), " +", " ")))
     return df.withColumn("fp", F.substring(F.md5(normalized), 1, 16))
+
+
+# Unigram-LM quality scoring (CCNet-style proxy): score each document
+# by its average per-token negative log2-probability under the corpus's
+# own unigram distribution — low-probability token soup (boilerplate,
+# mojibake, keyword stuffing) scores high, fluent text low. The full
+# vocabulary of a 100 TB corpus does not broadcast (billions of distinct
+# tokens), so the model keeps only the top-K head and gives every OOV
+# token a fixed half-count probability (0.5/N) — the standard
+# truncated-vocab + floor construction.
+LM_VOCAB_K = 1000
+
+
+def unigram_nll(df: DataFrame, text_col: str = "text", vocab_k: int = LM_VOCAB_K) -> DataFrame:
+    """Per-doc (doc_id, n_tokens, nll_per_token): two aggregation passes
+    over one tokenization.
+
+    Pass 1 counts tokens (partial-aggregated shuffle on the token
+    string — the vocab shape, same as text_vocab_topk); the top-K head
+    comes out through TakeOrdered (never a full sort) and broadcasts;
+    the corpus token total N is a second aggregation over the
+    vocab-sized counts frame (tiny), broadcast as one row. Pass 2
+    re-joins tokens to the broadcast head (left join, OOV → null) and
+    aggregates per doc. nll_per_token = log2(N) - avg(log2(count_w)),
+    with count_w = 0.5 for OOV."""
+    tok = df.select("doc_id", F.explode(_tokens(text_col)).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = counts.orderBy(F.col("n").desc(), "w").limit(vocab_k)
+    total = counts.agg(F.sum("n").alias("nn"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log2(F.coalesce(F.col("n"), F.lit(0.5)))).alias("avg_l2"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        dround(F.log2("nn") - F.col("avg_l2"), 4).alias("nll_per_token"),
+    )

@@ -98,7 +98,10 @@ _REGISTRY: dict[str, Query] = {}
 # retained name is unchanged. Still-extended round-4 families
 # (rotation candidates for r6): stream_enrich_join, layout_compact,
 # curation_chunk_docs, sample_group_fixed, text_vocab_topk,
-# dedup_substring_removal (round-5 addition).
+# dedup_substring_removal (round-5 addition), plus the round-5
+# additions text_lm_quality (unigram-LM quality scoring),
+# sim_random_projection (JL dim-reduce ANN prefix), sim_ann_recall
+# (approximate-vs-exact measurement harness).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

@@ -1328,3 +1328,153 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_pq_topk(
         vectors, queries, centroids, k=3, m=8, n_codes=16, d=64, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# JL random projection: coarse rank in reduced space, exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def _rp_sql() -> str:
+    from ..functions.hashing import lsh_planes
+
+    def plane_literal(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+    proj = ", ".join(
+        f"list_dot_product(v, {plane_literal(p)})" for p in lsh_planes(n_planes=SIM.RP_DIM)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, v, [{proj}]::DOUBLE[] AS rv FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, rv AS qrv FROM p WHERE vec_id < 8),
+coarse AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         ROUND(list_dot_product(q.qrv, c.rv)
+               / (sqrt(list_dot_product(q.qrv, q.qrv)) * sqrt(list_dot_product(c.rv, c.rv))), 6) AS ccos
+  FROM q, p c WHERE c.vec_id <> q.q_id
+),
+cand AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_id) AS crn
+    FROM coarse) WHERE crn <= 10
+),
+s AS (
+  SELECT cand.q_id, cand.c_id,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+  FROM cand JOIN e c ON c.vec_id = cand.c_id JOIN q ON q.q_id = cand.q_id
+),
+r AS (SELECT q_id, c_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM s)
+SELECT q_id, c_id, cos, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+"""
+
+
+@register(
+    "sim_random_projection",
+    _rp_sql(),
+    doc=(
+        "ANN via Johnson–Lindenstrauss random projection "
+        "(similarity.rp_rerank_topk): every vector projects 64 → 16 "
+        "dims through deterministic integer-derived planes (map-only), "
+        "the coarse candidate scan ranks by cosine in the projected "
+        "space (4× less arithmetic / shuffle bytes per vector), and "
+        "only the coarse top-10 per query get exact-cosine re-ranked "
+        "in the full space via a broadcast candidate join. The "
+        "project→coarse→re-rank prefix of a production ANN pipeline, "
+        "composable with IVF at 100 TB"
+    ),
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    out = SIM.rp_rerank_topk(vectors, queries, coarse_m=10, k=3)
+    return out.select("q_id", "c_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall measurement: approximate vs exact ground truth
+# ---------------------------------------------------------------------------
+
+_RECALL_SQL = f"""
+WITH truth AS (SELECT q_id, c_id FROM ({_TOPK_SQL}) WHERE rnk <= 3),
+ann AS (SELECT q_id, c_id FROM ({_ann_sql()}))
+SELECT t.q_id, COUNT(a.c_id) AS hits, ROUND(COUNT(a.c_id) / 3.0, 4) AS recall
+FROM truth t LEFT JOIN ann a ON a.q_id = t.q_id AND a.c_id = t.c_id
+GROUP BY t.q_id
+"""
+
+
+@register(
+    "sim_ann_recall",
+    _RECALL_SQL,
+    doc=(
+        "recall@3 of the sign-LSH ANN against brute-force ground truth, "
+        "per query: the measurement harness every approximate operator "
+        "needs before its bucket/probe parameters ship. Composes the two "
+        "driver-verified paths (sim_ann_lsh, sim_cosine_topk) and joins "
+        "their top-3 sets — truth side is 3·|queries| rows, so the "
+        "comparison join broadcasts; recall tunes with LSH_N_PLANES and "
+        "this query is how you'd check a re-tune at scale (run on a "
+        "sampled query set, not the corpus)"
+    ),
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    truth = SIM.brute_force_topk(vectors, queries, k=3).select("q_id", "c_id")
+    ann = SIM.lsh_topk(vectors, queries, k=3).select("q_id", "c_id", F.lit(1).alias("hit"))
+    return (
+        truth.join(F.broadcast(ann), ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("hits"))
+        .select("q_id", "hits", dround(F.col("hits") / 3.0, 4).alias("recall"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+_LM_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+v AS (SELECT w, n FROM (SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk FROM c)
+      WHERE rnk <= {TX.LM_VOCAB_K}),
+tot AS (SELECT SUM(n) AS nn FROM c),
+d AS (SELECT t.doc_id, COUNT(*) AS n_tokens, AVG(log2(COALESCE(v.n, 0.5))) AS avg_l2
+      FROM tok t LEFT JOIN v ON t.w = v.w GROUP BY t.doc_id)
+SELECT d.doc_id, d.n_tokens, ROUND(log2(tot.nn) - d.avg_l2, 4) AS nll_per_token
+FROM d, tot
+"""
+
+
+@register(
+    "text_lm_quality",
+    _LM_SQL,
+    doc=(
+        "unigram-LM quality score (text.unigram_nll): average per-token "
+        "negative log2-probability under the corpus's own truncated "
+        "unigram model (top-1000 head + 0.5/N OOV floor) — the "
+        "CCNet-style LM-filtering proxy. One tokenization feeds both "
+        "passes: the count shuffle is the vocab shape, the head comes "
+        "out via TakeOrdered and broadcasts into a map-side left join, "
+        "and the corpus total is a one-row broadcast — the full vocab "
+        "of a 100 TB corpus never broadcasts, by construction"
+    ),
+)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.unigram_nll(docs, vocab_k=TX.LM_VOCAB_K)

@@ -66,6 +66,8 @@ HEADLINE = [
     "dedup_incremental",
     "text_metrics",
     "text_token_counts",
+    "text_lm_quality",
+    "sim_random_projection",
     "sql_in_subquery",
     "sql_scalar_subquery",
     "text_tfidf",

@@ -259,3 +259,40 @@ def test_sample_mixture_broadcasts_rate_table(spark):
     p = executed_plan_str(q)
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_rp_rerank_stays_broadcast_and_reduced_dim(spark):
+    """sim_random_projection: the coarse scan meets the tiny query side
+    through a broadcast nested loop (never a shuffled product of the
+    big vector table), and the exact re-rank joins the coarse_m·|q|
+    candidate set back via BroadcastHashJoin — the big side is never
+    shuffled in either stage."""
+    p = plan_str(registry()["sim_random_projection"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_lm_quality_broadcasts_vocab_head(spark):
+    """text_lm_quality: the token→vocab-head join must broadcast (the
+    head is top-K by construction; a shuffle join keyed on the token
+    string would re-shuffle the whole tokenized corpus a second time),
+    and the head itself must come out via TakeOrdered, not a global
+    sort of the vocabulary."""
+    q = registry()["text_lm_quality"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_ann_recall_is_nonvacuous_and_bounded(spark):
+    """sim_ann_recall: every query must appear (truth side preserved by
+    the left join) and at this fixture the LSH recall must be > 0 —
+    an all-zero recall column would mean the measurement harness is
+    comparing disjoint id spaces without noticing."""
+    rows = registry()["sim_ann_recall"].fn(spark, SF).collect()
+    assert len(rows) == 8, rows
+    assert all(0 <= r.recall <= 1 for r in rows), rows
+    assert sum(r.hits for r in rows) > 0, rows
