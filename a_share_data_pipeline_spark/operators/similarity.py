@@ -471,10 +471,25 @@ def random_project(vec_col: str | Column, n_out: int = RP_DIM) -> Column:
     deterministic integer-derived planes (functions/hashing.py — the
     same literals are inlined into the DuckDB oracle, so both engines
     compute bit-identical projections). No scaling factor: cosine is
-    scale-invariant, so 1/sqrt(n_out) would cancel anyway."""
+    scale-invariant, so 1/sqrt(n_out) would cancel anyway.
+
+    The 16×64 plane matrix enters the plan as ONE constant-folded
+    literal (from_json over a literal string — ConstantFolding
+    evaluates it to a single ArrayType Literal at optimization time),
+    not as nested CreateArray trees: measured, a plan carrying 1024
+    per-element literal nodes spends seconds in driver-side analysis/
+    codegen before any row moves (and a fully unrolled product-sum
+    tree is worse still — it blows past the 64 KB codegen method limit
+    and falls back to interpreted eval). JSON round-trips the shortest
+    double repr exactly, so the folded literal is bit-identical to the
+    plane constants the oracle SQL inlines. The fold order of dot()
+    matches DuckDB's list_dot_product summation order."""
+    import json
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     planes = lsh_planes(n_planes=n_out)
-    return F.array(*[dot(v, F.array(*[F.lit(x) for x in p])) for p in planes])
+    planes_lit = F.from_json(F.lit(json.dumps(planes)), "array<array<double>>")
+    return F.transform(planes_lit, lambda p: dot(v, p))
 
 
 def rp_rerank_topk(
@@ -494,8 +509,23 @@ def rp_rerank_topk(
     map-only against the broadcast, and the re-rank joins the
     coarse_m·|queries| candidate ids back to `vectors` via one
     broadcast hash join. Both rankings order by the ROUNDED cosine
-    with c_id tiebreak (engine-independent, see brute_force_topk)."""
-    vp = vectors.select("c_id", "cv", random_project("cv").alias("cr"))
+    with c_id tiebreak (engine-independent, see brute_force_topk).
+
+    The projected frame (cr + its norm) materializes EAGERLY before the
+    coarse join: Catalyst's projection collapse would otherwise inline
+    the 16×64 HOF projection into the pair-level select and recompute
+    it per PAIR instead of per VECTOR — measured 2.97s vs 0.67s
+    brute-force at sf0.1, i.e. the dim-reduce stage costing more than
+    what it optimizes away. At 100 TB the projection is written at
+    ingest (like PQ codes); the checkpoint is the in-query analog of
+    that write-time materialization. The per-pair float expression
+    dot/(qrn·crn) keeps the oracle's exact operation order (each norm
+    is its own sqrt, multiplied after), so rounding stays bit-equal."""
+    vp = (
+        vectors.select("c_id", random_project("cv").alias("cr"))
+        .withColumn("crn", norm("cr"))
+        .localCheckpoint()
+    )
     qp = queries.select("q_id", "qv", random_project("qv").alias("qr"))
     coarse = (
         vp.crossJoin(F.broadcast(qp.select("q_id", F.col("qr").alias("qr"), norm("qr").alias("qrn"))))
@@ -503,7 +533,7 @@ def rp_rerank_topk(
         .select(
             "q_id",
             "c_id",
-            dround(dot("qr", "cr") / (F.col("qrn") * norm("cr")), round_to).alias("ccos"),
+            dround(dot("qr", "cr") / (F.col("qrn") * F.col("crn")), round_to).alias("ccos"),
         )
     )
     cw = W.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("c_id"))

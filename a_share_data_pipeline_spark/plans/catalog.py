@@ -101,7 +101,9 @@ _REGISTRY: dict[str, Query] = {}
 # dedup_substring_removal (round-5 addition), plus the round-5
 # additions text_lm_quality (unigram-LM quality scoring),
 # sim_random_projection (JL dim-reduce ANN prefix), sim_ann_recall
-# (approximate-vs-exact measurement harness).
+# (approximate-vs-exact measurement harness), profile_expectations
+# (Deequ-shape single-scan constraint suite), scd2_dim_history
+# (change feed → validity intervals).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

@@ -527,3 +527,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (slowly-changing-dimension intervals)
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH upd AS (
+  SELECT user_id, ts, event_id, ROUND(value, 2) AS tier
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, tier, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM upd
+"""
+
+
+@register(
+    "scd2_dim_history",
+    _SCD2_SQL,
+    doc=(
+        "SCD2 dimension-history build: a change feed (purchase events "
+        "as attribute updates) becomes validity intervals "
+        "[valid_from, valid_to) + an is_current flag via one lead() "
+        "window per key — the standard warehouse shape for tracking a "
+        "mutable dimension over time (the reference's stock dimension "
+        "is snapshot-only; this is what its history would need). One "
+        "exchange keyed on the high-cardinality entity id; the "
+        "upstream type filter prunes the scan before the shuffle"
+    ),
+)
+def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    upd = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", dround(F.col("value"), 2).alias("tier")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return upd.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

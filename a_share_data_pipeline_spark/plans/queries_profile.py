@@ -337,3 +337,73 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_MIX_HASH) < F.col("keep_rate"))
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations: single-scan constraint verification
+# ---------------------------------------------------------------------------
+
+_EXPECT_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS n_cust,
+         COUNT(DISTINCT o_orderkey) AS n_key,
+         MIN(o_totalprice) AS price_min,
+         MAX(o_totalprice) AS price_max,
+         SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS n_status_ok
+  FROM orders
+)
+SELECT 'row_count' AS metric, CAST(n AS DOUBLE) AS value, n > 0 AS passed FROM m
+UNION ALL SELECT 'completeness_custkey', ROUND(n_cust * 1.0 / n, 6), n_cust = n FROM m
+UNION ALL SELECT 'uniqueness_orderkey', ROUND(n_key * 1.0 / n, 6), n_key = n FROM m
+UNION ALL SELECT 'min_totalprice', ROUND(price_min, 2), price_min >= 0 FROM m
+UNION ALL SELECT 'max_totalprice', ROUND(price_max, 2), price_max <= 600000 FROM m
+UNION ALL SELECT 'status_in_set', ROUND(n_status_ok * 1.0 / n, 6), n_status_ok = n FROM m
+"""
+
+
+@register(
+    "profile_expectations",
+    _EXPECT_SQL,
+    doc=(
+        "data-quality expectation suite (the Deequ shape): six "
+        "constraints — row count, null-completeness, key uniqueness, "
+        "value bounds, allowed-value set — verified in ONE scan of the "
+        "table: a single aggregation computes every constraint metric "
+        "(the distinct count rides the same aggregate via Expand), and "
+        "the long-format (metric, value, passed) report explodes from "
+        "the one-row result. At 100 TB this is how you gate a table "
+        "publish: constraint count adds columns to one pass, never "
+        "passes over the data"
+    ),
+)
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("n_cust"),
+        F.count_distinct("o_orderkey").alias("n_key"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("n_status_ok"),
+    )
+
+    def check(metric: str, value, passed) -> F.Column:
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            value.cast("double").alias("value"),
+            passed.alias("passed"),
+        )
+
+    n = F.col("n")
+    checks = F.array(
+        check("row_count", n.cast("double"), n > 0),
+        check("completeness_custkey", dround(F.col("n_cust") / n, 6), F.col("n_cust") == n),
+        check("uniqueness_orderkey", dround(F.col("n_key") / n, 6), F.col("n_key") == n),
+        check("min_totalprice", dround(F.col("price_min"), 2), F.col("price_min") >= 0),
+        check("max_totalprice", dround(F.col("price_max"), 2), F.col("price_max") <= 600000),
+        check("status_in_set", dround(F.col("n_status_ok") / n, 6), F.col("n_status_ok") == n),
+    )
+    return m.select(F.explode(checks).alias("c")).select("c.*")

@@ -296,3 +296,25 @@ def test_ann_recall_is_nonvacuous_and_bounded(spark):
     assert len(rows) == 8, rows
     assert all(0 <= r.recall <= 1 for r in rows), rows
     assert sum(r.hits for r in rows) > 0, rows
+
+
+def test_expectations_single_scan(spark):
+    """profile_expectations: six constraints must cost ONE pass — a
+    second FileScan would mean a constraint triggered its own job
+    (Deequ's cardinal rule: metrics share a scan)."""
+    q = registry()["profile_expectations"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert p.count("FileScan") == 1, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_scd2_prunes_scan_and_shuffles_once(spark):
+    """scd2_dim_history: the change-feed type filter must reach the
+    parquet scan (at 100 TB the update feed is a sliver of the event
+    log), and the lead() window costs exactly one exchange, keyed on
+    the entity id."""
+    q = registry()["scd2_dim_history"].fn(spark, SF)
+    p = plan_str(q, "formatted")
+    assert "PushedFilters" in p and "event_type" in p.split("PushedFilters")[1][:200], p
+    simple = plan_str(q, "simple")
+    assert simple.count("Exchange") == 1, simple
