@@ -61,8 +61,12 @@ def assign_clusters(
     bench scale.
     """
     from ..functions.rounding import dround
+    from .common import const_array2d
 
-    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for _, c in centroids])
+    # k×d per-element literal nodes tax driver-side analysis/codegen
+    # EVERY Lloyd round — the folded constant keeps each round's plan
+    # small (see common.const_array2d; same fix as random_project)
+    cent_arr = const_array2d([c for _, c in centroids])
     cid_arr = F.array(*[F.lit(cid) for cid, _ in centroids])
     v = F.col(vec_col)
 

@@ -80,12 +80,17 @@ def brute_force_topk(
 def lsh_bucket(vec_col: str | Column) -> Column:
     """Sign-LSH bucket id: bit j = (dot(v, plane_j) > 0).
 
-    Implemented as ONE fold over a single 2-D literal plane array —
+    Implemented as ONE fold over a single 2-D plane constant —
     unrolling the planes as 8 separate 64-literal dot expressions makes
     whole-stage codegen emit (and JIT) 8 copies of the fold body, and
-    that compile time dominated the ANN queries at small scale."""
+    that compile time dominated the ANN queries at small scale. The
+    plane matrix itself is a single constant-folded literal
+    (common.const_array2d) — 512 per-element Literal nodes measurably
+    tax analysis/codegen on every query that plans this expression."""
+    from .common import const_array2d
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    planes = F.array(*[F.array(*[F.lit(x) for x in p]) for p in LSH_PLANES])
+    planes = const_array2d(LSH_PLANES)
     bits = F.transform(
         planes,
         lambda p, i: F.when(
@@ -421,10 +426,13 @@ def banded_lsh_pairs(
     band hashes, and pairs form through dedup._bucket_pairs — including
     its hot-bucket guard (``max_bucket``), since embedding clusters can
     make a band bucket go hot exactly like stop-shingles do."""
+    from .common import const_array2d
     from .dedup import _bucket_pairs
 
     planes = lsh_planes(n_planes=n_bands * band_size)
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    # 64 planes × 64 dims = 4096 per-element nodes if built as nested
+    # CreateArray — the single folded literal keeps the plan walkable
+    planes_lit = const_array2d(planes)
     v = F.col(vec_col)
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -484,12 +492,11 @@ def random_project(vec_col: str | Column, n_out: int = RP_DIM) -> Column:
     double repr exactly, so the folded literal is bit-identical to the
     plane constants the oracle SQL inlines. The fold order of dot()
     matches DuckDB's list_dot_product summation order."""
-    import json
+    from .common import const_array2d
 
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     planes = lsh_planes(n_planes=n_out)
-    planes_lit = F.from_json(F.lit(json.dumps(planes)), "array<array<double>>")
-    return F.transform(planes_lit, lambda p: dot(v, p))
+    return F.transform(const_array2d(planes), lambda p: dot(v, p))
 
 
 def rp_rerank_topk(

@@ -37,10 +37,32 @@ def _land_events(spark: SparkSession, sf_dir: str) -> tuple[str, "DataFrame"]:
     return path, ev
 
 
-def _run_to_table(spark: SparkSession, result: DataFrame, mode: str) -> DataFrame:
+def _run_to_table(
+    spark: SparkSession, result: DataFrame, mode: str, *, finalize_watermark: bool = True
+) -> DataFrame:
+    """Run one AvailableNow cycle into a memory table.
+
+    ``finalize_watermark=False`` skips the trailing NO-DATA micro-batch
+    (``noDataMicroBatches.enabled``, restored after the run). That
+    batch exists to advance the watermark one last time so append-mode
+    AGGREGATIONS flush their final windows and join state gets cleaned
+    — for an append-mode stream-stream INNER join it changes no output
+    row (matches emit eagerly on arrival) and, on a bounded replay
+    cycle whose state dies with the checkpoint anyway, it only re-pays
+    a full state-store commit across every partition for zero rows
+    (measured: 2.3s of a 7.6s cycle at sf0.1). Queries whose RESULTS
+    depend on the final watermark advance (windowed aggregation,
+    dropDuplicatesWithinWatermark expiry proofs) must keep the default."""
     name = "q_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    ST.run_available_now(result, ckpt, output_mode=mode, query_name=name)
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key, "true")
+    if not finalize_watermark:
+        spark.conf.set(key, "false")
+    try:
+        ST.run_available_now(result, ckpt, output_mode=mode, query_name=name)
+    finally:
+        spark.conf.set(key, prev)
     return spark.table(name)
 
 
@@ -313,7 +335,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
-    out = _run_to_table(spark, joined, "append")
+    out = _run_to_table(spark, joined, "append", finalize_watermark=False)
     return out.select(
         "click_id",
         "purchase_id",
