@@ -38,12 +38,6 @@ def _round_half_away(x: float, n: int = 6) -> float:
     return math.floor(x * s + 0.5) / s
 
 
-def _dist_col(vec_col: str, centroid: list[float]) -> F.Column:
-    lit_c = F.array(*[F.lit(v) for v in centroid])
-    sq = F.zip_with(F.col(vec_col), lit_c, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
-
-
 def assign_clusters(
     vectors: DataFrame,
     centroids: list[tuple[int, list[float]]],

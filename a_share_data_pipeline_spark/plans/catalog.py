@@ -103,7 +103,8 @@ _REGISTRY: dict[str, Query] = {}
 # sim_random_projection (JL dim-reduce ANN prefix), sim_ann_recall
 # (approximate-vs-exact measurement harness), profile_expectations
 # (Deequ-shape single-scan constraint suite), scd2_dim_history
-# (change feed → validity intervals).
+# (change feed → validity intervals), events_funnel (staged
+# conversion), source_orc (second columnar interchange format).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

@@ -573,3 +573,114 @@ def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (staged conversion within a time window)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, 1 AS stage_n, COUNT(*) AS users FROM s1
+UNION ALL SELECT 'view', 2, COUNT(*) FROM s2
+UNION ALL SELECT 'purchase', 3, COUNT(*) FROM s3
+"""
+
+
+@register(
+    "events_funnel",
+    _FUNNEL_SQL,
+    doc=(
+        "funnel analysis: signup → view (within 7 days) → purchase "
+        "(within 7 days of the view), users counted at each stage. "
+        "Each stage is one pre-aggregated per-user min-timestamp frame "
+        "joined to the next stage's type-pruned scan — the stage "
+        "frames shrink monotonically (stage N+1 joins only stage-N "
+        "survivors), every join is keyed on the entity id, and each "
+        "type filter is pushed into its scan; no window over the full "
+        "event log, no self-join of raw events"
+    ),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, prev_ts: str, etype: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") >= F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + F.expr("INTERVAL 7 DAYS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage(s1, "t1", "view", "t2")
+    s3 = stage(s2, "t2", "purchase", "t3")
+
+    def count_row(df: DataFrame, name: str, n: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(n).cast("int").alias("stage_n"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        count_row(s1, "signup", 1)
+        .unionByName(count_row(s2, "view", 2))
+        .unionByName(count_row(s3, "purchase", 3))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC corpus interchange (second columnar format, explicit schema)
+# ---------------------------------------------------------------------------
+
+_ORC_SQL = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY source
+"""
+
+
+@register(
+    "source_orc",
+    _ORC_SQL,
+    doc=(
+        "ORC interchange round-trip: write the corpus as ORC, read it "
+        "back with the EXPLICIT schema (like source_jsonl, no "
+        "inference pass), aggregate per source — proves the engine's "
+        "operators are format-agnostic behind the scan (predicate/"
+        "projection pushdown work identically on ORC). Oracle "
+        "aggregates the same rows from the parquet view"
+    ),
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="orc_interchange_")
+    docs.write.mode("overwrite").orc(d)
+    back = spark.read.schema(docs.schema).orc(d)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )

@@ -318,3 +318,23 @@ def test_scd2_prunes_scan_and_shuffles_once(spark):
     assert "PushedFilters" in p and "event_type" in p.split("PushedFilters")[1][:200], p
     simple = plan_str(q, "simple")
     assert simple.count("Exchange") == 1, simple
+
+
+def test_funnel_prunes_type_filters_and_joins_on_key(spark):
+    """events_funnel: each stage's event-type predicate must reach the
+    parquet scan (at 100 TB a stage reads its sliver, never the full
+    log), and no stage pairs raw events with raw events."""
+    q = registry()["events_funnel"].fn(spark, SF)
+    p = plan_str(q, "formatted")
+    assert "PushedFilters" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
+def test_orc_roundtrip_scans_orc(spark):
+    """source_orc: the readback must be a real ORC FileScan with the
+    explicit schema (no inference job), feeding the same partial-agg
+    shape as the parquet path."""
+    q = registry()["source_orc"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "orc" in p.lower(), p
+    assert "HashAggregate" in p, p
