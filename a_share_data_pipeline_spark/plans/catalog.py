@@ -104,7 +104,9 @@ _REGISTRY: dict[str, Query] = {}
 # (approximate-vs-exact measurement harness), profile_expectations
 # (Deequ-shape single-scan constraint suite), scd2_dim_history
 # (change feed → validity intervals), events_funnel (staged
-# conversion), source_orc (second columnar interchange format).
+# conversion), source_orc (second columnar interchange format),
+# events_retention (cohort matrix), dedup_minhash_estimate
+# (estimator-error measurement harness).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

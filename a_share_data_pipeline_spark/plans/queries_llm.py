@@ -105,7 +105,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_sql(new_min: int | None = None) -> str:
+def _minhash_ctes(new_min: int | None = None) -> str:
+    """The shared MinHash WITH-body: shingles → signatures → bands →
+    guarded candidates → shingle counts → candidate intersections.
+    Composed by _minhash_sql (the dedup query) and the estimator-error
+    harness (dedup_minhash_estimate)."""
     n_bands = len(MINHASH_SEEDS) // MINHASH_BAND_SIZE
     hash_exprs = ",\n         ".join(
         f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in MINHASH_SEEDS
@@ -121,8 +125,7 @@ def _minhash_sql(new_min: int | None = None) -> str:
     new_pred = (
         f"\n    AND (a.doc_id >= {new_min} OR b.doc_id >= {new_min})" if new_min else ""
     )
-    return f"""
-WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
 sig AS (
   SELECT doc_id,
          {hash_exprs}
@@ -148,7 +151,12 @@ inter AS (
   FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
   JOIN cand ON cand.a = s1.doc_id AND cand.b = s2.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+
+def _minhash_sql(new_min: int | None = None) -> str:
+    return f"""
+WITH {_minhash_ctes(new_min)}
 SELECT a, b, ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
 FROM inter
 JOIN counts ca ON ca.doc_id = a
@@ -1478,3 +1486,87 @@ FROM d, tot
 def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TX.unigram_nll(docs, vocab_k=TX.LM_VOCAB_K)
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator error: estimated vs exact Jaccard per candidate pair
+# ---------------------------------------------------------------------------
+
+
+def _minhash_estimate_sql() -> str:
+    eq_terms = " + ".join(
+        f"CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END" for i in MINHASH_SEEDS
+    )
+    k = len(MINHASH_SEEDS)
+    return f"""
+WITH {_minhash_ctes()},
+est AS (
+  SELECT cand.a, cand.b, ({eq_terms}) / {k}.0 AS est
+  FROM cand JOIN sig s1 ON s1.doc_id = cand.a JOIN sig s2 ON s2.doc_id = cand.b
+),
+tru AS (
+  SELECT a, b, n_inter / (ca.n_sh + cb.n_sh - n_inter) AS j
+  FROM inter
+  JOIN counts ca ON ca.doc_id = a
+  JOIN counts cb ON cb.doc_id = b
+)
+SELECT est.a, est.b,
+       ROUND(est.est, 6) AS est_jaccard,
+       ROUND(COALESCE(tru.j, 0), 6) AS jaccard,
+       ROUND(ABS(est.est - COALESCE(tru.j, 0)), 6) AS abs_err
+FROM est LEFT JOIN tru ON tru.a = est.a AND tru.b = est.b
+"""
+
+
+@register(
+    "dedup_minhash_estimate",
+    _minhash_estimate_sql(),
+    doc=(
+        "MinHash estimator error: for every LSH candidate pair, the "
+        "signature-estimated Jaccard (matching-minhash fraction over 8 "
+        "permutations — exact eighths, so the float is engine-stable) "
+        "against the exact shingle Jaccard, with the absolute error. "
+        "The companion harness to sim_ann_recall: before trusting a "
+        "permutation count / band shape at scale you MEASURE the "
+        "estimator on a sample, and this query is that measurement as "
+        "an oracled catalog entry. Signature comparison is a broadcast "
+        "join of the k-hash rows; the exact side reuses the "
+        "candidate-restricted verify join (cost scales with candidates, "
+        "not corpus)"
+    ),
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.exploded_shingles(docs).localCheckpoint(eager=True)
+    sig = D.minhash_signatures(shingled, with_counts=True).localCheckpoint(eager=True)
+    cand = D.lsh_band_candidates(sig, max_bucket=_JACCARD_MAX_BUCKET).localCheckpoint(
+        eager=True
+    )
+    k = len(MINHASH_SEEDS)
+    sa = sig.select(
+        F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in MINHASH_SEEDS]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in MINHASH_SEEDS]
+    )
+    matches = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0) for i in MINHASH_SEEDS
+    )
+    est = (
+        cand.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select("a", "b", (matches / F.lit(float(k))).alias("est"))
+    )
+    tru = D.pair_jaccard(shingled, pairs=cand, counts=sig)
+    return (
+        est.join(tru, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            dround("est", 6).alias("est_jaccard"),
+            dround(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard"),
+            dround(F.abs(F.col("est") - F.coalesce("jaccard", F.lit(0.0))), 6).alias(
+                "abs_err"
+            ),
+        )
+    )

@@ -684,3 +684,66 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (weekly signup cohorts × activity week offset)
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH su AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+j AS (
+  SELECT su.cohort,
+         CAST(date_diff('day', su.cohort, act.w) // 7 AS INT) AS week_offset,
+         act.user_id
+  FROM act JOIN su ON su.user_id = act.user_id
+  WHERE act.w >= su.cohort
+)
+SELECT CAST(cohort AS DATE) AS cohort_week, week_offset,
+       COUNT(DISTINCT user_id) AS active_users
+FROM j GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_retention",
+    _RETENTION_SQL,
+    doc=(
+        "cohort retention: users bucketed by signup week, activity "
+        "counted per (cohort, week-offset) cell — the standard "
+        "engagement triangle. Cohort frame is one per-user aggregate; "
+        "activity distinct-per-week is a second partial-aggregated "
+        "pass; the join is keyed on the entity id and the final "
+        "distinct-count shuffle carries (cohort, offset, user) rows. "
+        "Both week truncations are Monday-based in Spark and DuckDB, "
+        "so the offset arithmetic is exact integer days / 7"
+    ),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    j = (
+        act.join(su, "user_id")
+        .filter(F.col("w") >= F.col("cohort"))
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.col("w").cast("date"), F.col("cohort").cast("date")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+    )
+    return j.groupBy(F.col("cohort").cast("date").alias("cohort_week"), "week_offset").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )

@@ -338,3 +338,23 @@ def test_orc_roundtrip_scans_orc(spark):
     p = plan_str(q, "simple")
     assert "orc" in p.lower(), p
     assert "HashAggregate" in p, p
+
+
+def test_retention_prunes_signup_scan(spark):
+    """events_retention: the cohort branch must push its event-type
+    predicate into the scan, and the cohort↔activity join stays keyed
+    (no product)."""
+    q = registry()["events_retention"].fn(spark, SF)
+    p = plan_str(q, "formatted")
+    assert "PushedFilters" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+
+
+def test_minhash_estimate_bounds(spark):
+    """dedup_minhash_estimate: estimator and truth are probabilities;
+    every candidate pair must carry both, and at this fixture at least
+    one pair must have a non-zero estimate (vacuous-harness guard)."""
+    rows = registry()["dedup_minhash_estimate"].fn(spark, SF).collect()
+    assert rows, "no candidate pairs at fixture"
+    assert all(0 <= r.est_jaccard <= 1 and 0 <= r.jaccard <= 1 for r in rows), rows
+    assert any(r.est_jaccard > 0 for r in rows), rows
