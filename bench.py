@@ -78,6 +78,10 @@ HEADLINE = [
     "curation_pii_redact",
     "curation_line_dedup",
     "sample_mixture",
+    "profile_expectations",
+    "events_funnel",
+    "events_retention",
+    "scd2_dim_history",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round
