@@ -106,7 +106,8 @@ _REGISTRY: dict[str, Query] = {}
 # (change feed → validity intervals), events_funnel (staged
 # conversion), source_orc (second columnar interchange format),
 # events_retention (cohort matrix), dedup_minhash_estimate
-# (estimator-error measurement harness).
+# (estimator-error measurement harness), split_leakage_safe
+# (cluster-coherent train/holdout split).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

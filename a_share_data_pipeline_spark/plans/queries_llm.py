@@ -940,6 +940,50 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_RATE = 0.9
+
+
+def _split_sql() -> str:
+    from .queries_profile import _hex_threshold
+
+    return f"""{_COMPONENTS_CTE}
+SELECT doc_id, component,
+       CASE WHEN substr(md5('split|' || CAST(component AS VARCHAR)), 1, 8)
+                 < '{_hex_threshold(_SPLIT_RATE)}'
+            THEN 'train' ELSE 'holdout' END AS split
+FROM comp
+"""
+
+
+@register(
+    "split_leakage_safe",
+    _split_sql(),
+    doc=(
+        "leakage-safe train/holdout split: the deterministic md5 "
+        "hash-threshold split keyed on the near-dup COMPONENT id, not "
+        "the doc id — every near-duplicate cluster lands wholly on one "
+        "side, so holdout rows can never have a near-copy in train "
+        "(the split-leakage failure mode of hashing raw doc ids). "
+        "Composes dedup_components' cluster labels with a map-only "
+        "split expression; no RNG, reproducible on any cluster size. "
+        "Cluster-coherence is pinned by test (no component straddles "
+        "splits) and the train fraction tracks the 0.9 rate"
+    ),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_profile import _hex_threshold
+
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    frac = F.substring(
+        F.md5(F.concat(F.lit("split|"), F.col("component").cast("string"))), 1, 8
+    )
+    split = (
+        F.when(frac < F.lit(_hex_threshold(_SPLIT_RATE)), F.lit("train"))
+        .otherwise(F.lit("holdout"))
+    )
+    return comp.select("doc_id", "component", split.alias("split"))
+
+
 # ---------------------------------------------------------------------------
 # Distributed k-means over embeddings (Lloyd's, unrolled-SQL oracle)
 # ---------------------------------------------------------------------------
