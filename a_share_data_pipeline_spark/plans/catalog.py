@@ -107,7 +107,9 @@ _REGISTRY: dict[str, Query] = {}
 # conversion), source_orc (second columnar interchange format),
 # events_retention (cohort matrix), dedup_minhash_estimate
 # (estimator-error measurement harness), split_leakage_safe
-# (cluster-coherent train/holdout split).
+# (cluster-coherent train/holdout split), sim_ann_index_scan (stored
+# partition-pruned IVF index), stream_incremental_dedup (continuous-
+# ingestion dedup, O(batch) per micro-batch).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

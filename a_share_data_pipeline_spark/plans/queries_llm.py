@@ -739,6 +739,57 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ann_index_scan",
+    _IVF_SQL,
+    doc=(
+        "the IVF index as a STORED ARTIFACT: cell assignment runs at "
+        "write time and lands in a parquet index PARTITIONED BY cell; "
+        "the query side then reads back ONLY the probed cells via "
+        "partition pruning (PartitionFilters, plan-gated) — at "
+        "billion-vector scale this is the difference between scanning "
+        "nprobe/|cells| of the index and scanning all of it. The "
+        "probed-cell list is a bounded driver collect (<= nprobe x "
+        "|queries| values). Same oracle as sim_ann_ivf: the stored-"
+        "index path must return bit-identical results to the in-query "
+        "assignment path"
+    ),
+)
+def sim_ann_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("ce")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    # write time: assign cells, persist the index partitioned by cell
+    va = SIM.ivf_assign(vectors, centroids, "c_id", "cv", nprobe=1)
+    d = tempfile.mkdtemp(prefix="ann_index_")
+    va.write.mode("overwrite").partitionBy("cell").parquet(d)
+    idx = spark.read.parquet(d)
+    # query time: probe cells, scan ONLY their partitions
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    qa = SIM.ivf_assign(queries, centroids, "q_id", "qv", nprobe=2).withColumn(
+        "qn", SIM.norm("qv")
+    )
+    cells = [r.cell for r in qa.select("cell").distinct().collect()]  # <= nprobe*|q|
+    pruned = idx.filter(F.col("cell").isin(cells)).withColumn("cn", SIM.norm("cv"))
+    pairs = pruned.join(F.broadcast(qa), "cell").filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        dround(SIM.dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    out = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    return out.select("q_id", "c_id", "cos", F.col("rnk").cast("long").alias("rnk"))
+
+
 # ---------------------------------------------------------------------------
 # PQ ANN: product quantization with asymmetric distance computation
 # ---------------------------------------------------------------------------

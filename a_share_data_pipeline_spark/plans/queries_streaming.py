@@ -384,3 +384,108 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "segment", "event_type", "n_events", dround("sum_value", 2).alias("sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup: continuous ingestion vs a standing corpus
+# ---------------------------------------------------------------------------
+
+
+def _inc_minhash_oracle() -> str:
+    from .queries_llm import _INC_NEW_MIN, _minhash_sql
+
+    return _minhash_sql(new_min=_INC_NEW_MIN)
+
+
+@register(
+    "stream_incremental_dedup",
+    _inc_minhash_oracle(),
+    doc=(
+        "continuous-ingestion dedup: new documents arrive as a file "
+        "stream in multiple micro-batches; each batch computes ONLY its "
+        "own MinHash signatures, LSH-probes them against the standing "
+        "signature store (old×old never re-paired — O(batch) per "
+        "batch), Jaccard-verifies candidates against shingles of the "
+        "CANDIDATE docs only, appends verified pairs to the output and "
+        "absorbs the batch (docs + signatures) into the store. A pair "
+        "is found exactly once — by the batch where its later member "
+        "arrives — so the union over batches equals the one-shot "
+        "batch answer, and the oracle IS dedup_incremental's SQL. "
+        "Note the hot-bucket guard applies to bucket sizes AS OF each "
+        "batch; a bucket that crosses the cap mid-stream would differ "
+        "from the batch guard (not reachable at fixture sizes, where "
+        "buckets are far below the cap)"
+    ),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from .queries_llm import _INC_NEW_MIN, _JACCARD_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="stream_incdedup_")
+    docs_dir = os.path.join(root, "docs")
+    sig_dir = os.path.join(root, "sigs")
+    out_dir = os.path.join(root, "pairs")
+    land_dir = os.path.join(root, "landing")
+
+    standing = docs.filter(F.col("doc_id") < _INC_NEW_MIN)
+    standing.write.mode("overwrite").parquet(docs_dir)
+    sh0 = D.exploded_shingles(standing)
+    D.minhash_signatures(sh0, with_counts=True).write.mode("overwrite").parquet(sig_dir)
+
+    # land the new batch as 3 files → 3 micro-batches (range-partitioned
+    # so each file is a contiguous id slice; the output SET is
+    # batching-invariant, this just makes the replay multi-batch)
+    new_docs = docs.filter(F.col("doc_id") >= _INC_NEW_MIN)
+    new_docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(land_dir)
+
+    sig_schema = D.minhash_signatures(sh0.limit(0), with_counts=True).schema
+    pair_schema = "a long, b long, jaccard double"
+
+    def absorb(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)
+        sigs_seen = spark.read.schema(sig_schema).parquet(sig_dir)
+        sig_batch = D.minhash_signatures(
+            D.exploded_shingles(batch), with_counts=True
+        ).localCheckpoint(eager=True)
+        all_sigs = sigs_seen.unionByName(sig_batch)
+        cand = D.lsh_incremental_candidates(
+            all_sigs, batch.select("doc_id"), max_bucket=_JACCARD_MAX_BUCKET
+        )
+        cand_ids = (
+            cand.select(F.col("a").alias("doc_id"))
+            .union(cand.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        seen_docs = spark.read.schema(docs.schema).parquet(docs_dir)
+        cand_docs = (
+            seen_docs.unionByName(batch)
+            .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        )
+        ver = D.pair_jaccard(
+            D.exploded_shingles(cand_docs),
+            pairs=cand,
+            counts=all_sigs.select("doc_id", "n_sh"),
+        ).filter(F.col("jaccard") >= 0.5)
+        ver.select("a", "b", dround("jaccard", 6).alias("jaccard")).write.mode(
+            "append"
+        ).parquet(out_dir)
+        # absorb AFTER pairing so the batch never pairs against itself
+        # through the store (it pairs against itself via all_sigs)
+        batch.write.mode("append").parquet(docs_dir)
+        sig_batch.write.mode("append").parquet(sig_dir)
+
+    stream = ST.read_file_stream(
+        spark, land_dir, docs.schema, max_files_per_trigger=1
+    )
+    ckpt = os.path.join(root, "ckpt")
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(pair_schema).parquet(out_dir)

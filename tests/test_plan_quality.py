@@ -358,3 +358,41 @@ def test_minhash_estimate_bounds(spark):
     assert rows, "no candidate pairs at fixture"
     assert all(0 <= r.est_jaccard <= 1 and 0 <= r.jaccard <= 1 for r in rows), rows
     assert any(r.est_jaccard > 0 for r in rows), rows
+
+
+def test_ann_index_scan_prunes_partitions(spark):
+    """sim_ann_index_scan: the stored IVF index read must prune to the
+    probed cells at the PARTITION level (PartitionFilters on `cell`),
+    not post-filter a full index scan — the billion-vector contract."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from a_share_data_pipeline_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("ce")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    d = tempfile.mkdtemp(prefix="ann_index_gate_")
+    SIM.ivf_assign(vectors, centroids, "c_id", "cv", nprobe=1).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(d)
+    pruned = spark.read.parquet(d).filter(F.col("cell").isin([0, 3]))
+    p = plan_str(pruned, "formatted")
+    assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters")[1][:200], p
+    # executed-scan metric: only the two probed partitions' files are
+    # read (inputFiles() reports the UNpruned relation, so it can't
+    # prove this)
+    pruned.collect()
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_files = scan.metrics().apply("numFiles").value()
+    total_files = len(spark.read.parquet(d).inputFiles())
+    assert n_files < total_files, (n_files, total_files)
+    full = spark.read.parquet(d)
+    full.collect()
+    scan_full = full._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    assert n_files < scan_full.metrics().apply("numFiles").value(), n_files
