@@ -109,7 +109,8 @@ _REGISTRY: dict[str, Query] = {}
 # (estimator-error measurement harness), split_leakage_safe
 # (cluster-coherent train/holdout split), sim_ann_index_scan (stored
 # partition-pruned IVF index), stream_incremental_dedup (continuous-
-# ingestion dedup, O(batch) per micro-batch).
+# ingestion dedup, O(batch) per micro-batch), cdc_apply (change batch
+# with deletes onto a snapshot).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

@@ -747,3 +747,83 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("cohort").cast("date").alias("cohort_week"), "week_offset").agg(
         F.count_distinct("user_id").alias("active_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: upserts + deletes onto a snapshot (the MERGE shape with D ops)
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = """
+WITH snap AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+  FROM orders
+),
+changes AS (
+  SELECT k, 'U' AS op, ROUND(price + 1000, 2) AS price, status FROM snap WHERE k % 10 = 0
+  UNION ALL
+  SELECT k, 'D', NULL, NULL FROM snap WHERE k % 10 = 1
+  UNION ALL
+  SELECT k + 100000000, 'I', ROUND(k * 0.01, 2), 'N' FROM snap WHERE k % 10 = 2
+),
+dels AS (SELECT k FROM changes WHERE op = 'D'),
+ups AS (SELECT k, price, status FROM changes WHERE op <> 'D')
+SELECT s.k, ROUND(s.price, 2) AS price, s.status
+FROM snap s
+LEFT JOIN dels ON dels.k = s.k
+LEFT JOIN ups  ON ups.k  = s.k
+WHERE dels.k IS NULL AND ups.k IS NULL
+UNION ALL
+SELECT k, ROUND(price, 2), status FROM ups
+"""
+
+
+@register(
+    "cdc_apply",
+    _CDC_SQL,
+    doc=(
+        "CDC apply: a change batch of inserts/updates/DELETES lands on "
+        "a snapshot — surviving-unchanged rows anti-join both the "
+        "delete set and the upsert set, upserts append; deletes are the "
+        "merge case plain MERGE-as-upsert (merge_idempotent) does not "
+        "exercise. The change feed here derives deterministically from "
+        "the snapshot so the oracle reproduces it; at scale the change "
+        "batch is small vs the snapshot, so both anti-joins broadcast "
+        "the change side and the snapshot never shuffles"
+    ),
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    changes = (
+        snap.filter(F.col("k") % 10 == 0)
+        .select("k", F.lit("U").alias("op"), dround(F.col("price") + 1000, 2).alias("price"), "status")
+        .unionByName(
+            snap.filter(F.col("k") % 10 == 1).select(
+                "k",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(None).cast("string").alias("status"),
+            )
+        )
+        .unionByName(
+            snap.filter(F.col("k") % 10 == 2).select(
+                (F.col("k") + 100000000).alias("k"),
+                F.lit("I").alias("op"),
+                dround(F.col("k") * 0.01, 2).alias("price"),
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+    dels = changes.filter(F.col("op") == "D").select("k")
+    ups = changes.filter(F.col("op") != "D").select("k", "price", "status")
+    survivors = (
+        snap.join(F.broadcast(dels), "k", "left_anti")
+        .join(F.broadcast(ups.select("k")), "k", "left_anti")
+        .select("k", dround("price", 2).alias("price"), "status")
+    )
+    return survivors.unionByName(
+        ups.select("k", dround("price", 2).alias("price"), "status")
+    )

@@ -396,3 +396,13 @@ def test_ann_index_scan_prunes_partitions(spark):
     full.collect()
     scan_full = full._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     assert n_files < scan_full.metrics().apply("numFiles").value(), n_files
+
+
+def test_cdc_apply_broadcasts_change_side(spark):
+    """cdc_apply: both anti-joins must broadcast the (small) change
+    side — a shuffle would move the whole snapshot for a delta-sized
+    change batch."""
+    q = registry()["cdc_apply"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
