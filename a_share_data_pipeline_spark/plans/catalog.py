@@ -110,7 +110,8 @@ _REGISTRY: dict[str, Query] = {}
 # (cluster-coherent train/holdout split), sim_ann_index_scan (stored
 # partition-pruned IVF index), stream_incremental_dedup (continuous-
 # ingestion dedup, O(batch) per micro-batch), cdc_apply (change batch
-# with deletes onto a snapshot).
+# with deletes onto a snapshot), text_bpe_merges (tokenizer-training
+# pair statistics).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

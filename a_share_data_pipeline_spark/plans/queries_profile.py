@@ -407,3 +407,56 @@ def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         check("status_in_set", dround(F.col("n_status_ok") / n, 6), F.col("n_status_ok") == n),
     )
     return m.select(F.explode(checks).alias("c")).select("c.*")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge discovery: adjacent-pair statistics over the word vocabulary
+# ---------------------------------------------------------------------------
+
+_BPE_K = 20
+
+_BPE_SQL = f"""
+WITH wds AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+p AS (
+  SELECT substring(w, CAST(t.i AS INT), 2) AS pair
+  FROM wds, unnest(range(1, length(w))) t(i)
+  WHERE length(w) >= 2
+),
+c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
+r AS (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk FROM c)
+SELECT pair, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {_BPE_K}
+"""
+
+
+@register(
+    "text_bpe_merges",
+    _BPE_SQL,
+    doc=(
+        "BPE merge discovery (tokenizer training, round 1): frequency "
+        "of every adjacent character pair inside words, top-20 — the "
+        "statistic each byte-pair-encoding merge step maximizes. The "
+        "pair fan-out is a bounded in-row sequence expansion riding "
+        "the corpus scan; counting is one partial-aggregated shuffle "
+        "on 2-char keys (tiny key space → map-side combine collapses "
+        "almost everything); the head exits via TakeOrdered. At 100 TB "
+        "each further merge round is the SAME query over the rewritten "
+        "vocabulary — rounds scale linearly, never quadratically"
+    ),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "pair").limit(_BPE_K)
+    rnk = F.row_number().over(W.orderBy(F.col("n").desc(), "pair"))
+    return top.withColumn("rnk", rnk.cast("long"))
