@@ -128,3 +128,51 @@ def sample_frames(
             )
 
     return binary_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("out_len", T.LongType()),
+        T.StructField("resized_hex", T.StringType()),
+    ]
+)
+
+
+def resize_payload(
+    binary_df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    out_bytes: int = 64,
+) -> DataFrame:
+    """Resize-to-fixed-shape over a binary column (the image-thumbnail
+    analog): every payload becomes exactly `out_bytes` bytes —
+    truncated or zero-padded. A real implementation decodes, scales
+    and re-encodes (real_decode above is the marked stub); the
+    crop-or-pad is the deterministic stand-in, and the Spark shape is
+    the real thing: Arrow-batched mapInPandas, fixed-size binary out,
+    zero shuffle. Fixed-shape outputs are what make downstream tensor
+    batching (training input pipelines) possible."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, origs, hexes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col], strict=True):
+                buf = bytes(payload)
+                resized = buf[:out_bytes].ljust(out_bytes, b"\x00")
+                ids.append(int(doc_id))
+                origs.append(len(buf))
+                hexes.append(resized.hex().upper())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "orig_bytes": pd.Series(origs, dtype="int64"),
+                    "out_len": pd.Series([out_bytes] * len(ids), dtype="int64"),
+                    "resized_hex": hexes,
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -1665,3 +1665,29 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MM_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+       CAST(64 AS BIGINT) AS out_len,
+       rpad(substring(upper(hex(encode(text))), 1, 128), 128, '0') AS resized_hex
+FROM documents
+"""
+
+
+@register(
+    "multimodal_resize",
+    _MM_RESIZE_SQL,
+    doc=(
+        "fixed-shape resize over binary payloads (image-thumbnail "
+        "analog): every payload crops-or-pads to exactly 64 bytes via "
+        "Arrow mapInPandas — fixed-shape outputs are what downstream "
+        "tensor batching needs; the real decode+scale is the marked "
+        "stub, the Spark shape (binary in, fixed binary out, zero "
+        "shuffle) is real and oracle-verified byte-for-byte in hex"
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.resize_payload(MM.documents_as_binary(docs), out_bytes=64)

@@ -99,6 +99,7 @@ def test_no_row_python_in_builtin_queries(spark):
         "udf_arrow_map",
         "multimodal_features",
         "multimodal_frames",
+        "multimodal_resize",
         "stream_stateful_totals",
     }
     for name, q in registry().items():
