@@ -407,3 +407,10 @@ def test_cdc_apply_broadcasts_change_side(spark):
     p = executed_plan_str(q)
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_bpe_merges_uses_take_ordered(spark):
+    """text_bpe_merges: the top-k head must exit via TakeOrdered — a
+    global sort of the pair vocabulary is the canonical scale bug."""
+    p = plan_str(registry()["text_bpe_merges"].fn(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p, p
