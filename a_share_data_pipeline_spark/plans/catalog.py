@@ -111,7 +111,8 @@ _REGISTRY: dict[str, Query] = {}
 # partition-pruned IVF index), stream_incremental_dedup (continuous-
 # ingestion dedup, O(batch) per micro-batch), cdc_apply (change batch
 # with deletes onto a snapshot), text_bpe_merges (tokenizer-training
-# pair statistics), multimodal_resize (fixed-shape crop-or-pad).
+# pair statistics), multimodal_resize (fixed-shape crop-or-pad),
+# join_interval_overlap (bucketized interval join).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

@@ -827,3 +827,97 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.unionByName(
         ups.select("k", dround("price", 2).alias("price"), "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (bucketized — the scalable form of a theta join)
+# ---------------------------------------------------------------------------
+
+_N_PROMOS = 30
+
+_OVERLAP_SQL = f"""
+WITH a AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS astart, MAX(ts) AS aend
+  FROM events GROUP BY 1, 2
+),
+lo AS (SELECT date_trunc('day', MIN(ts)) AS t0 FROM events),
+b AS (
+  SELECT CAST(t.i AS INT) AS promo_idx,
+         lo.t0 + t.i * INTERVAL 7 HOUR AS bstart,
+         lo.t0 + t.i * INTERVAL 7 HOUR + INTERVAL 2 HOUR AS bend
+  FROM lo, unnest(range({_N_PROMOS})) t(i)
+),
+pairs AS (
+  SELECT a.user_id, a.day, b.promo_idx,
+         epoch_us(LEAST(a.aend, b.bend)) - epoch_us(GREATEST(a.astart, b.bstart)) AS ov
+  FROM a JOIN b ON a.astart < b.bend AND b.bstart < a.aend
+)
+SELECT promo_idx, COUNT(*) AS n_user_days,
+       CAST(SUM(ov) AS BIGINT) AS total_overlap_us
+FROM pairs GROUP BY promo_idx
+"""
+
+
+@register(
+    "join_interval_overlap",
+    _OVERLAP_SQL,
+    doc=(
+        "interval-overlap join (per-user daily activity spans × promo "
+        "windows), aggregated per promo. The naive form is a THETA "
+        "join (astart < bend AND bstart < aend) — O(|A|·|B|) pairs "
+        "examined at any scale. The Spark plan BUCKETIZES instead: "
+        "each interval explodes to the clock hours it covers (bounded "
+        "fan-out — ≤24 for a day span, 3 for a 2h window), candidates "
+        "meet through an EQUI-join on the hour bucket, the exact "
+        "overlap predicate filters, and a distinct collapses pairs "
+        "found via multiple shared hours. Work becomes proportional "
+        "to actual overlaps, not the cross product (no-cartesian "
+        "plan-gated). The tiny promo side broadcasts. Oracle runs the "
+        "direct theta join — same answer, different join strategy"
+    ),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("astart"), F.max("ts").alias("aend"))
+    t0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"))
+    b = t0.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_N_PROMOS - 1))).alias("promo_idx"), "t0"
+    ).select(
+        F.col("promo_idx").cast("int").alias("promo_idx"),
+        (F.col("t0") + F.col("promo_idx") * F.expr("INTERVAL 7 HOURS")).alias("bstart"),
+        (
+            F.col("t0")
+            + F.col("promo_idx") * F.expr("INTERVAL 7 HOURS")
+            + F.expr("INTERVAL 2 HOURS")
+        ).alias("bend"),
+    )
+    hour = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    ab = a.select(
+        "user_id", "day", "astart", "aend",
+        F.explode(F.sequence(hour("astart"), hour("aend"))).alias("hb"),
+    )
+    bb = b.select(
+        "promo_idx", "bstart", "bend",
+        # end is exclusive: a window [s, s+2h) covers hours h(s)..h(end-1s)
+        F.explode(
+            F.sequence(hour("bstart"), hour(F.col("bend") - F.expr("INTERVAL 1 SECOND")))
+        ).alias("hb"),
+    )
+    pairs = (
+        ab.join(F.broadcast(bb), "hb")
+        .filter((F.col("astart") < F.col("bend")) & (F.col("bstart") < F.col("aend")))
+        .select("user_id", "day", "promo_idx", "astart", "aend", "bstart", "bend")
+        .distinct()
+    )
+    # microsecond-exact on BOTH engines (a seconds cast truncates
+    # sub-second parts differently than DuckDB's epoch()) — same rule
+    # as events_sessionize's gap arithmetic
+    ov = F.unix_micros(F.least("aend", "bend")) - F.unix_micros(
+        F.greatest("astart", "bstart")
+    )
+    return pairs.groupBy("promo_idx").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum(ov).alias("total_overlap_us"),
+    )

@@ -414,3 +414,14 @@ def test_bpe_merges_uses_take_ordered(spark):
     global sort of the pair vocabulary is the canonical scale bug."""
     p = plan_str(registry()["text_bpe_merges"].fn(spark, SF), "simple")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_interval_overlap_is_bucketized_not_theta(spark):
+    """join_interval_overlap: candidates must meet through the hour-
+    bucket EQUI-join — a nested-loop/cartesian theta join is O(|A|·|B|)
+    at any scale (the oracle's form, fine for DuckDB on a fixture,
+    fatal on a cluster)."""
+    q = registry()["join_interval_overlap"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p  # bucket equi-join, promo side broadcast
