@@ -112,7 +112,9 @@ _REGISTRY: dict[str, Query] = {}
 # ingestion dedup, O(batch) per micro-batch), cdc_apply (change batch
 # with deletes onto a snapshot), text_bpe_merges (tokenizer-training
 # pair statistics), multimodal_resize (fixed-shape crop-or-pad),
-# join_interval_overlap (bucketized interval join).
+# join_interval_overlap (bucketized interval join),
+# curation_relative_quality (percentile-relative gate),
+# profile_observed_metrics (Observation-API piggyback metrics).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

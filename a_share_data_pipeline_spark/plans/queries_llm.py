@@ -1691,3 +1691,55 @@ FROM documents
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return MM.resize_payload(MM.documents_as_binary(docs), out_bytes=64)
+
+
+# ---------------------------------------------------------------------------
+# Relative quality gate: corpus-percentile threshold, two-pass
+# ---------------------------------------------------------------------------
+
+
+def _relative_quality_sql() -> str:
+    ors = " OR ".join(f"x = '{m}'" for m in TX.LANG_MARKERS["en"])
+    score = (
+        "ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5\n"
+        f"             + (len(list_filter(string_split(text, ' '), x -> {ors}))"
+        " / len(string_split(text, ' '))) * 0.3\n"
+        "             + greatest(0.0, 1.0 - len(regexp_extract_all(text, '[.,!?;:]'))"
+        " / len(string_split(text, ' '))) * 0.2, 4)"
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, {score} AS quality_score
+  FROM documents
+),
+thr AS (SELECT quantile_cont(quality_score, 0.1) AS p10 FROM q)
+SELECT q.doc_id, q.quality_score, ROUND(thr.p10, 4) AS p10
+FROM q, thr WHERE q.quality_score >= thr.p10
+"""
+
+
+@register(
+    "curation_relative_quality",
+    _relative_quality_sql(),
+    doc=(
+        "relative quality gate: drop the corpus's worst decile by "
+        "quality score — ABSOLUTE thresholds rot as the corpus mix "
+        "shifts, so production gates are percentile-relative. Two "
+        "passes: an exact percentile aggregation produces a ONE-ROW "
+        "threshold (Spark percentile() and DuckDB quantile_cont share "
+        "the linear-interpolation definition — verified equal on "
+        "identical rounded inputs), which broadcasts back over the "
+        "scored corpus as a map-only filter. At 100 TB swap the exact "
+        "percentile for approx_percentile and the structure is "
+        "unchanged"
+    ),
+)
+def curation_relative_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qf = TX.quality_features(docs).select("doc_id", "quality_score")
+    thr = qf.agg(F.percentile("quality_score", 0.1).alias("p10"))
+    return (
+        qf.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("p10"))
+        .select("doc_id", "quality_score", dround("p10", 4).alias("p10"))
+    )

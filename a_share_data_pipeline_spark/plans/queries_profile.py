@@ -460,3 +460,53 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "pair").limit(_BPE_K)
     rnk = F.row_number().over(W.orderBy(F.col("n").desc(), "pair"))
     return top.withColumn("rnk", rnk.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Observed metrics: instrumentation piggybacked on the main job
+# ---------------------------------------------------------------------------
+
+_OBSERVE_SQL = """
+SELECT 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM lineitem
+UNION ALL SELECT 'sum_qty', CAST(CAST(SUM(l_quantity) AS BIGINT) AS DOUBLE) FROM lineitem
+UNION ALL SELECT 'n_discounted', CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem
+UNION ALL SELECT 'max_price', MAX(l_extendedprice) FROM lineitem
+"""
+
+
+@register(
+    "profile_observed_metrics",
+    _OBSERVE_SQL,
+    doc=(
+        "Observation-API metrics: row count, total quantity, "
+        "discounted-row count and max price collected DURING the main "
+        "job's single scan via df.observe() — at 100 TB "
+        "instrumentation must piggyback on work already being done, "
+        "never cost a second pass (the Deequ-style expectation suite "
+        "gates a publish; this is how the same numbers come out of "
+        "the production job itself for free). Values chosen to be "
+        "bit-stable without rounding: counts, an integral-double sum, "
+        "and a max"
+    ),
+)
+def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    observed.count()  # the "main job": ONE scan, metrics ride along
+    m = obs.get
+    rows = [
+        ("n_rows", float(m["n_rows"])),
+        ("sum_qty", float(m["sum_qty"])),
+        ("n_discounted", float(m["n_discounted"])),
+        ("max_price", float(m["max_price"])),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
