@@ -114,7 +114,8 @@ _REGISTRY: dict[str, Query] = {}
 # pair statistics), multimodal_resize (fixed-shape crop-or-pad),
 # join_interval_overlap (bucketized interval join),
 # curation_relative_quality (percentile-relative gate),
-# profile_observed_metrics (Observation-API piggyback metrics).
+# profile_observed_metrics (Observation-API piggyback metrics),
+# stream_cdc_apply (change stream → versioned snapshot).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

@@ -489,3 +489,93 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.schema(pair_schema).parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply: versioned snapshot maintained from a change stream
+# ---------------------------------------------------------------------------
+
+
+def _stream_cdc_oracle() -> str:
+    from .queries_pipeline import _CDC_SQL
+
+    return _CDC_SQL
+
+
+@register(
+    "stream_cdc_apply",
+    _stream_cdc_oracle(),
+    doc=(
+        "CDC stream → maintained snapshot: change batches (I/U/D) "
+        "arrive as a file stream; each micro-batch reads the CURRENT "
+        "snapshot version, applies the batch with the same broadcast "
+        "anti-join + append plan as cdc_apply, and writes the NEXT "
+        "version directory — the poor-man's versioned table (what "
+        "Delta/Iceberg commit protocols productionize; readers always "
+        "see a complete version, never a half-written overwrite). The "
+        "change feed is keyed disjointly across batches, so the final "
+        "version is batch-order independent and hash-matches the "
+        "one-shot cdc_apply oracle"
+    ),
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="stream_cdc_")
+    land_dir = os.path.join(root, "changes")
+
+    snap0 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    version = {"n": 0}
+    snap_dir = lambda v: os.path.join(root, f"snapshot_v{v}")  # noqa: E731
+    snap0.write.mode("overwrite").parquet(snap_dir(0))
+
+    # the same deterministic change feed as cdc_apply, landed as a
+    # 3-file stream (range-partitioned on k → batches touch disjoint keys)
+    changes = (
+        snap0.filter(F.col("k") % 10 == 0)
+        .select("k", F.lit("U").alias("op"), dround(F.col("price") + 1000, 2).alias("price"), "status")
+        .unionByName(
+            snap0.filter(F.col("k") % 10 == 1).select(
+                "k", F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(None).cast("string").alias("status"),
+            )
+        )
+        .unionByName(
+            snap0.filter(F.col("k") % 10 == 2).select(
+                (F.col("k") + 100000000).alias("k"), F.lit("I").alias("op"),
+                dround(F.col("k") * 0.01, 2).alias("price"), F.lit("N").alias("status"),
+            )
+        )
+    )
+    changes.repartitionByRange(3, "k").write.mode("overwrite").parquet(land_dir)
+
+    snap_schema = snap0.schema
+
+    def apply_batch(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)
+        cur = spark.read.schema(snap_schema).parquet(snap_dir(version["n"]))
+        dels = batch.filter(F.col("op") == "D").select("k")
+        ups = batch.filter(F.col("op") != "D").select("k", "price", "status")
+        nxt = (
+            cur.join(F.broadcast(dels), "k", "left_anti")
+            .join(F.broadcast(ups.select("k")), "k", "left_anti")
+            .unionByName(ups)
+        )
+        nxt.write.mode("overwrite").parquet(snap_dir(version["n"] + 1))
+        version["n"] += 1
+
+    stream = ST.read_file_stream(spark, land_dir, changes.schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.schema(snap_schema).parquet(snap_dir(version["n"]))
+    return final.select("k", dround("price", 2).alias("price"), "status")
