@@ -82,6 +82,8 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "scd2_dim_history",
+    "cdc_apply",
+    "join_interval_overlap",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round
