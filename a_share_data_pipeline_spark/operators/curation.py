@@ -364,3 +364,32 @@ def mixture_rates(
         w = F.when(F.col(group_col) == g, F.lit(float(wg))).otherwise(w)
     rate = F.least(F.lit(1.0), dround(budget_docs * w / F.col("n"), 9))
     return counts.select(group_col, rate.alias("keep_rate"))
+
+
+COMPRESSION_SCHEMA = "doc_id long, n_bytes long, comp_bytes long, comp_ratio double"
+
+
+def compression_ratio(documents: DataFrame) -> DataFrame:
+    """zlib compression ratio per doc, Arrow-batched (stdlib zlib is
+    in every executor's Python; level fixed so reruns agree on one
+    installation). Map-only — rides the corpus scan."""
+    import zlib
+    from collections.abc import Iterator
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            n = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n,
+                    "comp_bytes": comp,
+                    "comp_ratio": [c / max(1, r) for c, r in zip(comp, n)],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(run, schema=COMPRESSION_SCHEMA)

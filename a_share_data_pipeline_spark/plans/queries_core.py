@@ -909,3 +909,62 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-aggregatable distinct-count sketches (Datasketches HLL)
+# ---------------------------------------------------------------------------
+
+_SKETCH_MERGE_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(DISTINCT CASE WHEN EXTRACT(year FROM l_shipdate) >= 1995
+                                THEN l_partkey END) AS BIGINT) AS exact_recent,
+       TRUE AS within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_sketch_merge",
+    _SKETCH_MERGE_SQL,
+    doc=(
+        "re-aggregatable distinct counting: per-(flag, ship-year) "
+        "Datasketches-HLL sketches of l_partkey built in ONE pass, "
+        "then MERGED per flag (hll_union_agg) — and merged again over "
+        "only the >=1995 shards, two rollup grains from one sketch "
+        "set. The contract column asserts both merged estimates land "
+        "within 5% of the exact counts (lgConfigK=12 → rsd≈1.6%, "
+        "deterministic at any SF). THE pattern for 100 TB distinct "
+        "counts: per-partition/day sketches persist at KBs each and "
+        "re-aggregate at query time — the raw keys are never "
+        "re-scanned, unlike approx_count_distinct whose HLL++ sketch "
+        "is consumed inside one aggregation"
+    ),
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    shards = li.groupBy(
+        "l_returnflag", F.year("l_shipdate").alias("yr")
+    ).agg(F.hll_sketch_agg("l_partkey", 12).alias("sk")).localCheckpoint(eager=True)
+    merged = shards.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all")
+    )
+    recent = (
+        shards.filter(F.col("yr") >= 1995)
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_recent"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct(
+            F.when(F.year("l_shipdate") >= 1995, F.col("l_partkey"))
+        ).alias("exact_recent"),
+    )
+    out = exact.join(merged, "l_returnflag").join(recent, "l_returnflag")
+    ok = (
+        (F.abs(F.col("est_all") - F.col("exact_parts")) / F.col("exact_parts") <= 0.05)
+        & (F.abs(F.col("est_recent") - F.col("exact_recent")) / F.col("exact_recent") <= 0.05)
+    )
+    return out.select("l_returnflag", "exact_parts", "exact_recent", ok.alias("within_bounds"))

@@ -449,3 +449,44 @@ def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", F.expr(_PII_AUG).alias("text"))
     return CU.redact_pii(aug)
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib, Arrow lane)
+# ---------------------------------------------------------------------------
+
+_COMPRESS_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       TRUE AS ratio_bounded
+FROM documents
+"""
+
+
+@register(
+    "text_compression_ratio",
+    _COMPRESS_SQL,
+    doc=(
+        "compression-ratio quality signal: zlib-compress every doc's "
+        "utf-8 payload in an Arrow-batched mapInPandas and report "
+        "compressed/raw — highly repetitive (low-ratio) docs are the "
+        "classic cheap proxy for boilerplate/spam in corpus curation "
+        "(complements the Gopher repetition signals with a "
+        "tokenizer-free measure). Map-only: one pass, zero shuffle, "
+        "bounded per-task memory (one Arrow batch). The ratio itself "
+        "is library-versioned, so the oracled columns are the ids, "
+        "byte lengths and the zlib size bound (comp <= raw + 11, "
+        "deterministically TRUE); the ratio's behavior is pinned by "
+        "a repetition test instead"
+    ),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rated = CU.compression_ratio(docs)
+    return rated.select(
+        "doc_id",
+        "n_bytes",
+        ((F.col("comp_bytes") <= F.col("n_bytes") + 11) & (F.col("comp_bytes") > 0)).alias(
+            "ratio_bounded"
+        ),
+    )

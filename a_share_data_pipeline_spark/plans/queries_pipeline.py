@@ -921,3 +921,174 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_user_days"),
         F.sum(ov).alias("total_overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: data-versioning delta between two table states
+# ---------------------------------------------------------------------------
+
+_TABLE_DIFF_SQL = """
+WITH curr AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+next AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 89 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'O', ROUND(o_totalprice * 0.5, 2)
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+ch AS (SELECT o_orderkey,
+              md5(o_orderstatus || '|' || CAST(ROUND(o_totalprice, 2) AS VARCHAR)) AS h
+       FROM curr),
+nh AS (SELECT o_orderkey,
+              md5(o_orderstatus || '|' || CAST(ROUND(o_totalprice, 2) AS VARCHAR)) AS h
+       FROM next)
+SELECT COALESCE(ch.o_orderkey, nh.o_orderkey) AS o_orderkey,
+       CASE WHEN ch.o_orderkey IS NULL THEN 'added'
+            WHEN nh.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS diff_status
+FROM ch FULL OUTER JOIN nh ON ch.o_orderkey = nh.o_orderkey
+WHERE ch.o_orderkey IS NULL OR nh.o_orderkey IS NULL OR ch.h <> nh.h
+"""
+
+
+@register(
+    "table_diff",
+    _TABLE_DIFF_SQL,
+    doc=(
+        "snapshot diff (data versioning): added/removed/changed keys "
+        "between two table states, compared through one md5 ROW HASH "
+        "per side so the full-outer join carries (key, 32-byte hash) "
+        "pairs — never the payload columns — and unchanged rows "
+        "(the overwhelming majority of a 100 TB snapshot pair) drop "
+        "with a hash equality test. The 'next' snapshot derives "
+        "deterministically from orders (status flips, deletes, "
+        "half-price inserts) so both engines diff identical states. "
+        "On key-partitioned snapshots the join is co-located "
+        "(storage-layout lane); here it is the plain keyed exchange"
+    ),
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    curr = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    nxt = curr.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("F"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    ).unionAll(
+        curr.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("O").alias("o_orderstatus"),
+            dround(F.col("o_totalprice") * 0.5, 2).alias("o_totalprice"),
+        )
+    )
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        h = F.md5(
+            F.concat(
+                F.col("o_orderstatus"),
+                F.lit("|"),
+                dround("o_totalprice", 2).cast("string"),
+            )
+        )
+        return df.select(F.col("o_orderkey"), h.alias(f"h_{side}"))
+
+    j = hashed(curr, "c").join(hashed(nxt, "n"), "o_orderkey", "full_outer")
+    return j.filter(
+        F.col("h_c").isNull() | F.col("h_n").isNull() | (F.col("h_c") != F.col("h_n"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("h_c").isNull(), "added")
+        .when(F.col("h_n").isNull(), "removed")
+        .otherwise("changed")
+        .alias("diff_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metric anomaly detection: z-score outliers per event type
+# ---------------------------------------------------------------------------
+
+_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mu) / s.sigma, 4) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE ABS((e.value - s.mu) / s.sigma) > 3
+"""
+
+
+@register(
+    "events_anomaly",
+    _ANOMALY_SQL,
+    doc=(
+        "metric anomaly detection: events whose value sits more than "
+        "3 sigma from their type's mean. The per-type stats are a "
+        "partial-aggregated shuffle down to O(types) rows that "
+        "BROADCAST back onto the event scan — flagging is map-side, "
+        "the events table shuffles zero times. The monitoring shape "
+        "for pipeline observability at any scale (per-source "
+        "volume/latency outliers)"
+    ),
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", dround(z, 4).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: unioned read over shards written with drifting schemas
+# ---------------------------------------------------------------------------
+
+_SCHEMA_EVOLUTION_SQL = """
+SELECT doc_id,
+       lang,
+       CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
+       CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS batch
+FROM documents
+"""
+
+
+@register(
+    "source_schema_evolution",
+    _SCHEMA_EVOLUTION_SQL,
+    doc=(
+        "schema-evolution read: two parquet shards written with "
+        "DIFFERENT schemas (v1 lacks the later-added `source` column) "
+        "scan as one table via mergeSchema — v1 rows surface NULL for "
+        "the missing column, no rewrite of old shards. How a 100 TB "
+        "append-only corpus adds columns: new writers emit the wider "
+        "schema, readers merge footers, history stays untouched"
+    ),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urllib.parse import urlparse
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/documents_evolving"
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/batch=v1")
+    docs.filter(F.col("doc_id") % 2 != 0).select("doc_id", "lang", "source").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/batch=v2")
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "doc_id", "lang", "source", F.col("batch").cast("string").alias("batch")
+    )

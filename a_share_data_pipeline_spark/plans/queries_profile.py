@@ -510,3 +510,189 @@ def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("max_price", float(m["max_price"])),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: the explicit form of runtime filter pushdown
+# ---------------------------------------------------------------------------
+
+_BLOOM_PRUNE_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "join_bloom_prune",
+    _BLOOM_PRUNE_SQL,
+    doc=(
+        "Bloom-pruned semi-join: revenue of lineitems belonging to "
+        "high-value orders. The build side's keys aggregate into a "
+        "2^16-bit Bloom bitset (expression-built, operators/sketch.py) "
+        "whose collect is bounded at 1024 longs NO MATTER how many "
+        "keys feed it — at 100 TB the key set is GBs and "
+        "unbroadcastable but the bitset is 8 KiB; the probe side "
+        "drops non-matching rows map-side inside codegen BEFORE the "
+        "join shuffle, and an exact semi-join removes the Bloom's "
+        "false positives, so the result is exact and fully oracled. "
+        "This is Spark's runtime-filter pushdown made explicit, "
+        "controllable, and reusable from any lane (streaming "
+        "micro-batches, Python probes)"
+    ),
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch as SK
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    words = SK.bloom_build(keys, "o_orderkey")
+    pruned = SK.bloom_might_contain(li, "l_orderkey", words)
+    exact = pruned.join(
+        F.broadcast(keys.withColumnRenamed("o_orderkey", "l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters: estimator measured against exact counts
+# ---------------------------------------------------------------------------
+
+
+def _heavy_hitters_sql() -> str:
+    from ..operators.sketch import CMS_SEEDS, cms_bucket_sql
+
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT {s} AS seed, {cms_bucket_sql(s, 'term')} AS bucket, "
+        f"COUNT(*) AS cnt FROM toks GROUP BY bucket"
+        for s in CMS_SEEDS
+    )
+    least = ", ".join(
+        f"(SELECT cnt FROM sketch WHERE seed = {s} "
+        f"AND bucket = {cms_bucket_sql(s, 'c.term')})"
+        for s in CMS_SEEDS
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+clean AS (SELECT term FROM toks WHERE term <> ''),
+sketch AS (
+  {sketch_rows.replace('FROM toks', 'FROM clean')}
+),
+exact AS (SELECT term, COUNT(*) AS exact_cnt FROM clean GROUP BY term),
+cand AS (SELECT term, exact_cnt FROM exact ORDER BY exact_cnt DESC, term LIMIT 15)
+SELECT c.term, c.exact_cnt,
+       LEAST({least}) AS est_cnt,
+       LEAST({least}) - c.exact_cnt AS overcount
+FROM cand c
+ORDER BY c.exact_cnt DESC, c.term
+"""
+
+
+@register(
+    "text_heavy_hitters",
+    _heavy_hitters_sql(),
+    doc=(
+        "count-min-sketch heavy hitters: token frequencies estimated "
+        "from a d=4 × w=256 sketch keyed on md5-hex PREFIXES (strings "
+        "— so DuckDB rebuilds the IDENTICAL sketch and the harness "
+        "hash-verifies the estimates themselves, not just a contract "
+        "bit). The sketch is one partial-aggregated shuffle bounded at "
+        "d·w rows per task; estimates are broadcast map-side probes; "
+        "candidates exit via TakeOrdered. CMS never undercounts, so "
+        "`overcount = est - exact >= 0` deterministically — at 100 TB "
+        "this sketch replaces the full vocabulary count when only "
+        "heavy hitters matter (stop-lists, hot-key detection for "
+        "skew-aware planning)"
+    ),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    sk = SK.cms_build(toks, "term").localCheckpoint(eager=True)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cand = exact.orderBy(F.col("exact_cnt").desc(), "term").limit(15)
+    est = SK.cms_estimate(cand, "term", sk)
+    return est.select(
+        "term",
+        "exact_cnt",
+        F.col("est_cnt"),
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.col("exact_cnt").desc(), "term")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle: reproducible training-data ordering
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 7
+_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('{_SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR))
+       ) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+@register(
+    "shuffle_deterministic",
+    _SHUFFLE_SQL,
+    doc=(
+        "reproducible global shuffle for training-data ordering: every "
+        "doc gets a position drawn from the md5-keyed permutation of "
+        "its id — same order on any engine, any cluster size, any "
+        "rerun (seed in the key). NO single-partition sort: a range "
+        "exchange on the hash key orders partitions globally, "
+        "positions come from per-partition row_numbers plus "
+        "partition-count offsets (an O(partitions) collect). This is "
+        "the standard scalable global-order idiom — the window's "
+        "exchange carries (doc_id, key) pairs only, never the "
+        "payload, which joins back by id at write time"
+    ),
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"{_SHUFFLE_SEED}|"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    )
+    n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    ranged = (
+        keyed.repartitionByRange(n_parts, "skey")
+        .sortWithinPartitions("skey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: offsets job + final job see ONE layout
+    )
+    counts = {r["pid"]: r["n"] for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    from pyspark.sql import Window as W
+
+    off_entries = [x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
+    rn = F.row_number().over(W.partitionBy("pid").orderBy("skey"))
+    return ranged.select(
+        "doc_id",
+        (rn + F.element_at(F.create_map(*off_entries), F.col("pid"))).cast("long").alias("pos"),
+    )

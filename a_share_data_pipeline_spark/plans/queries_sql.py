@@ -562,3 +562,90 @@ def sql_global_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("cntrycode", "numcust", dround("totacctbal", 2).alias("totacctbal"))
 
 
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (§2.12 text analysis)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM clean GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n, AVG(dl * 1.0) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM clean
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS bm25
+FROM scored
+ORDER BY ROUND(score, 4) DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "text_bm25",
+    _bm25_sql(),
+    doc=(
+        "BM25 ranked retrieval: top-20 docs for a fixed query-term "
+        "set under Okapi BM25 (k1=1.2, b=0.75). One tokenization "
+        "feeds doc-lengths and term frequencies; only QUERY terms "
+        "survive the tf aggregation (the filter lands before the "
+        "shuffle, so the shuffled set is O(matching postings), not "
+        "the corpus); df and the (N, avgdl) scalars are one-row/"
+        "tiny broadcasts; the head exits via TakeOrdered on the "
+        "ROUNDED score (both engines order the identical rounded "
+        "doubles — ulp-safe tie handling). The search-engine scoring "
+        "shape over the same corpus the dedup/curation lanes use"
+    ),
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, avgdl = dl.agg(
+        F.count(F.lit(1)), F.avg(F.col("dl") * F.lit(1.0))
+    ).first()
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + F.lit(_BM25_B) * F.col("dl") / F.lit(float(avgdl))
+    )
+    contrib = idf * F.col("tf") * F.lit(_BM25_K1 + 1) / norm
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .select("doc_id", dround("score", 4).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_BM25_TOPK)

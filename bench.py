@@ -84,6 +84,8 @@ HEADLINE = [
     "scd2_dim_history",
     "cdc_apply",
     "join_interval_overlap",
+    "join_bloom_prune",
+    "text_bm25",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round

@@ -101,6 +101,7 @@ def test_no_row_python_in_builtin_queries(spark):
         "multimodal_frames",
         "multimodal_resize",
         "stream_stateful_totals",
+        "text_compression_ratio",
     }
     for name, q in registry().items():
         if name.startswith("stream_"):
@@ -425,3 +426,143 @@ def test_interval_overlap_is_bucketized_not_theta(spark):
     p = plan_str(q, "simple")
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p  # bucket equi-join, promo side broadcast
+
+
+def test_bloom_prune_is_map_side_and_bounded(spark):
+    """join_bloom_prune: the Bloom probe must be a map-side filter
+    inside codegen (no Python, no extra shuffle) applied BEFORE the
+    exact semi-join, and the build's collect must be bounded at
+    m_bits/64 words regardless of key count."""
+    from a_share_data_pipeline_spark.operators import sketch as SK
+
+    orders = load_table(spark, SF, "orders")
+    words = SK.bloom_build(orders.select("o_orderkey"), "o_orderkey")
+    assert len(words) == SK.BLOOM_M_BITS // 64  # O(m), never O(keys)
+
+    q = registry()["join_bloom_prune"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "BroadcastHashJoin" in p, p  # exact FP-removal join broadcasts
+    # probe filter (xxhash64 bit tests) sits in a Filter above the scan,
+    # not in a join condition: the big side shrinks before any exchange
+    assert "xxhash64" in p, p
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true key must pass the probe (Bloom guarantee): pruning
+    with the filter then anti-joining the exact keys leaves nothing."""
+    from a_share_data_pipeline_spark.operators import sketch as SK
+
+    orders = load_table(spark, SF, "orders")
+    keys = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    words = SK.bloom_build(keys, "o_orderkey")
+    missed = keys.join(
+        SK.bloom_might_contain(keys, "o_orderkey", words),
+        "o_orderkey",
+        "left_anti",
+    )
+    assert missed.count() == 0
+
+
+def test_cms_never_undercounts_and_is_bounded(spark):
+    """text_heavy_hitters: CMS estimates must be >= exact for EVERY
+    token (not only the top-k the query emits), and the sketch row
+    count must be bounded at d*w."""
+    from a_share_data_pipeline_spark.operators import sketch as SK
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    sk = SK.cms_build(toks, "term")
+    assert sk.count() <= len(SK.CMS_SEEDS) * (16 ** SK.CMS_PREFIX_LEN)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = SK.cms_estimate(exact, "term", sk)
+    assert est.filter(F.col("est_cnt") < F.col("exact_cnt")).count() == 0
+
+
+def test_shuffle_deterministic_is_permutation_and_rerun_stable(spark):
+    """shuffle_deterministic: positions must be exactly 1..N (a true
+    permutation), identical across reruns, and produced WITHOUT a
+    single-partition global sort."""
+    q = registry()["shuffle_deterministic"]
+    a = {r["doc_id"]: r["pos"] for r in q.fn(spark, SF).collect()}
+    b = {r["doc_id"]: r["pos"] for r in q.fn(spark, SF).collect()}
+    assert a == b  # seed-keyed: rerun-identical
+    assert sorted(a.values()) == list(range(1, len(a) + 1))
+    p = plan_str(q.fn(spark, SF), "simple")
+    # the ordering exchange is a range repartition over >1 partitions,
+    # never `Exchange SinglePartition` feeding a global sort
+    assert "SinglePartition" not in p, p
+
+
+def test_bm25_filters_before_tf_shuffle_and_takes_ordered(spark):
+    """text_bm25: only query terms may reach the tf aggregation (the
+    isin filter lands under the shuffle), df broadcasts, and the
+    head exits via TakeOrdered."""
+    q = registry()["text_bm25"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_sketch_merge_reaggregates_without_rescan(spark):
+    """agg_sketch_merge: both rollup grains must come from the ONE
+    checkpointed shard-sketch set (hll_union_agg over sketches), and
+    the estimates' 5%-bound contract must hold on every row."""
+    q = registry()["agg_sketch_merge"].fn(spark, SF)
+    rows = q.collect()
+    assert rows and all(r["within_bounds"] for r in rows)
+    p = plan_str(q, "simple")
+    assert "hll_union_agg" in p.lower(), p
+
+
+def test_table_diff_joins_hashes_not_payload(spark):
+    """table_diff: the full-outer join must carry only (key, md5) —
+    the payload columns may not appear above the hash projection."""
+    q = registry()["table_diff"].fn(spark, SF)
+    p = plan_str(q, "formatted")
+    join_lines = [ln for ln in p.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+    assert join_lines, p
+    assert "o_totalprice" not in join_lines[0] and "o_orderstatus" not in join_lines[0], p
+    # diff statuses are all three kinds and counts are data-derived
+    by = {r["diff_status"] for r in q.collect()}
+    assert by == {"added", "removed", "changed"}
+
+
+def test_events_anomaly_broadcasts_stats(spark):
+    """events_anomaly: the O(types) stats frame must broadcast — the
+    event scan shuffles zero times."""
+    q = registry()["events_anomaly"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_schema_evolution_merges_and_nulls_missing(spark):
+    """source_schema_evolution: v1 rows (written without `source`)
+    must read back with NULLs, v2 rows keep their values."""
+    q = registry()["source_schema_evolution"].fn(spark, SF)
+    rows = q.collect()
+    assert all(r["source"] is None for r in rows if r["batch"] == "v1")
+    assert all(r["source"] is not None for r in rows if r["batch"] == "v2")
+
+
+def test_compression_ratio_separates_repetition(spark):
+    """text_compression_ratio: the zlib signal must actually rank a
+    pathologically repetitive doc below (more compressible than) the
+    corpus median — the property curation uses it for."""
+    from a_share_data_pipeline_spark.operators import curation as CU
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    rep = docs.sparkSession.createDataFrame(
+        [(999_999_001, "spam " * 400)], "doc_id long, text string"
+    )
+    rated = CU.compression_ratio(docs.select("doc_id", "text").unionAll(rep)).collect()
+    ratios = {r["doc_id"]: r["comp_ratio"] for r in rated}
+    spam = ratios.pop(999_999_001)
+    med = sorted(ratios.values())[len(ratios) // 2]
+    assert spam < med * 0.5, (spam, med)
+    p = plan_str(CU.compression_ratio(load_table(spark, SF, "documents")), "simple")
+    assert "Exchange" not in p, p  # map-only lane
