@@ -133,3 +133,72 @@ def connected_components(
     return labels.unionByName(
         singletons.select("node", F.col("node").alias("lbl"))
     ).select(F.col("node").alias(id_col), F.col("lbl").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """PageRank over a directed edge list (src, dst), fixed iteration
+    count, ranks rounded to ``round_to`` decimals EVERY round.
+
+    The per-round rounding is part of the operator contract, not
+    cosmetics: it re-synchronizes float state across engines (the
+    DuckDB oracle unrolls the same rounds as CTEs) and across shuffle
+    reorderings of the in-edge sums, exactly like the unrolled-Lloyd
+    k-means oracle. Convergence is unaffected at 1e-6 granularity.
+
+    Scale design (same discipline as connected_components):
+    - out-degrees are computed once and live WITH the rank state
+      (one frame keyed by node), so each round is exactly one join
+      (contributions = ranks ⋈ edges on src) + one aggregate (sum by
+      dst) + one left join back onto the node set for dangling nodes —
+      O(E) shuffled bytes per round, no corpus-sized rebuilds;
+    - rank state is localCheckpoint'ed every round so lineage stays
+      flat across iterations;
+    - the simple-citation formulation r' = (1-d) + d·Σ r/outdeg is
+      used (no dangling-mass redistribution): sinks absorb rank,
+      sources hold (1-d) — deterministic and oracle-matched.
+    """
+    from ..functions.rounding import dround
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    state = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"), F.lit(1.0).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        contrib = (
+            state.filter(F.col("outdeg") > 0)
+            .join(edges, state["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        state = (
+            state.select("node", "outdeg")
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                dround(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                    round_to,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", "rank")

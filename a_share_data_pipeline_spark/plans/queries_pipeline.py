@@ -1092,3 +1092,193 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path).select(
         "doc_id", "lang", "source", F.col("batch").cast("string").alias("batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample: the kline rollup (reference domain: daily → weekly bars)
+# ---------------------------------------------------------------------------
+
+_OHLC_SQL = """
+WITH keyed AS (
+  SELECT event_type,
+         date_trunc('week', ts) AS week,
+         value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ordkey
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT event_type, week,
+       arg_min(value, ordkey) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ordkey) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       ROUND(SUM(value), 2) AS volume
+FROM keyed
+GROUP BY event_type, week
+"""
+
+
+@register(
+    "events_ohlc",
+    _OHLC_SQL,
+    doc=(
+        "OHLC bar resample — the kline rollup of the reference's "
+        "domain (daily bars → weekly bars; market/non_fq_daily_kline.py "
+        "rows carry exactly these open/high/low/close/volume columns): "
+        "open/close via min_by/max_by over a zero-padded "
+        "(epoch-micros, event_id) string key (unique and identically "
+        "ordered on both engines — no ts-tie nondeterminism), high/"
+        "low/volume as plain aggregates. ONE partial-aggregated "
+        "shuffle on (type, week); arg-min/max carry a single "
+        "(value, key) pair per group through the combine, so the "
+        "shuffle is O(groups) regardless of tick count — the "
+        "first/last-tick shape that window-row_number solutions pay "
+        "a full sort for"
+    ),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = ev.select(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "value",
+        ordkey.alias("ordkey"),
+    )
+    return keyed.groupBy("event_type", "week").agg(
+        F.min_by("value", "ordkey").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ordkey").alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        dround(F.sum("value"), 2).alias("volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation: aggregate-over-frame beyond sum/avg
+# ---------------------------------------------------------------------------
+
+_ROLL_CORR_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 6) AS v_view,
+         ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) AS v_purchase
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+)
+SELECT day, v_view, v_purchase,
+       ROUND(corr(v_view, v_purchase) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS corr7
+FROM daily
+"""
+
+
+@register(
+    "window_rolling_corr",
+    _ROLL_CORR_SQL,
+    doc=(
+        "7-day rolling correlation between the view and purchase "
+        "series: conditional aggregation pivots the two types into "
+        "columns during the ONE daily rollup (no join of two "
+        "aggregates), then corr() runs as a frame-window aggregate "
+        "over the day series. The windowed table is O(days) — already "
+        "reduced by the rollup — so its exchange is trivially small "
+        "at any corpus scale; daily inputs are rounded before the "
+        "corr so both engines correlate bit-identical series"
+    ),
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        dround(F.avg(F.when(F.col("event_type") == "view", F.col("value"))), 6).alias(
+            "v_view"
+        ),
+        dround(
+            F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 6
+        ).alias("v_purchase"),
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "v_view",
+        "v_purchase",
+        dround(F.corr("v_view", "v_purchase").over(w), 4).alias("corr7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank: the iterative-graph witness beyond connected components
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT s.node, s.outdeg, ROUND({1.0 - d:.2f} + {d} * COALESCE(i.inflow, 0), 6) AS pr
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr / r.outdeg) AS inflow
+    FROM {prev} r JOIN edges e ON e.src = r.node
+    WHERE r.outdeg > 0 GROUP BY e.dst
+  ) i ON i.node = s.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+od AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT nodes.node, COALESCE(od.outdeg, 0) AS outdeg, 1.0 AS pr
+  FROM nodes LEFT JOIN od ON od.node = nodes.node
+),
+{','.join(rounds)}
+SELECT node, pr FROM {prev}
+"""
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_sql(),
+    doc=(
+        "PageRank (3 rounds, d=0.85) over the customer→supplier "
+        "purchase graph: the second iterative-graph operator family "
+        "(operators/graph.pagerank) next to connected components. "
+        "Each round is one O(E) join + one aggregate with the rank "
+        "state localCheckpoint'ed (flat lineage); out-degrees ride in "
+        "the state frame so no round recomputes them; ranks round to "
+        "1e-6 EVERY round, which re-synchronizes float state across "
+        "engines — the oracle unrolls the identical rounds as CTEs "
+        "(the unrolled-Lloyd pattern)"
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return pagerank(edges, damping=0.85, iters=3).withColumnRenamed("rank", "pr")

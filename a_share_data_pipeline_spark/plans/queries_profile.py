@@ -696,3 +696,105 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (rn + F.element_at(F.create_map(*off_entries), F.col("pid"))).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: apply the learned merge table (companion to text_bpe_merges)
+# ---------------------------------------------------------------------------
+
+_BPE_ENC_K = 10
+
+
+def _bpe_encode_sql() -> str:
+    # boundary-safe token string: tokens joined by TWO spaces, one
+    # space at each end — a merge pattern ' c1  c2 ' can only match
+    # full adjacent tokens, and left-to-right replace() preserves the
+    # invariant (see docstring)
+    steps = []
+    prev = "e0"
+    for k in range(1, _BPE_ENC_K + 1):
+        steps.append(f"""
+e{k} AS (
+  SELECT doc_id,
+         replace(s, ' ' || substr(m.pair, 1, 1) || '  ' || substr(m.pair, 2, 1) || ' ',
+                 ' ' || m.pair || ' ') AS s,
+         n_char_tokens
+  FROM {prev}, (SELECT pair FROM r WHERE rnk = {k}) m
+)""")
+        prev = f"e{k}"
+    return f"""
+WITH wds AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+ww AS (SELECT doc_id, w FROM wds WHERE w <> ''),
+p AS (
+  SELECT substring(w, CAST(t.i AS INT), 2) AS pair
+  FROM ww, unnest(range(1, length(w))) t(i)
+  WHERE length(w) >= 2
+),
+c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
+r AS (SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk FROM c),
+e0 AS (
+  SELECT doc_id,
+         ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s,
+         length(w) AS n_char_tokens
+  FROM ww
+),
+{','.join(steps)}
+SELECT doc_id,
+       CAST(SUM(n_char_tokens) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT) AS n_bpe_tokens
+FROM {prev}
+GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bpe_encode",
+    _bpe_encode_sql(),
+    doc=(
+        "BPE encode: apply the top-10 learned merges (the companion "
+        "text_bpe_merges table) to every word and count the resulting "
+        "tokens per doc — token counting under a trained tokenizer, "
+        "THE unit the packing/chunking/mixture stages budget in. "
+        "Boundary-safe pure-string formulation: tokens join with two "
+        "spaces (single spaces at the ends), so a merge pattern "
+        "' c1  c2 ' can only match whole adjacent tokens and "
+        "left-to-right replace() preserves the invariant — 10 chained "
+        "codegen replaces, zero extra shuffles beyond the corpus "
+        "scan + the tiny pair-count aggregation (whose top-10 rides "
+        "in as 32-char literals, the kmeans-centroid pattern). Both "
+        "engines replay the identical merges, so the counts "
+        "hash-verify exactly"
+    ),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    merges = [
+        r["pair"]
+        for r in counts.orderBy(F.col("n").desc(), "pair").limit(_BPE_ENC_K).collect()
+    ]
+    s = F.concat(F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" "))
+    for m in merges:
+        s = F.replace(s, F.lit(f" {m[0]}  {m[1]} "), F.lit(f" {m} "))
+    enc = words.select(
+        "doc_id",
+        F.length("w").alias("n_char_tokens"),
+        F.size(F.split(F.trim(s), "  ")).alias("n_tok"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.sum("n_char_tokens").alias("n_char_tokens"),
+        F.sum("n_tok").alias("n_bpe_tokens"),
+    )

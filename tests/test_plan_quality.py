@@ -566,3 +566,67 @@ def test_compression_ratio_separates_repetition(spark):
     assert spam < med * 0.5, (spam, med)
     p = plan_str(CU.compression_ratio(load_table(spark, SF, "documents")), "simple")
     assert "Exchange" not in p, p  # map-only lane
+
+
+def test_ohlc_is_one_partial_aggregation_no_window(spark):
+    """events_ohlc: first/last-tick must come from min_by/max_by inside
+    the ONE partial-aggregated shuffle — no window, no sort (the
+    row_number formulation would sort every group's full tick list)."""
+    q = registry()["events_ohlc"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "Window" not in p, p
+    # min_by/max_by plan as SortAggregate: still partial+final around
+    # the one exchange (partial_min_by below it), so the shuffle stays
+    # O(groups); the Sort is the per-task group-key sort SortAggregate
+    # needs, not a per-group tick sort
+    assert "partial_min_by" in p and p.index("partial_min_by") > p.index("Exchange"), p
+    for r in q.collect():
+        assert r["low"] <= r["high"]
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+
+
+def test_rolling_corr_windows_reduced_series_only(spark):
+    """window_rolling_corr: the frame window must run over the O(days)
+    daily rollup (post-aggregation), never the raw event scan, and
+    every emitted corr must be a valid correlation."""
+    q = registry()["window_rolling_corr"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    agg = p.find("HashAggregate")
+    win = p.find("Window")
+    assert agg != -1 and win != -1 and win < agg, p  # top-down: window above = after the rollup
+    for r in q.collect():
+        if r["corr7"] is not None:
+            assert -1.0001 <= r["corr7"] <= 1.0001
+
+
+def test_pagerank_flat_lineage_and_rank_floor(spark):
+    """graph_pagerank: every round checkpoints, so the FINAL plan must
+    hang off a checkpointed RDD scan (flat lineage — no 3-round join
+    tower), and ranks respect the (1-d) floor with sources pinned AT
+    the floor."""
+    q = registry()["graph_pagerank"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "ExistingRDD" in p, p
+    assert "Join" not in p, p  # all rounds materialized behind the checkpoint
+    rows = q.collect()
+    assert rows and all(r["pr"] >= 0.15 - 1e-9 for r in rows)
+    # customers have no in-edges in the bipartite purchase graph: after
+    # round 1 they sit exactly at the 1-d floor
+    assert all(abs(r["pr"] - 0.15) < 1e-9 for r in rows if r["node"].startswith("c"))
+    assert any(r["pr"] > 0.15 + 1e-6 for r in rows if r["node"].startswith("s"))
+
+
+def test_bpe_encode_is_chained_codegen_replaces(spark):
+    """text_bpe_encode: the merge application must be chained
+    string-replace expressions in codegen (no Python, no join per
+    merge); the merge table enters as literals from a 10-row bounded
+    collect. Re-encoding must also be consistent: counts shrink vs
+    char tokens and by at least the top-merge frequency lower bound."""
+    q = registry()["text_bpe_encode"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "replace" in p and p.count("Join") == 0, p
+    rows = q.collect()
+    assert rows and all(r["n_bpe_tokens"] <= r["n_char_tokens"] for r in rows)
+    assert any(r["n_bpe_tokens"] < r["n_char_tokens"] for r in rows)
