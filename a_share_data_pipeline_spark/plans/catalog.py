@@ -115,7 +115,23 @@ _REGISTRY: dict[str, Query] = {}
 # join_interval_overlap (bucketized interval join),
 # curation_relative_quality (percentile-relative gate),
 # profile_observed_metrics (Observation-API piggyback metrics),
-# stream_cdc_apply (change stream → versioned snapshot).
+# stream_cdc_apply (change stream → versioned snapshot), and the
+# round-5 second-wave additions: join_bloom_prune (Bloom-pruned
+# semi-join, O(m)-bounded build collect), text_heavy_hitters
+# (oracle-reproducible count-min sketch), agg_sketch_merge
+# (re-aggregatable HLL shard sketches), shuffle_deterministic
+# (reproducible global training order), text_bm25 (ranked retrieval),
+# table_diff (row-hash snapshot diff), events_anomaly (3-sigma
+# flags), source_schema_evolution (mergeSchema read),
+# text_compression_ratio (zlib quality signal, Arrow lane),
+# events_ohlc + stream_ohlc (kline bar resample, batch + live
+# streaming twins), window_rolling_corr (frame-window corr),
+# graph_pagerank (second iterative-graph family), text_bpe_encode
+# (tokenizer apply via chained codegen replaces). Strongest r6
+# rotation candidates: graph_pagerank, join_bloom_prune,
+# agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified
+# operator FAMILIES (iterative-rank, sketch-prune, sketch-merge,
+# argmin-aggregate, tokenizer-apply) rather than redundant witnesses.
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

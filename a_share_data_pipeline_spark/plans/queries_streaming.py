@@ -579,3 +579,71 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     final = spark.read.schema(snap_schema).parquet(snap_dir(version["n"]))
     return final.select("k", dround("price", 2).alias("price"), "status")
+
+
+_STREAM_OHLC_SQL = """
+WITH keyed AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ordkey
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT event_type, day,
+       arg_min(value, ordkey) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ordkey) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM keyed
+GROUP BY event_type, day
+"""
+
+
+@register(
+    "stream_ohlc",
+    _STREAM_OHLC_SQL,
+    doc=(
+        "streaming OHLC bars: the kline rollup running as a LIVE "
+        "Structured Streaming aggregation — daily tumbling window + "
+        "watermark, open/close via min_by/max_by over the same "
+        "zero-padded (epoch-micros, id) key as the batch events_ohlc. "
+        "The streaming state per bar is one (value, key) pair per "
+        "side plus the plain extrema — O(bars) state, the same bound "
+        "as the batch shuffle; the oracle verifies the streaming "
+        "engine's own output (AvailableNow determinism), and the "
+        "batch query is its stream≡batch twin"
+    ),
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, ev = _land_events(spark, sf_dir)
+    stream = ST.read_file_stream(spark, path, ev.schema).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = stream.withWatermark("ts", "2 hours").select(
+        "event_type", "ts", "value", ordkey.alias("ordkey")
+    )
+    res = keyed.groupBy(
+        F.window("ts", "1 day").alias("win"), "event_type"
+    ).agg(
+        F.min_by("value", "ordkey").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ordkey").alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    out = _run_to_table(spark, res, "complete")
+    return out.select(
+        "event_type",
+        F.col("win.start").cast("date").alias("day"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
