@@ -1282,3 +1282,175 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return pagerank(edges, damping=0.85, iters=3).withColumnRenamed("rank", "pr")
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill + forward fill (the trade-calendar alignment shape)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         ROUND(AVG(value), 4) AS v
+  FROM events WHERE event_type IN ('view', 'purchase', 'click')
+  GROUP BY 1, 2
+),
+masked AS (  -- deterministic simulated outage: every 5th day drops
+  SELECT event_type, day, v FROM daily WHERE day(day) % 5 <> 0
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+),
+grid AS (
+  SELECT t.event_type, cal.day
+  FROM cal CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+)
+SELECT g.event_type, g.day,
+       last_value(m.v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled,
+       (m.v IS NULL) AS was_gap
+FROM grid g LEFT JOIN masked m ON m.event_type = g.event_type AND m.day = g.day
+"""
+
+
+@register(
+    "events_gapfill",
+    _GAPFILL_SQL,
+    doc=(
+        "calendar gap-fill + forward fill — the trade-calendar "
+        "alignment shape of the reference domain (daily kline series "
+        "must align to the exchange calendar and carry the last close "
+        "across non-trading days; market/delta_non_fq_daily_kline.py "
+        "anchors on trade_cal the same way). The dense (type, day) "
+        "grid is a tiny dim cross join (series × bounded calendar) "
+        "broadcast against the dailies; forward fill is one "
+        "last(IGNORE NULLS) running frame per series — state is "
+        "O(days) per partition and series fill never crosses "
+        "partitions. A deterministic every-5th-day outage mask makes "
+        "the fill non-vacuous on both engines"
+    ),
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase", "click")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dround(F.avg("value"), 4).alias("v"))
+    masked = daily.filter(F.dayofmonth("day") % 5 != 0)
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    grid = cal.crossJoin(F.broadcast(daily.select("event_type").distinct()))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    j = grid.join(F.broadcast(masked), ["event_type", "day"], "left")
+    return j.select(
+        "event_type",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: hybrid lexical + vector retrieval
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 50
+_RRF_OUT = 10
+
+
+def _rrf_sql() -> str:
+    from .queries_sql import _bm25_sql
+
+    return f"""
+WITH lex_raw AS ({_bm25_sql(topk=_RRF_TOPN)}),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM lex_raw
+),
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+sem_raw AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_dot_product(embedding::DOUBLE[], q) /
+               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q, q))), 6) AS cos
+  FROM embeddings, qv WHERE vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+  FROM sem_raw ORDER BY cos DESC, doc_id LIMIT {_RRF_TOPN}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + lex.r), 0) +
+               COALESCE(1.0 / ({_RRF_K} + sem.r), 0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT}
+"""
+
+
+@register(
+    "search_rrf",
+    _rrf_sql(),
+    doc=(
+        "hybrid retrieval via reciprocal-rank fusion: the BM25 "
+        "lexical top-50 and the embedding-cosine top-50 (query = "
+        "vector 0) fuse with RRF (k=60) into a final top-10 — the "
+        "standard way production search combines a lexical and a "
+        "vector index without score calibration. Both source "
+        "rankings are already top-N-bounded (TakeOrdered heads), so "
+        "the fusion join touches 2·N rows total regardless of corpus "
+        "size; rank positions, not raw scores, cross the join — "
+        "engine-stable by construction"
+    ),
+)
+def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+    from .queries_sql import bm25_scores
+
+    lex_raw = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    w_lex = W.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_raw.select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dround(
+                SIM.dot("v", "q") / (SIM.norm("v") * SIM.norm("q")), 6
+            ).alias("cos"),
+        )
+    )
+    sem_raw = scored.orderBy(F.col("cos").desc(), "doc_id").limit(_RRF_TOPN)
+    w_sem = W.orderBy(F.col("cos").desc(), "doc_id")
+    sem = sem_raw.select("doc_id", F.row_number().over(w_sem).alias("r_sem"))
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        dround(
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_sem")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_OUT)

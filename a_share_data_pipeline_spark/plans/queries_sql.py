@@ -574,7 +574,7 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(topk: int = _BM25_TOPK) -> str:
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     return f"""
 WITH toks AS (
@@ -601,7 +601,7 @@ scored AS (
 SELECT doc_id, ROUND(score, 4) AS bm25
 FROM scored
 ORDER BY ROUND(score, 4) DESC, doc_id
-LIMIT {_BM25_TOPK}
+LIMIT {topk}
 """
 
 
@@ -622,6 +622,14 @@ LIMIT {_BM25_TOPK}
     ),
 )
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_scores(spark, sf_dir).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    ).limit(_BM25_TOPK)
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 score per matching doc (unlimited — callers take
+    their own TakeOrdered head; search_rrf takes 50, text_bm25 20)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
@@ -641,11 +649,10 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - _BM25_B + F.lit(_BM25_B) * F.col("dl") / F.lit(float(avgdl))
     )
     contrib = idf * F.col("tf") * F.lit(_BM25_K1 + 1) / norm
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
         .select("doc_id", dround("score", 4).alias("bm25"))
     )
-    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_BM25_TOPK)

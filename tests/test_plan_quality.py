@@ -630,3 +630,35 @@ def test_bpe_encode_is_chained_codegen_replaces(spark):
     rows = q.collect()
     assert rows and all(r["n_bpe_tokens"] <= r["n_char_tokens"] for r in rows)
     assert any(r["n_bpe_tokens"] < r["n_char_tokens"] for r in rows)
+
+
+def test_gapfill_grid_broadcasts_and_fills_forward(spark):
+    """events_gapfill: the dense grid must come from broadcast joins
+    (calendar × series are dims), the fill window partitions per
+    series, and every simulated-outage day must carry the previous
+    day's value."""
+    q = registry()["events_gapfill"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    rows = {(r["event_type"], r["day"]): r for r in q.collect()}
+    gaps = [k for k, r in rows.items() if r["was_gap"]]
+    assert gaps  # outage mask is non-vacuous
+    import datetime
+
+    for t, d in gaps:
+        prev = rows.get((t, d - datetime.timedelta(days=1)))
+        if prev is not None and rows[(t, d)]["v_filled"] is not None:
+            assert rows[(t, d)]["v_filled"] == prev["v_filled"]
+
+
+def test_rrf_fuses_bounded_heads_only(spark):
+    """search_rrf: both source rankings must be TakeOrdered-bounded
+    before the fusion join (2·N rows cross it, not the corpus), and
+    the fused scores must be valid RRF sums."""
+    q = registry()["search_rrf"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "TakeOrderedAndProject" in p, p
+    rows = q.collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert 0 < r["rrf"] <= 2.0 / 61  # at most two rank-1 memberships
