@@ -798,3 +798,107 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_char_tokens").alias("n_char_tokens"),
         F.sum("n_tok").alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy join: the fact-scale form of record linkage
+# ---------------------------------------------------------------------------
+
+_FUZZY_BLOCKED_SQL = """
+WITH keyed AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] || '|' ||
+           CAST(CAST(FLOOR(length(p_name) / 4.0) AS BIGINT) AS VARCHAR) AS blk
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM keyed a JOIN keyed b
+  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register(
+    "join_fuzzy_blocked",
+    _FUZZY_BLOCKED_SQL,
+    doc=(
+        "blocked record linkage — the fact-scale form of the "
+        "text_edit_distance theta join: candidates pair through an "
+        "EQUI-join on a blocking key (first token + length bucket), "
+        "so the expensive levenshtein runs only within blocks and the "
+        "plan is a hash/sort-merge join, never a nested loop over the "
+        "cross product. Blocking trades recall for tractability "
+        "exactly like LSH banding does for minhash — same guarded "
+        "pattern, string-edit metric"
+    ),
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    keyed = part.select(
+        "p_partkey",
+        "p_name",
+        F.concat(
+            F.split("p_name", " ").getItem(0),
+            F.lit("|"),
+            F.floor(F.length("p_name") / 4.0).cast("long").cast("string"),
+        ).alias("blk"),
+    )
+    a = keyed.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "blk"
+    )
+    b = keyed.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "blk"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter((F.col("key_a") < F.col("key_b")) & (dist <= 3))
+        .select("key_a", "key_b", dist.cast("long").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without RNG (Efraimidis–Spirakis A-ES keys)
+# ---------------------------------------------------------------------------
+
+_WS_K = 25
+_WS_SEED = 11
+# Knuth multiplicative hash -> (0, 1] uniform; pure int64 arithmetic so
+# both engines derive the IDENTICAL uniform (same device as _MIX_HASH;
+# +1 keeps u > 0 for the log)
+_WS_U = f"(((doc_id * 2654435761 + {_WS_SEED}) % 1048576) + 1) / 1048577.0"
+
+_WS_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ROUND(ln({_WS_U}) / n_chars, 9) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, es_key
+FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_WS_K}
+"""
+
+
+@register(
+    "sample_weighted",
+    _WS_SQL,
+    doc=(
+        "weighted sampling without replacement, no RNG: "
+        "Efraimidis–Spirakis keys ln(u)/w with the uniform drawn from "
+        "a Knuth multiplicative hash of the doc id — reproducible on "
+        "any engine, any cluster size, any rerun, and the top-k "
+        "selection is one TakeOrdered pass (the reservoir equivalent "
+        "for distributed data: each task keeps a k-row heap, the "
+        "driver merges k·tasks candidates). Weights = doc length, "
+        "the standard size-proportional corpus sampling"
+    ),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        dround(F.expr(f"ln({_WS_U})") / F.col("n_chars"), 9).alias("es_key"),
+    )
+    return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(_WS_K)

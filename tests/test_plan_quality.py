@@ -662,3 +662,30 @@ def test_rrf_fuses_bounded_heads_only(spark):
     assert 0 < len(rows) <= 10
     for r in rows:
         assert 0 < r["rrf"] <= 2.0 / 61  # at most two rank-1 memberships
+
+
+def test_fuzzy_blocked_is_equi_join_not_theta(spark):
+    """join_fuzzy_blocked: candidates must meet through the blocking
+    EQUI-join — the levenshtein may only appear as a post-join filter,
+    never inside a nested-loop condition."""
+    q = registry()["join_fuzzy_blocked"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_weighted_sample_is_take_ordered_and_biased_to_weight(spark):
+    """sample_weighted: the selection must be one TakeOrdered pass,
+    rerun-identical, and actually weight-biased — the sampled docs'
+    mean length must exceed the corpus mean (size-proportional
+    sampling pulls long docs)."""
+    q = registry()["sample_weighted"]
+    p = plan_str(q.fn(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p, p
+    a = sorted(r["doc_id"] for r in q.fn(spark, SF).collect())
+    b = sorted(r["doc_id"] for r in q.fn(spark, SF).collect())
+    assert a == b
+    docs = load_table(spark, SF, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = q.fn(spark, SF).agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
