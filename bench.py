@@ -86,6 +86,8 @@ HEADLINE = [
     "join_interval_overlap",
     "join_bloom_prune",
     "text_bm25",
+    "graph_pagerank",
+    "events_ohlc",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round
