@@ -656,3 +656,75 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(contrib).alias("score"))
         .select("doc_id", dround("score", 4).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization of embeddings (storage-side compression)
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+rng AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+         (list_max(v) - list_min(v)) / 255.0 AS sc
+  FROM e
+),
+q AS (
+  SELECT vec_id, mn, mx, sc,
+         list_transform(v, x -> CAST(FLOOR((x - mn) / sc + 0.5) AS BIGINT)) AS codes,
+         v
+  FROM rng WHERE sc > 0
+)
+SELECT vec_id,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       ROUND(sc, 9) AS scale,
+       list_max(list_transform(list_zip(v, codes),
+                               p -> ABS(p[1] - (mn + p[2] * sc)))) <= sc * 0.5 + 1e-12
+         AS err_bounded
+FROM q
+"""
+
+
+@register(
+    "embedding_quantize_int8",
+    _QUANT_SQL,
+    doc=(
+        "scalar int8 quantization per vector (min/max affine, 256 "
+        "levels) — the storage-side compression for billion-vector "
+        "corpora (4x over float32 before PQ enters; this is what "
+        "vector stores write to disk). Pure array-HOF expressions "
+        "riding the scan: codes via floor(x+0.5) (the engine-stable "
+        "rounding device from functions/rounding.py), a code checksum "
+        "for the hash, and a dequantization-error contract bounded at "
+        "scale/2 — verified per vector on both engines. Map-only, "
+        "zero shuffle"
+    ),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    rng = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        ((F.array_max(v) - F.array_min(v)) / 255.0).alias("sc"),
+    ).filter(F.col("sc") > 0)
+    codes = F.transform(
+        "v", lambda x: F.floor((x - F.col("mn")) / F.col("sc") + 0.5).cast("long")
+    )
+    q = rng.select("vec_id", "v", "mn", "sc", codes.alias("codes"))
+    err = F.zip_with(
+        "v",
+        "codes",
+        lambda x, c: F.abs(x - (F.col("mn") + c * F.col("sc"))),
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda acc, c: acc + c).alias(
+            "code_sum"
+        ),
+        dround("sc", 9).alias("scale"),
+        (F.array_max(err) <= F.col("sc") * 0.5 + 1e-12).alias("err_bounded"),
+    )

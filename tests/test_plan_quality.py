@@ -689,3 +689,16 @@ def test_weighted_sample_is_take_ordered_and_biased_to_weight(spark):
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     sample_mean = q.fn(spark, SF).agg(F.avg("n_chars")).first()[0]
     assert sample_mean > corpus_mean
+
+
+def test_quantize_is_map_only_and_error_bounded(spark):
+    """embedding_quantize_int8: pure array-HOF expressions riding the
+    scan (no shuffle, no Python), codes in [0, 255], and the
+    dequantization-error contract TRUE on every vector."""
+    q = registry()["embedding_quantize_int8"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    rows = q.collect()
+    assert rows and all(r["err_bounded"] for r in rows)
+    assert all(0 <= r["code_sum"] <= 255 * 64 for r in rows)
