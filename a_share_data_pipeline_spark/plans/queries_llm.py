@@ -1743,3 +1743,174 @@ def curation_relative_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= F.col("p10"))
         .select("doc_id", "quality_score", dround("p10", 4).alias("p10"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (search-stack: relevance vs redundancy)
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = (0, 1, 2)
+_MMR_C = 8  # candidate pool per query
+_MMR_S = 4  # selected per query
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_sql() -> str:
+    qids = ", ".join(str(q) for q in _MMR_QUERIES)
+    lam, one_m = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    steps = []
+    prev = "selected1"
+    for t in range(2, _MMR_S + 1):
+        steps.append(f"""
+scored{t} AS (
+  SELECT r.qid, r.cand, r.rel,
+         ROUND({lam} * r.rel - {one_m} * MAX(s.sim), 6) AS score
+  FROM cands r
+  JOIN {prev} p ON p.qid = r.qid
+  JOIN sims s ON s.qid = r.qid AND s.a = r.cand AND s.b = p.cand
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                    WHERE x.qid = r.qid AND x.cand = r.cand)
+  GROUP BY r.qid, r.cand, r.rel
+),
+sel{t} AS (
+  SELECT qid, cand, rel, {t} AS rnk FROM (
+    SELECT qid, cand, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cand) AS rn
+    FROM scored{t}
+  ) WHERE rn = 1
+),
+selected{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{t})""")
+        prev = f"selected{t}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+relall AS (
+  SELECT qs.qid, e.vec_id AS cand,
+         ROUND(list_dot_product(e.v, qs.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qs.qv, qs.qv))),
+               6) AS rel
+  FROM e CROSS JOIN qs WHERE e.vec_id <> qs.qid
+),
+cands AS (
+  SELECT qid, cand, rel FROM (
+    SELECT qid, cand, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cand) AS rn
+    FROM relall
+  ) WHERE rn <= {_MMR_C}
+),
+sims AS (
+  SELECT a.qid, a.cand AS a, b.cand AS b,
+         ROUND(list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+               6) AS sim
+  FROM cands a JOIN cands b ON a.qid = b.qid AND a.cand <> b.cand
+  JOIN e ea ON ea.vec_id = a.cand JOIN e eb ON eb.vec_id = b.cand
+),
+selected1 AS (
+  SELECT qid, cand, rel, 1 AS rnk FROM (
+    SELECT qid, cand, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cand) AS rn
+    FROM cands
+  ) WHERE rn = 1
+),
+{','.join(steps)}
+SELECT qid, cand, rel, CAST(rnk AS BIGINT) AS rnk FROM {prev}
+"""
+
+
+@register(
+    "sim_mmr_rerank",
+    _mmr_sql(),
+    doc=(
+        "MMR diversified re-ranking: for each query vector, greedily "
+        "select 4 of the top-8 cosine candidates maximizing "
+        "λ·relevance − (1−λ)·max-similarity-to-already-selected "
+        "(λ=0.7) — the standard redundancy-suppression step between "
+        "ANN retrieval and serving. All state is candidate-bounded: "
+        "per-query pools cap at C (WindowGroupLimit), the pairwise "
+        "sim table at C² per query, each greedy step is one "
+        "anti-join + bounded join + per-query window argmax over "
+        "O(C) rows; the fixture scores every query×vector pair, at "
+        "scale the pool comes from the ANN index (sim_ann_index_scan) "
+        "and the MMR cost is unchanged — it never sees the corpus. "
+        "Oracle unrolls the identical greedy steps as CTEs"
+    ),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    qs = emb.filter(F.col("vec_id").isin(*_MMR_QUERIES)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    relall = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cand"),
+            dround(
+                SIM.dot("v", "qv") / (SIM.norm("v") * SIM.norm("qv")), 6
+            ).alias("rel"),
+        )
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("rel").desc(), "cand")
+    cands = (
+        relall.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_C)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    ca = cands.select("qid", F.col("cand").alias("a"))
+    cb = cands.select("qid", F.col("cand").alias("b"))
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    sims = (
+        ca.join(cb, "qid")
+        .filter(F.col("a") != F.col("b"))
+        .join(F.broadcast(ea), "a")
+        .join(F.broadcast(eb), "b")
+        .select(
+            "qid",
+            "a",
+            "b",
+            dround(
+                SIM.dot("va", "vb") / (SIM.norm("va") * SIM.norm("vb")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        cands.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("qid", "cand", "rel", F.lit(1).alias("rnk"))
+        .localCheckpoint(eager=True)
+    )
+    lam, one_m = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    for t in range(2, _MMR_S + 1):
+        rem = cands.join(selected.select("qid", "cand"), ["qid", "cand"], "left_anti")
+        scored = (
+            rem.alias("r")
+            .join(
+                selected.select("qid", F.col("cand").alias("p")).alias("s"), "qid"
+            )
+            .join(
+                sims.alias("m"),
+                (F.col("r.cand") == F.col("m.a")) & (F.col("p") == F.col("m.b"))
+                & (F.col("r.qid") == F.col("m.qid")),
+            )
+            .groupBy("r.qid", "r.cand", "r.rel")
+            .agg(
+                dround(
+                    F.lit(lam) * F.first("r.rel") - F.lit(one_m) * F.max("m.sim"), 6
+                ).alias("score")
+            )
+        )
+        ws = W.partitionBy("qid").orderBy(F.col("score").desc(), "cand")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("qid", "cand", "rel", F.lit(t).alias("rnk"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select("qid", "cand", "rel", F.col("rnk").cast("long").alias("rnk"))

@@ -702,3 +702,24 @@ def test_quantize_is_map_only_and_error_bounded(spark):
     rows = q.collect()
     assert rows and all(r["err_bounded"] for r in rows)
     assert all(0 <= r["code_sum"] <= 255 * 64 for r in rows)
+
+
+def test_mmr_state_is_candidate_bounded_and_diverse(spark):
+    """sim_mmr_rerank: per-query selections must be exactly S distinct
+    candidates ranked 1..S, the rank-1 pick must be the relevance
+    argmax (MMR degenerates to pure relevance at step 1), and no
+    corpus-sized structure may appear after the candidate cut (the
+    greedy loop joins checkpointed candidate-bounded frames only)."""
+    from a_share_data_pipeline_spark.plans.queries_llm import _MMR_QUERIES, _MMR_S
+
+    q = registry()["sim_mmr_rerank"].fn(spark, SF)
+    rows = q.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == set(_MMR_QUERIES)
+    for qid, sel in by_q.items():
+        assert sorted(r["rnk"] for r in sel) == list(range(1, _MMR_S + 1))
+        assert len({r["cand"] for r in sel}) == _MMR_S
+        top = max(sel, key=lambda r: (r["rel"], -r["cand"]))
+        assert top["rnk"] == 1  # step 1 is the relevance argmax
