@@ -127,7 +127,11 @@ _REGISTRY: dict[str, Query] = {}
 # events_ohlc + stream_ohlc (kline bar resample, batch + live
 # streaming twins), window_rolling_corr (frame-window corr),
 # graph_pagerank (second iterative-graph family), text_bpe_encode
-# (tokenizer apply via chained codegen replaces). Strongest r6
+# (tokenizer apply via chained codegen replaces); and the third-wave
+# Spark-4 SQL-surface trio: sql_recursive_cte (WITH RECURSIVE
+# UnionLoop series generation), sql_lateral_topk (correlated
+# LATERAL-with-LIMIT decorrelation), json_variant (parse-once VARIANT
+# typed field access). Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified
 # operator FAMILIES (iterative-rank, sketch-prune, sketch-merge,

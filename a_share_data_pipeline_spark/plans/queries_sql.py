@@ -565,6 +565,158 @@ def sql_global_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE — iterative series generation in SQL)
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2002-06-01 00:00:00'
+),
+per_month AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         COUNT(*) AS n_orders,
+         SUM(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start,
+       COALESCE(n_orders, 0) AS n_orders,
+       ROUND(COALESCE(revenue, 0), 2) AS revenue
+FROM months LEFT JOIN per_month ON months.m = per_month.m
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    _RECURSIVE_SQL,
+    doc=(
+        "WITH RECURSIVE (Spark 4 UnionLoop): a 90-row month series "
+        "generated by in-engine recursion, outer-joined to a per-month "
+        "pre-aggregate of the fact table so zero-order months survive "
+        "with 0s. The fact side collapses map-side first (partial agg "
+        "on ~90 keys → a tiny shuffle), so both join inputs are "
+        "series-sized — the naive `series LEFT JOIN fact` form would "
+        "broadcast/shuffle the full fact table instead. Recursion "
+        "depth (90) sits under Spark's 100-level recursion guard; "
+        "state per iteration is one row"
+    ),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    raw = spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP '2002-06-01 00:00:00'
+        ),
+        per_month AS (
+          SELECT date_trunc('month', o_orderdate) AS m,
+                 COUNT(*) AS n_orders,
+                 SUM(o_totalprice) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT months.m AS month_start,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(revenue, 0) AS revenue
+        FROM months LEFT JOIN per_month ON months.m = per_month.m
+        """
+    )
+    return raw.select(
+        "month_start", "n_orders", dround("revenue", 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery with LIMIT (per-group top-k via the SQL front end)
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n_name, l.c_custkey, l.bal
+FROM nation, LATERAL (
+  SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) l
+"""
+
+
+@register(
+    "sql_lateral_topk",
+    _LATERAL_SQL,
+    doc=(
+        "correlated LATERAL subquery with ORDER BY + LIMIT (top-2 "
+        "customers per nation): Catalyst decorrelates to a row_number "
+        "window over customer + one broadcast join against nation — "
+        "NOT a per-row nested-loop re-execution (plan-gated). Honest "
+        "scale note: the decorrelation currently plans a redundant "
+        "global range-sort of customer before the window; the "
+        "hand-written WindowGroupLimit form (sample_group_fixed) "
+        "avoids it and is the preferred shape for a huge inner table"
+    ),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured lane (Spark 4 open variant encoding)
+# ---------------------------------------------------------------------------
+
+_VARIANT_SQL = """
+SELECT event_id,
+       event_type AS etype,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       ROUND(value * 2, 4) AS v2,
+       CAST(NULL AS INT) AS missing
+FROM events WHERE event_id % 20 = 0
+"""
+
+
+@register(
+    "json_variant",
+    _VARIANT_SQL,
+    doc=(
+        "Spark 4 VARIANT lane: parse_json → binary variant (parsed "
+        "ONCE, fields lazily accessed) → variant_get with nested "
+        "paths, array indexing, and typed casts; try_variant_get on a "
+        "missing path yields NULL instead of failing. The row builds "
+        "a nested JSON (struct + array) from real columns, round-trips "
+        "it through VARIANT, and the oracle recomputes the same values "
+        "straight from the source columns — proving the round trip is "
+        "lossless. Map-only (Exchange-free gated); at scale VARIANT "
+        "replaces get_json_object's per-access string reparse for "
+        "semi-structured columns"
+    ),
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+                F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+            ).alias("p"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    v = F.parse_json(j)
+    return ev.filter(F.col("event_id") % 20 == 0).select(
+        "event_id",
+        F.try_variant_get(v, "$.t", "string").alias("etype"),
+        F.variant_get(v, "$.p.k", "bigint").alias("k"),
+        dround(F.variant_get(v, "$.p.vals[1]", "double"), 4).alias("v2"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 ranked retrieval (§2.12 text analysis)
 # ---------------------------------------------------------------------------
 

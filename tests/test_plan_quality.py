@@ -723,3 +723,36 @@ def test_mmr_state_is_candidate_bounded_and_diverse(spark):
         assert len({r["cand"] for r in sel}) == _MMR_S
         top = max(sel, key=lambda r: (r["rel"], -r["cand"]))
         assert top["rnk"] == 1  # step 1 is the relevance argmax
+
+
+def test_recursive_cte_runs_in_engine_and_preaggregates(spark):
+    """sql_recursive_cte: recursion executes as Spark 4's UnionLoop
+    (in-engine iteration, not a driver loop), and the fact side
+    collapses through a partial aggregate BEFORE meeting the series —
+    at scale the join inputs are both series-sized."""
+    q = registry()["sql_recursive_cte"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "UnionLoop" in p, p
+    assert "partial_count" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """sql_lateral_topk: the correlated LATERAL-with-LIMIT subquery
+    must decorrelate to a row_number window + hash/broadcast join —
+    never a per-outer-row nested-loop re-execution."""
+    q = registry()["sql_lateral_topk"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "row_number" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_json_variant_is_map_only(spark):
+    """json_variant: parse-once VARIANT access is pure projection —
+    zero Exchange in the executed plan, variant_get evaluated
+    in-engine (no Python)."""
+    q = registry()["json_variant"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "Exchange" not in p, p
+    assert "variant_get" in p.lower(), p
+    assert "BatchEvalPython" not in p, p
