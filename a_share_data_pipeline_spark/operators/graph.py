@@ -57,33 +57,31 @@ def connected_components(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
-    # enforce endpoints ⊆ nodes without shuffling the (corpus-sized)
-    # nodes frame: the distinct endpoint set is pair-graph-sized, so it
-    # broadcasts into a map-only semi-join over one nodes scan; the
-    # validated set then broadcasts back over sym. An edge with a stray
-    # endpoint disappears entirely — its surviving endpoint becomes a
-    # singleton, same as the pre-round-4 corpus-wide-labels contract.
-    raw_edge_nodes = sym.select(F.col("src").alias("node")).distinct()
-    valid = (
-        nodes.select(F.col(id_col).alias("node"))
-        .join(F.broadcast(raw_edge_nodes), "node", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    sym = (
-        sym.join(F.broadcast(valid.withColumnRenamed("node", "src")), "src", "left_semi")
-        .join(F.broadcast(valid.withColumnRenamed("node", "dst")), "dst", "left_semi")
-        .localCheckpoint(eager=True)
-    )
     # iterate ONLY over nodes that appear in an edge: in a deduped
     # corpus the overwhelming majority of nodes are singletons whose
     # label can never change — keeping them out shrinks every per-round
     # join/aggregate to the pair-graph's node set; they rejoin as their
-    # own component at the end. edge_nodes stays a lazy plan over the
-    # CHECKPOINTED sym (one small distinct per use), so no extra
-    # materialization job
+    # own component at the end.
+    #
+    # endpoints ⊆ nodes is enforced AT LABEL INIT, not by rewriting
+    # sym: labels = (edge endpoints ∩ nodes), so a stray endpoint never
+    # acquires a label — the per-round inner join on src drops edges
+    # OUT of a stray node, and the left join back onto labels discards
+    # propagation INTO one, so an edge with a stray endpoint disappears
+    # entirely and its valid endpoint stays a singleton. This costs one
+    # map-only broadcast semi-join folded into the labels init that was
+    # already checkpointed (the distinct endpoint set is
+    # pair-graph-sized; the nodes frame is scanned once, never
+    # shuffled) — versus the previous shape's two extra eager sym
+    # checkpoints + two broadcast joins over the full edge list, which
+    # benched at +0.8s fixed cost (dedup_components 3.38→4.15s).
     edge_nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = edge_nodes.select("node", F.col("node").alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(F.broadcast(edge_nodes), "node", "left_semi")
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iters):
         # neighbor minimum: join edge source to its label, aggregate per dst

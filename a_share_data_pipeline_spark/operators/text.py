@@ -144,3 +144,72 @@ def unigram_nll(df: DataFrame, text_col: str = "text", vocab_k: int = LM_VOCAB_K
         "n_tokens",
         dround(F.log2("nn") - F.col("avg_l2"), 4).alias("nll_per_token"),
     )
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+# fingerprint-selection algorithm): hash every k-token shingle, then in
+# each sliding window of W consecutive hashes keep the minimum
+# (rightmost occurrence on ties). Guarantees: any shared run of at
+# least W + K - 1 tokens between two documents yields at least one
+# IDENTICAL selected fingerprint, while storing only ~2/(W+1) of the
+# hashes — the position-robust middle ground between one md5 per doc
+# (fingerprint()) and all shingles (MinHash's input).
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Per-doc winnowing summary: (id, n_grams, n_fp, min_fp,
+    fp_checksum).
+
+    Entirely map-only — ZERO exchanges (plan-gated). The whole
+    selection runs inside per-row array expressions: one transform
+    builds the position-encoded shingle hashes, a second slides the
+    w-slice/array_min window over that array, array_distinct dedups
+    the selections, and the summary columns fold over the result.
+    A row never leaves its input partition, so at 100 TB this is an
+    embarrassingly parallel scan (the explode+window formulation costs
+    two doc-keyed shuffles for identical output — the DuckDB oracle
+    keeps that formulation as the independent semantic witness).
+    Ties break to the RIGHTMOST position by encoding each hash as
+    ``md5hex || lpad(10^8 - pos)`` — lexicographic min on the encoding
+    is (min hash, max pos), so both engines agree without an arg-min
+    window primitive. Per-doc work is O(tokens·w) comparisons; the
+    output keeps ~2/(w+1) of the hashes — the set a plagiarism/overlap
+    index would store.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    npos = F.size(toks) - k + 1
+    big = 100000000
+    enc_arr = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda p: F.concat(
+            F.md5(F.concat_ws(" ", F.slice(toks, p, k))),
+            F.lpad((F.lit(big) - p).cast("string"), 8, "0"),
+        ),
+    )
+    base = df.select(
+        id_col, npos.alias("__npos"), enc_arr.alias("__enc")
+    ).filter(F.col("__npos") >= w)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.col("__npos") - (w - 1)),
+        lambda s: F.array_min(F.slice("__enc", s, w)),
+    )
+    fps = F.array_distinct(wins)
+    return base.select(
+        id_col,
+        F.col("__npos").cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fp"),
+        F.array_min(F.transform(fps, lambda s: F.substring(s, 1, 32))).alias("min_fp"),
+        F.aggregate(
+            F.transform(fps, lambda s: F.conv(F.substring(s, 1, 12), 16, 10).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("fp_checksum"),
+    )

@@ -131,7 +131,10 @@ _REGISTRY: dict[str, Query] = {}
 # Spark-4 SQL-surface trio: sql_recursive_cte (WITH RECURSIVE
 # UnionLoop series generation), sql_lateral_topk (correlated
 # LATERAL-with-LIMIT decorrelation), json_variant (parse-once VARIANT
-# typed field access). Strongest r6
+# typed field access), plus text_winnow_fingerprint (MOSS winnowing,
+# map-only array-HOF local-minimum selection) and profile_skew_report
+# (pre-join skew diagnostic: per-key percentiles + heaviest key).
+# Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified
 # operator FAMILIES (iterative-rank, sketch-prune, sketch-merge,

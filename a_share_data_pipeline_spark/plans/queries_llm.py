@@ -587,6 +587,63 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) - {TX.WINNOW_K} + 1 AS npos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, npos, unnest(generate_series(1, npos)) AS pos, t
+  FROM base WHERE npos >= {TX.WINNOW_W}
+),
+enc AS (
+  SELECT doc_id, npos, pos,
+         md5(array_to_string(t[pos : pos + {TX.WINNOW_K} - 1], ' '))
+           || lpad(CAST(100000000 - pos AS VARCHAR), 8, '0') AS enc
+  FROM grams
+),
+wins AS (
+  SELECT doc_id, npos, pos,
+         min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {TX.WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM enc
+),
+fps AS (
+  SELECT DISTINCT doc_id, npos, wmin FROM wins WHERE pos <= npos - {TX.WINNOW_W - 1}
+)
+SELECT doc_id,
+       CAST(any_value(npos) AS BIGINT) AS n_grams,
+       COUNT(*) AS n_fp,
+       MIN(substr(wmin, 1, 32)) AS min_fp,
+       CAST(SUM(('0x' || substr(wmin, 1, 12))::BIGINT) AS BIGINT) AS fp_checksum
+FROM fps GROUP BY doc_id
+"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    _WINNOW_SQL,
+    doc=(
+        "winnowing fingerprint selection (Schleimer et al., MOSS): "
+        "md5 per token-3-gram, per-window-of-4 minimum with "
+        "rightmost-tie rule (hash||reversed-pos encoding makes "
+        "lexicographic min = arg-rightmost-min, no arg_min window "
+        "primitive needed). Guarantees a shared fingerprint for any "
+        "6-token overlap while keeping ~2/(w+1) of the hashes — the "
+        "position-robust fingerprint family between one-md5-per-doc "
+        "(text_metrics) and all-shingles (MinHash). Entirely map-only "
+        "— the slide/min/distinct/summarize all run as per-row array "
+        "expressions, zero exchanges (plan-gated); the oracle keeps "
+        "the equivalent explode+window formulation as the independent "
+        "semantic witness"
+    ),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.winnow_fingerprints(docs)
+
+
 _TOKENS_SQL = f"""
 SELECT source,
        COUNT(*) AS n_docs,

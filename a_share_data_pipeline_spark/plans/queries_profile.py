@@ -237,6 +237,63 @@ def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join-key skew report (the pre-join diagnostic for broadcast/salt/AQE calls)
+# ---------------------------------------------------------------------------
+
+_SKEW_SQL = """
+WITH per AS (SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY 1),
+top1 AS (SELECT key AS top1_key, n AS top1_n FROM per ORDER BY n DESC, key LIMIT 1)
+SELECT COUNT(*) AS n_keys,
+       SUM(n) AS total_rows,
+       MAX(n) AS max_per_key,
+       ROUND(AVG(n), 6) AS avg_per_key,
+       quantile_cont(n, 0.5) AS p50,
+       quantile_cont(n, 0.9) AS p90,
+       quantile_cont(n, 0.99) AS p99,
+       ROUND(MAX(n) / AVG(n), 6) AS skew_ratio,
+       any_value(top1_key) AS top1_key,
+       any_value(top1_n) AS top1_n
+FROM per CROSS JOIN top1
+"""
+
+
+@register(
+    "profile_skew_report",
+    _SKEW_SQL,
+    doc=(
+        "join-key skew report (per-key counts → key count, max/avg per "
+        "key, p50/p90/p99, skew ratio, heaviest key): the diagnostic "
+        "you run BEFORE planning a 100 TB join to pick broadcast vs "
+        "salt vs AQE skew-split. The per-key counts shuffle exactly "
+        "what the join itself would shuffle but carrying only counts "
+        "(partial-aggregated); the percentile pass runs over the "
+        "key-sized frame; top-1 exits via TakeOrdered(1), never a "
+        "sort. Spark percentile() and DuckDB quantile_cont() share "
+        "linear-interpolation semantics on the integer counts"
+    ),
+)
+def profile_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_per_key"),
+        dround(F.avg("n"), 6).alias("avg_per_key"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+        dround(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+    )
+    top1 = (
+        per.orderBy(F.col("n").desc(), "key")
+        .limit(1)
+        .select(F.col("key").alias("top1_key"), F.col("n").alias("top1_n"))
+    )
+    return stats.crossJoin(F.broadcast(top1))
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy matching: edit-distance theta join
 # ---------------------------------------------------------------------------
 

@@ -78,3 +78,20 @@ def test_kmeans_deterministic_and_total(spark):
     assert set(a1) == set(range(50))  # every vector assigned
     assert {c for c, _ in a1.values()} <= set(range(4))
     assert all(rd >= 0 for _, rd in a1.values())
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_stray_endpoints_drop_edges(spark, fold):
+    """endpoints ⊆ nodes contract: an edge touching a node NOT in the
+    nodes frame disappears entirely — its valid endpoint stays a
+    singleton, connectivity never flows through the stray node, and
+    the output is keyed exactly by the nodes input."""
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    # (0,1) valid; (2,99) stray endpoint; (3,98),(98,4) would connect
+    # 3-4 through stray 98 if the guard leaked
+    e = spark.createDataFrame(
+        [(0, 1), (2, 99), (3, 98), (98, 4)], "a long, b long"
+    )
+    out = connected_components(nodes, e, id_col="id", fold_edges=fold)
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}

@@ -756,3 +756,22 @@ def test_json_variant_is_map_only(spark):
     assert "Exchange" not in p, p
     assert "variant_get" in p.lower(), p
     assert "BatchEvalPython" not in p, p
+
+
+def test_winnow_is_map_only(spark):
+    """text_winnow_fingerprint: the whole winnowing selection runs as
+    per-row array expressions — zero exchanges, no Python; a row never
+    leaves its input partition."""
+    q = registry()["text_winnow_fingerprint"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_skew_report_takes_ordered_top1(spark):
+    """profile_skew_report: the heaviest key exits via TakeOrdered(1),
+    never a global sort; the 1-row frame joins back via broadcast."""
+    q = registry()["profile_skew_report"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort " not in p or "rangepartitioning" not in p, p
