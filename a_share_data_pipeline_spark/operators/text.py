@@ -158,6 +158,53 @@ WINNOW_K = 3
 WINNOW_W = 4
 
 
+def _winnow_selected(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """(id, __npos, __wins): per-doc array of position-encoded window
+    minima (``md5hex || lpad(10^8 - pos)``), built entirely map-side —
+    one transform emits the shingle hashes, a second slides the
+    w-slice/array_min window over the array. Shared by the summary
+    (winnow_fingerprints) and the posting-list (winnow_fp_rows) forms."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    npos = F.size(toks) - k + 1
+    big = 100000000
+    enc_arr = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda p: F.concat(
+            F.md5(F.concat_ws(" ", F.slice(toks, p, k))),
+            F.lpad((F.lit(big) - p).cast("string"), 8, "0"),
+        ),
+    )
+    base = df.select(id_col, npos.alias("__npos"), enc_arr.alias("__enc")).filter(
+        F.col("__npos") >= w
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.col("__npos") - (w - 1)),
+        lambda s: F.array_min(F.slice("__enc", s, w)),
+    )
+    return base.select(id_col, "__npos", wins.alias("__wins"))
+
+
+def winnow_fp_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, fp) rows: the DISTINCT winnowing fingerprint HASHES per doc
+    (position encoding stripped — cross-doc matching compares content
+    hashes, not positions). This is the posting-list form a
+    candidate-pair matcher or overlap index consumes; still map-only
+    up to the explode."""
+    base = _winnow_selected(df, id_col, text_col, k, w)
+    hashes = F.array_distinct(
+        F.transform("__wins", lambda s: F.substring(s, 1, 32))
+    )
+    return base.select(id_col, F.explode(hashes).alias("fp"))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -184,24 +231,8 @@ def winnow_fingerprints(
     output keeps ~2/(w+1) of the hashes — the set a plagiarism/overlap
     index would store.
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    npos = F.size(toks) - k + 1
-    big = 100000000
-    enc_arr = F.transform(
-        F.sequence(F.lit(1), npos),
-        lambda p: F.concat(
-            F.md5(F.concat_ws(" ", F.slice(toks, p, k))),
-            F.lpad((F.lit(big) - p).cast("string"), 8, "0"),
-        ),
-    )
-    base = df.select(
-        id_col, npos.alias("__npos"), enc_arr.alias("__enc")
-    ).filter(F.col("__npos") >= w)
-    wins = F.transform(
-        F.sequence(F.lit(1), F.col("__npos") - (w - 1)),
-        lambda s: F.array_min(F.slice("__enc", s, w)),
-    )
-    fps = F.array_distinct(wins)
+    base = _winnow_selected(df, id_col, text_col, k, w)
+    fps = F.array_distinct(F.col("__wins"))
     return base.select(
         id_col,
         F.col("__npos").cast("long").alias("n_grams"),

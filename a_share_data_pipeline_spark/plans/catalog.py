@@ -132,8 +132,11 @@ _REGISTRY: dict[str, Query] = {}
 # UnionLoop series generation), sql_lateral_topk (correlated
 # LATERAL-with-LIMIT decorrelation), json_variant (parse-once VARIANT
 # typed field access), plus text_winnow_fingerprint (MOSS winnowing,
-# map-only array-HOF local-minimum selection) and profile_skew_report
-# (pre-join skew diagnostic: per-key percentiles + heaviest key).
+# map-only array-HOF local-minimum selection), dedup_winnow_pairs
+# (shared-fingerprint posting-list candidates), profile_skew_report
+# (pre-join skew diagnostic: per-key percentiles + heaviest key), and
+# events_ema (normalized truncated EMA, the kline smoothing
+# indicator).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

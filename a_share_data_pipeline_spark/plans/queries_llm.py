@@ -587,8 +587,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_SQL = f"""
-WITH base AS (
+_WINNOW_CTES = f"""base AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t,
          len(string_split(lower(text), ' ')) - {TX.WINNOW_K} + 1 AS npos
   FROM documents
@@ -608,7 +607,10 @@ wins AS (
          min(enc) OVER (PARTITION BY doc_id ORDER BY pos
                         ROWS BETWEEN CURRENT ROW AND {TX.WINNOW_W - 1} FOLLOWING) AS wmin
   FROM enc
-),
+)"""
+
+_WINNOW_SQL = f"""
+WITH {_WINNOW_CTES},
 fps AS (
   SELECT DISTINCT doc_id, npos, wmin FROM wins WHERE pos <= npos - {TX.WINNOW_W - 1}
 )
@@ -642,6 +644,53 @@ FROM fps GROUP BY doc_id
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TX.winnow_fingerprints(docs)
+
+
+_WINNOW_PAIR_MIN_SHARED = 2
+_WINNOW_PAIR_MAX_BUCKET = 1000
+
+_WINNOW_PAIRS_SQL = f"""
+WITH {_WINNOW_CTES},
+fps AS (
+  SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp
+  FROM wins WHERE pos <= npos - {TX.WINNOW_W - 1}
+),
+bsz AS (SELECT fp, COUNT(*) AS n FROM fps GROUP BY fp),
+ok AS (SELECT fp FROM bsz WHERE n BETWEEN 2 AND {_WINNOW_PAIR_MAX_BUCKET}),
+pairs AS (
+  SELECT f1.doc_id AS a, f2.doc_id AS b
+  FROM fps f1 JOIN ok USING (fp) JOIN fps f2 USING (fp)
+  WHERE f1.doc_id < f2.doc_id
+)
+SELECT a, b, COUNT(*) AS n_shared
+FROM pairs GROUP BY a, b HAVING COUNT(*) >= {_WINNOW_PAIR_MIN_SHARED}
+"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    _WINNOW_PAIRS_SQL,
+    doc=(
+        "winnowing-based candidate pairs: docs sharing >= 2 selected "
+        "fingerprint hashes (position stripped) meet through the "
+        "fingerprint posting list — the overlap-detection path MOSS "
+        "uses, a ~(w+1)/2-fold cheaper posting set than all-shingles "
+        "Jaccard. Pairs expand through the guarded single-aggregation "
+        "_bucket_pairs (hot fingerprints shared by > 1000 docs drop "
+        "before expansion, logged, oracle-mirrored); a full pipeline "
+        "composes pair_jaccard verification exactly as "
+        "dedup_minhash_lsh does"
+    ),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rows = TX.winnow_fp_rows(docs).withColumnRenamed("fp", "bucket")
+    pairs = D._bucket_pairs(rows, "doc_id", max_bucket=_WINNOW_PAIR_MAX_BUCKET)
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_PAIR_MIN_SHARED)
+    )
 
 
 _TOKENS_SQL = f"""

@@ -1162,6 +1162,89 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EMA: the exponential-moving-average kline indicator (truncated, adjust-form)
+# ---------------------------------------------------------------------------
+
+_EMA_ALPHA = 0.2  # span 9: alpha = 2/(span+1)
+_EMA_LAGS = 10  # truncation: dropped tail weight (1-a)^10 ≈ 0.107 of an
+# infinite-history EMA is ELIMINATED (not ignored) by the adjust-form
+# normalization below — the estimate is exact over the visible window
+
+
+def _ema_weights() -> list[float]:
+    return [(1.0 - _EMA_ALPHA) ** i for i in range(_EMA_LAGS)]
+
+
+def _ema_sql() -> str:
+    ws = _ema_weights()
+    num = " + ".join(
+        f"COALESCE(lag(v, {i}) OVER w, 0.0) * {w!r}" for i, w in enumerate(ws)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v, {i}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+        for i, w in enumerate(ws)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         ROUND(AVG(value), 6) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+)
+SELECT event_type, day, v,
+       ROUND(({num}) / ({den}), 6) AS ema
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@register(
+    "events_ema",
+    _ema_sql(),
+    doc=(
+        "EMA(span 9) — THE kline smoothing indicator downstream of the "
+        "reference's daily bars — in its normalized (adjust) form over "
+        "a 10-lag truncated window: ema_t = Σ w_i·x_(t-i) / Σ w_i with "
+        "w_i = (1-α)^i over the lags that EXIST, so early rows and the "
+        "truncation tail are handled by the same normalization. The "
+        "weights are Python-float literals injected into BOTH engines "
+        "and the numerator/denominator sums chain left-associatively "
+        "in lag order — bit-identical doubles, no fold-order drift. "
+        "One window exchange over the already-reduced daily series "
+        "(O(days·types) rows); the 10 lags share a single window frame"
+    ),
+)
+def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dround(F.avg("value"), 6).alias("v"))
+    w = W.partitionBy("event_type").orderBy("day")
+    ws = _ema_weights()
+    # materialize each lag ONCE as a named column; building num/den
+    # directly from lag().over(w) expressions re-expands every lag per
+    # reference (6x redundant window expressions in the plan)
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "v",
+        *[F.lag("v", i).over(w).alias(f"__l{i}") for i in range(len(ws))],
+    )
+    num = F.coalesce(F.col("__l0"), F.lit(0.0)) * F.lit(ws[0])
+    den = F.when(F.col("__l0").isNotNull(), F.lit(ws[0])).otherwise(F.lit(0.0))
+    for i, wt in list(enumerate(ws))[1:]:
+        num = num + F.coalesce(F.col(f"__l{i}"), F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(F.col(f"__l{i}").isNotNull(), F.lit(wt)).otherwise(
+            F.lit(0.0)
+        )
+    return lagged.select(
+        "event_type", "day", "v", dround(num / den, 6).alias("ema")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling correlation: aggregate-over-frame beyond sum/avg
 # ---------------------------------------------------------------------------
 

@@ -88,6 +88,12 @@ HEADLINE = [
     "text_bm25",
     "graph_pagerank",
     "events_ohlc",
+    "text_winnow_fingerprint",
+    "dedup_winnow_pairs",
+    "profile_skew_report",
+    "sql_recursive_cte",
+    "json_variant",
+    "events_ema",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round

@@ -775,3 +775,34 @@ def test_skew_report_takes_ordered_top1(spark):
     p = executed_plan_str(q)
     assert "TakeOrderedAndProject" in p, p
     assert "Sort " not in p or "rangepartitioning" not in p, p
+
+
+def test_winnow_pairs_no_cartesian_single_expansion(spark):
+    """dedup_winnow_pairs: candidates meet ONLY through the fingerprint
+    posting list (guarded single-aggregation pair expansion) — never an
+    all-pairs product; no Python."""
+    q = registry()["dedup_winnow_pairs"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_ema_single_window_over_reduced_series(spark):
+    """events_ema: the 10 lags share ONE window over the already-reduced
+    daily series — a single Window node, no per-lag re-sort."""
+    q = registry()["events_ema"].fn(spark, SF)
+    # executedPlan().toString() under AQE prints Final AND Initial plan
+    # sections — count nodes in the final section only
+    p = executed_plan_str(q).split("Initial Plan")[0]
+    n_window_nodes = sum(
+        1 for ln in p.splitlines() if ln.lstrip("+- *(0123456789) ").startswith("Window [")
+    )
+    assert n_window_nodes == 1, p
+    # each of the 10 lags appears exactly once (no per-reference
+    # window-expression re-expansion)
+    assert p.count("lag(v#") == len(
+        __import__(
+            "a_share_data_pipeline_spark.plans.queries_pipeline", fromlist=["x"]
+        )._ema_weights()
+    ), p
+    assert "BatchEvalPython" not in p, p
