@@ -136,7 +136,9 @@ _REGISTRY: dict[str, Query] = {}
 # (shared-fingerprint posting-list candidates), profile_skew_report
 # (pre-join skew diagnostic: per-key percentiles + heaviest key), and
 # events_ema (normalized truncated EMA, the kline smoothing
-# indicator).
+# indicator), events_bollinger (7-day MA ± 2σ volatility bands),
+# events_rsi (Cutler's SMA variant), and source_csv (the reference's
+# native sink format, round-tripped with a text-derived checksum).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

@@ -687,6 +687,160 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CSV corpus interchange (the reference's native sink format, S7/S9/S10)
+# ---------------------------------------------------------------------------
+
+_CSV_SQL = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       SUM(length(text)) AS sum_text_len
+FROM documents GROUP BY source
+"""
+
+
+@register(
+    "source_csv",
+    _CSV_SQL,
+    doc=(
+        "CSV interchange round-trip — the reference's own sink format "
+        "(market/non_fq_daily_kline.py append_to_csv): write the "
+        "corpus as quoted CSV, read it back with the EXPLICIT schema "
+        "(S7: no inference pass), aggregate per source. "
+        "sum_text_len recomputes length(text) from the ROUND-TRIPPED "
+        "text, so a quoting/escaping corruption cannot hide behind "
+        "carried columns; oracle aggregates the original parquet rows"
+    ),
+)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="csv_interchange_")
+    docs.write.mode("overwrite").option("header", True).csv(d)
+    back = spark.read.schema(docs.schema).option("header", True).csv(d)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands: rolling mean ± 2σ over the daily series (kline indicator)
+# ---------------------------------------------------------------------------
+
+_BOLL_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         ROUND(AVG(value), 6) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+)
+SELECT event_type, day, v,
+       ROUND(AVG(v) OVER w, 4) AS ma7,
+       ROUND(AVG(v) OVER w + 2 * STDDEV_SAMP(v) OVER w, 4) AS upper,
+       ROUND(AVG(v) OVER w - 2 * STDDEV_SAMP(v) OVER w, 4) AS lower,
+       COUNT(*) OVER w AS n_win
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "events_bollinger",
+    _BOLL_SQL,
+    doc=(
+        "Bollinger bands (7-day MA ± 2σ) over the daily series — the "
+        "volatility-band kline indicator beside EMA: one frame window "
+        "per (type, day) computes MA, band edges, and the frame count "
+        "(n_win < 7 marks the warm-up rows). Daily inputs rounded to 6 "
+        "before the window so both engines aggregate bit-identical "
+        "series; one window exchange over the O(days·types) reduced "
+        "frame"
+    ),
+)
+def events_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dround(F.avg("value"), 6).alias("v"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    ma = F.avg("v").over(w)
+    sd = F.stddev_samp("v").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "v",
+        dround(ma, 4).alias("ma7"),
+        dround(ma + 2 * sd, 4).alias("upper"),
+        dround(ma - 2 * sd, 4).alias("lower"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RSI (Cutler's variant): SMA-based relative strength over the daily series
+# ---------------------------------------------------------------------------
+
+_RSI_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         ROUND(AVG(value), 6) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+diffs AS (
+  SELECT event_type, day, v,
+         v - lag(v) OVER (PARTITION BY event_type ORDER BY day) AS d
+  FROM daily
+)
+SELECT event_type, day, v,
+       ROUND(CASE WHEN SUM(GREATEST(d, 0)) OVER w + SUM(GREATEST(-d, 0)) OVER w > 0
+                  THEN 100.0 * SUM(GREATEST(d, 0)) OVER w
+                       / (SUM(GREATEST(d, 0)) OVER w + SUM(GREATEST(-d, 0)) OVER w)
+             END, 4) AS rsi7
+FROM diffs
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "events_rsi",
+    _RSI_SQL,
+    doc=(
+        "RSI (Cutler's SMA variant, 7-day) — the third kline indicator "
+        "beside EMA and Bollinger: day-over-day diffs split into "
+        "gain/loss, simple-averaged over one shared frame window, "
+        "RSI = 100·gain/(gain+loss) (NULL while the frame has no "
+        "movement). Cutler's SMA form is used precisely because it is "
+        "frame-window expressible — Wilder's recursive smoothing is "
+        "not — so both engines compute it exactly; the lag diff and "
+        "the frame share one window exchange over the reduced daily "
+        "series"
+    ),
+)
+def events_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dround(F.avg("value"), 6).alias("v"))
+    wo = W.partitionBy("event_type").orderBy("day")
+    diffs = daily.select(
+        "event_type", "day", "v", (F.col("v") - F.lag("v").over(wo)).alias("d")
+    )
+    wf = wo.rowsBetween(-6, 0)
+    gain = F.sum(F.greatest("d", F.lit(0.0))).over(wf)
+    loss = F.sum(F.greatest(-F.col("d"), F.lit(0.0))).over(wf)
+    rsi = F.when(gain + loss > 0, 100.0 * gain / (gain + loss))
+    return diffs.select("event_type", "day", "v", dround(rsi, 4).alias("rsi7"))
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention (weekly signup cohorts × activity week offset)
 # ---------------------------------------------------------------------------
 
