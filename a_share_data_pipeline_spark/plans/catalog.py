@@ -137,8 +137,10 @@ _REGISTRY: dict[str, Query] = {}
 # (pre-join skew diagnostic: per-key percentiles + heaviest key), and
 # events_ema (normalized truncated EMA, the kline smoothing
 # indicator), events_bollinger (7-day MA ± 2σ volatility bands),
-# events_rsi (Cutler's SMA variant), and source_csv (the reference's
-# native sink format, round-tripped with a text-derived checksum).
+# events_rsi (Cutler's SMA variant), source_csv (the reference's
+# native sink format, round-tripped with a text-derived checksum),
+# and scalar_map (the MapType F7 lane: typed from_json map +
+# transform_values/map_filter lambdas).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

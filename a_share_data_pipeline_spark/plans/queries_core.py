@@ -825,6 +825,46 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAP_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)       AS k_val,
+       CAST(len(json_keys(props)) AS INT)                      AS n_keys,
+       array_to_string(list_sort(json_keys(props)), ',')       AS keys_csv,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) * 2   AS doubled,
+       CAST(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                 THEN 1 ELSE 0 END AS INT)                     AS n_big
+FROM events WHERE event_id % 10 = 0
+"""
+
+
+@register(
+    "scalar_map",
+    _MAP_SQL,
+    doc=(
+        "MapType + map higher-order functions (F7, beside the array "
+        "lane): from_json → MAP<string,bigint> (typed, single parse), "
+        "element_at lookup, size, map_keys (sorted for determinism), "
+        "transform_values and map_filter lambdas — nested key-value "
+        "data processed in codegen without exploding entries or "
+        "leaving the JVM; oracle recomputes from the JSON source. "
+        "Map-only"
+    ),
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    big = F.map_filter(m, lambda k, v: v >= 50)
+    return ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.element_at(doubled, "k").alias("doubled"),
+        F.size(big).alias("n_big"),
+    )
+
+
 _ROLLUP_INC_SQL = """
 SELECT DATE_TRUNC('month', o_orderdate) AS month,
        o_orderstatus                    AS status,
