@@ -165,7 +165,19 @@ def _winnow_selected(
     minima (``md5hex || lpad(10^8 - pos)``), built entirely map-side —
     one transform emits the shingle hashes, a second slides the
     w-slice/array_min window over the array. Shared by the summary
-    (winnow_fingerprints) and the posting-list (winnow_fp_rows) forms."""
+    (winnow_fingerprints) and the posting-list (winnow_fp_rows) forms.
+
+    The hash array is LET-BOUND through a single-element transform
+    (``transform(array(enc), e -> ...)``): a higher-order function
+    evaluates its input array once and binds it to the lambda
+    variable, so the m window starts reference a computed VALUE.
+    Referencing a named column instead looks identical but is O(m)
+    times slower: CollapseProject inlines the aliased expression into
+    every ``slice`` reference, so each of the m starts re-evaluates
+    all m md5s — O(m²) interpreted hash work per document (measured:
+    24 ms/doc at m≈52, 500× the let-bound form; HOF lambdas do not
+    enter whole-stage codegen, which is why the blowup is invisible
+    in small fixtures)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     npos = F.size(toks) - k + 1
     big = 100000000
@@ -176,14 +188,17 @@ def _winnow_selected(
             F.lpad((F.lit(big) - p).cast("string"), 8, "0"),
         ),
     )
-    base = df.select(id_col, npos.alias("__npos"), enc_arr.alias("__enc")).filter(
-        F.col("__npos") >= w
+    wins = F.element_at(
+        F.transform(
+            F.array(enc_arr),
+            lambda e: F.transform(
+                F.sequence(F.lit(1), npos - (w - 1)),
+                lambda s: F.array_min(F.slice(e, s, w)),
+            ),
+        ),
+        1,
     )
-    wins = F.transform(
-        F.sequence(F.lit(1), F.col("__npos") - (w - 1)),
-        lambda s: F.array_min(F.slice("__enc", s, w)),
-    )
-    return base.select(id_col, "__npos", wins.alias("__wins"))
+    return df.filter(npos >= w).select(id_col, npos.alias("__npos"), wins.alias("__wins"))
 
 
 def winnow_fp_rows(
