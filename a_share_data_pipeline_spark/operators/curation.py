@@ -47,12 +47,21 @@ DUP_BIGRAM_FRAC_MAX = 0.50  # bigrams occurring 2+ times may cover <= 50%
 def _word_grams(text_col: str, n: int) -> Column:
     """NON-distinct word n-grams (repetition needs multiplicities).
     Guarded like dedup.word_shingles_col: F.sequence(1, 0) would emit a
-    DESCENDING [1, 0] for too-short docs, not an empty array."""
-    toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])  # noqa: E731
-    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
+    DESCENDING [1, 0] for too-short docs, not an empty array. Token
+    array let-bound like word_shingles_col (SCALE.md let-binding
+    lesson)."""
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        )
+        return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.col(text_col), " ")), build), 1
     )
 
 

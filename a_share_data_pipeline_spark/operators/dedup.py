@@ -28,12 +28,25 @@ _LOG = logging.getLogger(__name__)
 
 
 def word_shingles_col(text_col: str = "text", n: int = 3) -> "F.Column":
-    """`array<string>` of distinct word n-grams as a Column expression."""
-    toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)])  # noqa: E731
-    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
-        F.array().cast("array<string>")
+    """`array<string>` of distinct word n-grams as a Column expression.
+
+    The token array is LET-BOUND through a single-element transform so
+    the ~3·m element_at references hit a bound VALUE — referencing the
+    raw split() expression instead re-evaluates the split per reference
+    (the CollapseProject inlining hazard measured on winnowing,
+    SCALE.md "let-binding lesson")."""
+
+    def build(toks: "F.Column") -> "F.Column":
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        )
+        return F.when(
+            F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.col(text_col), " ")), build), 1
     )
 
 

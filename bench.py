@@ -16,7 +16,16 @@ BENCH_r04.json recorded `parsed: null`. Last-and-short wins.
 Headline set: one representative per operator family (scan+agg, joins,
 windows, sessionization, as-of, incremental, dedup, similarity, text,
 JSON) — the 100 TB-relevant shapes, timed end-to-end including the
-action (count), excluding session startup.
+action, excluding session startup.
+
+The action is a FULL-evaluation hash aggregate (xxhash64 over every
+output column → count+max), not .count(): count() lets Catalyst prune
+computed columns, so map-only queries measured only their scan
+(round-5 discovery — see SCALE.md "let-binding lesson"). Round-over-
+round note: map-only queries (text_metrics, curation_pii_redact,
+json_variant, multimodal_*) step UP versus the r1-r4 records at the
+point of this change — that is the previously-unmeasured work
+becoming visible, not a regression.
 """
 
 from __future__ import annotations
@@ -147,7 +156,19 @@ def main() -> None:
         while len(times) < 4:
             isolate()
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            df = fn(spark, sf_dir)
+            # force FULL evaluation: .count() lets Catalyst prune every
+            # computed column, so a map-only query's actual work was
+            # never measured (discovered round 5: an O(m²)
+            # expression-inlining bug costing 24 ms/doc was invisible
+            # behind a 0.24 s count). xxhash64 over all columns keeps
+            # every expression referenced in ONE pass; overhead is one
+            # hash per row, uniform across queries.
+            from pyspark.sql import functions as _F
+
+            df.select(
+                _F.xxhash64(*[_F.col(c) for c in df.columns]).alias("__h")
+            ).agg(_F.count("__h"), _F.max("__h")).collect()
             times.append(time.perf_counter() - t0)
             if len(times) >= 2:
                 lo, lo2 = sorted(times)[:2]
