@@ -145,7 +145,11 @@ _REGISTRY: dict[str, Query] = {}
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified
 # operator FAMILIES (iterative-rank, sketch-prune, sketch-merge,
-# argmin-aggregate, tokenizer-apply) rather than redundant witnesses.
+# argmin-aggregate, tokenizer-apply) rather than redundant witnesses;
+# next-strongest alternates from the round-5 third wave:
+# sql_recursive_cte (in-engine recursion — a capability no current
+# window row witnesses) and dedup_winnow_pairs (the winnowing
+# fingerprint family end-to-end).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
