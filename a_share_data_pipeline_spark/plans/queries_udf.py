@@ -140,6 +140,41 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NULLSAFE_SQL = """
+WITH a AS (SELECT NULLIF(c_nationkey, 7) AS k, c_custkey FROM customer),
+b AS (SELECT NULLIF(s_nationkey, 7) AS k2, s_suppkey FROM supplier)
+SELECT k, COUNT(*) AS n_pairs, COUNT(DISTINCT s_suppkey) AS n_supp
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+GROUP BY k
+"""
+
+
+@register(
+    "join_nullsafe",
+    _NULLSAFE_SQL,
+    doc=(
+        "null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+        "keys match NULL keys as a real bucket. The scale point: "
+        "Catalyst rewrites the <=> key to hashable "
+        "(coalesce(k, 0), isnull(k)) columns, so the join stays a "
+        "hash/broadcast join (plan-gated) — the hand-written "
+        "equivalent `a.k = b.k OR (a.k IS NULL AND b.k IS NULL)` is "
+        "a disjunctive condition that degrades to a nested-loop "
+        "product. The merge/SCD key pattern for nullable dimensions"
+    ),
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.select(F.nullif(F.col("c_nationkey"), F.lit(7)).alias("k"), "c_custkey")
+    b = supp.select(F.nullif(F.col("s_nationkey"), F.lit(7)).alias("k2"), "s_suppkey")
+    j = a.join(b, a["k"].eqNullSafe(b["k2"]))
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("s_suppkey").alias("n_supp"),
+    )
+
+
 _ZSCORE_SQL = """
 SELECT o_custkey, o_orderkey,
        ROUND((o_totalprice - AVG(o_totalprice) OVER w)

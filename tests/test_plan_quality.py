@@ -806,3 +806,13 @@ def test_ema_single_window_over_reduced_series(spark):
         )._ema_weights()
     ), p
     assert "BatchEvalPython" not in p, p
+
+
+def test_nullsafe_join_stays_hashable(spark):
+    """join_nullsafe: Catalyst must rewrite the <=> key to hashable
+    (coalesce, isnull) columns — a hash/broadcast join, never the
+    nested-loop product the disjunctive OR-form would plan."""
+    q = registry()["join_nullsafe"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
