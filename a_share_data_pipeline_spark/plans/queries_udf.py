@@ -211,6 +211,55 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_custkey", "o_orderkey", dround("z", 6).alias("z"))
 
 
+_ARROW_GROUPED_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max,
+       ROUND(AVG(value), 6) AS v_avg
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "udf_arrow_grouped",
+    _ARROW_GROUPED_SQL,
+    doc=(
+        "applyInArrow (Spark 4 grouped-map Arrow lane): each group "
+        "arrives as ONE pyarrow.Table, summarized with "
+        "pyarrow.compute kernels — the zero-pandas-conversion "
+        "counterpart of applyInPandas, completing the UDF matrix "
+        "(scalar/grouped-agg pandas, grouped-map pandas, mapInArrow, "
+        "grouped-map Arrow, UDTF); oracle proves the Arrow kernels "
+        "≡ SQL aggregates"
+    ),
+)
+def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def summarize(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        v = table.column("value")
+        return pa.Table.from_pydict(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                "v_min": [pc.min(v).as_py()],
+                "v_max": [pc.max(v).as_py()],
+                "v_avg": [pc.mean(v).as_py()],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = ev.groupBy("event_type").applyInArrow(
+        summarize,
+        schema="event_type string, n long, v_min double, v_max double, v_avg double",
+    )
+    return out.select(
+        "event_type", "n", "v_min", "v_max", dround("v_avg", 6).alias("v_avg")
+    )
+
+
 _ARROW_MAP_SQL = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,

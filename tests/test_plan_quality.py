@@ -97,6 +97,7 @@ def test_no_row_python_in_builtin_queries(spark):
         "udf_table_function",
         "udf_grouped_map",
         "udf_arrow_map",
+        "udf_arrow_grouped",
         "multimodal_features",
         "multimodal_frames",
         "multimodal_resize",
@@ -109,7 +110,12 @@ def test_no_row_python_in_builtin_queries(spark):
         p = plan_str(q.fn(spark, SF), "simple")
         assert "BatchEvalPython" not in p, f"{name} fell off the vectorized path:\n{p}"
         if name not in arrow_ok:
-            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            for marker in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "FlatMapGroupsInArrow",
+            ):
                 assert marker not in p, f"{name} unexpectedly uses {marker}:\n{p}"
 
 
