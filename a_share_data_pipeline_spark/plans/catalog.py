@@ -140,7 +140,10 @@ _REGISTRY: dict[str, Query] = {}
 # events_rsi (Cutler's SMA variant), source_csv (the reference's
 # native sink format, round-tripped with a text-derived checksum),
 # and scalar_map (the MapType F7 lane: typed from_json map +
-# transform_values/map_filter lambdas).
+# transform_values/map_filter lambdas), plus events_macd (dual-EMA
+# DIF/DEA/histogram, two chained Window stages) and events_kdj
+# (stochastic oscillator, three stacked Window stages) completing the
+# kline-indicator family.
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

@@ -1691,3 +1691,282 @@ def search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_OUT)
+
+
+# ---------------------------------------------------------------------------
+# MACD: the dual-EMA convergence/divergence kline indicator
+# ---------------------------------------------------------------------------
+
+_MACD_FAST_ALPHA = 2.0 / 7.0  # span 6: alpha = 2/(span+1)
+_MACD_SLOW_ALPHA = 2.0 / 13.0  # span 12
+_MACD_SIG_ALPHA = 0.2  # signal span 9 (the classic DEA smoothing)
+_MACD_LAGS = 12  # shared truncation for fast+slow; dropped tail weight
+# (1-a)^12 is ~1.8% (fast) / ~13% (slow) of an infinite EMA and is
+# ELIMINATED by the adjust-form normalization (same contract as
+# events_ema: exact over the visible window, not an approximation).
+# Span choice is a CORRECTNESS constraint, not taste: with spans 5/10
+# (alpha 1/3, 2/11) the early-window normalized EMAs cancel to
+# (v1-v0)/20 — a decimal-TERMINATING rational of the 6-decimal daily
+# inputs that sits exactly on the ROUND(_,6) half-way boundary, so
+# 1-ulp float noise decides the rounding side per engine (observed:
+# 3/120 rows flipped vs DuckDB). Alphas 2/7 and 2/13 put factors
+# 7/13/3 in every weight denominator, so no early-window combination
+# of decimal inputs terminates in decimal — raw values stay far from
+# the rounding grid relative to float noise.
+_MACD_SIG_LAGS = 10
+
+
+def _macd_weights(alpha: float, lags: int) -> list[float]:
+    return [(1.0 - alpha) ** i for i in range(lags)]
+
+
+def _wsum_sql(col: str, ws: list[float]) -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(lag({col}, {i}) OVER w, 0.0) * {w!r}" for i, w in enumerate(ws)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag({col}, {i}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+        for i, w in enumerate(ws)
+    )
+    return num, den
+
+
+def _macd_sql() -> str:
+    fnum, fden = _wsum_sql("v", _macd_weights(_MACD_FAST_ALPHA, _MACD_LAGS))
+    snum, sden = _wsum_sql("v", _macd_weights(_MACD_SLOW_ALPHA, _MACD_LAGS))
+    gnum, gden = _wsum_sql("dif", _macd_weights(_MACD_SIG_ALPHA, _MACD_SIG_LAGS))
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         ROUND(AVG(value), 6) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+dif_t AS (
+  SELECT event_type, day, v,
+         ROUND(({fnum}) / ({fden}) - ({snum}) / ({sden}), 6) AS dif
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, v, dif,
+       ROUND(({gnum}) / ({gden}), 6) AS dea,
+       ROUND(2 * (dif - ({gnum}) / ({gden})), 6) AS macd
+FROM dif_t
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@register(
+    "events_macd",
+    _macd_sql(),
+    doc=(
+        "MACD — the dual-EMA kline indicator (DIF = EMA_fast - "
+        "EMA_slow, DEA = EMA(DIF, signal span), histogram = "
+        "2*(DIF-DEA), the A-share charting convention): two CHAINED "
+        "window stages over the reduced daily series. Fast and slow "
+        "EMAs share ONE set of materialized lag columns (12 lags "
+        "computed once, two weighted sums read them); DIF is rounded "
+        "to 6 before the signal stage so both engines smooth "
+        "bit-identical inputs. Both Window nodes use the same "
+        "partition+order, so Catalyst plans ONE exchange and ONE "
+        "sort — the second stage rides the first's distribution. "
+        "All weights are Python-float literals injected into both "
+        "engines; sums chain left-associatively in lag order"
+    ),
+)
+def events_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dround(F.avg("value"), 6).alias("v"))
+    w = W.partitionBy("event_type").orderBy("day")
+
+    def wsum(prefix: str, ws: list[float]):
+        num = F.coalesce(F.col(f"{prefix}0"), F.lit(0.0)) * F.lit(ws[0])
+        den = F.when(F.col(f"{prefix}0").isNotNull(), F.lit(ws[0])).otherwise(
+            F.lit(0.0)
+        )
+        for i, wt in list(enumerate(ws))[1:]:
+            num = num + F.coalesce(F.col(f"{prefix}{i}"), F.lit(0.0)) * F.lit(wt)
+            den = den + F.when(F.col(f"{prefix}{i}").isNotNull(), F.lit(wt)).otherwise(
+                F.lit(0.0)
+            )
+        return num / den
+
+    # stage 1: materialize the 12 price lags ONCE; fast and slow EMAs
+    # are two weighted sums over the same columns (the events_ema
+    # let-binding lesson: building sums from raw lag().over() would
+    # re-expand every lag per reference)
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "v",
+        *[F.lag("v", i).over(w).alias(f"__l{i}") for i in range(_MACD_LAGS)],
+    )
+    fast = wsum("__l", _macd_weights(_MACD_FAST_ALPHA, _MACD_LAGS))
+    slow = wsum("__l", _macd_weights(_MACD_SLOW_ALPHA, _MACD_LAGS))
+    dif_t = lagged.select(
+        "event_type", "day", "v", dround(fast - slow, 6).alias("dif")
+    )
+
+    # stage 2: signal EMA over the rounded DIF — same partition+order,
+    # so the Window rides stage 1's exchange and sort
+    lagged2 = dif_t.select(
+        "event_type",
+        "day",
+        "v",
+        "dif",
+        *[F.lag("dif", i).over(w).alias(f"__g{i}") for i in range(_MACD_SIG_LAGS)],
+    )
+    dea = wsum("__g", _macd_weights(_MACD_SIG_ALPHA, _MACD_SIG_LAGS))
+    return lagged2.select(
+        "event_type",
+        "day",
+        "v",
+        "dif",
+        dround(dea, 6).alias("dea"),
+        dround(2 * (F.col("dif") - dea), 6).alias("macd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KDJ: the stochastic-oscillator kline indicator (SMA-smoothed variant)
+# ---------------------------------------------------------------------------
+
+_KDJ_SQL = """
+WITH keyed AS (
+  SELECT event_type, date_trunc('day', ts) AS day, value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ordkey
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+bars AS (
+  SELECT event_type, day,
+         ROUND(MAX(value), 6) AS high,
+         ROUND(MIN(value), 6) AS low,
+         ROUND(arg_max(value, ordkey), 6) AS close
+  FROM keyed GROUP BY event_type, day
+),
+rsv_t AS (
+  SELECT event_type, day, high, low, close,
+         ROUND(CASE WHEN MAX(high) OVER w9 > MIN(low) OVER w9
+                    THEN 100.0 * (close - MIN(low) OVER w9)
+                         / (MAX(high) OVER w9 - MIN(low) OVER w9)
+               END, 6) AS rsv
+  FROM bars
+  WINDOW w9 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+),
+k_t AS (
+  SELECT event_type, day, high, low, close, rsv,
+         ROUND(AVG(rsv) OVER w3, 6) AS k
+  FROM rsv_t
+  WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, close, rsv, k,
+       ROUND(AVG(k) OVER w3, 6) AS d,
+       ROUND(3 * k - 2 * AVG(k) OVER w3, 4) AS j
+FROM k_t
+WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "events_kdj",
+    _KDJ_SQL,
+    doc=(
+        "KDJ stochastic oscillator — the fourth kline indicator "
+        "family (position-in-range, vs EMA/Bollinger/RSI's "
+        "level/volatility/momentum): daily high/low/close bars (close "
+        "via max_by over the OHLC zero-padded (epoch-micros, "
+        "event_id) ordkey — no ts-tie nondeterminism), RSV = "
+        "100·(close-LL9)/(HH9-LL9) over a 9-day frame (NULL while "
+        "the frame is flat), then K = SMA3(RSV), D = SMA3(K), "
+        "J = 3K-2D. The SMA smoothing is used precisely because the "
+        "classic recursive K is not frame-expressible (the Cutler-RSI "
+        "argument). THREE chained Window stages all share one "
+        "partition+order, so they stack directly — one window "
+        "exchange, one window sort, zero re-sorts between stages "
+        "(plan-checked) — and the bar aggregation already reduced the "
+        "frame to O(days·types) rows. Every window aggregate is "
+        "let-bound to a named column before arithmetic touches it "
+        "(dround's sign branches would clone .over() expressions 3x); "
+        "each stage's output is rounded before the next so both "
+        "engines smooth bit-identical series"
+    ),
+)
+def events_kdj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bars = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "value",
+            ordkey.alias("ordkey"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            dround(F.max("value"), 6).alias("high"),
+            dround(F.min("value"), 6).alias("low"),
+            dround(F.max_by("value", "ordkey"), 6).alias("close"),
+        )
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    w9 = wo.rowsBetween(-8, 0)
+    w3 = wo.rowsBetween(-2, 0)
+    # let-bind every window aggregate as a named column BEFORE any
+    # arithmetic touches it: dround's sign-branch CASE would otherwise
+    # clone each .over() expression 3x (observed: 15 _we slots for the
+    # two RSV extrema — the events_ema let-binding lesson again)
+    ext = bars.select(
+        "event_type",
+        "day",
+        "close",
+        F.max("high").over(w9).alias("__hh"),
+        F.min("low").over(w9).alias("__ll"),
+    )
+    hh, ll = F.col("__hh"), F.col("__ll")
+    rsv_t = ext.select(
+        "event_type",
+        "day",
+        "close",
+        dround(
+            F.when(hh > ll, 100.0 * (F.col("close") - ll) / (hh - ll)), 6
+        ).alias("rsv"),
+    )
+    k_t = rsv_t.select(
+        "event_type",
+        "day",
+        "close",
+        "rsv",
+        F.avg("rsv").over(w3).alias("__kraw"),
+    ).select(
+        "event_type",
+        "day",
+        "close",
+        "rsv",
+        dround(F.col("__kraw"), 6).alias("k"),
+    )
+    d_t = k_t.select(
+        "event_type", "day", "close", "rsv", "k", F.avg("k").over(w3).alias("__draw")
+    )
+    d = F.col("__draw")
+    return d_t.select(
+        "event_type",
+        "day",
+        "close",
+        "rsv",
+        "k",
+        dround(d, 6).alias("d"),
+        dround(3 * F.col("k") - 2 * d, 4).alias("j"),
+    )

@@ -103,6 +103,8 @@ HEADLINE = [
     "sql_recursive_cte",
     "json_variant",
     "events_ema",
+    "events_macd",
+    "events_kdj",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round
