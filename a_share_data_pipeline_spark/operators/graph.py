@@ -148,17 +148,29 @@ def pagerank(
     reorderings of the in-edge sums, exactly like the unrolled-Lloyd
     k-means oracle. Convergence is unaffected at 1e-6 granularity.
 
-    Scale design (same discipline as connected_components):
-    - out-degrees are computed once and live WITH the rank state
-      (one frame keyed by node), so each round is exactly one join
-      (contributions = ranks ⋈ edges on src) + one aggregate (sum by
-      dst) + one left join back onto the node set for dangling nodes —
-      O(E) shuffled bytes per round, no corpus-sized rebuilds;
-    - rank state is localCheckpoint'ed every round so lineage stays
-      flat across iterations;
+    Scale design (revised round 5 after the bench showed per-round
+    eager localCheckpoints DEGRADING across reps — 9.1s → 18.0s as
+    checkpointed RDD blocks accumulated; the fix is to need no
+    per-round materialization at all):
+    - the rank state is SINGLE-USE per round: out-degrees ride on the
+      EDGES (``edges_w``: src, dst, outdeg — checkpointed once), and
+      the dangling-node left join reads a STATIC (node, outdeg) frame
+      (checkpointed once). Each round is then one join (ranks onto
+      weighted edges) + one aggregate (sum by dst) + one left join
+      onto the static node frame — O(E) shuffled bytes per round —
+      and because ranks_i feeds ranks_{i+1} exactly once, lineage is
+      a simple chain: no recompute fan-out, no per-round checkpoint,
+      the whole unrolled iteration runs as ONE job with full stage
+      pipelining. (connected_components keeps per-round checkpoints
+      because its round count is data-dependent and its state is
+      multi-use; a fixed small iteration count does not need them.
+      For large ``iters`` at cluster scale, checkpoint every ~5-10
+      rounds to bound the plan, not every round.)
     - the simple-citation formulation r' = (1-d) + d·Σ r/outdeg is
       used (no dangling-mass redistribution): sinks absorb rank,
-      sources hold (1-d) — deterministic and oracle-matched.
+      sources hold (1-d) — deterministic and oracle-matched; the
+      contribution divides rank/outdeg PER EDGE, the same expression
+      the oracle's unrolled CTEs evaluate.
     """
     from ..functions.rounding import dround
 
@@ -170,33 +182,37 @@ def pagerank(
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    state = (
+    # static frames, each consumed once per round: materialize once
+    nodes_od = (
         nodes.join(outdeg, "node", "left")
-        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"), F.lit(1.0).alias("rank"))
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
         .localCheckpoint(eager=True)
     )
+    edges_w = (
+        edges.join(outdeg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes_od.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iters):
-        contrib = (
-            state.filter(F.col("outdeg") > 0)
-            .join(edges, state["node"] == edges["src"])
+        inflow = (
+            edges_w.join(ranks, edges_w["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),
             )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
         )
-        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        state = (
-            state.select("node", "outdeg")
-            .join(inflow, "node", "left")
+        ranks = (
+            nodes_od.join(inflow, "node", "left")
             .select(
                 "node",
-                "outdeg",
                 dround(
                     F.lit(1.0 - damping)
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
                     round_to,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-    return state.select("node", "rank")
+    return ranks.select("node", "rank")
