@@ -143,7 +143,11 @@ _REGISTRY: dict[str, Query] = {}
 # transform_values/map_filter lambdas), plus events_macd (dual-EMA
 # DIF/DEA/histogram, two chained Window stages) and events_kdj
 # (stochastic oscillator, three stacked Window stages) completing the
-# kline-indicator family.
+# kline-indicator family, agg_quantile_sketch (shard-mergeable
+# histogram quantiles — the quantile sibling of agg_sketch_merge),
+# and sample_negatives (contrastive negative pairs with the near-dup
+# component false-negative guard, composing shuffle_deterministic's
+# global index and dedup_components' labels).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

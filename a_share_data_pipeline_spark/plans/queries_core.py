@@ -1033,3 +1033,108 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("est_recent") - F.col("exact_recent")) / F.col("exact_recent") <= 0.05)
     )
     return out.select("l_returnflag", "exact_parts", "exact_recent", ok.alias("within_bounds"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: shard-level histograms → merged quantiles
+# ---------------------------------------------------------------------------
+
+_QS_LO = 900.0  # l_extendedprice domain floor (TPC-H: >= 900)
+_QS_WIDTH = 2000.0
+_QS_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+_QSKETCH_SQL = f"""
+WITH shard_sketch AS (
+  -- the persistable artifact: one (shard, bin, cnt) histogram per
+  -- ship-month shard, bounded at shards x bins rows
+  SELECT date_trunc('month', l_shipdate) AS shard,
+         CAST(floor((l_extendedprice - {_QS_LO!r}) / {_QS_WIDTH!r}) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem
+  GROUP BY 1, 2
+),
+merged AS (
+  SELECT bin, SUM(cnt) AS cnt FROM shard_sketch GROUP BY bin
+),
+cum_t AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_prev
+  FROM merged
+),
+tot AS (SELECT SUM(cnt) AS total FROM merged),
+qs AS (
+  SELECT CAST(unnest([{', '.join(repr(q) for q in _QS_QUANTILES)}]) AS DOUBLE) AS q
+)
+SELECT qs.q,
+       ROUND({_QS_LO!r} + {_QS_WIDTH!r} *
+             (c.bin + (qs.q * tot.total - c.cum_prev) / c.cnt), 6) AS est,
+       tot.total AS total_rows,
+       CAST((SELECT COUNT(*) FROM merged) AS BIGINT) AS n_bins
+FROM qs CROSS JOIN tot
+JOIN cum_t c
+  ON c.cum >= qs.q * tot.total AND c.cum_prev < qs.q * tot.total
+"""
+
+
+@register(
+    "agg_quantile_sketch",
+    _QSKETCH_SQL,
+    doc=(
+        "re-aggregatable QUANTILES from shard-mergeable histogram "
+        "sketches — the quantile sibling of agg_sketch_merge's HLL "
+        "family: per-ship-month (shard, bin, cnt) histograms with "
+        "data-independent literal bin edges, merged by a trivial "
+        "SUM-by-bin, then P25/P50/P75/P95 by linear interpolation "
+        "inside the covering bin. Each quantile matches EXACTLY one "
+        "bin (cum_prev < q*total <= cum), so the pick is a join "
+        "predicate, not a window argmin. Sketch rows are bounded at "
+        "shards x bins per task by the partial aggregation; counts "
+        "are integers, so interpolation arithmetic is bit-identical "
+        "on both engines. At 100 TB: persist the per-shard "
+        "histograms (KBs/shard), answer quantile queries at ANY "
+        "shard grain without re-scanning raw data — the pattern "
+        "percentile_approx cannot give you, since its sketch dies "
+        "inside one aggregation; accuracy is bounded by bin width, "
+        "chosen from the domain, not the data"
+    ),
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    shard_sketch = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("shard"),
+        F.floor((F.col("l_extendedprice") - F.lit(_QS_LO)) / F.lit(_QS_WIDTH))
+        .cast("bigint")
+        .alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = shard_sketch.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum_t = merged.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        (F.sum("cnt").over(wc) - F.col("cnt")).alias("cum_prev"),
+    )
+    tot = merged.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_bins")
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QS_QUANTILES])).alias("q")
+    )
+    qt = qs.crossJoin(F.broadcast(tot))
+    j = qt.join(
+        cum_t,
+        (F.col("cum") >= F.col("q") * F.col("total"))
+        & (F.col("cum_prev") < F.col("q") * F.col("total")),
+    )
+    return j.select(
+        "q",
+        dround(
+            F.lit(_QS_LO)
+            + F.lit(_QS_WIDTH)
+            * (F.col("bin") + (F.col("q") * F.col("total") - F.col("cum_prev")) / F.col("cnt")),
+            6,
+        ).alias("est"),
+        F.col("total").alias("total_rows"),
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+    )

@@ -2020,3 +2020,134 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected.select("qid", "cand", "rel", F.col("rnk").cast("long").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative-pair sampling (component-aware, RNG-free)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4  # candidate negatives drawn per anchor
+_NEG_ANCHOR_RATE = 0.05
+
+
+def _neg_sql() -> str:
+    from .queries_profile import _SHUFFLE_SEED, _hex_threshold
+
+    return f"""{_COMPONENTS_CTE},
+idx AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5('{_SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR))
+         ) AS BIGINT) - 1 AS idx
+  FROM documents
+),
+n_t AS (SELECT COUNT(*) AS n FROM documents),
+anchors AS (
+  SELECT doc_id AS anchor_id FROM documents
+  WHERE substr(md5('anchor|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        < '{_hex_threshold(_NEG_ANCHOR_RATE)}'
+),
+cand AS (
+  SELECT a.anchor_id, CAST(j.j AS BIGINT) AS j,
+         CAST(('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR)
+                                  || '#' || CAST(j.j AS VARCHAR)), 1, 8))
+              AS BIGINT) % n_t.n AS cand_idx
+  FROM anchors a
+  CROSS JOIN (SELECT unnest(range(0, {_NEG_K})) AS j) j
+  CROSS JOIN n_t
+),
+neg AS (
+  SELECT c.anchor_id, c.j, i.doc_id AS neg_id
+  FROM cand c JOIN idx i ON i.idx = c.cand_idx
+)
+SELECT g.anchor_id, g.j, g.neg_id
+FROM neg g
+JOIN comp ca ON ca.doc_id = g.anchor_id
+JOIN comp cb ON cb.doc_id = g.neg_id
+WHERE g.neg_id <> g.anchor_id AND ca.component <> cb.component
+"""
+
+
+@register(
+    "sample_negatives",
+    _neg_sql(),
+    doc=(
+        "contrastive negative-pair sampling for embedding training "
+        "(SimCLR/CLIP-style): k pseudo-random negatives per anchor, "
+        "drawn by md5 arithmetic against a deterministic global doc "
+        "index — no RNG, identical picks on any cluster size or "
+        "rerun. The FALSE-NEGATIVE guard is the point: a candidate in "
+        "the anchor's near-dup COMPONENT (dedup_components' labels — "
+        "an undetected near-copy of the anchor) would be trained as a "
+        "negative and poison the objective, so component-mates are "
+        "anti-filtered, not just the anchor itself. The global index "
+        "reuses shuffle_deterministic's range-exchange + per-partition "
+        "offset pattern (no single-partition window); candidate "
+        "generation is a k-way explode off the tiny anchor set with a "
+        "broadcast 1-row count; the index join is an equi-join on the "
+        "dense position"
+    ),
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_profile import _hex_threshold, shuffle_deterministic
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = shuffle_deterministic(spark, sf_dir).select(
+        "doc_id", (F.col("pos") - 1).alias("idx")
+    )
+    n_t = docs.agg(F.count(F.lit(1)).alias("n"))
+    anchors = docs.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("anchor|"), F.col("doc_id").cast("string"))), 1, 8
+        )
+        < F.lit(_hex_threshold(_NEG_ANCHOR_RATE))
+    ).select(F.col("doc_id").alias("anchor_id"))
+    cand = (
+        anchors.crossJoin(F.broadcast(n_t))
+        .select(
+            "anchor_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            F.col("j").cast("long").alias("j"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("anchor_id").cast("string"),
+                                F.lit("#"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ).alias("cand_idx"),
+        )
+    )
+    neg = cand.join(idx, cand["cand_idx"] == idx["idx"]).select(
+        "anchor_id", "j", F.col("doc_id").alias("neg_id")
+    )
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    ca = comp.select(
+        F.col("doc_id").alias("anchor_id"), F.col("component").alias("comp_a")
+    )
+    cb = comp.select(
+        F.col("doc_id").alias("neg_id"), F.col("component").alias("comp_b")
+    )
+    return (
+        neg.join(ca, "anchor_id")
+        .join(cb, "neg_id")
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("comp_a") != F.col("comp_b"))
+        )
+        .select("anchor_id", "j", "neg_id")
+    )

@@ -104,6 +104,7 @@ HEADLINE = [
     "json_variant",
     "events_ema",
     "events_macd",
+    "agg_quantile_sketch",
     "events_kdj",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the

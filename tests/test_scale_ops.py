@@ -811,3 +811,51 @@ def test_keep_canonical_is_longest_per_component(spark):
         members = [d for d, c in comp.items() if c == r.component]
         best = min(members, key=lambda d: (-docs[d], d))
         assert r.doc_id == best, (r.component, r.doc_id, best)
+
+
+def test_quantile_sketch_brackets_exact_percentiles(spark):
+    """agg_quantile_sketch: each histogram-interpolated estimate must
+    land within one bin width of the exact percentile, quantiles must
+    be monotone, and the merged sketch must be tiny (n_bins bounded by
+    the literal domain, not the data)."""
+    from a_share_data_pipeline_spark.plans.queries_core import (
+        _QS_WIDTH,
+        agg_quantile_sketch,
+    )
+
+    rows = {r.q: r for r in agg_quantile_sketch(spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem")
+    exact = li.selectExpr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95)) AS p"
+    ).collect()[0]["p"]
+    for q, ex in zip(sorted(rows), exact):
+        assert abs(rows[q].est - ex) <= _QS_WIDTH, (q, rows[q].est, ex)
+    ests = [rows[q].est for q in sorted(rows)]
+    assert ests == sorted(ests)
+    assert all(r.n_bins <= 60 for r in rows.values())
+
+
+def test_sample_negatives_guards_component_mates(spark):
+    """sample_negatives: no emitted negative may share a near-dup
+    component with its anchor (the false-negative guard IS the
+    operator), no self-pairs, j stays within 0..k-1, and the picks are
+    byte-identical across reruns (no RNG)."""
+    from a_share_data_pipeline_spark.plans.queries_llm import (
+        _NEG_K,
+        dedup_components,
+        sample_negatives,
+    )
+
+    out = sorted(
+        (r.anchor_id, r.j, r.neg_id) for r in sample_negatives(spark, SF).collect()
+    )
+    assert out, "sampler emitted nothing"
+    comp = {r.doc_id: r.component for r in dedup_components(spark, SF).collect()}
+    for anchor, j, neg in out:
+        assert neg != anchor
+        assert comp[anchor] != comp[neg], (anchor, neg)
+        assert 0 <= j < _NEG_K
+    rerun = sorted(
+        (r.anchor_id, r.j, r.neg_id) for r in sample_negatives(spark, SF).collect()
+    )
+    assert rerun == out
