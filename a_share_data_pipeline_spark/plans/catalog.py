@@ -147,7 +147,10 @@ _REGISTRY: dict[str, Query] = {}
 # histogram quantiles — the quantile sibling of agg_sketch_merge),
 # and sample_negatives (contrastive negative pairs with the near-dup
 # component false-negative guard, composing shuffle_deterministic's
-# global index and dedup_components' labels).
+# global index and dedup_components' labels), profile_k_anonymity
+# (k-anonymity / l-diversity privacy risk profile), and join_pit_scd2
+# (point-in-time temporal join consuming scd2_dim_history's validity
+# intervals — leakage-free fact enrichment).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

@@ -1970,3 +1970,69 @@ def events_kdj(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(d, 6).alias("d"),
         dround(3 * F.col("k") - 2 * d, 4).alias("j"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join: facts enriched against the SCD2 dim history
+# ---------------------------------------------------------------------------
+
+_PIT_SQL = """
+WITH upd AS (
+  SELECT user_id, ts, event_id, ROUND(value, 2) AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+hist AS (
+  SELECT user_id, tier, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM upd
+)
+SELECT f.event_id, f.user_id, f.ts, h.tier
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') f
+LEFT JOIN hist h
+  ON h.user_id = f.user_id
+ AND h.valid_from <= f.ts
+ AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+"""
+
+
+@register(
+    "join_pit_scd2",
+    _PIT_SQL,
+    doc=(
+        "point-in-time (temporal) join — the consumption side of "
+        "scd2_dim_history: every view event picks up the dim version "
+        "valid AT ITS OWN event time (valid_from <= ts < valid_to), "
+        "never a later one — the leakage-free enrichment backtests "
+        "and training-feature builds need (an ordinary dim join would "
+        "leak future attribute values into past facts). Because the "
+        "SCD2 intervals PARTITION each key's timeline, at most one "
+        "version matches per fact: the join stays an equi-join on the "
+        "entity key with the interval check as a residual filter — "
+        "shuffle-hash/sort-merge shaped, no explode, no window "
+        "re-sort of the fact stream; facts before the first version "
+        "keep a NULL tier via the left join"
+    ),
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    upd = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", dround(F.col("value"), 2).alias("tier")
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = upd.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wo).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (hist["user_id"] == facts["user_id"])
+        & (hist["valid_from"] <= facts["ts"])
+        & (hist["valid_to"].isNull() | (facts["ts"] < hist["valid_to"]))
+    )
+    return facts.join(hist, cond, "left").select(
+        facts["event_id"], facts["user_id"], facts["ts"], hist["tier"]
+    )

@@ -959,3 +959,59 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.expr(f"ln({_WS_U})") / F.col("n_chars"), 9).alias("es_key"),
     )
     return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(_WS_K)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy profile (pre-publication risk check)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(class_size AS BIGINT) AS class_size,
+       CAST(l_diversity AS BIGINT) AS l_diversity,
+       class_size < {_KANON_K} AS at_risk
+FROM (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_diversity
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+) t
+"""
+
+
+@register(
+    "profile_k_anonymity",
+    _KANON_SQL,
+    doc=(
+        "k-anonymity / l-diversity privacy profile — the "
+        "pre-publication risk check a curation pipeline runs before "
+        "releasing a dataset: rows grouped into equivalence classes "
+        "by their quasi-identifiers (nation, market segment), each "
+        "class reporting its size (k-anonymity: a class smaller than "
+        "k re-identifies its members) and the count of distinct "
+        "sensitive-attribute buckets it contains (l-diversity: a "
+        "class where everyone shares one sensitive value leaks it "
+        "even at k). One partial-aggregated shuffle bounded at "
+        "|QI-combinations| rows — the profile is classes, not the "
+        "corpus, so the output is KBs at any input scale; the "
+        "at_risk flag drives suppression/generalization downstream"
+    ),
+)
+def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ).alias("l_diversity"),
+    )
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("class_size").cast("bigint").alias("class_size"),
+        F.col("l_diversity").cast("bigint").alias("l_diversity"),
+        (F.col("class_size") < _KANON_K).alias("at_risk"),
+    )

@@ -859,3 +859,53 @@ def test_sample_negatives_guards_component_mates(spark):
         (r.anchor_id, r.j, r.neg_id) for r in sample_negatives(spark, SF).collect()
     )
     assert rerun == out
+
+
+def test_pit_join_is_equi_keyed_and_leak_free(spark):
+    """join_pit_scd2: the temporal join must plan as an EQUI join on
+    the entity key (hash/sort-merge; never a nested-loop cartesian),
+    emit exactly one row per fact (SCD2 intervals partition the
+    timeline), and never attach a version from the fact's future."""
+    from a_share_data_pipeline_spark.plans.queries_pipeline import join_pit_scd2
+
+    q = join_pit_scd2(spark, SF)
+    p = plan_str(q, "simple")
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+
+    rows = q.collect()
+    facts = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    assert len(rows) == facts  # one row per fact, no interval explode
+
+    hist = {}
+    for r in (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .collect()
+    ):
+        hist.setdefault(r.user_id, []).append(r.ts)
+    for r in rows:
+        past = [t for t in hist.get(r.user_id, []) if t <= r.ts]
+        assert (r.tier is None) == (not past), (r.user_id, r.ts)
+
+
+def test_k_anonymity_classes_cover_all_rows(spark):
+    """profile_k_anonymity: class sizes must sum to the table row
+    count (every row is in exactly one equivalence class), l_diversity
+    can never exceed class_size, and at_risk tracks the k literal."""
+    from a_share_data_pipeline_spark.plans.queries_profile import (
+        _KANON_K,
+        profile_k_anonymity,
+    )
+
+    rows = profile_k_anonymity(spark, SF).collect()
+    total = load_table(spark, SF, "customer").count()
+    assert sum(r.class_size for r in rows) == total
+    for r in rows:
+        assert 1 <= r.l_diversity <= r.class_size
+        assert r.at_risk == (r.class_size < _KANON_K)
