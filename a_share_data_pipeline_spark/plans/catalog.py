@@ -150,7 +150,9 @@ _REGISTRY: dict[str, Query] = {}
 # global index and dedup_components' labels), profile_k_anonymity
 # (k-anonymity / l-diversity privacy risk profile), and join_pit_scd2
 # (point-in-time temporal join consuming scd2_dim_history's validity
-# intervals — leakage-free fact enrichment).
+# intervals — leakage-free fact enrichment), and sample_importance
+# (importance resampling to a target length distribution via
+# histogram-derived keep rates).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

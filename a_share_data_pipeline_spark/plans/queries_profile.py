@@ -1015,3 +1015,86 @@ def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_diversity").cast("bigint").alias("l_diversity"),
         (F.col("class_size") < _KANON_K).alias("at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance resampling: match a target distribution over a continuous feature
+# ---------------------------------------------------------------------------
+
+_IMP_BINS = 8
+_IMP_WIDTH = 500  # n_chars bin width; top bin clamps the tail
+
+
+def _imp_sql() -> str:
+    return f"""
+WITH binned AS (
+  SELECT doc_id,
+         LEAST(CAST(floor(n_chars / {_IMP_WIDTH}) AS BIGINT), {_IMP_BINS - 1}) AS bin
+  FROM documents
+),
+actual AS (
+  SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n) AS total FROM actual),
+rates AS (
+  -- keep_rate = min(1, target_share / actual_share): over-represented
+  -- bins are thinned toward the uniform target, starved bins keep all
+  SELECT bin,
+         LEAST(1.0, (1.0 / {_IMP_BINS}) / (CAST(n AS DOUBLE) / tot.total)) AS rate
+  FROM actual CROSS JOIN tot
+)
+SELECT b.doc_id, b.bin
+FROM binned b JOIN rates r ON r.bin = b.bin
+WHERE ('0x' || substr(md5('imp|' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+"""
+
+
+@register(
+    "sample_importance",
+    _imp_sql(),
+    doc=(
+        "importance resampling to a TARGET DISTRIBUTION over a "
+        "continuous feature (uniform over doc-length bins — the "
+        "Dolma/DataComp-style length-distribution correction): "
+        "per-bin keep_rate = min(1, target_share/actual_share), "
+        "applied as a deterministic md5-threshold per doc. "
+        "sample_mixture matches a CATEGORICAL rate table; this "
+        "derives the rates FROM the data's own histogram (one "
+        "partial-aggregated shuffle bounded at the literal bin "
+        "count), broadcasts the tiny rate table back, and filters "
+        "map-side. The hash-vs-rate compare is integer (hex prefix "
+        "vs floor(rate·2^32)) so both engines draw the identical "
+        "sample; no RNG, stable on any cluster size"
+    ),
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("n_chars") / _IMP_WIDTH).cast("bigint"),
+            F.lit(_IMP_BINS - 1),
+        ).alias("bin"),
+    )
+    actual = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = actual.agg(F.sum("n").alias("total"))
+    rates = actual.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.least(
+            F.lit(1.0),
+            (F.lit(1.0 / _IMP_BINS)) / (F.col("n").cast("double") / F.col("total")),
+        ).alias("rate"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("imp|"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        binned.join(F.broadcast(rates), "bin")
+        .filter(h < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
+        .select("doc_id", "bin")
+    )

@@ -909,3 +909,38 @@ def test_k_anonymity_classes_cover_all_rows(spark):
     for r in rows:
         assert 1 <= r.l_diversity <= r.class_size
         assert r.at_risk == (r.class_size < _KANON_K)
+
+
+def test_importance_resampling_flattens_length_distribution(spark):
+    """sample_importance: the resampled bin shares must be closer to
+    the uniform target than the originals (max share strictly drops
+    unless already uniform), and under-represented bins must keep
+    every doc (rate caps at 1)."""
+    from a_share_data_pipeline_spark.plans.queries_profile import (
+        _IMP_BINS,
+        _IMP_WIDTH,
+        sample_importance,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    bins = {
+        r.doc_id: min(int(r.n_chars // _IMP_WIDTH), _IMP_BINS - 1) for r in docs
+    }
+    before: dict[int, int] = {}
+    for b in bins.values():
+        before[b] = before.get(b, 0) + 1
+
+    kept = sample_importance(spark, SF).collect()
+    assert kept
+    after: dict[int, int] = {}
+    for r in kept:
+        assert r.bin == bins[r.doc_id]
+        after[r.bin] = after.get(r.bin, 0) + 1
+
+    n0, n1 = sum(before.values()), sum(after.values())
+    max_before = max(v / n0 for v in before.values())
+    max_after = max(after.get(b, 0) / n1 for b in before)
+    assert max_after <= max_before + 1e-9
+    # the most starved bin keeps all of its docs (its keep rate is 1)
+    starved = min(before, key=lambda b: before[b])
+    assert after.get(starved, 0) == before[starved]
