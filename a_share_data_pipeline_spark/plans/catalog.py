@@ -161,7 +161,12 @@ _REGISTRY: dict[str, Query] = {}
 # next-strongest alternates from the round-5 third wave:
 # sql_recursive_cte (in-engine recursion — a capability no current
 # window row witnesses) and dedup_winnow_pairs (the winnowing
-# fingerprint family end-to-end).
+# fingerprint family end-to-end); from the closing wave,
+# join_pit_scd2 (temporal point-in-time join — the window's join
+# rows witness equi/semi/range/as-of but not version-validity
+# enrichment) and sample_negatives (training-pair generation — a
+# capability, not a witness, since it composes dedup_components'
+# labels into a NEW output contract).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
