@@ -152,7 +152,9 @@ _REGISTRY: dict[str, Query] = {}
 # (point-in-time temporal join consuming scd2_dim_history's validity
 # intervals — leakage-free fact enrichment), and sample_importance
 # (importance resampling to a target length distribution via
-# histogram-derived keep rates).
+# histogram-derived keep rates), and window_rolling_distinct
+# (sliding 7-day uniques: HLL sketches as window aggregates, exact
+# lane via bounded calendar fan-out).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

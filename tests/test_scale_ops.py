@@ -944,3 +944,33 @@ def test_importance_resampling_flattens_length_distribution(spark):
     # the most starved bin keeps all of its docs (its keep rate is 1)
     starved = min(before, key=lambda b: before[b])
     assert after.get(starved, 0) == before[starved]
+
+
+def test_rolling_distinct_dominates_daily_distinct(spark):
+    """window_rolling_distinct: the 7-day rolling distinct count must
+    dominate each day's own distinct count, never exceed the 7-day
+    pair-sum upper bound, and equal the single-day count on the first
+    observed day (its window reaches only itself)."""
+    from a_share_data_pipeline_spark.plans.queries_core import (
+        window_rolling_distinct,
+    )
+
+    rows = {r.day: r.exact_u7 for r in window_rolling_distinct(spark, SF).collect()}
+    assert rows and all(r > 0 for r in rows.values())
+    pairs = (
+        load_table(spark, SF, "events")
+        .select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    daily: dict = {}
+    for p in pairs:
+        daily.setdefault(p.day, set()).add(p.user_id)
+    assert set(rows) == set(daily)
+    for d, u7 in rows.items():
+        assert u7 >= len(daily[d])
+        window = [dd for dd in daily if 0 <= (d - dd).days <= 6]
+        assert u7 <= sum(len(daily[dd]) for dd in window)
+        assert u7 == len(set().union(*(daily[dd] for dd in window)))
+    first = min(daily)
+    assert rows[first] == len(daily[first])
