@@ -154,7 +154,9 @@ _REGISTRY: dict[str, Query] = {}
 # (importance resampling to a target length distribution via
 # histogram-derived keep rates), and window_rolling_distinct
 # (sliding 7-day uniques: HLL sketches as window aggregates, exact
-# lane via bounded calendar fan-out).
+# lane via bounded calendar fan-out), er_resolve (record-linkage
+# capstone: fuzzy pairs -> CC -> canonical id), and
+# curation_curriculum (quality-annealed reproducible training order).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

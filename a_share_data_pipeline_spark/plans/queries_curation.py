@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import curation as CU
+from ..operators import text as TX
 from ..operators.text import LANG_MARKERS
 from ..sources import load_table
 from .catalog import register
@@ -489,4 +490,71 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("comp_bytes") <= F.col("n_bytes") + 11) & (F.col("comp_bytes") > 0)).alias(
             "ratio_bounded"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: quality-annealed deterministic training order
+# ---------------------------------------------------------------------------
+
+_CURR_HI = 0.6  # stage 0: high-quality docs the run warms up on
+_CURR_MID = 0.45  # stage 1; everything below anneals in last
+# thresholds sit at ~P75/P25 of the corpus quality distribution
+# (probed: P25=0.38-0.40, P50=0.50, P75=0.60-0.61 at both fixture SFs)
+_CURR_SEED = 13
+
+
+def _curriculum_sql() -> str:
+    ors = " OR ".join(f"x = '{m}'" for m in TX.LANG_MARKERS["en"])
+    score = (
+        "ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5\n"
+        f"             + (len(list_filter(string_split(text, ' '), x -> {ors}))"
+        " / len(string_split(text, ' '))) * 0.3\n"
+        "             + greatest(0.0, 1.0 - len(regexp_extract_all(text, '[.,!?;:]'))"
+        " / len(string_split(text, ' '))) * 0.2, 4)"
+    )
+    return f"""
+SELECT doc_id, quality_score,
+       CAST(CASE WHEN quality_score >= {_CURR_HI!r} THEN 0
+                 WHEN quality_score >= {_CURR_MID!r} THEN 1
+                 ELSE 2 END AS BIGINT) AS stage,
+       md5('{_CURR_SEED}|' || CAST(doc_id AS VARCHAR)) AS curriculum_key
+FROM (SELECT doc_id, {score} AS quality_score FROM documents) q
+"""
+
+
+@register(
+    "curation_curriculum",
+    _curriculum_sql(),
+    doc=(
+        "curriculum ordering — the training-order contract of a "
+        "curated corpus: every doc gets a quality STAGE (literal "
+        "thresholds on the oracle-shared linear quality score; stage "
+        "0 = warm-up-grade, annealing down) and a seeded-md5 "
+        "CURRICULUM KEY, so consumers stream the corpus in "
+        "(stage ASC, key ASC) order — high-quality first, "
+        "deterministically shuffled within each stage. Entirely "
+        "map-only: the curriculum IS the sort key, no global window "
+        "is materialized here; a consumer that needs dense positions "
+        "applies shuffle_deterministic's range-exchange + offset "
+        "pattern per stage. No RNG — the same corpus yields the same "
+        "training order on any cluster, any rerun (reproducible-run "
+        "requirement)"
+    ),
+)
+def curation_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = TX.quality_features(docs).select("doc_id", "quality_score")
+    stage = (
+        F.when(F.col("quality_score") >= _CURR_HI, F.lit(0))
+        .when(F.col("quality_score") >= _CURR_MID, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return scored.select(
+        "doc_id",
+        "quality_score",
+        stage.cast("bigint").alias("stage"),
+        F.md5(
+            F.concat(F.lit(f"{_CURR_SEED}|"), F.col("doc_id").cast("string"))
+        ).alias("curriculum_key"),
     )

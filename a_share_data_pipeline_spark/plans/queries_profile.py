@@ -1098,3 +1098,81 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
         .select("doc_id", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: fuzzy pairs → components → canonical id
+# ---------------------------------------------------------------------------
+
+_ER_SQL = """
+WITH RECURSIVE keyed AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] || '|' ||
+           CAST(CAST(FLOOR(length(p_name) / 4.0) AS BIGINT) AS VARCHAR) AS blk
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+  FROM keyed a JOIN keyed b
+    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+sym AS (
+  SELECT key_a AS src, key_b AS dst FROM pairs
+  UNION SELECT key_b, key_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, dst AS r FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+comp AS (
+  SELECT n.node, LEAST(n.node, COALESCE(MIN(reach.r), n.node)) AS component
+  FROM nodes n LEFT JOIN reach ON reach.node = n.node
+  GROUP BY n.node
+),
+sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
+SELECT c.node AS p_partkey, c.component AS canonical_key,
+       CAST(s.n_members AS BIGINT) AS n_members
+FROM comp c JOIN sizes s ON s.component = c.component
+"""
+
+
+@register(
+    "er_resolve",
+    _ER_SQL,
+    doc=(
+        "entity resolution end-to-end — the record-linkage capstone "
+        "composing three driver-verified stages the way "
+        "dedup_keep_canonical does for documents: blocked fuzzy "
+        "pairs (join_fuzzy_blocked's equi-join blocking + in-block "
+        "levenshtein) become an undirected match graph, "
+        "connected_components assigns every matched record its "
+        "cluster (min-label propagation — the component id IS the "
+        "canonical survivor id, so no extra argmin pass), and each "
+        "record emerges with (canonical_key, n_members) — the merge "
+        "map a downstream MERGE/golden-record step applies. Unmatched "
+        "records never enter the loop (pair-graph-restricted CC); the "
+        "oracle replays the identical pipeline with a recursive "
+        "reachability CTE"
+    ),
+)
+def er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = join_fuzzy_blocked(spark, sf_dir).select(
+        F.col("key_a").alias("a"), F.col("key_b").alias("b")
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, pairs, id_col="id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("p_partkey"),
+        F.col("component").alias("canonical_key"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )

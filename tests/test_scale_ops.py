@@ -974,3 +974,55 @@ def test_rolling_distinct_dominates_daily_distinct(spark):
         assert u7 == len(set().union(*(daily[dd] for dd in window)))
     first = min(daily)
     assert rows[first] == len(daily[first])
+
+
+def test_er_resolve_clusters_are_consistent(spark):
+    """er_resolve: canonical_key must be the MIN member of each
+    cluster, members of a pair always share a cluster, n_members
+    matches the cluster's row count, and only matched records appear."""
+    from a_share_data_pipeline_spark.plans.queries_profile import (
+        er_resolve,
+        join_fuzzy_blocked,
+    )
+
+    out = er_resolve(spark, SF).collect()
+    assert out
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r.canonical_key, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.p_partkey for m in members)
+        assert all(m.n_members == len(members) for m in members)
+    lbl = {r.p_partkey: r.canonical_key for r in out}
+    pairs = join_fuzzy_blocked(spark, SF).collect()
+    assert pairs
+    for p in pairs:
+        assert lbl[p.key_a] == lbl[p.key_b]
+    assert set(lbl) == {k for p in pairs for k in (p.key_a, p.key_b)}
+
+
+def test_curriculum_orders_quality_first(spark):
+    """curation_curriculum: stages partition the corpus by the quality
+    thresholds, every stage-0 doc outranks every stage-2 doc in
+    (stage, key) order, the corpus is fully covered, and the key is
+    rerun-deterministic."""
+    from a_share_data_pipeline_spark.plans.queries_curation import (
+        _CURR_HI,
+        _CURR_MID,
+        curation_curriculum,
+    )
+
+    rows = curation_curriculum(spark, SF).collect()
+    total = load_table(spark, SF, "documents").count()
+    assert len(rows) == total
+    stages = {r.stage for r in rows}
+    assert stages == {0, 1, 2}, stages  # fixture spans all stages
+    for r in rows:
+        if r.stage == 0:
+            assert r.quality_score >= _CURR_HI
+        elif r.stage == 1:
+            assert _CURR_MID <= r.quality_score < _CURR_HI
+        else:
+            assert r.quality_score < _CURR_MID
+    rerun = {r.doc_id: r.curriculum_key for r in curation_curriculum(spark, SF).collect()}
+    assert rerun == {r.doc_id: r.curriculum_key for r in rows}
