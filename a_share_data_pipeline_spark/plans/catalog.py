@@ -156,7 +156,9 @@ _REGISTRY: dict[str, Query] = {}
 # (sliding 7-day uniques: HLL sketches as window aggregates, exact
 # lane via bounded calendar fan-out), er_resolve (record-linkage
 # capstone: fuzzy pairs -> CC -> canonical id), and
-# curation_curriculum (quality-annealed reproducible training order).
+# curation_curriculum (quality-annealed reproducible training order),
+# and stream_stream_join_outer (left-outer stream-stream join whose
+# watermark-expiry emission rule is itself oracle-verified).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

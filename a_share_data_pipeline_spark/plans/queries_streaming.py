@@ -647,3 +647,113 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_ticks",
     )
+
+
+# ---------------------------------------------------------------------------
+# OUTER stream-stream join: unmatched rows emit on watermark expiry
+# ---------------------------------------------------------------------------
+
+_SSJ_OUTER_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(click_ts) FROM c),
+               (SELECT MAX(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS w
+),
+matched AS (
+  SELECT c.click_id, c.user_id, c.click_ts,
+         p.purchase_id, p.purchase_ts,
+         ROUND(COALESCE(p.value, 0), 2) AS purchase_value
+  FROM c JOIN p
+    ON p.p_user_id = c.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+),
+unmatched AS (
+  SELECT c.click_id, c.user_id, c.click_ts,
+         CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS TIMESTAMP) AS purchase_ts,
+         0.0 AS purchase_value
+  FROM c, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.p_user_id = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+    AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
+@register(
+    "stream_stream_join_outer",
+    _SSJ_OUTER_SQL,
+    doc=(
+        "LEFT-OUTER stream-stream join — the capability the inner "
+        "join cannot witness: a click with no purchase in its window "
+        "emits a NULL-extended row only after the GLOBAL watermark "
+        "(min across both inputs, here 1 hour — a real deployment "
+        "delay, unlike the inner query's bounded-replay 3650 days) "
+        "proves no match can still arrive, i.e. when click_ts + the "
+        "30-minute join range falls behind the final watermark. On "
+        "the AvailableNow replay the data passes in one micro-batch "
+        "(no outer rows yet — the watermark is still at its starting "
+        "value while the batch runs) and the trailing no-data batch "
+        "advances the watermark once, expiring state and flushing "
+        "exactly the provably-unmatched clicks (empirically pinned: "
+        "the final click stays in state and is withheld). The oracle "
+        "replays both lanes: an inner join for matches plus a "
+        "NOT-EXISTS anti lane gated on the same watermark cutoff — "
+        "so the EXPIRY rule itself is hash-verified, not just the "
+        "matches. State is bounded by the watermark delay + range at "
+        "any stream length"
+    ),
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, ev = _land_events(spark, sf_dir)
+    clicks = (
+        ST.read_file_stream(spark, path, ev.schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ST.read_file_stream(spark, path, ev.schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    # finalize_watermark=True is REQUIRED here: the outer rows only
+    # exist because the trailing no-data batch advances the watermark
+    out = _run_to_table(spark, joined, "append")
+    return out.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        dround(F.coalesce("value", F.lit(0.0)), 2).alias("purchase_value"),
+    )
