@@ -1026,3 +1026,35 @@ def test_curriculum_orders_quality_first(spark):
             assert r.quality_score < _CURR_MID
     rerun = {r.doc_id: r.curriculum_key for r in curation_curriculum(spark, SF).collect()}
     assert rerun == {r.doc_id: r.curriculum_key for r in rows}
+
+
+def test_quantile_sketch_plan_is_partial_aggregated(spark):
+    """agg_quantile_sketch: the shard histogram must partial-aggregate
+    before its exchange (the sketch property — shards x bins rows per
+    task, never raw rows), and no Python lane appears."""
+    from a_share_data_pipeline_spark.plans.queries_core import agg_quantile_sketch
+
+    p = executed_plan_str(agg_quantile_sketch(spark, SF))
+    assert "partial" in p.lower(), p[:2000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_importance_resampling_broadcasts_rate_table(spark):
+    """sample_importance: the rate table must reach the corpus via a
+    broadcast join (map-side filter), never a shuffled join of the
+    corpus against an 8-row frame."""
+    from a_share_data_pipeline_spark.plans.queries_profile import sample_importance
+
+    p = executed_plan_str(sample_importance(spark, SF))
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]
+
+
+def test_sample_negatives_never_plans_cartesian(spark):
+    """sample_negatives: candidate generation is a bounded explode off
+    the tiny anchor set; nothing in the plan may be a cartesian
+    product over the corpus."""
+    from a_share_data_pipeline_spark.plans.queries_llm import sample_negatives
+
+    p = executed_plan_str(sample_negatives(spark, SF))
+    assert "CartesianProduct" not in p, p[:2000]
