@@ -133,15 +133,18 @@ def main() -> None:
     if missing:  # loud on stderr, never a crashed bench record
         print(f"bench: skipping unknown queries {missing}", file=sys.stderr)
 
-    def isolate() -> None:
+    def isolate(full: bool = True) -> None:
         # measure plans, not session residue: drop cached blocks left by
         # a previous entry (CacheManager), release Python-side refs so
-        # the ContextCleaner can free localCheckpoint RDD blocks, and
-        # nudge the JVM GC so its reference queue actually drains before
-        # the next timing starts
+        # the ContextCleaner can free localCheckpoint RDD blocks, and —
+        # once per QUERY, not per rep — nudge the JVM GC so its
+        # reference queue drains. (A System.gc() per rep measured as
+        # the dominant bench overhead: ~1.5s x ~230 reps was more wall
+        # time than the queries themselves.)
         spark.catalog.clearCache()
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        if full:
+            spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
@@ -154,10 +157,15 @@ def main() -> None:
         # stable queries pay 2 reps; a rep hit by one-off JIT/IO/
         # scheduler noise, or a wide-spread iterative query (VERDICT
         # r4 item 7: dedup_components spread exceeded 20%), triggers
-        # up to 2 more instead of polluting the record
+        # up to 2 more instead of polluting the record. The cap stays
+        # at 4: JIT warm-up keeps lowering times through rep 4 for
+        # many queries (measured), so a lower cap would inflate the
+        # recorded minima.
         times: list[float] = []
+        isolate(full=True)
         while len(times) < 4:
-            isolate()
+            if times:
+                isolate(full=False)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # force FULL evaluation: .count() lets Catalyst prune every
