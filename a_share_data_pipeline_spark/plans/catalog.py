@@ -158,7 +158,9 @@ _REGISTRY: dict[str, Query] = {}
 # capstone: fuzzy pairs -> CC -> canonical id), and
 # curation_curriculum (quality-annealed reproducible training order),
 # and stream_stream_join_outer (left-outer stream-stream join whose
-# watermark-expiry emission rule is itself oracle-verified).
+# watermark-expiry emission rule is itself oracle-verified), plus
+# events_trending (exponentially decayed popularity rank over a
+# literal weight table).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

@@ -2036,3 +2036,82 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facts.join(hist, cond, "left").select(
         facts["event_id"], facts["user_id"], facts["ts"], hist["tier"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending rank: exponentially time-decayed activity scoring
+# ---------------------------------------------------------------------------
+
+_TREND_DECAY = 0.9
+_TREND_MAX_AGE = 60  # literal weight table size; older activity weighs 0
+_TREND_K = 20
+
+
+def _trend_weights() -> list[float]:
+    return [_TREND_DECAY**i for i in range(_TREND_MAX_AGE)]
+
+
+def _trending_sql() -> str:
+    ws = ", ".join(repr(w) for w in _trend_weights())
+    return f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts)::DATE AS day,
+         ROUND(SUM(value), 2) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+mx AS (SELECT MAX(day) AS maxd FROM daily),
+scored AS (
+  SELECT d.user_id,
+         SUM(d.v * CASE WHEN date_diff('day', d.day, mx.maxd) < {_TREND_MAX_AGE}
+                        THEN [{ws}][date_diff('day', d.day, mx.maxd) + 1]
+                        ELSE 0.0 END) AS raw
+  FROM daily d CROSS JOIN mx
+  GROUP BY d.user_id
+)
+SELECT user_id, ROUND(raw, 4) AS trend_score
+FROM scored
+ORDER BY ROUND(raw, 4) DESC, user_id
+LIMIT {_TREND_K}
+"""
+
+
+@register(
+    "events_trending",
+    _trending_sql(),
+    doc=(
+        "exponentially time-decayed trending rank — the recency-"
+        "weighted popularity scoring every feed/leaderboard runs: "
+        "per-(user, day) activity rolls up first (one partial-"
+        "aggregated shuffle — the decay math touches O(users·days) "
+        "rows, not raw events), each day's total is weighted by "
+        "decay^age via a LITERAL weight table indexed by date_diff "
+        "(pow() differs by 1 ulp between engines; 60 Python-float "
+        "literals are bit-identical in both, with age >= 60 clamped "
+        "to zero — the bounded-history contract that also caps "
+        "per-row work), the anchor day comes from a broadcast 1-row "
+        "max, and the top-k exits via TakeOrdered on the ROUNDED "
+        "score (ties broken by user_id so the limit is deterministic)"
+    ),
+)
+def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dround(F.sum("value"), 2).alias("v"))
+    mx = daily.agg(F.max("day").alias("maxd"))
+    ws = _trend_weights()
+    age = F.datediff(F.col("maxd"), F.col("day"))
+    weight = F.when(
+        age < _TREND_MAX_AGE,
+        F.element_at(F.array(*[F.lit(w) for w in ws]), age + 1),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        daily.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("v") * weight).alias("raw"))
+    )
+    out = scored.select("user_id", dround(F.col("raw"), 4).alias("trend_score"))
+    return out.orderBy(F.col("trend_score").desc(), "user_id").limit(_TREND_K)
