@@ -160,7 +160,9 @@ _REGISTRY: dict[str, Query] = {}
 # and stream_stream_join_outer (left-outer stream-stream join whose
 # watermark-expiry emission rule is itself oracle-verified), plus
 # events_trending (exponentially decayed popularity rank over a
-# literal weight table).
+# literal weight table), and asof_join_nearest (merge_asof
+# direction='nearest' semantics — two union-merge passes + a scalar
+# distance resolve, tie-break oracle-verified).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

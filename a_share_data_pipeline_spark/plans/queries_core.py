@@ -1222,3 +1222,104 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_u7").cast("bigint").alias("exact_u7"),
         ok.alias("within_bounds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join: closest match in either time direction
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_S = 7200  # +/- 2 hours
+
+_ASOF_NEAREST_SQL = f"""
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, ROUND(value, 2) AS p_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id, v.user_id, v.ts,
+       m.p_value AS matched_value, m.p_ts AS matched_ts, m.side
+FROM v LEFT JOIN LATERAL (
+  SELECT p.p_value, p.ts AS p_ts,
+         CASE WHEN p.ts <= v.ts THEN 'b' ELSE 'f' END AS side
+  FROM p
+  WHERE p.user_id = v.user_id
+    AND ABS(epoch_us(p.ts) - epoch_us(v.ts)) <= CAST({_NEAREST_TOL_S} AS BIGINT) * 1000000
+  ORDER BY ABS(epoch_us(p.ts) - epoch_us(v.ts)),
+           CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END
+  LIMIT 1
+) m ON TRUE
+"""
+
+
+@register(
+    "asof_join_nearest",
+    _ASOF_NEAREST_SQL,
+    doc=(
+        "NEAREST as-of join (pandas merge_asof direction='nearest'): "
+        "each view event attaches the purchase closest in time in "
+        "EITHER direction within a +/-2h tolerance, ties preferring "
+        "the backward match — the variant the plain as-of (backward) "
+        "witness cannot express. Composes the union-merge as_of_join "
+        "operator twice (backward + forward — each is ONE shuffle of "
+        "|L|+|R| rows, no range cross-join) and resolves per row with "
+        "a microsecond-exact distance compare; the matched ts rides "
+        "in the payload so the resolution is a scalar projection, not "
+        "another join against the right side. The oracle replays the "
+        "semantics as a correlated LATERAL min-distance pick, so the "
+        "tie-break and tolerance rules are hash-verified"
+    ),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+        dround(F.col("value"), 2).alias("p_value"),
+    )
+
+    def side(direction: str) -> DataFrame:
+        out = as_of_join(
+            views,
+            buys,
+            left_key="user_id",
+            right_key="u",
+            left_ts="ts",
+            right_ts="p_ts",
+            payload=["p_value", "p_ts"],
+            direction=direction,
+            tolerance=float(_NEAREST_TOL_S),
+        )
+        tag = direction[0]
+        return out.select(
+            "event_id",
+            *(["user_id", "ts"] if direction == "backward" else []),
+            F.col("p_value").alias(f"{tag}_value"),
+            F.col("p_ts").alias(f"{tag}_ts"),
+        )
+
+    b = side("backward")
+    f = side("forward")
+    j = b.join(f, "event_id")
+    db = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    df_ = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    use_b = F.col("b_ts").isNotNull() & (F.col("f_ts").isNull() | (db <= df_))
+    matched_ts = F.when(use_b, F.col("b_ts")).otherwise(F.col("f_ts"))
+    matched_value = F.when(use_b, F.col("b_value")).otherwise(F.col("f_value"))
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        matched_value.alias("matched_value"),
+        matched_ts.alias("matched_ts"),
+        F.when(matched_ts.isNull(), F.lit(None).cast("string"))
+        .when(use_b, F.lit("b"))
+        .otherwise(F.lit("f"))
+        .alias("side"),
+    )
