@@ -162,7 +162,10 @@ _REGISTRY: dict[str, Query] = {}
 # events_trending (exponentially decayed popularity rank over a
 # literal weight table), and asof_join_nearest (merge_asof
 # direction='nearest' semantics — two union-merge passes + a scalar
-# distance resolve, tie-break oracle-verified).
+# distance resolve, tie-break oracle-verified), basket_pairs
+# (2-itemset market-basket mining with the capped pair fan-out), and
+# graph_triangles (oriented wedge-join triangle counting with a
+# mirrored hot-node cap).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

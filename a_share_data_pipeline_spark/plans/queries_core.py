@@ -1323,3 +1323,98 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("f"))
         .alias("side"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association pairs (2-itemset support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_MB_MAX_BASKET = 50  # pair fan-out guard: a k-item basket emits k(k-1)/2
+_MB_TOP = 15
+
+_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+ok AS (
+  SELECT l_orderkey FROM items GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_MB_MAX_BASKET}
+),
+b AS (SELECT i.* FROM items i JOIN ok USING (l_orderkey)),
+n_t AS (SELECT COUNT(*) AS n FROM ok),
+item_cnt AS (SELECT l_partkey, COUNT(*) AS cnt FROM b GROUP BY l_partkey),
+pair_cnt AS (
+  SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS pcnt
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT pa, pb, pcnt FROM pair_cnt
+  ORDER BY pcnt DESC, pa, pb LIMIT {_MB_TOP}
+)
+SELECT t.pa, t.pb, CAST(t.pcnt AS BIGINT) AS pair_orders,
+       ROUND(CAST(t.pcnt AS DOUBLE) / n_t.n, 6) AS support,
+       ROUND(CAST(t.pcnt AS DOUBLE) / ca.cnt, 6) AS confidence,
+       ROUND(CAST(t.pcnt AS DOUBLE) * n_t.n / (ca.cnt * cb.cnt), 4) AS lift
+FROM top t
+JOIN item_cnt ca ON ca.l_partkey = t.pa
+JOIN item_cnt cb ON cb.l_partkey = t.pb
+CROSS JOIN n_t
+"""
+
+
+@register(
+    "basket_pairs",
+    _BASKET_SQL,
+    doc=(
+        "market-basket association pairs — the 2-itemset level of "
+        "frequent-itemset mining (support / confidence / lift over "
+        "co-ordered parts): baskets dedup to (order, item), a literal "
+        "basket-size cap bounds the pair fan-out (a k-item basket "
+        "emits k(k-1)/2 pairs — the same guarded-expansion discipline "
+        "as _bucket_pairs; at TPC-H shapes baskets are ~4 items, the "
+        "cap only exists for the pathological tail), pairs count "
+        "through one partial-aggregated shuffle keyed on the pair, "
+        "top-k exits via TakeOrdered, and the metric arithmetic runs "
+        "over broadcast item counts + a broadcast 1-row basket total "
+        "— integer counts in, so both engines compute bit-identical "
+        "ratios"
+    ),
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") <= _MB_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    b = items.join(ok, "l_orderkey")
+    n_t = ok.agg(F.count(F.lit(1)).alias("n"))
+    item_cnt = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    x = b.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    y = b.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair_cnt = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+    )
+    top = pair_cnt.orderBy(F.col("pcnt").desc(), "pa", "pb").limit(_MB_TOP)
+    ca = item_cnt.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b"))
+    out = (
+        top.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .crossJoin(F.broadcast(n_t))
+    )
+    p = F.col("pcnt").cast("double")
+    return out.select(
+        "pa",
+        "pb",
+        F.col("pcnt").cast("bigint").alias("pair_orders"),
+        dround(p / F.col("n"), 6).alias("support"),
+        dround(p / F.col("cnt_a"), 6).alias("confidence"),
+        dround(p * F.col("n") / (F.col("cnt_a") * F.col("cnt_b")), 4).alias("lift"),
+    )

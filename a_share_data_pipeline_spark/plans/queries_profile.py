@@ -1176,3 +1176,116 @@ def er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("canonical_key"),
         F.col("n_members").cast("bigint").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting: the local-clustering graph analytic beyond CC/PageRank
+# ---------------------------------------------------------------------------
+
+_TRI_MAX_DEGREE = 200  # hot-node guard: a d-degree node can close O(d^2)
+_TRI_TOP = 20
+
+
+_TRI_SQL = f"""
+WITH keyed AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] || '|' ||
+           CAST(CAST(FLOOR(length(p_name) / 4.0) AS BIGINT) AS VARCHAR) AS blk
+  FROM part
+),
+rawpairs AS (
+  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT ka AS node FROM rawpairs UNION ALL SELECT kb FROM rawpairs
+  ) GROUP BY node
+),
+ok AS (SELECT node FROM deg WHERE d <= {_TRI_MAX_DEGREE}),
+pairs AS (
+  SELECT ka, kb FROM rawpairs
+  JOIN ok oa ON oa.node = rawpairs.ka
+  JOIN ok ob ON ob.node = rawpairs.kb
+),
+tri AS (
+  SELECT e1.ka AS a, e1.kb AS b, e2.kb AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.ka = e1.kb
+  JOIN pairs e3 ON e3.ka = e1.ka AND e3.kb = e2.kb
+),
+per_node AS (
+  SELECT node, COUNT(*) AS tri_cnt FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+tot AS (SELECT COUNT(*) AS n_triangles FROM tri)
+SELECT p.node, CAST(p.tri_cnt AS BIGINT) AS tri_cnt,
+       CAST(tot.n_triangles AS BIGINT) AS total_triangles
+FROM per_node p CROSS JOIN tot
+ORDER BY p.tri_cnt DESC, p.node LIMIT {_TRI_TOP}
+"""
+
+
+@register(
+    "graph_triangles",
+    _TRI_SQL,
+    doc=(
+        "triangle counting — the local-clustering analytic beside the "
+        "two iterative families (CC reaches components, PageRank "
+        "ranks; triangles measure cohesion — the building block of "
+        "clustering coefficients and community strength): edges "
+        "oriented low-id -> high-id so each triangle materializes "
+        "exactly once through a two-hop equi-join (e1.b=e2.a) closed "
+        "by a third edge probe — never an all-pairs pass. The "
+        "hot-node guard drops nodes above a literal degree cap BEFORE "
+        "the wedge join (a d-degree node closes O(d^2) wedges — the "
+        "same drop-and-log discipline as _bucket_pairs; mirrored in "
+        "the oracle so both engines count the identical capped "
+        "graph). Output is bounded: per-node counts for the top "
+        "participants plus the global total, not the triangle set "
+        "itself (538k triangles at sf0.01)"
+    ),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs_raw = join_fuzzy_blocked(spark, sf_dir).select(
+        F.col("key_a").alias("ka"), F.col("key_b").alias("kb")
+    )
+    deg = (
+        pairs_raw.select(F.col("ka").alias("node"))
+        .unionByName(pairs_raw.select(F.col("kb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ok = deg.filter(F.col("d") <= _TRI_MAX_DEGREE).select("node")
+    pairs = (
+        pairs_raw.join(ok.withColumnRenamed("node", "ka"), "ka")
+        .join(ok.withColumnRenamed("node", "kb"), "kb")
+        .select("ka", "kb")
+        .localCheckpoint(eager=True)  # three self-join consumers
+    )
+    e1 = pairs.select(F.col("ka").alias("a"), F.col("kb").alias("b"))
+    e2 = pairs.select(F.col("ka").alias("b"), F.col("kb").alias("c"))
+    e3 = pairs.select(F.col("ka").alias("a"), F.col("kb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+    )
+    tot = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        per_node.crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.col("tri_cnt").cast("bigint").alias("tri_cnt"),
+            F.col("n_triangles").cast("bigint").alias("total_triangles"),
+        )
+        .orderBy(F.col("tri_cnt").desc(), "node")
+        .limit(_TRI_TOP)
+    )
