@@ -165,7 +165,9 @@ _REGISTRY: dict[str, Query] = {}
 # distance resolve, tie-break oracle-verified), basket_pairs
 # (2-itemset market-basket mining with the capped pair fan-out), and
 # graph_triangles (oriented wedge-join triangle counting with a
-# mirrored hot-node cap).
+# mirrored hot-node cap), events_seasonal_decompose (additive
+# trend/seasonal/residual split), and text_phrase_search (positional
+# posting-list phrase adjacency — exact-phrase retrieval).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

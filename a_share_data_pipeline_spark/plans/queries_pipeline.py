@@ -2115,3 +2115,86 @@ def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scored.select("user_id", dround(F.col("raw"), 4).alias("trend_score"))
     return out.orderBy(F.col("trend_score").desc(), "user_id").limit(_TREND_K)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition: trend / weekly-seasonal / residual split
+# ---------------------------------------------------------------------------
+
+_DECOMP_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         ROUND(AVG(value), 6) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+trend_t AS (
+  SELECT event_type, day, v,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN ROUND(AVG(v) OVER w7, 6) END AS trend
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+season_t AS (
+  SELECT event_type, day, v, trend,
+         ROUND(AVG(v - trend) OVER (
+           PARTITION BY event_type, dayofweek(day)), 6) AS seasonal
+  FROM trend_t
+)
+SELECT event_type, day, v, trend, seasonal,
+       ROUND(v - trend - seasonal, 6) AS residual
+FROM season_t
+"""
+
+
+@register(
+    "events_seasonal_decompose",
+    _DECOMP_SQL,
+    doc=(
+        "classical seasonal decomposition (additive): trend = 7-day "
+        "CENTERED moving average (full-window only — edges carry NULL "
+        "rather than a biased partial mean), weekly seasonal = "
+        "per-weekday mean of the detrended series (a second window "
+        "PARTITIONED by (type, weekday) — an unordered partition "
+        "aggregate, no sort), residual = v - trend - seasonal. The "
+        "decomposition runs entirely over the O(days·types) reduced "
+        "frame; each stage rounds before the next so both engines "
+        "decompose bit-identical series. NULL propagation is part of "
+        "the contract: edge days have no trend, hence no seasonal "
+        "contribution and no residual — AVG skips them identically in "
+        "both engines"
+    ),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dround(F.avg("value"), 6).alias("v"))
+    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trend_t = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, dround(F.avg("v").over(w7), 6)
+        ).alias("trend"),
+    )
+    wdow = W.partitionBy("event_type", F.dayofweek("day"))
+    season_t = trend_t.select(
+        "event_type",
+        "day",
+        "v",
+        "trend",
+        dround(F.avg(F.col("v") - F.col("trend")).over(wdow), 6).alias("seasonal"),
+    )
+    return season_t.select(
+        "event_type",
+        "day",
+        "v",
+        "trend",
+        "seasonal",
+        dround(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
+    )

@@ -880,3 +880,71 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("sc", 9).alias("scale"),
         (F.array_max(err) <= F.col("sc") * 0.5 + 1e-12).alias("err_bounded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (inverted index with positions)
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "scan")  # two-token query phrase (present in the corpus)
+
+_PHRASE_SQL = f"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS term,
+         CAST(generate_subscripts(l, 1) AS BIGINT) AS pos
+  FROM lists
+),
+a AS (SELECT doc_id, pos FROM toks WHERE term = '{_PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM toks WHERE term = '{_PHRASE[1]}')
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(a.pos) AS BIGINT) AS first_pos
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+"""
+
+
+@register(
+    "text_phrase_search",
+    _PHRASE_SQL,
+    doc=(
+        "positional phrase search — the exact-phrase capability BM25's "
+        "bag-of-words scoring cannot express: a positional posting "
+        "list (term, doc, ordinal) built with posexplode, the query "
+        "terms' postings equi-joined on (doc, adjacent position) so "
+        "'data pipeline' matches only token-ADJACENT occurrences "
+        "(never substrings across token boundaries, never the two "
+        "words apart). Term filters prune the posting list BEFORE the "
+        "join — at index scale the posting list is partitioned by "
+        "term, so a phrase query touches only its terms' partitions; "
+        "the adjacency join carries per-term posting rows, not the "
+        "corpus. Emits per-doc hit counts + first position (the "
+        "snippet anchor)"
+    ),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        ).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+    a = toks.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    b = toks.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    hits = a.join(b, (a["doc_id"] == b["doc_id"]) & (b["pos_b"] == a["pos"] + 1)).drop(
+        b["doc_id"]
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
