@@ -166,8 +166,12 @@ _REGISTRY: dict[str, Query] = {}
 # (2-itemset market-basket mining with the capped pair fan-out), and
 # graph_triangles (oriented wedge-join triangle counting with a
 # mirrored hot-node cap), events_seasonal_decompose (additive
-# trend/seasonal/residual split), and text_phrase_search (positional
-# posting-list phrase adjacency — exact-phrase retrieval).
+# trend/seasonal/residual split), text_phrase_search (positional
+# posting-list phrase adjacency — exact-phrase retrieval),
+# events_markov_transitions (first-order sequential-pattern matrix),
+# feature_discretize (broadcast-quantile equi-depth bucketing — the
+# scalable ntile replacement), and profile_benford (first-digit
+# forensic audit).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

@@ -2198,3 +2198,60 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         dround(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix: sequential-pattern mining over event streams
+# ---------------------------------------------------------------------------
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, SUM(n) AS row_n FROM trans GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+       ROUND(CAST(t.n AS DOUBLE) / tot.row_n, 6) AS p
+FROM trans t JOIN tot ON tot.prev_type = t.prev_type
+"""
+
+
+@register(
+    "events_markov_transitions",
+    _MARKOV_SQL,
+    doc=(
+        "first-order Markov transition matrix — sequential-pattern "
+        "mining over per-user event streams (what follows what, and "
+        "how often): one lag() window per user chain (the ONLY "
+        "corpus-sized exchange, keyed on the high-cardinality user "
+        "id), transition counts partial-aggregate to |types|^2 rows, "
+        "and row-normalized probabilities divide integer counts (bit-"
+        "identical on both engines). The matrix is the input to "
+        "next-event prediction baselines, anomalous-sequence scoring, "
+        "and session simulation; output is O(types^2) at any corpus "
+        "scale"
+    ),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wo).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        dround(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+    )

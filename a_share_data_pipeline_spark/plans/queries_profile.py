@@ -1289,3 +1289,76 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tri_cnt").desc(), "node")
         .limit(_TRI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fabricated-data / corruption smell test)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) as Python-float literals — identical in both engines
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _benford_sql() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT c.d, CAST(c.n AS BIGINT) AS n,
+       ROUND(CAST(c.n AS DOUBLE) / tot.total, 6) AS observed,
+       ROUND(CAST(CASE c.d {cases} END AS DOUBLE), 6) AS expected,
+       ROUND(ABS(CAST(c.n AS DOUBLE) / tot.total
+                 - CAST(CASE c.d {cases} END AS DOUBLE)), 6) AS abs_dev
+FROM counts c CROSS JOIN tot
+"""
+
+
+@register(
+    "profile_benford",
+    _benford_sql(),
+    doc=(
+        "Benford first-digit audit — the forensic data-quality smell "
+        "test (fabricated or systematically corrupted numeric columns "
+        "drift from the log10(1+1/d) law; genuine multiplicative "
+        "amounts follow it): first digits extract via an EXPLICIT "
+        "floor before the integer cast — DuckDB CAST(double AS "
+        "BIGINT) rounds where Spark truncates, a silent 1-digit "
+        "divergence on x999.5+ amounts (caught at sf0.01) — then a "
+        "string prefix (no float-format divergence); counts "
+        "partial-aggregate to 9 rows, expectations enter as Python-"
+        "float literals identical in both engines. Output is the "
+        "9-row observed-vs-expected table with absolute deviations — "
+        "the input to a chi-square or MAD conformity decision "
+        "downstream. O(9) output at any scale; the scan is the whole "
+        "cost"
+    ),
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.lit(None).cast("double")
+    for d, p in _BENFORD_P.items():
+        expected = F.when(F.col("d") == d, F.lit(p)).otherwise(expected)
+    obs = F.col("n").cast("double") / F.col("total")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        dround(obs, 6).alias("observed"),
+        dround(expected, 6).alias("expected"),
+        dround(F.abs(obs - expected), 6).alias("abs_dev"),
+    )
