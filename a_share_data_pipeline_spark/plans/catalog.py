@@ -170,8 +170,11 @@ _REGISTRY: dict[str, Query] = {}
 # posting-list phrase adjacency — exact-phrase retrieval),
 # events_markov_transitions (first-order sequential-pattern matrix),
 # feature_discretize (broadcast-quantile equi-depth bucketing — the
-# scalable ntile replacement), and profile_benford (first-digit
-# forensic audit).
+# scalable ntile replacement), profile_benford (first-digit
+# forensic audit), abc_classification (Pareto cumulative-share
+# ranking over the reduced key frame), and events_session_paths
+# (clickstream opening-path frequencies via one ordered-list
+# aggregation).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

@@ -1488,3 +1488,79 @@ def feature_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.min("price"), 2).alias("lo"),
         dround(F.max("price"), 2).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification: cumulative-share ranking
+# ---------------------------------------------------------------------------
+
+_ABC_A = 0.8  # class A: parts covering the first 80% of revenue
+_ABC_B = 0.95  # class B: up to 95%; the tail is C
+
+_ABC_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(revenue) AS total FROM rev),
+ranked AS (
+  SELECT l_partkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum
+  FROM rev
+)
+SELECT r.l_partkey, r.revenue,
+       ROUND(r.cum / tot.total, 6) AS cum_share,
+       CASE WHEN r.cum / tot.total <= {_ABC_A!r} THEN 'A'
+            WHEN r.cum / tot.total <= {_ABC_B!r} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked r CROSS JOIN tot
+"""
+
+
+@register(
+    "abc_classification",
+    _ABC_SQL,
+    doc=(
+        "ABC / Pareto classification — the cumulative-revenue-share "
+        "ranking behind inventory and corpus triage (class A = the "
+        "head covering 80% of value): per-part revenue reduces FIRST "
+        "(the global order runs over |parts| rows, never lineitems), "
+        "then a descending prefix sum assigns each part its "
+        "cumulative share against a broadcast 1-row total, and "
+        "literal thresholds cut A/B/C. Revenue is rounded to 2dp "
+        "BEFORE the prefix sum, so the running order and every "
+        "partial sum are bit-identical on both engines (prefix-sum "
+        "drift compounds; rounding the inputs, not just the output, "
+        "is what keeps 2000 running sums exact). At larger key "
+        "cardinalities the prefix sum swaps onto the range-exchange + "
+        "per-partition-offset pattern (shuffle_deterministic) — the "
+        "reduced frame here sorts in one task the same way the daily "
+        "kline frames do"
+    ),
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    wc = W.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "l_partkey", "revenue", F.sum("revenue").over(wc).alias("cum")
+    )
+    share = F.col("cum") / F.col("total")
+    cls = (
+        F.when(share <= _ABC_A, F.lit("A"))
+        .when(share <= _ABC_B, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue",
+        dround(share, 6).alias("cum_share"),
+        cls.alias("abc_class"),
+    )

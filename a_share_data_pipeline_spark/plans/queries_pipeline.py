@@ -2255,3 +2255,100 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         dround(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis: top session-opening event sequences
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOP = 10
+
+_PATH_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list(event_type ORDER BY ts, event_id)[1:{_PATH_LEN}],
+                         '>') AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {_PATH_TOP}
+"""
+
+
+@register(
+    "events_session_paths",
+    _PATH_SQL,
+    doc=(
+        "clickstream path analysis — the top session-OPENING "
+        "sequences (first 3 event types per session, '>'-joined): "
+        "sessions form via the same islands technique as "
+        "events_sessionize (gap flag + running sum, one exchange on "
+        "the user key), each session reduces to its opening path "
+        "through ONE ordered-list aggregation (struct-sort trick — "
+        "no second window pass), and path frequencies partial-"
+        "aggregate before the final TakeOrdered. The path space is "
+        "bounded by |types|^len, so the second shuffle is tiny at "
+        "any corpus scale; truncating to the opening k events keeps "
+        "per-session state constant"
+    ),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(W.unboundedPreceding, 0)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w_order)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w_order).isNull(), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("is_start").over(w_run))
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    paths = (
+        sess.select("user_id", "session_id", ordkey.alias("ok"), "event_type")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("ok"), F.col("event_type")))
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    _PATH_LEN,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOP)
+    )
