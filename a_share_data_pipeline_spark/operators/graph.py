@@ -216,3 +216,68 @@ def pagerank(
             )
         )
     return ranks.select("node", "rank")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    damping: float = 0.85,
+    iters: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass lands ONLY on ``seeds``
+    (r' = (1-d)·1[seed] + d·Σ r/outdeg; r0 = the teleport vector), so
+    rank concentrates in the seeds' neighborhoods — the recommendation
+    / similarity-expansion variant of :func:`pagerank`. Unnormalized
+    teleport (1 per seed, not 1/|S|) — deterministic and mirrored in
+    the oracle; relative ordering is unaffected.
+
+    Same scale shape as pagerank: single-use rank chain over the two
+    checkpointed static frames, no per-round materialization. Seeds
+    enter as literals (an isin over the node column) — the seed SET
+    is query-scoped and small by definition; seeds absent from the
+    graph contribute nothing on either engine.
+    """
+    from ..functions.rounding import dround
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    nodes_od = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    edges_w = (
+        edges.join(outdeg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    base = F.when(F.col("node").isin(*seeds), F.lit(1.0 - damping)).otherwise(
+        F.lit(0.0)
+    )
+    seed_one = F.when(F.col("node").isin(*seeds), F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = nodes_od.select("node", seed_one.alias("rank"))
+    for _ in range(iters):
+        inflow = (
+            edges_w.join(ranks, edges_w["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes_od.join(inflow, "node", "left").select(
+            "node",
+            dround(
+                base + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                round_to,
+            ).alias("rank"),
+        )
+    return ranks.select("node", "rank")

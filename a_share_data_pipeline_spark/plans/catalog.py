@@ -174,7 +174,9 @@ _REGISTRY: dict[str, Query] = {}
 # forensic audit), abc_classification (Pareto cumulative-share
 # ranking over the reduced key frame), and events_session_paths
 # (clickstream opening-path frequencies via one ordered-list
-# aggregation).
+# aggregation), and graph_pagerank_personalized (seed-teleport PPR —
+# the recommendation variant; damping 6/7 per the decimal-grid
+# rounding argument).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

@@ -2352,3 +2352,90 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: seed-teleport neighborhood ranking
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = ("c1", "c2", "c3", "c4", "c5")
+# damping 6/7, not 0.85: PPR's early rounds are SPARSE — each rank is
+# an exact small rational (seed mass / outdeg products), and with
+# d = 17/20 those rationals terminate in decimal and can sit exactly
+# ON the ROUND(_,6) half-way grid, where 1-ulp noise flips the side
+# per engine (observed: one node at 0.0584375). A factor of 7 in the
+# damping denominator makes every weight product non-terminating —
+# the events_macd alpha argument applied to graph state.
+_PPR_D = 6.0 / 7.0
+
+
+def _ppr_sql(iters: int = 3, d: float = _PPR_D) -> str:
+    seeds = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    base = f"CASE WHEN s.node IN ({seeds}) THEN {1.0 - d!r} ELSE 0.0 END"
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT s.node, s.outdeg,
+         ROUND({base} + {d!r} * COALESCE(i.inflow, 0), 6) AS pr
+  FROM {prev} s LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr / r.outdeg) AS inflow
+    FROM {prev} r JOIN edges e ON e.src = r.node
+    WHERE r.outdeg > 0 GROUP BY e.dst
+  ) i ON i.node = s.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+od AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT nodes.node, COALESCE(od.outdeg, 0) AS outdeg,
+         CASE WHEN nodes.node IN ({seeds}) THEN 1.0 ELSE 0.0 END AS pr
+  FROM nodes LEFT JOIN od ON od.node = nodes.node
+),
+{','.join(rounds)}
+SELECT node, pr FROM {prev} WHERE pr > 0
+"""
+
+
+@register(
+    "graph_pagerank_personalized",
+    _ppr_sql(),
+    doc=(
+        "personalized PageRank — teleport mass restricted to a seed "
+        "set (r' = (1-d)·1[seed] + d·Σ r/outdeg, r0 = the teleport "
+        "vector), so rank concentrates in the seeds' purchase "
+        "neighborhood: the recommendation / similarity-expansion "
+        "variant of graph_pagerank (operators/graph."
+        "personalized_pagerank). Same single-use rank chain over two "
+        "checkpointed static frames, no per-round materialization; "
+        "seeds enter as literals. Emitting only pr > 0 keeps the "
+        "output the REACHED neighborhood, not the whole graph — at "
+        "scale that is the point: 3 rounds from 5 seeds touch a "
+        "local ball, the zero tail stays unmaterialized"
+    ),
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pr = personalized_pagerank(
+        edges, seeds=list(_PPR_SEEDS), damping=_PPR_D, iters=3
+    )
+    return pr.filter(F.col("rank") > 0).withColumnRenamed("rank", "pr")
