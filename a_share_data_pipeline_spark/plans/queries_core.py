@@ -1564,3 +1564,71 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(share, 6).alias("cum_share"),
         cls.alias("abc_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl concentration (HHI): per-market supplier concentration
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS r
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT nation, SUM(r) AS n_rev FROM rev GROUP BY nation)
+SELECT rev.nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(POWER(rev.r / tot.n_rev, 2)), 6) AS hhi,
+       ROUND(MAX(rev.r / tot.n_rev), 6) AS top_share
+FROM rev JOIN tot ON tot.nation = rev.nation
+GROUP BY rev.nation
+"""
+
+
+@register(
+    "agg_concentration_hhi",
+    _HHI_SQL,
+    doc=(
+        "Herfindahl-Hirschman concentration index — the market-"
+        "concentration audit (a supplier market, a corpus's domain "
+        "mix, a training mixture: HHI = sum of squared shares; 1/n "
+        "at perfect balance, 1.0 at monopoly): per-(nation, supplier) "
+        "revenue reduces first (broadcast dim join, one partial-"
+        "aggregated shuffle), per-nation totals re-aggregate from the "
+        "REDUCED frame, and shares square inside a per-nation "
+        "aggregate of |suppliers| rows. Revenue rounds to 2dp before "
+        "the share math; the share-sum order inside SUM(POWER(..)) "
+        "runs over per-nation supplier counts small enough that both "
+        "engines' fold orders land off the 1e-6 rounding grid "
+        "(same-magnitude positive terms). top_share rides along — "
+        "the one-number skew flag beside the index"
+    ),
+)
+def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == sup["s_suppkey"],
+        )
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(F.sum("r").alias("n_rev"))
+    share = F.col("r") / F.col("n_rev")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            dround(F.sum(F.pow(share, 2)), 6).alias("hhi"),
+            dround(F.max(share), 6).alias("top_share"),
+        )
+    )

@@ -1362,3 +1362,66 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(expected, 6).alias("expected"),
         dround(F.abs(obs - expected), 6).alias("abs_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence audit: categorical dependence profiling
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH obs AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat, COUNT(*) AS o
+  FROM customer GROUP BY 1, 2
+),
+rows_t AS (SELECT seg, SUM(o) AS row_n FROM obs GROUP BY seg),
+cols_t AS (SELECT nat, SUM(o) AS col_n FROM obs GROUP BY nat),
+tot AS (SELECT SUM(o) AS n FROM obs)
+SELECT obs.seg, obs.nat, CAST(obs.o AS BIGINT) AS observed,
+       ROUND(CAST(r.row_n AS DOUBLE) * c.col_n / tot.n, 6) AS expected,
+       ROUND(POWER(obs.o - CAST(r.row_n AS DOUBLE) * c.col_n / tot.n, 2)
+             / (CAST(r.row_n AS DOUBLE) * c.col_n / tot.n), 6) AS chi2_term
+FROM obs
+JOIN rows_t r ON r.seg = obs.seg
+JOIN cols_t c ON c.nat = obs.nat
+CROSS JOIN tot
+"""
+
+
+@register(
+    "profile_chi_square",
+    _CHI2_SQL,
+    doc=(
+        "chi-square independence audit — the categorical-dependence "
+        "profile (are segment and nation independent? drifted "
+        "ingestion and synthetic-data bugs show up as dependence "
+        "where none should exist): observed cell counts from ONE "
+        "partial-aggregated shuffle bounded at |seg|x|nation| cells, "
+        "margins re-aggregate from the CELLS (never a second corpus "
+        "scan), expectations = row x col / n over broadcast margins, "
+        "per-cell chi-square contributions summable downstream "
+        "against the (|seg|-1)(|nation|-1) d.o.f. critical value. "
+        "Integer counts in, one shared expected-value expression on "
+        "both engines — bit-identical terms"
+    ),
+)
+def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    obs = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_t = obs.groupBy("seg").agg(F.sum("o").alias("row_n"))
+    cols_t = obs.groupBy("nat").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return (
+        obs.join(F.broadcast(rows_t), "seg")
+        .join(F.broadcast(cols_t), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "nat",
+            F.col("o").cast("bigint").alias("observed"),
+            dround(exp, 6).alias("expected"),
+            dround(F.pow(F.col("o") - exp, 2) / exp, 6).alias("chi2_term"),
+        )
+    )
