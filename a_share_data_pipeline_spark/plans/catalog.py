@@ -177,7 +177,8 @@ _REGISTRY: dict[str, Query] = {}
 # aggregation), and graph_pagerank_personalized (seed-teleport PPR —
 # the recommendation variant; damping 6/7 per the decimal-grid
 # rounding argument), profile_chi_square (categorical-dependence
-# audit), and agg_concentration_hhi (market-concentration index).
+# audit), agg_concentration_hhi (market-concentration index), and
+# agg_gini (inequality coefficient in exact integer cents).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

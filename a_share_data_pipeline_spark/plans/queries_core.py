@@ -1632,3 +1632,75 @@ def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.max(share), 6).alias("top_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient: inequality of the per-market revenue distribution
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+         CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100, 0)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nation, cents,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cents, supp) AS i
+  FROM rev
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(2 * SUM(i * cents) AS DOUBLE) / (COUNT(*) * SUM(cents))
+             - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+FROM ranked GROUP BY nation
+"""
+
+
+@register(
+    "agg_gini",
+    _GINI_SQL,
+    doc=(
+        "Gini coefficient — the inequality audit beside HHI's "
+        "concentration (0 = equal shares, ->1 = one supplier takes "
+        "all), via the rank formula G = 2*sum(i*x_i)/(n*sum(x)) - "
+        "(n+1)/n over ascending-sorted shares: per-(market, supplier) "
+        "revenue reduces first, the rank window runs over the REDUCED "
+        "frame partitioned by market, and — the determinism move — "
+        "revenue converts to INTEGER CENTS before any summation, so "
+        "sum(i*x_i) and sum(x) are exact int64 arithmetic immune to "
+        "float fold-order (a 2dp double version sums exact decimal "
+        "rationals whose totals can land ON the rounding grid; "
+        "integers cannot drift). One double division at the very end"
+    ),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == sup["s_suppkey"],
+        )
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wr = W.partitionBy("nation").orderBy("cents", "supp")
+    ranked = rev.select("nation", "cents", F.row_number().over(wr).alias("i"))
+    n = F.count(F.lit(1))
+    gini = (
+        (2 * F.sum(F.col("i") * F.col("cents"))).cast("double")
+        / (n * F.sum("cents"))
+        - (n + 1).cast("double") / n
+    )
+    return ranked.groupBy("nation").agg(
+        n.cast("bigint").alias("n_suppliers"), dround(gini, 6).alias("gini")
+    )
