@@ -178,7 +178,9 @@ _REGISTRY: dict[str, Query] = {}
 # the recommendation variant; damping 6/7 per the decimal-grid
 # rounding argument), profile_chi_square (categorical-dependence
 # audit), agg_concentration_hhi (market-concentration index), and
-# agg_gini (inequality coefficient in exact integer cents).
+# agg_gini (inequality coefficient in exact integer cents), and
+# events_cumulative_uniques (expanding distinct via the first-seen
+# reduction).
 # Strongest r6
 # rotation candidates: graph_pagerank, join_bloom_prune,
 # agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified

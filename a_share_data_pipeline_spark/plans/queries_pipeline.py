@@ -2439,3 +2439,56 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, seeds=list(_PPR_SEEDS), damping=_PPR_D, iters=3
     )
     return pr.filter(F.col("rank") > 0).withColumnRenamed("rank", "pr")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative uniques: expanding distinct via the first-seen reduction
+# ---------------------------------------------------------------------------
+
+_CUMU_SQL = """
+WITH firstseen AS (
+  SELECT user_id, MIN(date_trunc('day', ts)::DATE) AS day
+  FROM events GROUP BY user_id
+),
+news AS (SELECT day, COUNT(*) AS new_users FROM firstseen GROUP BY day),
+days AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS day FROM events)
+SELECT d.day,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT)
+         AS cum_uniques
+FROM days d LEFT JOIN news n ON n.day = d.day
+"""
+
+
+@register(
+    "events_cumulative_uniques",
+    _CUMU_SQL,
+    doc=(
+        "cumulative uniques (users-to-date per day) — the EXPANDING "
+        "distinct count, where window_rolling_distinct is the sliding "
+        "one: COUNT(DISTINCT) OVER an expanding frame exists in no "
+        "engine, and re-counting per day is O(days x users), so the "
+        "FIRST-SEEN reduction does it exactly in two aggregates — "
+        "each user collapses to their first-seen day (one shuffle on "
+        "the user key, no window), first-seen counts collapse to "
+        "O(days) rows, and the running sum over that reduced frame IS "
+        "the exact distinct-to-date. Integer counts end to end; the "
+        "left join onto the observed-day grid keeps zero-new days "
+        "visible"
+    ),
+)
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firstseen = ev.groupBy("user_id").agg(F.min(day).alias("day"))
+    news = firstseen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    days = ev.select(day.alias("day")).distinct()
+    j = days.join(news, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(wc).cast("bigint").alias("cum_uniques"),
+    )
