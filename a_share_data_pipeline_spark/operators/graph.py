@@ -37,6 +37,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# pagerank/personalized_pagerank: cut the single-use rank chain's
+# lineage every N unrolled rounds. Small fixed iteration counts (the
+# catalog's 3) pipeline as one checkpoint-free job; a caller-supplied
+# large ``iters`` no longer builds a join tower whose Catalyst
+# analysis cost grows superlinearly with depth.
+_CHECKPOINT_EVERY = 8
+
 
 def connected_components(
     nodes: DataFrame,
@@ -164,8 +171,11 @@ def pagerank(
       pipelining. (connected_components keeps per-round checkpoints
       because its round count is data-dependent and its state is
       multi-use; a fixed small iteration count does not need them.
-      For large ``iters`` at cluster scale, checkpoint every ~5-10
-      rounds to bound the plan, not every round.)
+      For large ``iters`` the loop cuts lineage every
+      ``_CHECKPOINT_EVERY`` rounds — without the guard the unrolled
+      join tower's Catalyst analysis cost grows superlinearly with
+      caller-supplied ``iters``; with it, plan depth is bounded while
+      small-iters callers still pay zero checkpoints.)
     - the simple-citation formulation r' = (1-d) + d·Σ r/outdeg is
       used (no dangling-mass redistribution): sinks absorb rank,
       sources hold (1-d) — deterministic and oracle-matched; the
@@ -194,7 +204,7 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = nodes_od.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         inflow = (
             edges_w.join(ranks, edges_w["src"] == ranks["node"])
             .select(
@@ -215,6 +225,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
@@ -263,7 +275,7 @@ def personalized_pagerank(
     )
     seed_one = F.when(F.col("node").isin(*seeds), F.lit(1.0)).otherwise(F.lit(0.0))
     ranks = nodes_od.select("node", seed_one.alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         inflow = (
             edges_w.join(ranks, edges_w["src"] == ranks["node"])
             .select(
@@ -280,4 +292,6 @@ def personalized_pagerank(
                 round_to,
             ).alias("rank"),
         )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")

@@ -181,38 +181,55 @@ _REGISTRY: dict[str, Query] = {}
 # agg_gini (inequality coefficient in exact integer cents), and
 # events_cumulative_uniques (expanding distinct via the first-seen
 # reduction).
-# Strongest r6
-# rotation candidates: graph_pagerank, join_bloom_prune,
-# agg_sketch_merge, events_ohlc, text_bpe_encode — never-verified
-# operator FAMILIES (iterative-rank, sketch-prune, sketch-merge,
-# argmin-aggregate, tokenizer-apply) rather than redundant witnesses;
-# next-strongest alternates from the round-5 third wave:
-# sql_recursive_cte (in-engine recursion — a capability no current
-# window row witnesses) and dedup_winnow_pairs (the winnowing
-# fingerprint family end-to-end); from the closing wave,
-# join_pit_scd2 (temporal point-in-time join — the window's join
-# rows witness equi/semi/range/as-of but not version-validity
-# enrichment) and sample_negatives (training-pair generation — a
-# capability, not a witness, since it composes dedup_components'
-# labels into a NEW output contract).
+# Round-6 rotation (VERDICT r5 item 1): five never-driver-verified
+# operator FAMILIES enter the window — graph_pagerank (the only
+# iterative family besides CC; unrolled-CTE oracle), cdc_apply
+# (I/U/D change-batch apply — the one MERGE-family shape with
+# deletes), text_bm25 (ranked lexical retrieval), events_macd
+# (dual-EMA DIF/DEA/histogram — witnesses EMA + chained-Window kline
+# indicators in one row), join_interval_overlap (bucketized interval
+# join — the scalable theta-join replacement). Retired to extended
+# (redundant witnesses, all driver-green r1-r5): udf_arrow_map (UDF
+# lane ⊂ udf_pandas_scalar + udf_grouped_map), sim_ann_ivf (its
+# cell-restriction path is composed verbatim INSIDE sim_ann_ivfpq —
+# the same precedent that retired sim_ann_pq in r5),
+# dedup_ngram_jaccard (shingle-bucket pair expansion ⊂
+# dedup_minhash_lsh, which adds banding on top of the same bucketed
+# join), agg_pricing_summary (hash agg partial+final ⊂ agg_stats'
+# wider aggregate over the same shuffle; the A1 Expand/partial-agg
+# plan gate remains a local test), filter_predicates (general
+# predicates ⊂ every window row's WHERE clauses + canonical_assembly's
+# driver-green CJK/null filters + the local pushdown plan gates).
+# Every retained name is unchanged — CORRECTNESS keys are the
+# driver's contract and renames reset verification history.
+#
+# Strongest r7 rotation candidates (VERDICT r5 item 4 — schedule the
+# two most production-shaped LLM-pipeline queries first):
+# sim_ann_index_scan (stored partition-pruned IVF index — write-time
+# layout + read-time PartitionFilters, the serving half of ANN) and
+# stream_incremental_dedup (continuous-ingestion dedup, O(batch) per
+# micro-batch — the streaming half of the dedup story); then
+# join_bloom_prune (sketch-prune family), agg_sketch_merge
+# (re-aggregatable HLL shards), events_ohlc (argmin/argmax bar
+# aggregate), sql_recursive_cte (in-engine recursion), text_bpe_encode
+# (tokenizer-apply).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
-    "agg_pricing_summary",
     "agg_stats",
     "agg_approx_distinct",
     "agg_grouping_sets",
     # windows
     "window_rank",
-    # sort / filter / set ops
+    # sort / set ops
     "sort_topk",
-    "filter_predicates",
     "set_ops",
     # join shapes
     "join_regional_revenue",
     "join_semi_anti",
     "join_full_outer",
     "join_range",
+    "join_interval_overlap",
     "asof_join",
     # scalar function library
     "scalar_string",
@@ -222,8 +239,10 @@ CORE_WINDOW: tuple[str, ...] = (
     # pipeline / incrementality / time windows / storage layout
     "incremental_delta",
     "rollup_incremental",
+    "cdc_apply",
     "events_tumbling",
     "events_sessionize",
+    "events_macd",
     "bucketed_ma",
     "layout_zorder",
     "source_jsonl",
@@ -232,10 +251,8 @@ CORE_WINDOW: tuple[str, ...] = (
     # UDF lanes
     "udf_pandas_scalar",
     "udf_grouped_map",
-    "udf_arrow_map",
     # LLM-training-data operators
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_embedding_cosine",
@@ -245,11 +262,12 @@ CORE_WINDOW: tuple[str, ...] = (
     "dedup_keep_canonical",
     "sim_cosine_topk",
     "sim_ann_lsh",
-    "sim_ann_ivf",
     "sim_ann_ivfpq",
     "kmeans_embeddings",
     "text_metrics",
     "text_tfidf",
+    "text_bm25",
+    "graph_pagerank",
     "curation_pipeline",
     "curation_pii_redact",
     "curation_line_dedup",
@@ -290,6 +308,40 @@ def registry() -> dict[str, Query]:
     return {**core, **extended}
 
 
+def catalog_totals() -> dict[str, int]:
+    """Live tier counts — the single source of truth for every doc
+    that states catalog totals (VERDICT r5: COVERAGE.md hand-wrote
+    '137 = 50 + 87' after the registry had grown to 177; generated
+    numbers cannot go stale). ``tests/test_scale_ops.py`` pins that
+    COVERAGE.md carries exactly :func:`totals_markdown`'s line."""
+    reg = registry()
+    total = len(reg)
+    core = len(CORE_WINDOW)
+    oracled = sum(1 for q in reg.values() if q.oracle is not None)
+    return {
+        "total": total,
+        "core": core,
+        "extended": total - core,
+        "oracled": oracled,
+        "rows_only": total - oracled,
+    }
+
+
+def totals_markdown() -> str:
+    """The totals sentence both COVERAGE.md and QUERIES.md carry."""
+    t = catalog_totals()
+    oracle_part = (
+        "ALL with DuckDB oracles"
+        if t["rows_only"] == 0
+        else f"{t['oracled']} with DuckDB oracles + {t['rows_only']} rows-only"
+    )
+    return (
+        f"{t['total']} queries in `__spark_entry__.queries()` — "
+        f"{t['core']} core (the driver window, every operator covered) "
+        f"+ {t['extended']} extended; {oracle_part}"
+    )
+
+
 def catalog_markdown() -> str:
     """QUERIES.md content: the full catalog with docs + oracle status."""
     lines = [
@@ -306,6 +358,8 @@ def catalog_markdown() -> str:
         "(a covering set of every SURVEY §2 operator); *extended* = past "
         "the window, same local oracle verification via "
         "`tests/test_oracle_diff.py`.",
+        "",
+        totals_markdown(),
         "",
         "| # | Query | Tier | Oracle | What it exercises |",
         "|---|---|---|---|---|",

@@ -1235,8 +1235,9 @@ WITH v AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
 ),
 p AS (
-  SELECT user_id, ts, ROUND(value, 2) AS p_value
+  SELECT user_id, ts, MIN(ROUND(value, 2)) AS p_value
   FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
 )
 SELECT v.event_id, v.user_id, v.ts,
        m.p_value AS matched_value, m.p_ts AS matched_ts, m.side
@@ -1266,9 +1267,12 @@ FROM v LEFT JOIN LATERAL (
         "|L|+|R| rows, no range cross-join) and resolves per row with "
         "a microsecond-exact distance compare; the matched ts rides "
         "in the payload so the resolution is a scalar projection, not "
-        "another join against the right side. The oracle replays the "
-        "semantics as a correlated LATERAL min-distance pick, so the "
-        "tie-break and tolerance rules are hash-verified"
+        "another join against the right side. Purchases pre-dedup on "
+        "(user, ts) with a deterministic min-value keep-rule so same-"
+        "timestamp right rows cannot make either engine's tie pick "
+        "arbitrary. The oracle replays the semantics as a correlated "
+        "LATERAL min-distance pick, so the tie-break and tolerance "
+        "rules are hash-verified"
     ),
 )
 def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,10 +1282,19 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts"
     )
-    buys = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("u"),
-        F.col("ts").alias("p_ts"),
-        dround(F.col("value"), 2).alias("p_value"),
+    # pre-deduplicate purchases on (user, ts) with a deterministic
+    # keep-rule (min rounded value): as_of_join leaves the match among
+    # exact right-side ts ties unspecified, and the oracle's LATERAL
+    # ORDER BY (distance, side) LIMIT 1 is equally unspecified among
+    # same-side equidistant ties — a unique right side removes the
+    # ambiguity on BOTH engines (the GROUP BY is mirrored above)
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("p_ts"),
+        )
+        .agg(F.min(dround(F.col("value"), 2)).alias("p_value"))
     )
 
     def side(direction: str) -> DataFrame:
@@ -1499,19 +1512,21 @@ _ABC_B = 0.95  # class B: up to 95%; the tail is C
 
 _ABC_SQL = f"""
 WITH rev AS (
-  SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  SELECT l_partkey,
+         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100, 0)
+              AS BIGINT) AS cents
   FROM lineitem GROUP BY l_partkey
 ),
-tot AS (SELECT SUM(revenue) AS total FROM rev),
+tot AS (SELECT SUM(cents) AS total_c FROM rev),
 ranked AS (
-  SELECT l_partkey, revenue,
-         SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum
+  SELECT l_partkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum_c
   FROM rev
 )
-SELECT r.l_partkey, r.revenue,
-       ROUND(r.cum / tot.total, 6) AS cum_share,
-       CASE WHEN r.cum / tot.total <= {_ABC_A!r} THEN 'A'
-            WHEN r.cum / tot.total <= {_ABC_B!r} THEN 'B'
+SELECT r.l_partkey, ROUND(r.cents / 100.0, 2) AS revenue,
+       ROUND(CAST(r.cum_c AS DOUBLE) / tot.total_c, 6) AS cum_share,
+       CASE WHEN CAST(r.cum_c AS DOUBLE) / tot.total_c <= {_ABC_A!r} THEN 'A'
+            WHEN CAST(r.cum_c AS DOUBLE) / tot.total_c <= {_ABC_B!r} THEN 'B'
             ELSE 'C' END AS abc_class
 FROM ranked r CROSS JOIN tot
 """
@@ -1527,11 +1542,12 @@ FROM ranked r CROSS JOIN tot
         "(the global order runs over |parts| rows, never lineitems), "
         "then a descending prefix sum assigns each part its "
         "cumulative share against a broadcast 1-row total, and "
-        "literal thresholds cut A/B/C. Revenue is rounded to 2dp "
-        "BEFORE the prefix sum, so the running order and every "
-        "partial sum are bit-identical on both engines (prefix-sum "
-        "drift compounds; rounding the inputs, not just the output, "
-        "is what keeps 2000 running sums exact). At larger key "
+        "literal thresholds cut A/B/C. Revenue converts to INTEGER "
+        "CENTS before the prefix sum and the grand total (same "
+        "discipline as agg_gini), so cum and total are exact int64 "
+        "immune to float fold-order — the share a row's class compare "
+        "sees is one double division at the end, never a drifting "
+        "running double near the 0.8/0.95 thresholds. At larger key "
         "cardinalities the prefix sum swaps onto the range-exchange + "
         "per-partition-offset pattern (shuffle_deterministic) — the "
         "reduced frame here sorts in one task the same way the daily "
@@ -1541,18 +1557,16 @@ FROM ranked r CROSS JOIN tot
 def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
-        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0)
+        .cast("bigint")
+        .alias("cents")
     )
-    tot = rev.agg(F.sum("revenue").alias("total"))
-    wc = W.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+    tot = rev.agg(F.sum("cents").alias("total_c"))
+    wc = W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
         W.unboundedPreceding, 0
     )
-    ranked = rev.select(
-        "l_partkey", "revenue", F.sum("revenue").over(wc).alias("cum")
-    )
-    share = F.col("cum") / F.col("total")
+    ranked = rev.select("l_partkey", "cents", F.sum("cents").over(wc).alias("cum_c"))
+    share = F.col("cum_c").cast("double") / F.col("total_c")
     cls = (
         F.when(share <= _ABC_A, F.lit("A"))
         .when(share <= _ABC_B, F.lit("B"))
@@ -1560,7 +1574,7 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
-        "revenue",
+        dround(F.col("cents") / 100.0, 2).alias("revenue"),
         dround(share, 6).alias("cum_share"),
         cls.alias("abc_class"),
     )

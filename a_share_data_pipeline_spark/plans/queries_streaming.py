@@ -296,14 +296,17 @@ FROM events c JOIN events p
         "stream-stream inner join (click→purchase attribution within "
         "30 min, per user): two watermarked event streams join on key "
         "+ event-time range inside the state store; append mode, every "
-        "match emitted exactly once. The 3650-day watermark here is a "
-        "REPLAY parameter (this AvailableNow cycle re-processes a "
-        "bounded historical landing dir, so nothing may be dropped as "
-        "late); a deployment against an unbounded stream sizes the "
-        "delay to real lateness (minutes-hours) and the time "
-        "constraint then expires join state — proven with a tight "
-        "watermark + stateOperators metrics in tests/test_streaming.py."
-        " Oracle runs the equivalent static range join"
+        "match emitted exactly once. Runs under a REALISTIC 1-day "
+        "watermark (VERDICT r5 item 6) with the trailing no-data batch "
+        "ENABLED, so the timed cycle includes what a deployment pays: "
+        "the watermark advance + join-state EVICTION commit, not just "
+        "ingestion. Correct under replay because the historical landing "
+        "dir fits one AvailableNow micro-batch (watermark only advances "
+        "between batches; batch 1 starts at epoch, so no row is late "
+        "and inner matches emit eagerly) — state expiry under "
+        "multi-batch lateness is separately proven via stateOperators "
+        "metrics in tests/test_streaming.py. Oracle runs the "
+        "equivalent static range join"
     ),
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,7 +319,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "3650 days")
+        .withWatermark("click_ts", "1 day")
     )
     purchases = (
         ST.read_file_stream(spark, path, ev.schema)
@@ -327,7 +330,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("purchase_ts"),
             "value",
         )
-        .withWatermark("purchase_ts", "3650 days")
+        .withWatermark("purchase_ts", "1 day")
     )
     joined = clicks.join(
         purchases,
@@ -335,7 +338,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
-    out = _run_to_table(spark, joined, "append", finalize_watermark=False)
+    # finalize_watermark=True: with the realistic 1-day watermark the
+    # trailing no-data batch actually EVICTS expired join state — the
+    # cost a deployment pays per watermark advance — so the benched
+    # cycle times it (it changes no output row for an append inner
+    # join; matches emit eagerly on arrival)
+    out = _run_to_table(spark, joined, "append", finalize_watermark=True)
     return out.select(
         "click_id",
         "purchase_id",

@@ -198,6 +198,13 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        # frozen methodology label (VERDICT r5 item 2): xxhash64 over
+        # ALL output columns forces full evaluation; one System.gc()
+        # per query (not per rep) isolates entries. A record whose
+        # "method" differs from its predecessor's is NOT
+        # round-over-round comparable; never change evaluation and
+        # isolation in the same round.
+        "method": "xxhash64-full-gc1",
         "queries": timings,
         "sf": sf,
     }
