@@ -272,6 +272,39 @@ def pair_jaccard(
     )
 
 
+def pair_containment(
+    shingled: DataFrame, min_overlap: int = 1, max_bucket: int | None = None
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT per doc pair: |A∩B| relative to
+    each side's own shingle-set size — the excerpt/quote/sub-document
+    signal Jaccard dilutes away (a short doc fully contained in a long
+    one has containment 1.0 on its side but near-zero Jaccard, so a
+    Jaccard threshold never finds it; Broder 1997 separates the two
+    resemblance measures for exactly this reason).
+
+    Same bucketed-pair machinery and hot-bucket cap as
+    :func:`pair_jaccard` — one aggregation-driven pair expansion over
+    shared-shingle buckets, never an all-pairs product — returning
+    (a, b, n_inter, n_a, n_b) so the caller picks the directional
+    ratio(s) it needs."""
+    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        _bucket_pairs(
+            shingled.select("doc_id", F.col("shingle").alias("bucket")),
+            "doc_id",
+            max_bucket=max_bucket,
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= min_overlap)
+    )
+    ca = counts.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    return inter.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b").select(
+        "a", "b", "n_inter", "n_a", "n_b"
+    )
+
+
 def substring_dup_stats(
     df: DataFrame,
     win_tokens: int = 16,

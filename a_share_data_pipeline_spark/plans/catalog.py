@@ -291,6 +291,7 @@ def registry() -> dict[str, Query]:
     """All registered queries, CORE_WINDOW first (in window order) so
     the driver's capped correctness run covers every operator; the
     extended tier follows alphabetically."""
+    from . import queries_analytics  # noqa: F401
     from . import queries_core  # noqa: F401
     from . import queries_curation  # noqa: F401
     from . import queries_llm  # noqa: F401

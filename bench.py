@@ -106,6 +106,12 @@ HEADLINE = [
     "events_macd",
     "agg_quantile_sketch",
     "events_kdj",
+    # round-6 analytics wave: the iterative/join-heavy new families
+    "graph_label_propagation",
+    "graph_bfs_hops",
+    "dedup_containment",
+    "events_attribution",
+    "events_multires_rollup",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round

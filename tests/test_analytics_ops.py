@@ -1,0 +1,133 @@
+"""Hand-verifiable fixtures for the round-6 analytics wave operators —
+the oracle harness proves Spark==DuckDB; these prove both equal the
+SEMANTICS (hand-walked LPA rounds, BFS distances on a known graph,
+containment on a constructed prefix doc, exact attribution credit)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "src string, dst string"
+    )
+
+
+def _iedges(spark, pairs):
+    return spark.createDataFrame([(a, b) for a, b in pairs], "src long, dst long")
+
+
+def test_label_propagation_separates_two_bridged_cliques(spark):
+    """Two triangles joined by a single bridge edge: connected
+    components would merge everything into one cluster; LPA (3 rounds,
+    max-count/max-label ties) must keep the cliques apart — the
+    community semantics that make it a distinct family. Expected labels
+    hand-walked round by round: {1,2,3}→4, {4,5,6}→6."""
+    from a_share_data_pipeline_spark.operators.graph import label_propagation
+
+    e = _iedges(
+        spark, [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    )
+    got = {r.node: r.lbl for r in label_propagation(e, iters=3).collect()}
+    assert got == {1: 4, 2: 4, 3: 4, 4: 6, 5: 6, 6: 6}
+
+
+def test_bfs_hops_chain_distances_and_unreached_dropped(spark):
+    """Chain a-b-c-d-e with seed a, 3 rounds: hops a=0 b=1 c=2 d=3 and
+    e (4 hops away) plus the disconnected x-y pair never emit a row."""
+    from a_share_data_pipeline_spark.operators.graph import bfs_hops
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")])
+    got = {r.node: r.hops for r in bfs_hops(e, seeds=["a"], max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_hops_multi_source_takes_minimum(spark):
+    """Two seeds at both ends of a 4-chain: the middle nodes take the
+    nearer seed's distance."""
+    from a_share_data_pipeline_spark.operators.graph import bfs_hops
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r.node: r.hops for r in bfs_hops(e, seeds=["a", "d"], max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 0}
+
+
+def test_pair_containment_prefix_doc_is_fully_contained(spark):
+    """A 10-token prefix of a 20-token doc: every one of its 8
+    3-gram shingles appears in the parent, so n_inter == n_b == 8 and
+    containment on the smaller side is exactly 1.0 — while Jaccard
+    (8 / (18+8-8) = 0.444) sits below any near-dup threshold. This is
+    the excerpt signal the containment operator exists for."""
+    from a_share_data_pipeline_spark.operators.dedup import (
+        exploded_shingles,
+        pair_containment,
+    )
+
+    words = [f"w{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:10]))],
+        "doc_id long, text string",
+    )
+    [row] = pair_containment(exploded_shingles(docs), min_overlap=3).collect()
+    assert (row.a, row.b) == (1, 2)
+    assert row.n_a == 18 and row.n_b == 8 and row.n_inter == 8
+    assert row.n_inter / min(row.n_a, row.n_b) == 1.0
+
+
+def test_attribution_credit_is_exact_integer_ppm(spark):
+    """One purchase preceded by three clicks on distinct channels:
+    each channel's linear credit is floor(1e6/3)/1e6 = 0.3333, the
+    last click (latest ts) takes the last-touch conversion, and a
+    click outside the 3-day lookback is never a touch."""
+    from a_share_data_pipeline_spark.plans.queries_analytics import (
+        events_attribution,
+    )
+    import datetime as dt
+    import os
+    import tempfile
+
+    base = dt.datetime(2024, 3, 10, 12, 0, 0)
+    rows = [
+        # clicks: channels event_id % 4 = 1, 2, 3; one stale click (id 8)
+        (1, base - dt.timedelta(hours=3), 7, "click", None, "{}"),
+        (2, base - dt.timedelta(hours=2), 7, "click", None, "{}"),
+        (3, base - dt.timedelta(hours=1), 7, "click", None, "{}"),
+        (8, base - dt.timedelta(days=10), 7, "click", None, "{}"),
+        (9, base, 7, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="attr_fixture_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.channel: r for r in events_attribution(spark, d).collect()}
+    assert set(out) == {1, 2, 3}  # stale click's channel 0 absent
+    for ch in (1, 2, 3):
+        assert out[ch].n_touches == 1
+        assert out[ch].linear_credit == 0.3333
+    assert out[3].n_last_touch == 1
+    assert out[1].n_last_touch == 0 and out[2].n_last_touch == 0
+
+
+def test_multires_rollup_daily_equals_sum_of_hourly(spark):
+    """The Expand-pass invariant: for every (event_type, day), the 1d
+    row's n equals the sum of its 1h rows' n — one scan produced both
+    resolutions consistently."""
+    from a_share_data_pipeline_spark.plans.queries_analytics import (
+        events_multires_rollup,
+    )
+
+    out = events_multires_rollup(spark, "/root/testdata/sf0.001")
+    daily = out.filter(F.col("resolution") == "1d").select(
+        "event_type", "day", F.col("n").alias("n_d")
+    )
+    hourly = (
+        out.filter(F.col("resolution") == "1h")
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n_h"))
+    )
+    j = daily.join(hourly, ["event_type", "day"]).collect()
+    assert j and all(r.n_d == r.n_h for r in j)

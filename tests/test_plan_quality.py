@@ -828,3 +828,44 @@ def test_nullsafe_join_stays_hashable(spark):
     p = executed_plan_str(q)
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_multires_rollup_is_one_expand_one_scan(spark):
+    """events_multires_rollup's contract is BOTH resolutions from ONE
+    scan: exactly one Expand node (the grouping-sets duplication), one
+    events file scan, and partial+final aggregation around the single
+    shuffle — versus the naive two-scans-plus-union."""
+    q = registry()["events_multires_rollup"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert p.count("Expand") == 1, p
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_winsorize_broadcasts_percentile_bounds(spark):
+    """feature_winsorize joins the 3-row percentile-bound table back
+    onto lineitem — that side must broadcast; shuffling the fact to
+    meet a 3-row table is the canonical scale bug."""
+    q = registry()["feature_winsorize"].fn(spark, SF)
+    p = plan_str(q)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_attribution_range_join_is_keyed_not_cartesian(spark):
+    """events_attribution's purchase-click lookback join must hash on
+    the user equi-key (time predicates as post-join filters) — never a
+    cartesian/nested-loop expansion of clicks x purchases."""
+    q = registry()["events_attribution"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p, p
+
+
+def test_kline_volume_indicators_share_one_window_exchange(spark):
+    """events_obv chains lag + running-sum windows over the same
+    (event_type, day) partition+order: Catalyst must plan ONE
+    hashpartitioning exchange for the window stages (plus the
+    aggregation's), not one per window."""
+    q = registry()["events_obv"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert p.count("Exchange hashpartitioning") <= 2, p
