@@ -6,11 +6,12 @@ A/B significance testing, asymmetric containment dedup, OBV/ATR kline
 indicators, winsorized feature statistics, k-anonymity enforcement,
 linear trend forecasting, multi-resolution time downsampling; then
 (wave 2) HLL set-algebra, wide→long unpivot, distribution windows,
-MAD robust anomaly flags, rolling regression, and the purged/
-embargoed temporal split. Every query keeps the repo's determinism
-discipline: integer arithmetic wherever a sum feeds a compare,
-dround() on every emitted double, unrolled-CTE oracles for the
-iterative operators.
+MAD robust anomaly flags, rolling regression, the purged/embargoed
+temporal split; then (wave 3) gaps-and-islands streaks, cohort LTV
+curves, and deterministic mode. Every query keeps the repo's
+determinism discipline: integer arithmetic wherever a sum feeds a
+compare, dround() on every emitted double, unrolled-CTE oracles for
+the iterative operators.
 """
 
 from __future__ import annotations
@@ -1273,4 +1274,191 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("day").cast("bigint").alias("n_days"),
         F.min("day").alias("d_min"),
         F.max("day").alias("d_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: gaps-and-islands streaks, cohort LTV curves, deterministic mode
+# ---------------------------------------------------------------------------
+
+_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '1970-01-01', day)
+         - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+s AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM s GROUP BY user_id
+"""
+
+
+@register(
+    "events_streaks",
+    _STREAKS_SQL,
+    doc=(
+        "gaps-and-islands: per-user consecutive-active-day streaks via "
+        "the classic epoch-day-minus-row-number island key (consecutive "
+        "days share a constant difference; any gap shifts it) — the "
+        "engagement-streak / uptime-window shape that needs neither a "
+        "self-join nor a recursive walk: one distinct, one ranking "
+        "window over the reduced (user, day) frame, two integer "
+        "aggregations. All arithmetic is int64 day counts — nothing "
+        "to round, bit-exact on both engines. events_sessionize cuts "
+        "sessions on TIME gaps inside a day; this finds streaks "
+        "across CALENDAR days — the other islands axis"
+    ),
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
+
+
+_LTV_SQL = """
+WITH p AS (
+  SELECT user_id, date_trunc('week', ts)::DATE AS w, value AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+coh AS (SELECT user_id, MIN(w) AS cohort FROM p GROUP BY 1),
+rev AS (
+  SELECT c.cohort, date_diff('day', c.cohort, p.w) // 7 AS age,
+         CAST(ROUND(SUM(p.v) * 100, 0) AS BIGINT) AS cents,
+         COUNT(DISTINCT p.user_id) AS n_buyers
+  FROM p JOIN coh c ON c.user_id = p.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort, CAST(age AS BIGINT) AS age_weeks,
+       CAST(n_buyers AS BIGINT) AS n_buyers,
+       ROUND(cents / 100.0, 2) AS revenue,
+       ROUND(SUM(cents) OVER (PARTITION BY cohort ORDER BY age)
+             / 100.0, 2) AS cum_ltv
+FROM rev
+"""
+
+
+@register(
+    "events_cohort_ltv",
+    _LTV_SQL,
+    doc=(
+        "cohort lifetime-value curves — cumulative revenue per signup "
+        "cohort by age-in-weeks, the LTV readout beside "
+        "events_retention's presence matrix (retention says WHO came "
+        "back; LTV says what they were WORTH): cohort = first "
+        "purchase week (one aggregation), per-(cohort, age) revenue "
+        "converts to INTEGER CENTS at the reduction (the agg_gini "
+        "discipline) so the running LTV prefix sum is exact int64, "
+        "divided back to currency once at the end; age counts in "
+        "exact day-arithmetic sevenths (engines disagree on week-"
+        "boundary date_diff semantics, never on day counts between "
+        "week-truncated dates). The window runs over the O(cohorts x "
+        "ages) reduced frame, never the raw purchases"
+    ),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w"), "value"
+    )
+    coh = p.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    rev = (
+        p.join(coh, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(F.datediff(F.col("w"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("age"),
+        )
+        .agg(
+            dround(F.sum("value") * 100, 0).cast("bigint").alias("cents"),
+            F.countDistinct("user_id").alias("n_buyers"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return rev.select(
+        "cohort",
+        F.col("age").cast("bigint").alias("age_weeks"),
+        F.col("n_buyers").cast("bigint").alias("n_buyers"),
+        dround(F.col("cents") / 100.0, 2).alias("revenue"),
+        dround(F.sum("cents").over(w) / 100.0, 2).alias("cum_ltv"),
+    )
+
+
+_MODE_SHIFT = 2**33
+
+_MODE_SQL = f"""
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       CAST({_MODE_SHIFT - 1} - (MAX(cnt * {_MODE_SHIFT}
+            + ({_MODE_SHIFT - 1} - q)) % {_MODE_SHIFT}) AS BIGINT) AS mode_qty,
+       CAST(MAX(cnt * {_MODE_SHIFT} + ({_MODE_SHIFT - 1} - q))
+            // {_MODE_SHIFT} AS BIGINT) AS mode_count
+FROM c GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_mode_exact",
+    _MODE_SQL,
+    doc=(
+        "deterministic MODE — the most frequent value per group with a "
+        "SPECIFIED tie rule (smallest value wins): built-in mode() "
+        "leaves ties engine-arbitrary on both Spark and DuckDB, so it "
+        "can never be oracle-verified; instead the (group, value) "
+        "counts reduce once and the argmax packs into one bigint max "
+        "— cnt * 2^33 + (2^33-1 - value) — maximizing count while "
+        "MINIMIZING the value on ties, the integer-packing trick "
+        "label_propagation uses for max-ties, flipped by the "
+        "complement. Two hash aggregations with map-side combine, no "
+        "sort, no window"
+    ),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    shift = F.lit(_MODE_SHIFT)
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    key = F.max(F.col("cnt") * shift + (shift - 1 - F.col("q"))).alias("key")
+    return (
+        c.groupBy("l_returnflag")
+        .agg(key)
+        .select(
+            "l_returnflag",
+            (shift - 1 - F.pmod(F.col("key"), shift)).cast("bigint").alias("mode_qty"),
+            # integral `div`, not floor(double /): keeps the unpack in
+            # exact int64 arithmetic at any count magnitude
+            F.expr(f"key div {_MODE_SHIFT}").cast("bigint").alias("mode_count"),
+        )
     )

@@ -38,7 +38,12 @@ def _land_events(spark: SparkSession, sf_dir: str) -> tuple[str, "DataFrame"]:
 
 
 def _run_to_table(
-    spark: SparkSession, result: DataFrame, mode: str, *, finalize_watermark: bool = True
+    spark: SparkSession,
+    result: DataFrame,
+    mode: str,
+    *,
+    finalize_watermark: bool = True,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run one AvailableNow cycle into a memory table.
 
@@ -52,17 +57,32 @@ def _run_to_table(
     a full state-store commit across every partition for zero rows
     (measured: 2.3s of a 7.6s cycle at sf0.1). Queries whose RESULTS
     depend on the final watermark advance (windowed aggregation,
-    dropDuplicatesWithinWatermark expiry proofs) must keep the default."""
+    dropDuplicatesWithinWatermark expiry proofs) must keep the default.
+
+    ``state_partitions`` temporarily overrides shuffle.partitions for
+    the cycle: streaming STATE partition count is fixed at the first
+    checkpoint, and every micro-batch (including the no-data finalize
+    batch) commits EVERY state store — a stream-stream join keeps 4
+    stores per partition, so 32 partitions is 128 commits per batch
+    for kilobytes of state (measured 8.4s -> 3.9s at sf0.1 with 8).
+    Size it to state volume, not CPU count; results are partition-
+    independent. Batch-side reads of the memory table are unaffected
+    (the conf is restored before returning)."""
     name = "q_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
     key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    pkey = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key, "true")
+    prev_parts = spark.conf.get(pkey)
     if not finalize_watermark:
         spark.conf.set(key, "false")
+    if state_partitions is not None:
+        spark.conf.set(pkey, str(state_partitions))
     try:
         ST.run_available_now(result, ckpt, output_mode=mode, query_name=name)
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(pkey, prev_parts)
     return spark.table(name)
 
 
@@ -342,8 +362,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trailing no-data batch actually EVICTS expired join state — the
     # cost a deployment pays per watermark advance — so the benched
     # cycle times it (it changes no output row for an append inner
-    # join; matches emit eagerly on arrival)
-    out = _run_to_table(spark, joined, "append", finalize_watermark=True)
+    # join; matches emit eagerly on arrival). state_partitions=8:
+    # 4 state stores per partition x 32 partitions was 128 commits
+    # per batch for kilobytes of state — size to state, not cores
+    out = _run_to_table(
+        spark, joined, "append", finalize_watermark=True, state_partitions=8
+    )
     return out.select(
         "click_id",
         "purchase_id",
@@ -756,7 +780,9 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # finalize_watermark=True is REQUIRED here: the outer rows only
     # exist because the trailing no-data batch advances the watermark
-    out = _run_to_table(spark, joined, "append")
+    # same 4-stores-per-partition shape as the inner join: size the
+    # state partition count to state volume (see _run_to_table)
+    out = _run_to_table(spark, joined, "append", state_partitions=8)
     return out.select(
         "click_id",
         "user_id",
