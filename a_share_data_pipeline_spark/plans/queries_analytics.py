@@ -8,7 +8,7 @@ linear trend forecasting, multi-resolution time downsampling; then
 (wave 2) HLL set-algebra, wide→long unpivot, distribution windows,
 MAD robust anomaly flags, rolling regression, the purged/embargoed
 temporal split; then (wave 3) gaps-and-islands streaks, cohort LTV
-curves, and deterministic mode. Every query keeps the repo's
+curves, deterministic mode, and the TVD distribution-drift monitor. Every query keeps the repo's
 determinism discipline: integer arithmetic wherever a sum feeds a
 compare, dround() on every emitted double, unrolled-CTE oracles for
 the iterative operators.
@@ -1461,4 +1461,140 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact int64 arithmetic at any count magnitude
             F.expr(f"key div {_MODE_SHIFT}").cast("bigint").alias("mode_count"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: binned total-variation distance between time halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_QS = [round(0.1 * i, 1) for i in range(1, 10)]  # reference deciles
+
+_DRIFT_SQL = f"""
+WITH v AS (
+  SELECT date_trunc('day', ts)::DATE AS day, value AS val
+  FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+),
+span AS (
+  SELECT MIN(day) AS d0,
+         MIN(day) + CAST(FLOOR(date_diff('day', MIN(day), MAX(day)) / 2)
+                         AS BIGINT) * INTERVAL 1 DAY AS mid
+  FROM v
+),
+halves AS (
+  SELECT CASE WHEN v.day < span.mid THEN 'ref' ELSE 'cur' END AS half, v.val
+  FROM v CROSS JOIN span
+),
+cuts AS (
+  SELECT list_transform(
+           quantile_cont(val, {_DRIFT_QS!r}), x -> ROUND(x, 4)) AS qs
+  FROM halves WHERE half = 'ref'
+),
+binned AS (
+  SELECT h.half,
+         len(list_filter(cuts.qs, c -> c < ROUND(h.val, 4))) AS bin
+  FROM halves h CROSS JOIN cuts
+),
+cells AS (
+  SELECT bin,
+         SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS n_r,
+         SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS n_c
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_r) AS t_r, SUM(n_c) AS t_c FROM cells),
+shifts AS (
+  SELECT c.bin, c.n_r, c.n_c,
+         ABS(c.n_r * tot.t_c - c.n_c * tot.t_r) AS num, tot.t_r, tot.t_c
+  FROM cells c CROSS JOIN tot
+)
+SELECT CAST(MAX(t_r) AS BIGINT) AS n_ref,
+       CAST(MAX(t_c) AS BIGINT) AS n_cur,
+       ROUND(0.5 * SUM(num) / (MAX(t_r) * MAX(t_c)), 6) AS tvd,
+       CAST(MAX(t_r) * MAX(t_c) AS BIGINT) AS scale_denom,
+       CAST((SELECT MIN(bin) FROM shifts s2
+             WHERE s2.num = (SELECT MAX(num) FROM shifts)) AS BIGINT)
+         AS max_shift_bin
+FROM shifts
+"""
+
+
+@register(
+    "profile_distribution_drift",
+    _DRIFT_SQL,
+    doc=(
+        "distribution drift monitor — binned TOTAL-VARIATION distance "
+        "between the first and second time halves of a feature (the "
+        "train/serve skew alarm of ML monitoring, the PSI slot): bins "
+        "are the REFERENCE half's deciles (exact percentiles, "
+        "broadcast back, feature_discretize's bucketing move), and "
+        "the drift statistic is computed ENTIRELY in integer "
+        "arithmetic — per-bin |n_ref*tot_cur - n_cur*tot_ref| sums "
+        "exactly in int64 and divides once at the end — because the "
+        "textbook PSI needs ln(), and ln (like pow, the "
+        "events_trending lesson) is 1-ulp engine-divergent; TVD "
+        "ranks drift identically and is exactly portable. "
+        "max_shift_bin names the decile that moved most (smallest "
+        "index on ties)"
+    ),
+)
+def profile_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(
+        F.col("event_type").isin("view", "purchase") & F.col("value").isNotNull()
+    ).select(F.date_trunc("day", "ts").cast("date").alias("day"), F.col("value").alias("val"))
+    span = v.agg(
+        F.min("day").alias("d0"),
+        F.date_add(
+            F.min("day"),
+            F.floor(F.datediff(F.max("day"), F.min("day")) / 2).cast("int"),
+        ).alias("mid"),
+    )
+    halves = v.crossJoin(F.broadcast(span)).select(
+        F.when(F.col("day") < F.col("mid"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("half"),
+        "val",
+    )
+    qs_arr = ", ".join(repr(q) for q in _DRIFT_QS)
+    cuts = halves.filter(F.col("half") == "ref").agg(
+        F.transform(
+            F.expr(f"percentile(val, array({qs_arr}))"), lambda x: dround(x, 4)
+        ).alias("qs")
+    )
+    binned = halves.crossJoin(F.broadcast(cuts)).select(
+        "half",
+        F.size(F.filter(F.col("qs"), lambda c: c < dround(F.col("val"), 4))).alias(
+            "bin"
+        ),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_r"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("n_c"),
+    )
+    tot = cells.agg(F.sum("n_r").alias("t_r"), F.sum("n_c").alias("t_c"))
+    shifts = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_r",
+        "n_c",
+        F.abs(F.col("n_r") * F.col("t_c") - F.col("n_c") * F.col("t_r")).alias("num"),
+        "t_r",
+        "t_c",
+    )
+    mx = shifts.agg(F.max("num").alias("mxnum"))
+    top_bin = (
+        shifts.crossJoin(F.broadcast(mx))
+        .filter(F.col("num") == F.col("mxnum"))
+        .agg(F.min("bin").alias("max_shift_bin"))
+    )
+    summary = shifts.agg(
+        F.max("t_r").cast("bigint").alias("n_ref"),
+        F.max("t_c").cast("bigint").alias("n_cur"),
+        dround(
+            F.lit(0.5) * F.sum("num") / (F.max("t_r") * F.max("t_c")), 6
+        ).alias("tvd"),
+        (F.max("t_r") * F.max("t_c")).cast("bigint").alias("scale_denom"),
+    )
+    return summary.crossJoin(F.broadcast(top_bin)).select(
+        "n_ref", "n_cur", "tvd", "scale_denom",
+        F.col("max_shift_bin").cast("bigint").alias("max_shift_bin"),
     )
