@@ -212,7 +212,13 @@ _REGISTRY: dict[str, Query] = {}
 # join_bloom_prune (sketch-prune family), agg_sketch_merge
 # (re-aggregatable HLL shards), events_ohlc (argmin/argmax bar
 # aggregate), sql_recursive_cte (in-engine recursion), text_bpe_encode
-# (tokenizer-apply).
+# (tokenizer-apply). Round-6 analytics-wave families are the next
+# tier of candidates once those are green: graph_label_propagation
+# (community detection), dedup_jaccard_prefix (prefix-filter prune,
+# whose oracle proves the no-false-negative guarantee),
+# profile_distribution_drift (integer-exact TVD monitoring),
+# events_attribution (integer-ppm credit), dedup_containment
+# (excerpt detection).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

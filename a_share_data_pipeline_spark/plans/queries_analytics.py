@@ -8,7 +8,8 @@ linear trend forecasting, multi-resolution time downsampling; then
 (wave 2) HLL set-algebra, wide→long unpivot, distribution windows,
 MAD robust anomaly flags, rolling regression, the purged/embargoed
 temporal split; then (wave 3) gaps-and-islands streaks, cohort LTV
-curves, deterministic mode, and the TVD distribution-drift monitor. Every query keeps the repo's
+curves, deterministic mode, the TVD distribution-drift monitor, the
+PPJoin-style prefix-filtered similarity join, and bag set operations. Every query keeps the repo's
 determinism discipline: integer arithmetic wherever a sum feeds a
 compare, dround() on every emitted double, unrolled-CTE oracles for
 the iterative operators.
@@ -1598,3 +1599,159 @@ def profile_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ref", "n_cur", "tvd", "scale_denom",
         F.col("max_shift_bin").cast("bigint").alias("max_shift_bin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style candidate pruning)
+# ---------------------------------------------------------------------------
+
+_PF_T = 0.5  # Jaccard threshold the prefix guarantee is proven against
+_PF_MAX_BUCKET = 1000
+
+# fixture augmentation: the corpus has few >=0.5-Jaccard pairs, so every
+# 41st doc spawns a deterministic truncated twin (first ceil(4/5) of its
+# tokens, id + 20,000,000) with J ~ 0.8 against its parent — both engines
+# derive the identical rows (the dedup_containment pattern)
+_PF_SQL = f"""
+WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tw AS (
+  SELECT doc_id + 20000000 AS doc_id,
+         array_to_string(
+           t[1:CAST(GREATEST(3, CEIL(len(t) * 4 / 5)) AS BIGINT)], ' ') AS text
+  FROM toks0 WHERE doc_id % 41 = 0
+),
+aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM tw),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING COUNT(*) <= {_PF_MAX_BUCKET}),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN ok ON ok.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = a
+JOIN counts cb ON cb.doc_id = b
+WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= {_PF_T!r}
+"""
+
+
+@register(
+    "dedup_jaccard_prefix",
+    _PF_SQL,
+    doc=(
+        "prefix-filtered set-similarity join (the PPJoin/AllPairs "
+        "candidate-pruning move): under ANY fixed global order of "
+        "shingles, two sets with Jaccard >= t MUST share an element "
+        "inside their first |S| - ceil(t*|S|) + 1 shingles — so only "
+        "the PREFIX (half the shingles at t=0.5) enters the bucketed "
+        "pair expansion, and the exact-Jaccard verify runs only on "
+        "surviving candidates. The global order here is md5(shingle) "
+        "(deterministic, engine-portable; production uses ascending "
+        "document frequency, which shrinks hot buckets further — the "
+        "guarantee holds for any total order). The ORACLE is the "
+        "EXHAUSTIVE all-shared-shingle join at the same threshold, so "
+        "the hash match IS the no-false-negative proof of the prune. "
+        "A deterministic truncated-twin fixture keeps the >= 0.5 "
+        "pair set non-vacuous"
+    ),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tw = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks,
+                1,
+                F.greatest(
+                    F.lit(3), F.ceil(F.size(toks) * 4 / 5)
+                ).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(tw)
+    shingled = D.exploded_shingles(aug)
+    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # prefix under the md5 global order: keep rn <= n - ceil(t*n) + 1
+    wp = W.partitionBy("doc_id").orderBy(F.md5("shingle"))
+    pref = (
+        shingled.join(F.broadcast(counts), "doc_id")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(wp).alias("rn"),
+            (
+                F.col("n_sh")
+                - F.ceil(F.col("n_sh") * F.lit(_PF_T)).cast("bigint")
+                + 1
+            ).alias("plen"),
+        )
+        .filter(F.col("rn") <= F.col("plen"))
+        .select("doc_id", "shingle")
+    )
+    from ..operators.dedup import _bucket_pairs
+
+    cands = (
+        _bucket_pairs(
+            pref.select("doc_id", F.col("shingle").alias("bucket")),
+            "doc_id",
+            max_bucket=_PF_MAX_BUCKET,
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    pairs = D.pair_jaccard(
+        shingled, pairs=cands, counts=counts, max_bucket=_PF_MAX_BUCKET
+    )
+    return pairs.filter(F.col("jaccard") >= _PF_T).select(
+        "a", "b", dround("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+_SETALL_SQL = """
+WITH ra AS (SELECT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'R'),
+rb AS (SELECT l_partkey AS pk FROM lineitem WHERE l_linestatus = 'F')
+SELECT 'intersect_all' AS op, pk FROM (SELECT pk FROM ra INTERSECT ALL SELECT pk FROM rb)
+UNION ALL
+SELECT 'except_all' AS op, pk FROM (SELECT pk FROM ra EXCEPT ALL SELECT pk FROM rb)
+"""
+
+
+@register(
+    "set_ops_all",
+    _SETALL_SQL,
+    doc=(
+        "bag-semantics set operations — INTERSECT ALL / EXCEPT ALL "
+        "preserve MULTIPLICITY (a part returned 3 times and shipped "
+        "twice intersects twice and excepts once), which the "
+        "DISTINCT-semantics set_ops witness cannot express: Spark "
+        "plans intersectAll/exceptAll as a counted aggregate + "
+        "generate replay, not a distinct — one shuffle per side, no "
+        "row-by-row matching. Both ops run over the same two scans "
+        "and union into one tagged multiset output, hash-verified "
+        "with full multiplicities"
+    ),
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ra = li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("pk"))
+    rb = li.filter(F.col("l_linestatus") == "F").select(F.col("l_partkey").alias("pk"))
+    ia = ra.intersectAll(rb).select(F.lit("intersect_all").alias("op"), "pk")
+    ea = ra.exceptAll(rb).select(F.lit("except_all").alias("op"), "pk")
+    return ia.unionByName(ea)
