@@ -297,20 +297,29 @@ def personalized_pagerank(
     return ranks.select("node", "rank")
 
 
-def _symmetrize(edges: DataFrame) -> DataFrame:
+def _symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """Undirected view of a directed edge list: both orientations,
-    deduped, materialized once (multi-use across iteration rounds)."""
-    return (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    materialized once (multi-use across iteration rounds).
+
+    ``dedup=False`` skips the distinct — a full 2E shuffle — for
+    callers that can PROVE the mirror cannot collide: the input is
+    already distinct AND no reverse pair exists (e.g. a bipartite
+    graph whose two sides use disjoint id ranges, like the
+    customer-even / supplier-odd purchase graph). Neighbor-count
+    semantics (LPA) and min-relaxation (BFS) are both correct only
+    if the edge multiset is duplicate-free, so the flag is a
+    caller-supplied proof, not a tolerance."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if dedup:
+        sym = sym.distinct()
+    return sym.localCheckpoint(eager=True)
 
 
-def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int = 3, edges_dedup: bool = True
+) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007) over an UNDIRECTED edge list: every node starts with its
     own id as label; each round every node adopts the most frequent
@@ -344,7 +353,7 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     cores separate when a bridge node's neighbor majority points
     elsewhere."""
     shift = F.lit(2**33)
-    sym = _symmetrize(edges)
+    sym = _symmetrize(edges, dedup=edges_dedup)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -365,7 +374,12 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     return labels
 
 
-def bfs_hops(edges: DataFrame, seeds: list[str], max_hops: int = 3) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int = 3,
+    edges_dedup: bool = True,
+) -> DataFrame:
     """Multi-source BFS hop distance over an UNDIRECTED edge list:
     ``hops`` = length of the shortest path from any seed, up to
     ``max_hops`` rounds; unreached nodes are dropped from the output
@@ -380,7 +394,7 @@ def bfs_hops(edges: DataFrame, seeds: list[str], max_hops: int = 3) -> DataFrame
     small round count keeps the plan static and oracle-unrollable).
     The NULL handling is explicit (CASE, not LEAST) because engines
     disagree on LEAST's null semantics."""
-    sym = _symmetrize(edges)
+    sym = _symmetrize(edges, dedup=edges_dedup)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     dist = nodes.select(
         "node",

@@ -138,7 +138,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = label_propagation(iedges)
+    # edges_dedup=False: the purchase graph is bipartite with
+    # disjoint id ranges (customers even, suppliers odd) and already
+    # distinct, so the mirror cannot collide — skipping the 2E
+    # distinct saves a full shuffle before the rounds
+    labels = label_propagation(iedges, edges_dedup=False)
 
     def decode(c: str):
         return F.when(
@@ -211,10 +215,13 @@ SELECT node, CAST(hops AS INTEGER) AS hops FROM {prev} WHERE hops IS NOT NULL
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_hops
 
+    # edges_dedup=False: same bipartite disjoint-range proof as
+    # graph_label_propagation ('c'/'s' prefixes cannot collide)
     d = bfs_hops(
         _edges(spark, sf_dir).localCheckpoint(eager=True),
         seeds=list(_BFS_SEEDS),
         max_hops=_BFS_HOPS,
+        edges_dedup=False,
     )
     return d.select("node", F.col("hops").cast("int").alias("hops"))
 
