@@ -112,6 +112,9 @@ HEADLINE = [
     "dedup_containment",
     "events_attribution",
     "events_multires_rollup",
+    "dedup_jaccard_prefix",
+    "profile_distribution_drift",
+    "incremental_join_delta",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round
