@@ -214,14 +214,17 @@ def lsh_incremental_candidates(
     return pairs.distinct()
 
 
-def pair_jaccard(
+def pair_overlap(
     shingled: DataFrame,
     pairs: DataFrame | None = None,
     min_overlap: int = 1,
     counts: DataFrame | None = None,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Jaccard similarity per doc pair via shingle-bucket join.
+    """(a, b, n_inter, n_a, n_b) per doc pair sharing >= ``min_overlap``
+    shingles — the shared core every set-resemblance measure divides
+    from (:func:`pair_jaccard` and :func:`pair_containment` are thin
+    ratio selections over this output).
 
     With `pairs` given, restricts to those candidates (LSH verify step);
     otherwise considers every pair sharing >= min_overlap shingles.
@@ -264,11 +267,33 @@ def pair_jaccard(
     return (
         inter.join(F.broadcast(ca), "a")
         .join(F.broadcast(cb), "b")
-        .select(
-            "a",
-            "b",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
-        )
+        .select("a", "b", "n_inter", "n_a", "n_b")
+    )
+
+
+def pair_jaccard(
+    shingled: DataFrame,
+    pairs: DataFrame | None = None,
+    min_overlap: int = 1,
+    counts: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Jaccard similarity per doc pair via shingle-bucket join — the
+    symmetric-resemblance ratio over :func:`pair_overlap`'s counts
+    (|A∩B| / |A∪B|); see that function for the candidate/guard
+    parameters."""
+    return pair_overlap(
+        shingled,
+        pairs=pairs,
+        min_overlap=min_overlap,
+        counts=counts,
+        max_bucket=max_bucket,
+    ).select(
+        "a",
+        "b",
+        (
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
     )
 
 
@@ -282,27 +307,11 @@ def pair_containment(
     Jaccard threshold never finds it; Broder 1997 separates the two
     resemblance measures for exactly this reason).
 
-    Same bucketed-pair machinery and hot-bucket cap as
-    :func:`pair_jaccard` — one aggregation-driven pair expansion over
-    shared-shingle buckets, never an all-pairs product — returning
+    Thin selection over :func:`pair_overlap` — same bucketed single-
+    aggregation pair expansion and hot-bucket cap, returning
     (a, b, n_inter, n_a, n_b) so the caller picks the directional
     ratio(s) it needs."""
-    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        _bucket_pairs(
-            shingled.select("doc_id", F.col("shingle").alias("bucket")),
-            "doc_id",
-            max_bucket=max_bucket,
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .filter(F.col("n_inter") >= min_overlap)
-    )
-    ca = counts.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
-    return inter.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b").select(
-        "a", "b", "n_inter", "n_a", "n_b"
-    )
+    return pair_overlap(shingled, min_overlap=min_overlap, max_bucket=max_bucket)
 
 
 def substring_dup_stats(

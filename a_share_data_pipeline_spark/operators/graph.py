@@ -354,8 +354,19 @@ def label_propagation(
     elsewhere."""
     shift = F.lit(2**33)
     sym = _symmetrize(edges, dedup=edges_dedup)
+    # loud preconditions for the packed argmax (silent violations
+    # would return wrong communities, not errors): labels live in the
+    # low 33 bits, counts in the high bits — so ids must sit in
+    # [0, 2^33) and no neighbor-label count may reach 2^30
+    node_raw = F.col("src")
+    node_ok = F.when(
+        (node_raw < 0) | (node_raw >= 2**33),
+        F.raise_error(
+            F.lit("label_propagation: node ids must be bigints in [0, 2**33)")
+        ).cast("long"),
+    ).otherwise(node_raw)
     labels = (
-        sym.select(F.col("src").alias("node"))
+        sym.select(node_ok.alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
     )
@@ -363,7 +374,15 @@ def label_propagation(
         nbr = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "lbl"
         )
-        cnt = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        cnt_raw = F.count(F.lit(1))
+        cnt_ok = F.when(
+            cnt_raw >= 2**30,
+            F.raise_error(
+                F.lit("label_propagation: neighbor-label count >= 2**30 "
+                      "overflows the packed argmax")
+            ).cast("long"),
+        ).otherwise(cnt_raw)
+        cnt = nbr.groupBy("node", "lbl").agg(cnt_ok.alias("cnt"))
         labels = (
             cnt.groupBy("node")
             .agg(F.max(F.col("cnt") * shift + F.col("lbl")).alias("key"))

@@ -1507,30 +1507,16 @@ SELECT node, pr FROM {prev}
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
-    # nodes dictionary-encode to dense bigints (c -> 2c, s -> 2s+1):
-    # every round's join + aggregate shuffles int64 pairs instead of
-    # strings (~15% measured at sf0.1); the output decodes back to the
-    # same 'c…'/'s…' ids with identical pr values, so the string-edge
-    # oracle is unchanged
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (2 * F.col("o_custkey")).alias("src"),
-            (2 * F.col("l_suppkey") + 1).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    # integer node encoding + decode from the shared bijection in
+    # queries_analytics (purchase_iedges/decode_purchase_node): the
+    # output decodes back to the same 'c…'/'s…' ids with identical pr
+    # values, so the string-edge oracle is unchanged
+    from .queries_analytics import decode_purchase_node, purchase_iedges
+
+    pr = pagerank(purchase_iedges(spark, sf_dir), damping=0.85, iters=3)
+    return pr.select(
+        decode_purchase_node("node").alias("node"), F.col("rank").alias("pr")
     )
-    pr = pagerank(edges, damping=0.85, iters=3).withColumnRenamed("rank", "pr")
-    dec = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("c"), (F.col("node") / 2).cast("bigint").cast("string")),
-    ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint").cast("string"))
-    )
-    return pr.select(dec.alias("node"), "pr")
 
 
 # ---------------------------------------------------------------------------
@@ -2436,31 +2422,16 @@ SELECT node, pr FROM {prev} WHERE pr > 0
 def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import personalized_pagerank
 
-    # same int64 node encoding as graph_pagerank; the seed literals
-    # encode with the identical c -> 2c rule
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (2 * F.col("o_custkey")).alias("src"),
-            (2 * F.col("l_suppkey") + 1).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # shared int64 encode/decode bijection (queries_analytics); the
+    # seed literals encode with the identical c -> 2c rule
+    from .queries_analytics import decode_purchase_node, purchase_iedges
+
     iseeds = [2 * int(s[1:]) for s in _PPR_SEEDS]
-    pr = personalized_pagerank(edges, seeds=iseeds, damping=_PPR_D, iters=3)
-    dec = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("c"), (F.col("node") / 2).cast("bigint").cast("string")),
-    ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint").cast("string"))
+    pr = personalized_pagerank(
+        purchase_iedges(spark, sf_dir), seeds=iseeds, damping=_PPR_D, iters=3
     )
-    return (
-        pr.filter(F.col("rank") > 0)
-        .withColumnRenamed("rank", "pr")
-        .select(dec.alias("node"), "pr")
+    return pr.filter(F.col("rank") > 0).select(
+        decode_purchase_node("node").alias("node"), F.col("rank").alias("pr")
     )
 
 
