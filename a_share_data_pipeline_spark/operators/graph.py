@@ -443,3 +443,73 @@ def bfs_hops(
         if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < max_hops:
             dist = dist.localCheckpoint(eager=True)
     return dist.filter(F.col("hops").isNotNull())
+
+def sssp(
+    edges: DataFrame,
+    seeds: list,
+    max_rounds: int = 3,
+    edges_dedup: bool = True,
+) -> DataFrame:
+    """Weighted multi-source shortest-path distance (bounded
+    Bellman-Ford) over an UNDIRECTED weighted edge list (src, dst, w):
+    ``dist`` = minimum total edge weight from any seed along paths of
+    at most ``max_rounds`` edges; unreached nodes are dropped (the
+    :func:`bfs_hops` scale argument — k rounds from a small seed set
+    touch a local ball, the unreachable tail never materializes).
+
+    The weighted generalization of :func:`bfs_hops`: each round
+    relaxes every edge once (one O(E) join of the reachable frontier
+    onto the symmetric edges, one min-aggregate per destination, one
+    left join back onto the (node, dist) state); ``cand = dist + w``
+    instead of ``hops + 1``. Weights must be non-negative — bounded
+    Bellman-Ford is still *correct* for negative weights within the
+    round budget, but "shortest within k hops" stops being a useful
+    distance there. Integer weights keep both engines bit-exact with
+    nothing to round.
+
+    ``edges_dedup=False`` is the caller's proof that the mirrored
+    edge multiset is already duplicate-free (see ``_symmetrize``);
+    parallel edges with DIFFERENT weights are always legal — the
+    min-aggregate keeps the cheapest — it is only exact duplicate
+    orientations that would be double-counted by LPA-style callers
+    (min-relaxation itself is idempotent, so even those are harmless
+    here; the flag just skips a full 2E shuffle)."""
+    sym = edges.select("src", "dst", "w").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+        )
+    )
+    if edges_dedup:
+        sym = sym.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node").isin(*seeds), F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("dist"),
+    )
+    for i in range(max_rounds):
+        relax = (
+            sym.join(
+                dist.filter(F.col("dist").isNotNull()),
+                sym["src"] == dist["node"],
+            )
+            .select(
+                F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("cand")
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        dist = dist.join(relax, "node", "left").select(
+            "node",
+            F.when(F.col("dist").isNull(), F.col("cand"))
+            .when(F.col("cand").isNull(), F.col("dist"))
+            .otherwise(F.least("dist", "cand"))
+            .cast("bigint")
+            .alias("dist"),
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < max_rounds:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.filter(F.col("dist").isNotNull())

@@ -2023,3 +2023,519 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orphan_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5 — skyline, change-point, survival, apportionment, weighted SSSP,
+# rolling median: classic analytics families the catalog did not have.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS pc
+  FROM part
+)
+SELECT a.p_partkey, ROUND(a.pc / 100.0, 2) AS price, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.pc <= a.pc AND b.p_size >= a.p_size
+    AND (b.pc < a.pc OR b.p_size > a.p_size)
+)
+"""
+
+
+@register(
+    "skyline_pareto",
+    _SKYLINE_SQL,
+    doc=(
+        "2-D skyline (Pareto frontier): parts not dominated on "
+        "(minimize price, maximize size) — dominance is <= on both "
+        "dims with at least one strict. The Spark plan is O(n log n), "
+        "not O(n^2): reduce to the best size PER DISTINCT PRICE "
+        "first (hash aggregate), run one prefix-max window over that "
+        "REDUCED frame (the repo's reduce-first-then-window "
+        "discipline — the window input is |distinct prices|, not "
+        "|parts|), then join back; a part is on the frontier iff it "
+        "holds its price's best size and strictly beats every "
+        "cheaper price's best. The ORACLE is the quadratic NOT "
+        "EXISTS dominance definition itself, so the hash match "
+        "proves the sort-based plan against the definition, not "
+        "against a re-derivation. Integer-cents prices, no floats "
+        "in any compare"
+    ),
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        dround(F.col("p_retailprice") * 100, 0).cast("bigint").alias("pc"),
+    )
+    best = p.groupBy("pc").agg(F.max("p_size").alias("best_size"))
+    w = W.orderBy("pc").rowsBetween(W.unboundedPreceding, -1)
+    run = best.select(
+        "pc", "best_size", F.max("best_size").over(w).alias("run_lt")
+    )
+    return (
+        p.join(run, "pc")
+        .filter(
+            (F.col("p_size") == F.col("best_size"))
+            & (F.col("run_lt").isNull() | (F.col("p_size") > F.col("run_lt")))
+        )
+        .select(
+            "p_partkey",
+            dround(F.col("pc") / 100.0, 2).alias("price"),
+            "p_size",
+        )
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, day, v,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(v) OVER (PARTITION BY event_type) AS tot
+  FROM daily
+),
+cu AS (
+  SELECT event_type, day, n, tot,
+         SUM(n * v - tot) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM st
+)
+SELECT event_type, day,
+       p - LEAST(0, MIN(p) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_scaled,
+       CAST(CASE WHEN p - LEAST(0, MIN(p) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > tot
+         THEN 1 ELSE 0 END AS INTEGER) AS breach
+FROM cu
+"""
+
+
+@register(
+    "events_cusum_changepoint",
+    _CUSUM_SQL,
+    doc=(
+        "one-sided CUSUM change-point statistic per event_type over "
+        "daily value totals: s_i = max(0, s_{i-1} + (x_i - mean)) — "
+        "a RECURSION with a clamp, made window-expressible through "
+        "the identity s_i = P_i - min(0, min_{j<=i} P_j) where P is "
+        "the plain prefix sum of deviations (the max-drawdown "
+        "telescoping trick), so the whole statistic is two cumulative "
+        "windows over the reduced per-day frame, no UDF and no loop. "
+        "Exactness: deviations are scaled by n (d_i = n*x_i - total, "
+        "all integer cents) instead of subtracting the fractional "
+        "mean, and the breach threshold compares s > n*mean = total "
+        "on the same scale — bit-exact integers end to end, immune "
+        "to float fold order on both engines. Breach marks days "
+        "where the cumulated upward drift exceeds one mean day's "
+        "value (h = mu in the scaled domain)"
+    ),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(dround(F.col("value") * 100, 0).cast("bigint")).alias("v")
+    )
+    wt = W.partitionBy("event_type")
+    st = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("v").over(wt).alias("tot"),
+    )
+    wc = wt.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cu = st.select(
+        "event_type",
+        "day",
+        "tot",
+        F.sum(F.col("n") * F.col("v") - F.col("tot")).over(wc).alias("p"),
+    )
+    s = F.col("p") - F.least(F.lit(0).cast("bigint"), F.min("p").over(wc))
+    return cu.select(
+        "event_type",
+        "day",
+        s.alias("cusum_scaled"),
+        F.when(s > F.col("tot"), 1).otherwise(0).cast("int").alias("breach"),
+    )
+
+
+_KM_SQL = """
+WITH ud AS (
+  SELECT user_id,
+         DATE_TRUNC('hour', MIN(ts)) AS f,
+         DATE_TRUNC('hour', MAX(ts)) AS l
+  FROM events GROUP BY user_id
+),
+m AS (SELECT MAX(l) AS mx FROM ud),
+obs AS (
+  SELECT DATEDIFF('hour', f, l) AS t,
+         CASE WHEN DATEDIFF('hour', l, mx) >= 72 THEN 1 ELSE 0 END AS ev
+  FROM ud CROSS JOIN m
+),
+per_t AS (
+  SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER () -
+           COALESCE(SUM(d + c) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS n_risk
+  FROM per_t
+),
+lf AS (
+  SELECT t, d, n_risk,
+         CASE WHEN d = 0 OR d = n_risk THEN 0
+              ELSE CAST(ROUND(LN((n_risk - d) * 1.0 / n_risk) * 100000000, 0)
+                        AS BIGINT) END AS lfac,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS hit_zero
+  FROM risk
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+       CASE WHEN MAX(hit_zero) OVER (
+              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(lfac) OVER (
+              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              / 100000000.0), 4) END AS surv
+FROM lf
+"""
+
+
+@register(
+    "events_survival_km",
+    _KM_SQL,
+    doc=(
+        "Kaplan-Meier survival estimate over user lifetimes in HOURS "
+        "(hour-truncated first to last event; lifetimes ending >= 72 "
+        "hours before the corpus max count as observed churn, later "
+        "ones as right-censored — hour granularity keeps the curve "
+        "non-vacuous on the synthetic corpus, where day-level "
+        "lifetimes collapse to 3 distinct values): S(t) = "
+        "prod_{t_i <= t} (1 - d_i / n_i). The "
+        "product-over-prefix has no window aggregate, so it runs in "
+        "log space — per-duration factors ln((n-d)/n) are rounded to "
+        "integer 1e-8 units FIRST (one libm call per row; the round "
+        "re-synchronizes the engines), then an exact integer "
+        "cumulative sum feeds one exp at the end. A d = n_risk step "
+        "drives S to exactly 0 (ln would be -inf), handled by a "
+        "cumulative hit-zero flag, not a sentinel value. Everything "
+        "reduces to the O(distinct durations) frame before any "
+        "window; risk sets come from one total minus a prefix sum, "
+        "not a per-row >= self-join"
+    ),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("f"),
+        F.date_trunc("hour", F.max("ts")).alias("l"),
+    )
+    m = ud.agg(F.max("l").alias("mx"))
+    # DuckDB DATEDIFF('hour', ...) counts hour-BOUNDARY crossings;
+    # on hour-truncated inputs that equals elapsed seconds / 3600
+    hours = lambda a, b: (  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("bigint")
+    obs = ud.crossJoin(F.broadcast(m)).select(
+        hours(F.col("f"), F.col("l")).alias("t"),
+        F.when(hours(F.col("l"), F.col("mx")) >= 72, 1).otherwise(0).alias("ev"),
+    )
+    per_t = obs.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(F.lit(1) - F.col("ev")).alias("c")
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_lt = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = per_t.select(
+        "t",
+        "d",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_lt), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    lf = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.when((F.col("d") == 0) | (F.col("d") == F.col("n_risk")), F.lit(0))
+        .otherwise(
+            dround(
+                F.log(
+                    (F.col("n_risk") - F.col("d"))
+                    * F.lit(1.0)
+                    / F.col("n_risk")
+                )
+                * 100000000,
+                0,
+            ).cast("bigint")
+        )
+        .alias("lfac"),
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("hit_zero"),
+    )
+    w_le = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return lf.select(
+        "t",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.when(F.max("hit_zero").over(w_le) == 1, F.lit(0.0))
+        .otherwise(
+            dround(F.exp(F.sum("lfac").over(w_le) / F.lit(100000000.0)), 4)
+        )
+        .alias("surv"),
+    )
+
+
+_ALLOC_SEATS = 1000
+
+_ALLOC_SQL = f"""
+WITH rev AS (
+  SELECT n_name,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS w
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name
+),
+q AS (
+  SELECT n_name, w,
+         ({_ALLOC_SEATS} * w) // SUM(w) OVER () AS base,
+         ({_ALLOC_SEATS} * w) % SUM(w) OVER () AS rem
+  FROM rev
+),
+r AS (
+  SELECT n_name, w, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rn,
+         {_ALLOC_SEATS} - SUM(base) OVER () AS leftover
+  FROM q
+)
+SELECT n_name, ROUND(w / 100.0, 2) AS revenue,
+       CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS seats
+FROM r
+"""
+
+
+@register(
+    "alloc_largest_remainder",
+    _ALLOC_SQL,
+    doc=(
+        f"largest-remainder (Hamilton) apportionment: {_ALLOC_SEATS} "
+        "seats split across nations proportionally to integer-cents "
+        "revenue — base = floor(K*w/W) per nation, then the K - "
+        "sum(base) leftover seats go to the largest remainders "
+        "(K*w mod W), name-ordered on ties so the allocation is a "
+        "function of the data, never of engine sort stability. The "
+        "entire allocation is exact int64 arithmetic (quotas never "
+        "materialize as floats); K*w is RUNTIME-GUARDED with "
+        "raise_error against int64 overflow (w < 2^63/K, i.e. ~9.2e15 "
+        "cents per nation — beyond that, re-scale weights before "
+        "apportioning: Hamilton is scale-invariant over a common "
+        "divisor). Windows run over the 25-row reduced frame; the "
+        "fact scan reduces per-custkey before any join"
+    ),
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(dround(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("wc")
+    )
+    rev = (
+        per_cust.join(F.broadcast(cust), per_cust["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum("wc").alias("w_raw"))
+    )
+    # loud precondition: K*w must fit int64 (see doc)
+    w_ok = F.when(
+        F.col("w_raw") >= (2**63) // _ALLOC_SEATS,
+        F.raise_error(
+            F.lit(
+                f"alloc_largest_remainder: weight >= 2^63/{_ALLOC_SEATS}; "
+                "rescale weights before apportioning"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("w_raw"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    k = F.lit(_ALLOC_SEATS).cast("bigint")
+    q = rev.select(
+        "n_name",
+        w_ok.alias("w"),
+    ).select(
+        "n_name",
+        "w",
+        F.expr(f"div({_ALLOC_SEATS} * w, sum(w) over ())").alias("base"),
+        ((k * F.col("w")) % F.sum("w").over(w_all)).alias("rem"),
+    )
+    wr = W.orderBy(F.col("rem").desc(), F.col("n_name"))
+    r = q.select(
+        "n_name",
+        "w",
+        "base",
+        F.row_number().over(wr).alias("rn"),
+        (k - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return r.select(
+        "n_name",
+        dround(F.col("w") / 100.0, 2).alias("revenue"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("seats"),
+    )
+
+
+_SSSP_SEEDS = ("c1", "c2", "c3")
+_SSSP_ROUNDS = 3
+
+
+def _sssp_sql(max_rounds: int = _SSSP_ROUNDS) -> str:
+    seeds = ", ".join(f"'{s}'" for s in _SSSP_SEEDS)
+    rounds = []
+    prev = "d0"
+    for i in range(1, max_rounds + 1):
+        rounds.append(f"""
+d{i} AS (
+  SELECT n.node,
+         CASE WHEN n.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN n.dist
+              ELSE LEAST(n.dist, r.cand) END AS dist
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS node, MIN(p.dist + e.w) AS cand
+    FROM {prev} p JOIN edges e ON e.src = p.node
+    WHERE p.dist IS NOT NULL GROUP BY e.dst
+  ) r ON r.node = n.node
+)""")
+        prev = f"d{i}"
+    return f"""
+WITH we0 AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         MIN(CAST(l_quantity AS BIGINT)) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+edges AS (SELECT src, dst, w FROM we0
+          UNION ALL SELECT dst, src, w FROM we0),
+d0 AS (
+  SELECT DISTINCT src AS node,
+         CASE WHEN src IN ({seeds}) THEN CAST(0 AS BIGINT) END AS dist
+  FROM edges
+),
+{','.join(rounds)}
+SELECT node, dist FROM {prev} WHERE dist IS NOT NULL
+"""
+
+
+@register(
+    "graph_sssp_weighted",
+    _sssp_sql(),
+    doc=(
+        "weighted multi-source shortest-path distance (bounded "
+        "Bellman-Ford, 3 rounds from 3 seed customers) over the "
+        "purchase graph with edge weight = MIN(l_quantity) per "
+        "(customer, supplier) pair: the weighted generalization of "
+        "graph_bfs_hops (operators/graph.sssp) — cand = dist + w "
+        "instead of hops + 1, same one-O(E)-join + min-aggregate + "
+        "state-merge round shape, same explicit CASE null merge, "
+        "unrolled-CTE oracle. Rides the shared int64 node bijection "
+        "(purchase_iedges parity proof -> edges_dedup=False skips "
+        "the 2E mirror distinct; parallel mirrored weights are "
+        "min-folded identically on both engines). Integer quantities "
+        "as weights: distances are bit-exact, nothing to round"
+    ),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import sssp
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wedges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("bigint")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    iseeds = [2 * int(s[1:]) for s in _SSSP_SEEDS]
+    d = sssp(wedges, seeds=iseeds, max_rounds=_SSSP_ROUNDS, edges_dedup=False)
+    return d.select(decode_purchase_node("node").alias("node"), "dist")
+
+
+_ROLLMED_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       ROUND(MEDIAN(v) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4) AS med7
+FROM daily
+"""
+
+
+@register(
+    "window_rolling_median",
+    _ROLLMED_SQL,
+    doc=(
+        "exact 7-day rolling MEDIAN of daily value totals per "
+        "event_type — the one order statistic the frame-window family "
+        "(bucketed_ma's avg, window_running's sum) cannot express as "
+        "a distributive aggregate: Spark has no exact median window "
+        "function, so the frame materializes as array_sort(collect_"
+        "list) over the window and the middle element(s) are picked "
+        "by position — O(frame log frame) per row, which is the "
+        "honest cost of an exact sliding median and safe ONLY "
+        "because it runs over the REDUCED per-day frame (31 rows per "
+        "type), never the raw events (at 100 TB the reduce-first "
+        "step is what keeps the collected frame 7 elements). "
+        "Even-count medians average the two middles: integer cents "
+        "sum exactly, /2.0 is a power-of-two division (exact), and "
+        "the single /100 rounding matches DuckDB's MEDIAN-then-"
+        "divide bit for bit"
+    ),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(dround(F.col("value") * 100, 0).cast("bigint")).alias("v")
+    )
+    w7 = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    s = F.array_sort(F.collect_list("v").over(w7))
+    n = F.size(s)
+    m1 = F.element_at(s, ((n + 1) / 2).cast("int"))
+    m2 = F.element_at(s, (n / 2 + 1).cast("int"))
+    return daily.select(
+        "event_type",
+        "day",
+        dround(((m1 + m2) / F.lit(2.0)) / F.lit(100.0), 4).alias("med7"),
+    )

@@ -131,3 +131,87 @@ def test_multires_rollup_daily_equals_sum_of_hourly(spark):
     )
     j = daily.join(hourly, ["event_type", "day"]).collect()
     assert j and all(r.n_d == r.n_h for r in j)
+
+
+def test_sssp_weighted_prefers_longer_cheaper_path(spark):
+    """Diamond a-b-d (weights 10+10) vs a-c-d (1+1): 3 rounds must
+    route d through c at dist 2, and also settle b at min(10, 1+1+10
+    needs 3 edges = 12 within budget... b stays 10 via the direct
+    edge). Hand-walked: a=0, c=1, b=10, d=2."""
+    from a_share_data_pipeline_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [("a", "b", 10), ("b", "d", 10), ("a", "c", 1), ("c", "d", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.dist for r in sssp(e, seeds=["a"], max_rounds=3).collect()}
+    assert got == {"a": 0, "b": 10, "c": 1, "d": 2}
+
+
+def test_sssp_round_budget_bounds_path_length(spark):
+    """Chain a-b-c-d-e with unit weights, 2 rounds: e is 4 edges out
+    and must not emit a row; d settles at 3? No — 2 rounds reach only
+    2 edges deep: a=0 b=1 c=2, d and e absent."""
+    from a_share_data_pipeline_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "e", 1)],
+        "src string, dst string, w long",
+    )
+    got = {r.node: r.dist for r in sssp(e, seeds=["a"], max_rounds=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_sssp_parallel_edges_keep_cheapest(spark):
+    """Duplicate (a, b) edges with different weights: the dedup
+    min-fold must keep w=3, not double-count or pick arbitrarily."""
+    from a_share_data_pipeline_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [("a", "b", 7), ("a", "b", 3)], "src string, dst string, w long"
+    )
+    got = {r.node: r.dist for r in sssp(e, seeds=["a"], max_rounds=1).collect()}
+    assert got == {"a": 0, "b": 3}
+
+
+def test_skyline_dominance_on_constructed_frontier(spark, tmp_path):
+    """Five parts where the frontier is known by inspection: (100, 5)
+    and (200, 9) survive; (150, 5) loses to the equal-size cheaper
+    (100, 5); (200, 9) duplicates BOTH survive (no strict inequality
+    between them); (300, 9) loses to the same-size cheaper (200, 9)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = [
+        (1, 1.00, 5),
+        (2, 1.50, 5),
+        (3, 2.00, 9),
+        (4, 2.00, 9),
+        (5, 3.00, 9),
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = sorted(
+        (r.p_partkey, r.price, r.p_size)
+        for r in registry()["skyline_pareto"].fn(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 1.00, 5), (3, 2.00, 9), (4, 2.00, 9)]
+
+
+def test_largest_remainder_seats_sum_exactly_to_k(spark):
+    """Apportionment invariant on the real table: seats sum to exactly
+    K and every nation's seats differ from its exact float quota by
+    less than 1 (the Hamilton quota property)."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_analytics import _ALLOC_SEATS
+
+    rows = registry()["alloc_largest_remainder"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r.seats for r in rows) == _ALLOC_SEATS
+    tot = sum(r.revenue for r in rows)
+    for r in rows:
+        quota = _ALLOC_SEATS * r.revenue / tot
+        assert abs(r.seats - quota) < 1.0
