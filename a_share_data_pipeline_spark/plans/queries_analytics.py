@@ -2539,3 +2539,532 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         dround(((m1 + m2) / F.lit(2.0)) / F.lit(100.0), 4).alias("med7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6 — FD audit, median imputation, erasure cascade, bootstrap CI,
+# CDC time travel: data-quality / governance / inference families.
+# ---------------------------------------------------------------------------
+
+_FD_SQL = """
+WITH f1 AS (
+  SELECT 'nation: n_regionkey -> n_name' AS fd,
+         COUNT(*) AS n_lhs,
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+         MAX(nd) AS max_rhs
+  FROM (SELECT n_regionkey, COUNT(DISTINCT n_name) AS nd
+        FROM nation GROUP BY n_regionkey)
+),
+f2 AS (
+  SELECT 'orders: o_custkey -> o_orderpriority',
+         COUNT(*),
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+         MAX(nd)
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+        FROM orders GROUP BY o_custkey)
+),
+f3 AS (
+  SELECT 'lineitem: l_orderkey -> l_returnflag',
+         COUNT(*),
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+         MAX(nd)
+  FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nd
+        FROM lineitem GROUP BY l_orderkey)
+),
+f4 AS (
+  SELECT 'documents: doc_id -> lang',
+         COUNT(*),
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END),
+         MAX(nd)
+  FROM (SELECT doc_id, COUNT(DISTINCT lang) AS nd
+        FROM documents GROUP BY doc_id)
+)
+SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+       CAST(n_violating AS BIGINT) AS n_violating,
+       CAST(max_rhs AS BIGINT) AS max_rhs,
+       ROUND(CAST(n_violating AS DOUBLE) / n_lhs, 6) AS violation_rate
+FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+"""
+
+
+@register(
+    "audit_functional_dependency",
+    _FD_SQL,
+    doc=(
+        "functional-dependency validation (the Metanome-style DQ "
+        "profiling family): for each candidate FD X -> Y, group by X "
+        "and count distinct Y — groups with more than one Y value "
+        "violate; the audit emits group counts, violating-group "
+        "counts, the worst fan-out, and the violation rate. Four "
+        "candidates across four tables mix holding (doc_id -> lang, "
+        "a key FD) and violated (region -> name fans out 5x) "
+        "dependencies so both outcomes are exercised. Each check is "
+        "one partial-aggregated groupBy + countDistinct reduced to a "
+        "single row — at 100 TB each FD costs one shuffle on X and "
+        "nothing is ever collected; candidate generation (the "
+        "lattice search real FD miners do) stays driver-side over "
+        "schema metadata, not data"
+    ),
+)
+def audit_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("nd").cast("bigint").alias("max_rhs"),
+        )
+
+    out = (
+        check(
+            load_table(spark, sf_dir, "nation"),
+            "n_regionkey",
+            "n_name",
+            "nation: n_regionkey -> n_name",
+        )
+        .unionByName(
+            check(
+                load_table(spark, sf_dir, "orders"),
+                "o_custkey",
+                "o_orderpriority",
+                "orders: o_custkey -> o_orderpriority",
+            )
+        )
+        .unionByName(
+            check(
+                load_table(spark, sf_dir, "lineitem"),
+                "l_orderkey",
+                "l_returnflag",
+                "lineitem: l_orderkey -> l_returnflag",
+            )
+        )
+        .unionByName(
+            check(
+                load_table(spark, sf_dir, "documents"),
+                "doc_id",
+                "lang",
+                "documents: doc_id -> lang",
+            )
+        )
+    )
+    return out.select(
+        "fd",
+        "n_lhs",
+        "n_violating",
+        "max_rhs",
+        dround(
+            F.col("n_violating").cast("double") / F.col("n_lhs"), 6
+        ).alias("violation_rate"),
+    )
+
+
+_IMPUTE_SQL = """
+WITH tagged AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         ('0x' || substr(md5('na|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           % 7 = 0 AS missing
+  FROM events
+),
+st AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS n_imputed,
+         SUM(CASE WHEN missing THEN 0 ELSE c END) AS sum_present,
+         MEDIAN(CASE WHEN missing THEN NULL ELSE c END) AS med
+  FROM tagged GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n_imputed AS BIGINT) AS n_imputed,
+       ROUND(med / 100.0, 4) AS fill_value,
+       ROUND((sum_present + n_imputed * med) / (100.0 * n), 4) AS mean_after
+FROM st
+"""
+
+
+@register(
+    "impute_group_median",
+    _IMPUTE_SQL,
+    doc=(
+        "data repair: impute missing values with the per-group EXACT "
+        "median (robust to the skewed tails that make mean-fill "
+        "distorting — the feature_winsorize argument applied to "
+        "repair). Missingness is a deterministic md5-threshold mask "
+        "(~1/7 of rows; the corpus ships no NULLs, so the fixture "
+        "derives them reproducibly on both engines — the _PII_AUG "
+        "pattern), values convert to integer cents first, and the "
+        "group median interpolates the middle pair exactly (integer "
+        "sum, power-of-two halving: Spark percentile() == DuckDB "
+        "MEDIAN bit for bit, the feature_winsorize equivalence). "
+        "Audit output only (n, imputed count, fill value, post-fill "
+        "mean) — one aggregation per group, no per-row materialize; "
+        "at 100 TB exact swaps for approx_percentile under the "
+        "agg_approx_quantiles error contract"
+    ),
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("na|"), F.col("event_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    tagged = ev.select(
+        "event_type",
+        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        (h % 7 == 0).alias("missing"),
+    )
+    st = tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("missing"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_imputed"),
+        F.sum(F.when(F.col("missing"), 0).otherwise(F.col("c")))
+        .cast("bigint")
+        .alias("sum_present"),
+        F.expr("percentile(CASE WHEN missing THEN NULL ELSE c END, 0.5)").alias(
+            "med"
+        ),
+    )
+    return st.select(
+        "event_type",
+        "n",
+        "n_imputed",
+        dround(F.col("med") / 100.0, 4).alias("fill_value"),
+        dround(
+            (F.col("sum_present") + F.col("n_imputed") * F.col("med"))
+            / (F.lit(100.0) * F.col("n")),
+            4,
+        ).alias("mean_after"),
+    )
+
+
+_ERASE_SQL = """
+WITH del_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+aff_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+),
+c AS (
+  SELECT 'customer' AS tbl, COUNT(*) AS n_total,
+         SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS n_erase
+  FROM customer
+),
+o AS (
+  SELECT 'orders', COUNT(*),
+         SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM del_cust)
+             THEN 1 ELSE 0 END)
+  FROM orders
+),
+l AS (
+  SELECT 'lineitem', COUNT(*),
+         SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM aff_orders)
+             THEN 1 ELSE 0 END)
+  FROM lineitem
+)
+SELECT tbl, CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_erase AS BIGINT) AS n_erase,
+       ROUND(CAST(n_erase AS DOUBLE) / n_total, 6) AS erase_rate
+FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+"""
+
+
+@register(
+    "privacy_erasure_cascade",
+    _ERASE_SQL,
+    doc=(
+        "right-to-erasure cascade audit: a deterministic delete list "
+        "of customers (custkey % 97) propagates along the FK chain "
+        "customer -> orders -> lineitem, and the audit reports per "
+        "table how many rows the erasure touches before anything is "
+        "deleted — the dry-run every GDPR pipeline wants ahead of a "
+        "destructive MERGE DELETE (which cdc_apply / merge_idempotent "
+        "already exercise). Membership is a left-join flag summed in "
+        "the same scan that counts the table, so each hop costs one "
+        "join + one aggregate; the delete list is ~1% of customers "
+        "and the affected-order keyset ~1% of orders — both sides "
+        "AQE-sized (no forced broadcast: at 100 TB the affected "
+        "keysets outgrow a broadcast and become shuffle joins, which "
+        "is the correct plan)"
+    ),
+)
+def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_cust = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    ord_flag = orders.join(
+        del_cust, orders["o_custkey"] == del_cust["c_custkey"], "left"
+    )
+    aff_orders = ord_flag.filter(F.col("c_custkey").isNotNull()).select(
+        "o_orderkey"
+    )
+    li_flag = li.join(
+        aff_orders.withColumnRenamed("o_orderkey", "k"),
+        li["l_orderkey"] == F.col("k"),
+        "left",
+    )
+
+    def audit(flagged: DataFrame, flag_col: str, name: str) -> DataFrame:
+        return flagged.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col(flag_col).isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_erase"),
+        )
+
+    c_audit = cust.agg(
+        F.lit("customer").alias("tbl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("c_custkey") % 97 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_erase"),
+    )
+    out = c_audit.unionByName(audit(ord_flag, "c_custkey", "orders")).unionByName(
+        audit(li_flag, "k", "lineitem")
+    )
+    return out.select(
+        "tbl",
+        "n_total",
+        "n_erase",
+        dround(F.col("n_erase").cast("double") / F.col("n_total"), 6).alias(
+            "erase_rate"
+        ),
+    )
+
+
+_BOOT_B = 200  # resamples
+_BOOT_LO = 5  # rank of the 2.5% bound in the sorted 200 means
+_BOOT_HI = 195  # rank of the 97.5% bound
+
+_BOOT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS c
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+grid AS (
+  SELECT b.b, s.i AS slot, s.n,
+         ('0x' || substr(md5('bs|' || CAST(b.b AS VARCHAR) || '|' ||
+                              CAST(s.i AS VARCHAR)), 1, 8))::BIGINT
+           % s.n AS draw
+  FROM range({_BOOT_B}) b(b) CROSS JOIN idx s
+),
+means AS (
+  SELECT g.b, SUM(d.c) * 1.0 / MAX(g.n) AS m
+  FROM grid g JOIN idx d ON d.i = g.draw
+  GROUP BY g.b
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
+),
+pt AS (SELECT SUM(c) * 1.0 / COUNT(*) AS m0 FROM daily)
+SELECT ROUND(pt.m0 / 100.0, 4) AS mean_daily,
+       ROUND(lo.m / 100.0, 4) AS ci_lo,
+       ROUND(hi.m / 100.0, 4) AS ci_hi
+FROM pt
+CROSS JOIN (SELECT m FROM ranked WHERE rn = {_BOOT_LO}) lo
+CROSS JOIN (SELECT m FROM ranked WHERE rn = {_BOOT_HI}) hi
+"""
+
+
+@register(
+    "stats_bootstrap_ci",
+    _BOOT_SQL,
+    doc=(
+        f"bootstrap 95% confidence interval for the mean daily value: "
+        f"{_BOOT_B} resamples of the 30-day reduced frame, each draw "
+        "an md5-integer index modulo n (engine-reproducible, no RNG — "
+        "the sample_importance discipline), resample means ranked and "
+        f"the CI read at fixed ranks {_BOOT_LO}/{_BOOT_HI} with a "
+        "deterministic (mean, b) tie order. The expensive reduction "
+        "(raw events -> daily totals) happens ONCE; the resampling "
+        "grid is B x n = 6000 rows of integer arithmetic over the "
+        "already-reduced frame, so at 100 TB the bootstrap costs the "
+        "same one scan as the point estimate plus an O(B*n) shuffle "
+        "of integers — resampling-as-query, never a driver loop. "
+        "Integer-cents sums keep every resample mean exactly "
+        "sum/n on both engines"
+    ),
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(dround(F.col("value") * 100, 0).cast("bigint")).alias("c")
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    idx = daily.select(
+        "day",
+        "c",
+        (F.row_number().over(W.orderBy("day")) - 1).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).localCheckpoint(eager=True)  # two consumers: grid + draw join
+    bs = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bs|"),
+                    F.col("b").cast("string"),
+                    F.lit("|"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    grid = bs.crossJoin(idx.select("i", "n")).select(
+        "b", "n", (h % F.col("n")).alias("draw")
+    )
+    means = (
+        grid.join(
+            idx.select(F.col("i").alias("draw"), F.col("c").alias("dc")), "draw"
+        )
+        .groupBy("b")
+        .agg((F.sum("dc") * F.lit(1.0) / F.max("n")).alias("m"))
+    )
+    ranked = means.select(
+        "m", F.row_number().over(W.orderBy("m", "b")).alias("rn")
+    )
+    pt = daily.agg(
+        (F.sum("c") * F.lit(1.0) / F.count(F.lit(1))).alias("m0")
+    )
+    lo = ranked.filter(F.col("rn") == _BOOT_LO).select(F.col("m").alias("m_lo"))
+    hi = ranked.filter(F.col("rn") == _BOOT_HI).select(F.col("m").alias("m_hi"))
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            dround(F.col("m0") / 100.0, 4).alias("mean_daily"),
+            dround(F.col("m_lo") / 100.0, 4).alias("ci_lo"),
+            dround(F.col("m_hi") / 100.0, 4).alias("ci_hi"),
+        )
+    )
+
+
+_TT_ASOF = 7  # the AS OF cut: apply only changes with change_seq <= 7
+
+_TT_SQL = f"""
+WITH snap AS (
+  SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price, o_orderstatus AS status
+  FROM orders
+),
+log AS (
+  SELECT k, 'U' AS op, ROUND(price + 1000, 2) AS price, status,
+         k % 7 AS seq
+  FROM snap WHERE k % 10 = 0
+  UNION ALL
+  SELECT k, 'U', ROUND(price + 2000, 2), status, k % 7 + 5 FROM snap WHERE k % 10 = 0
+  UNION ALL
+  SELECT k, 'D', NULL, NULL, k % 13 FROM snap WHERE k % 10 = 1
+  UNION ALL
+  SELECT k + 100000000, 'I', ROUND(k * 0.01, 2), 'N', k % 13 FROM snap WHERE k % 10 = 2
+),
+cut AS (SELECT * FROM log WHERE seq <= {_TT_ASOF}),
+latest AS (
+  SELECT k, op, price, status FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM cut) t
+  WHERE rn = 1
+)
+SELECT s.k, s.price, s.status
+FROM snap s LEFT JOIN latest l ON l.k = s.k
+WHERE l.k IS NULL
+UNION ALL
+SELECT k, price, status FROM latest WHERE op <> 'D'
+"""
+
+
+@register(
+    "cdc_time_travel",
+    _TT_SQL,
+    doc=(
+        f"CDC time travel: reconstruct the table AS OF change-sequence "
+        f"{_TT_ASOF} from a snapshot plus an ordered change log with "
+        "MULTIPLE versions per key — filter the log to seq <= T, keep "
+        "the latest surviving version per key (one row_number window "
+        "over the filtered log, which is change-sized, never "
+        "snapshot-sized), then the cdc_apply anti-join/append shape: "
+        "unchanged snapshot rows pass through, latest non-delete "
+        "versions replace, latest deletes suppress. Exercises what "
+        "cdc_apply (latest state only) cannot: a key whose first "
+        "update is inside the cut and second update beyond it must "
+        "resurface the FIRST update; a delete sequenced after T must "
+        "NOT delete. The log derives deterministically from the "
+        "snapshot (the cdc_apply fixture pattern) with distinct seq "
+        "values per key, so latest-per-key is unambiguous on both "
+        "engines. At scale: log filter + window cost O(changes); the "
+        "snapshot is touched by one join keyed on the (small) "
+        "affected-key set"
+    ),
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        dround(F.col("o_totalprice"), 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    # base columns renamed first: a same-select alias of "k"/"price"
+    # can shadow the input column in the expression that reads it
+    # (the _emb_augmented alias-shadowing trap) — bk/bp are unambiguous
+    base = snap.select(
+        F.col("k").alias("bk"), F.col("price").alias("bp"), "status"
+    )
+    u1 = base.filter(F.col("bk") % 10 == 0).select(
+        F.col("bk").alias("k"),
+        F.lit("U").alias("op"),
+        dround(F.col("bp") + 1000, 2).alias("price"),
+        "status",
+        (F.col("bk") % 7).alias("seq"),
+    )
+    u2 = base.filter(F.col("bk") % 10 == 0).select(
+        F.col("bk").alias("k"),
+        F.lit("U").alias("op"),
+        dround(F.col("bp") + 2000, 2).alias("price"),
+        "status",
+        (F.col("bk") % 7 + 5).alias("seq"),
+    )
+    dels = base.filter(F.col("bk") % 10 == 1).select(
+        F.col("bk").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+        (F.col("bk") % 13).alias("seq"),
+    )
+    ins = base.filter(F.col("bk") % 10 == 2).select(
+        (F.col("bk") + 100000000).alias("k"),
+        F.lit("I").alias("op"),
+        dround(F.col("bk") * 0.01, 2).alias("price"),
+        F.lit("N").alias("status"),
+        (F.col("bk") % 13).alias("seq"),
+    )
+    log = u1.unionByName(u2).unionByName(dels).unionByName(ins)
+    asof = log.filter(F.col("seq") <= _TT_ASOF)
+    wk = W.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        asof.select("k", "op", "price", "status", F.row_number().over(wk).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    untouched = snap.join(
+        latest.select(F.col("k").alias("lk")), snap["k"] == F.col("lk"), "left"
+    ).filter(F.col("lk").isNull()).select("k", "price", "status")
+    return untouched.unionByName(
+        latest.filter(F.col("op") != "D").select("k", "price", "status")
+    )

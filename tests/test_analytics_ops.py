@@ -215,3 +215,60 @@ def test_largest_remainder_seats_sum_exactly_to_k(spark):
     for r in rows:
         quota = _ALLOC_SEATS * r.revenue / tot
         assert abs(r.seats - quota) < 1.0
+
+
+def test_cdc_time_travel_resurfaces_mid_cut_versions(spark):
+    """AS OF seq 7 on the derived log: a k%10==0 key whose first
+    update sits at seq k%7 <= 7 but whose second update sits at
+    k%7+5 > 7 must surface the FIRST update (price+1000); a key whose
+    second update is also inside the cut (k%7+5 <= 7, i.e. k%7 <= 2)
+    surfaces the second (price+2000); a k%10==1 delete sequenced past
+    the cut (k%13 > 7) must NOT delete."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.k: r for r in registry()["cdc_time_travel"].fn(spark, sf).collect()}
+    snap = {
+        r.k: round(r.price, 2)
+        for r in load_table(spark, sf, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .collect()
+    }
+    checked_mid = checked_both = checked_survivor = 0
+    for k, orig in snap.items():
+        if k % 10 == 0:
+            second_in = k % 7 + 5 <= 7
+            want = round(orig + (2000 if second_in else 1000), 2)
+            assert abs(out[k].price - want) < 0.015, (k, out[k].price, want)
+            checked_both += second_in
+            checked_mid += not second_in
+        elif k % 10 == 1 and k % 13 > 7:
+            assert k in out, f"future-sequenced delete erased key {k}"
+            checked_survivor += 1
+        elif k % 10 == 1 and k % 13 <= 7:
+            assert k not in out, f"in-cut delete failed to erase key {k}"
+    assert checked_mid and checked_both and checked_survivor
+
+
+def test_fd_audit_key_dependency_has_zero_violations(spark):
+    """doc_id is a key, so doc_id -> lang must report zero violating
+    groups and max fan-out 1; n_regionkey -> n_name must fan out to
+    5 nations per region with every group violating."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = {
+        r.fd: r
+        for r in registry()["audit_functional_dependency"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    key_fd = rows["documents: doc_id -> lang"]
+    assert key_fd.n_violating == 0 and key_fd.max_rhs == 1
+    fan = rows["nation: n_regionkey -> n_name"]
+    assert fan.n_lhs == 5 and fan.n_violating == 5 and fan.max_rhs == 5
