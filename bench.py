@@ -115,6 +115,13 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "profile_distribution_drift",
     "incremental_join_delta",
+    # round-6 waves 5/6: frontier, iterative-weighted, resampling,
+    # reconstruction — the families whose cost shape is new
+    "skyline_pareto",
+    "graph_sssp_weighted",
+    "stats_bootstrap_ci",
+    "cdc_time_travel",
+    "window_rolling_median",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round

@@ -869,3 +869,24 @@ def test_kline_volume_indicators_share_one_window_exchange(spark):
     q = registry()["events_obv"].fn(spark, SF)
     p = plan_str(q, "simple")
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_skyline_is_reduce_then_window_not_quadratic(spark):
+    """skyline_pareto's plan claim: the dominance check is the reduce +
+    prefix-max-window + join-back shape — NEVER the quadratic
+    self-join its own oracle uses (no cartesian/nested-loop), and
+    exactly one Window node over the reduced per-price frame."""
+    q = registry()["skyline_pareto"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("Window") == 1, p
+
+
+def test_bootstrap_grid_join_never_cartesian(spark):
+    """stats_bootstrap_ci's only legitimate unkeyed joins are the two
+    1-row CI-bound attaches; the B x n resample grid and the draw
+    lookup must stay keyed/broadcast — a CartesianProduct anywhere
+    means the resampling exploded."""
+    q = registry()["stats_bootstrap_ci"].fn(spark, SF)
+    p = plan_str(q, "simple")
+    assert "CartesianProduct" not in p, p
