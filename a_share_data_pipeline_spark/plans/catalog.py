@@ -303,6 +303,7 @@ def registry() -> dict[str, Query]:
     from . import queries_llm  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_profile  # noqa: F401
+    from . import queries_quality  # noqa: F401
     from . import queries_sql  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_udf  # noqa: F401

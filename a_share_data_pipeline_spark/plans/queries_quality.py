@@ -1,0 +1,643 @@
+"""Round-6 wave 7: measurement, maintenance, and sampling families —
+windowFunnel (per-occurrence maximal stage depth), retraction-aware
+rollup IVM with scoped min/max repair, LSH dedup quality (precision /
+recall vs the exhaustive truth), information-gain feature scoring, and
+deterministic random-walk corpus sampling over the purchase graph.
+
+Same discipline as the earlier waves: integer arithmetic wherever a
+sum feeds a compare, dround() on every emitted double, md5-integer
+draws for anything "random", unrolled-CTE oracles for the iterative
+shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..sources import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# windowFunnel: maximal stage depth per funnel occurrence
+# ---------------------------------------------------------------------------
+
+_WF_HOURS = 12
+_WF_US = _WF_HOURS * 3600 * 1000000
+
+_WF_SQL = f"""
+WITH a AS (
+  SELECT user_id, epoch_us(ts) AS e FROM events WHERE event_type = 'signup'
+),
+b AS (
+  SELECT user_id, epoch_us(ts) AS e FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS e FROM events WHERE event_type = 'purchase'
+),
+ab AS (
+  SELECT a.user_id, a.e,
+         (SELECT MIN(b.e) FROM b
+          WHERE b.user_id = a.user_id AND b.e > a.e
+            AND b.e <= a.e + {_WF_US}) AS tb
+  FROM a
+),
+abc AS (
+  SELECT ab.user_id, ab.e, ab.tb,
+         (SELECT MIN(c.e) FROM c
+          WHERE c.user_id = ab.user_id AND c.e > ab.tb
+            AND c.e <= ab.e + {_WF_US}) AS tc
+  FROM ab
+),
+per_user AS (
+  SELECT user_id,
+         MAX(1 + CASE WHEN tb IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN tc IS NULL THEN 0 ELSE 1 END) AS depth
+  FROM abc GROUP BY user_id
+)
+SELECT CAST(depth AS INTEGER) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY depth
+"""
+
+
+@register(
+    "events_window_funnel",
+    _WF_SQL,
+    doc=(
+        f"windowFunnel (the ClickHouse semantics events_funnel's "
+        "min-timestamp chain cannot express): EVERY signup occurrence "
+        f"opens its own {_WF_HOURS}h window, the funnel advances "
+        "through the FIRST strictly-later view then the first "
+        "purchase after that view, all inside the opener's window, "
+        "and each user reports the maximum depth over all openers — "
+        "a user whose early signup leads nowhere but whose later one "
+        "converts still counts at depth 3, which the single "
+        "first-signup chain misses. No correlated per-row subqueries "
+        "on the Spark side: each 'first later event' resolves as a "
+        "union of the two stages per user, one strictly-future "
+        "RANGE window (1 FOLLOWING .. unbounded on epoch-micros, so "
+        "exact-tie events never satisfy the strict inequality), and "
+        "a min over the other stage's timestamps — two chained "
+        "union+window passes, each one exchange on user_id, never a "
+        "self-join of the raw log. The oracle IS the correlated-"
+        "subquery definition, so the hash match proves the window "
+        "rewrite against the textbook form"
+    ),
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("e")
+    )
+    a = base.filter(F.col("event_type") == "signup").select("user_id", "e")
+    b = base.filter(F.col("event_type") == "view").select("user_id", "e")
+    c = base.filter(F.col("event_type") == "purchase").select("user_id", "e")
+
+    # pass 1: first view strictly after each signup
+    f1 = a.select("user_id", "e", F.lit("A").alias("tag")).unionByName(
+        b.select("user_id", "e", F.lit("B").alias("tag"))
+    )
+    w_fut = (
+        W.partitionBy("user_id")
+        .orderBy("e")
+        .rangeBetween(1, W.unboundedFollowing)
+    )
+    nb = F.min(F.when(F.col("tag") == "B", F.col("e"))).over(w_fut)
+    ab = (
+        f1.select("user_id", "e", "tag", nb.alias("nb"))
+        .filter(F.col("tag") == "A")
+        .select(
+            "user_id",
+            "e",
+            F.when(F.col("nb") <= F.col("e") + _WF_US, F.col("nb")).alias("tb"),
+        )
+    )
+
+    # pass 2: first purchase strictly after that view, still inside
+    # the opener's window (anchor = tb for ordering, bound = e + T)
+    a2 = ab.filter(F.col("tb").isNotNull()).select(
+        "user_id",
+        F.col("tb").alias("anchor"),
+        "e",
+        "tb",
+        F.lit("A").alias("tag"),
+    )
+    c2 = c.select(
+        "user_id",
+        F.col("e").alias("anchor"),
+        F.lit(None).cast("long").alias("e"),
+        F.lit(None).cast("long").alias("tb"),
+        F.lit("C").alias("tag"),
+    )
+    w_fut2 = (
+        W.partitionBy("user_id")
+        .orderBy("anchor")
+        .rangeBetween(1, W.unboundedFollowing)
+    )
+    nc = F.min(F.when(F.col("tag") == "C", F.col("anchor"))).over(w_fut2)
+    abc = (
+        a2.unionByName(c2)
+        .select("user_id", "e", "tb", "tag", nc.alias("nc"))
+        .filter(F.col("tag") == "A")
+        .select(
+            "user_id",
+            "e",
+            "tb",
+            F.when(F.col("nc") <= F.col("e") + _WF_US, F.col("nc")).alias("tc"),
+        )
+    )
+    # depth per opener; openers that never found a view re-enter at depth 1
+    no_view = ab.filter(F.col("tb").isNull()).select(
+        "user_id", F.lit(1).alias("depth")
+    )
+    depth = abc.select(
+        "user_id",
+        (
+            F.lit(1)
+            + F.when(F.col("tb").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("tc").isNotNull(), 1).otherwise(0)
+        ).alias("depth"),
+    ).unionByName(no_view)
+    per_user = depth.groupBy("user_id").agg(F.max("depth").alias("depth"))
+    return per_user.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH dedup quality: precision / recall against the exhaustive truth
+# ---------------------------------------------------------------------------
+
+_LSHQ_T = 0.5
+
+
+def _lshq_sql() -> str:
+    from .queries_llm import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()},
+truth AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS n_inter
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+truthj AS (
+  SELECT t.a, t.b FROM truth t
+  JOIN counts ca ON ca.doc_id = t.a
+  JOIN counts cb ON cb.doc_id = t.b
+  WHERE t.n_inter / (ca.n_sh + cb.n_sh - t.n_inter) >= {_LSHQ_T!r}
+),
+verifiedj AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN counts ca ON ca.doc_id = i.a
+  JOIN counts cb ON cb.doc_id = i.b
+  WHERE i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter) >= {_LSHQ_T!r}
+)
+SELECT (SELECT COUNT(*) FROM truthj) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_cand,
+       (SELECT COUNT(*) FROM verifiedj) AS n_verified,
+       ROUND((SELECT COUNT(*) FROM verifiedj) * 1.0 /
+             NULLIF((SELECT COUNT(*) FROM truthj), 0), 6) AS recall,
+       ROUND((SELECT COUNT(*) FROM verifiedj) * 1.0 /
+             NULLIF((SELECT COUNT(*) FROM cand), 0), 6) AS precision
+"""
+
+
+@register(
+    "dedup_lsh_quality",
+    _lshq_sql(),
+    doc=(
+        "dedup quality harness (the sim_ann_recall pattern applied to "
+        "MinHash-LSH): the exhaustive shared-shingle join at Jaccard "
+        f">= {_LSHQ_T} is the TRUTH set, the banded candidate set is "
+        "what production would actually expand, and the one-row "
+        "report gives recall (what the 2x4 banding + hot-bucket cap "
+        "drops) and precision (what fraction of expanded candidates "
+        "survive the exact verify). The truth side is O(pairs-"
+        "sharing-a-shingle) — affordable at eval scale and exactly "
+        "the thing you sample on a 100 TB corpus (run the harness on "
+        "a stratified sample, trust the banding everywhere else); "
+        "candidate membership is verified, so verified ⊆ truth by "
+        "construction and recall isolates BANDING loss, not verify "
+        "noise. The count scans share the checkpointed shingle and "
+        "candidate frames"
+    ),
+)
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import MINHASH_BAND_SIZE, MINHASH_SEEDS  # noqa: F401
+    from ..operators import dedup as D
+    from .queries_llm import _JACCARD_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.exploded_shingles(docs).localCheckpoint(eager=True)
+    sig = D.minhash_signatures(shingled, with_counts=True).localCheckpoint(
+        eager=True
+    )
+    cand = D.lsh_band_candidates(sig, max_bucket=_JACCARD_MAX_BUCKET).localCheckpoint(
+        eager=True
+    )
+    truth = D.pair_jaccard(shingled, counts=sig).filter(
+        F.col("jaccard") >= _LSHQ_T
+    )
+    verified = D.pair_jaccard(shingled, pairs=cand, counts=sig).filter(
+        F.col("jaccard") >= _LSHQ_T
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    ncand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    nv = verified.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+    return (
+        nt.crossJoin(F.broadcast(ncand))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_verified",
+            dround(
+                F.col("n_verified")
+                * F.lit(1.0)
+                / F.nullif(F.col("n_truth"), F.lit(0)),
+                6,
+            ).alias("recall"),
+            dround(
+                F.col("n_verified")
+                * F.lit(1.0)
+                / F.nullif(F.col("n_cand"), F.lit(0)),
+                6,
+            ).alias("precision"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Information gain: entropy-based feature scoring in exact scaled integers
+# ---------------------------------------------------------------------------
+
+_IG_SQL = """
+WITH f AS (
+  SELECT lang AS label,
+         CAST(LEAST(FLOOR(n_chars / 200), 9) AS BIGINT) AS b_len,
+         source AS b_src
+  FROM documents
+),
+long AS (
+  SELECT 'len_bin' AS feature, CAST(b_len AS VARCHAR) AS bin, label FROM f
+  UNION ALL
+  SELECT 'source', b_src, label FROM f
+),
+cell AS (
+  SELECT feature, bin, label, COUNT(*) AS c FROM long GROUP BY 1, 2, 3
+),
+binc AS (
+  SELECT feature, bin, SUM(c) AS nb,
+         SUM(c * CAST(ROUND(LN(c) * 100000000, 0) AS BIGINT)) AS s_clnc
+  FROM cell GROUP BY 1, 2
+),
+labc AS (
+  SELECT feature, label, SUM(c) AS cl FROM cell GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, SUM(cl) AS n,
+         SUM(cl * CAST(ROUND(LN(cl) * 100000000, 0) AS BIGINT)) AS s_llnl
+  FROM labc GROUP BY feature
+),
+cond AS (
+  SELECT feature, COUNT(*) AS n_bins,
+         SUM(nb * CAST(ROUND(LN(nb) * 100000000, 0) AS BIGINT) - s_clnc)
+           AS s_cond
+  FROM binc GROUP BY feature
+)
+SELECT t.feature, CAST(c.n_bins AS BIGINT) AS n_bins,
+       ROUND((t.n * CAST(ROUND(LN(t.n) * 100000000, 0) AS BIGINT) - t.s_llnl
+              - c.s_cond) / (t.n * 100000000.0), 6) AS info_gain
+FROM tot t JOIN cond c ON c.feature = t.feature
+"""
+
+
+@register(
+    "profile_information_gain",
+    _IG_SQL,
+    doc=(
+        "information-gain feature scoring (the feature-selection / "
+        "split-quality family): IG(label; feature) = H(label) - "
+        "sum_b p_b H(label | bin b) over two candidate features of "
+        "the documents table (a fixed-width length bin and the "
+        "source). The whole computation rides the identity "
+        "N*H = N ln N - sum_c c ln c, so every term is an INTEGER — "
+        "per-count ln values round to 1e-8 units once (the "
+        "events_survival_km discipline; one libm call per distinct "
+        "cell of the tiny (feature, bin, label) contingency frame), "
+        "then only exact int64 sums until a single double division "
+        "at the end. Cost: one groupBy over the corpus to the "
+        "contingency cells, then arithmetic on dozens of rows — at "
+        "100 TB the cell counts c ln c terms approach int64 limits "
+        "around c ~ 1e12, at which point the same identity runs on "
+        "1e-6-rounded per-cell RATES instead (documented trade, not "
+        "a silent overflow: counts that large make the 1e-8 scale "
+        "unnecessary anyway)"
+    ),
+)
+def profile_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        F.col("lang").alias("label"),
+        F.least(F.floor(F.col("n_chars") / 200), F.lit(9))
+        .cast("bigint")
+        .alias("b_len"),
+        F.col("source").alias("b_src"),
+    )
+    long = f.select(
+        F.lit("len_bin").alias("feature"),
+        F.col("b_len").cast("string").alias("bin"),
+        "label",
+    ).unionByName(
+        f.select(F.lit("source").alias("feature"), F.col("b_src").alias("bin"), "label")
+    )
+    cell = long.groupBy("feature", "bin", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    def iln(col: "F.Column") -> "F.Column":
+        return dround(F.log(col) * 100000000, 0).cast("bigint")
+
+    binc = cell.groupBy("feature", "bin").agg(
+        F.sum("c").alias("nb"),
+        F.sum(F.col("c") * iln(F.col("c"))).alias("s_clnc"),
+    )
+    labc = cell.groupBy("feature", "label").agg(F.sum("c").alias("cl"))
+    tot = labc.groupBy("feature").agg(
+        F.sum("cl").alias("n"),
+        F.sum(F.col("cl") * iln(F.col("cl"))).alias("s_llnl"),
+    )
+    cond = binc.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.col("nb") * iln(F.col("nb")) - F.col("s_clnc")).alias("s_cond"),
+    )
+    return tot.join(cond, "feature").select(
+        "feature",
+        "n_bins",
+        dround(
+            (
+                F.col("n") * iln(F.col("n"))
+                - F.col("s_llnl")
+                - F.col("s_cond")
+            )
+            / (F.col("n") * F.lit(100000000.0)),
+            6,
+        ).alias("info_gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks: graph corpus sampling for embedding training
+# ---------------------------------------------------------------------------
+
+_RW_SEEDS = ("c1", "c2", "c3", "c4", "c5")
+_RW_REPLICAS = 2
+_RW_STEPS = 3
+
+
+def _rw_sql() -> str:
+    starts = ", ".join(
+        f"('{s}|{r}', '{s}')" for s in _RW_SEEDS for r in range(_RW_REPLICAS)
+    )
+    rounds = []
+    prev = "w0"
+    for s in range(1, _RW_STEPS + 1):
+        rounds.append(f"""
+c{s} AS (
+  SELECT p.walk_id, e.dst AS node,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.walk_id
+           ORDER BY md5('rw|' || p.walk_id || '|{s}|' || e.dst), e.dst) AS rn
+  FROM {prev} p JOIN edges e ON e.src = p.node
+),
+w{s} AS (SELECT walk_id, node FROM c{s} WHERE rn = 1)""")
+        prev = f"w{s}"
+    selects = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {s} AS step, node FROM w{s}"
+        for s in range(_RW_STEPS + 1)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+w0(walk_id, node) AS (VALUES {starts}),
+{','.join(rounds)}
+SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM ({selects})
+"""
+
+
+@register(
+    "graph_random_walks",
+    _rw_sql(),
+    doc=(
+        f"deterministic 'random' walks over the undirected purchase "
+        f"graph ({len(_RW_SEEDS)} seeds x {_RW_REPLICAS} replicas x "
+        f"{_RW_STEPS} steps) — the corpus-sampling step DeepWalk/"
+        "node2vec training data needs, with every step an md5-ranked "
+        "neighbor pick keyed on (walk_id, step, neighbor) so the walk "
+        "is a pure function of the graph (engine-reproducible, "
+        "replayable, shardable — the no-RNG sampling discipline "
+        "applied to graphs; replicas diverge because the walk_id is "
+        "in the hash). Each step is one O(frontier x avg-degree) "
+        "join + one per-walk ROW_NUMBER pick over candidates — at "
+        "scale millions of concurrent walks batch through the same "
+        "three join rounds, state is frontier-sized, and the "
+        "unrolled-CTE oracle replays the identical picks. Walks from "
+        "edgeless seeds end at step 0 on both engines (JOIN, not "
+        "LEFT JOIN, in every round)"
+    ),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_analytics import _edges
+
+    e0 = _edges(spark, sf_dir)
+    sym = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # no distinct needed: e0 is distinct and the 'c'/'s' prefixes
+        # make the mirror collision-free (the edges_dedup=False proof)
+        .localCheckpoint(eager=True)
+    )
+    starts = spark.createDataFrame(
+        [(f"{s}|{r}", s) for s in _RW_SEEDS for r in range(_RW_REPLICAS)],
+        "walk_id string, node string",
+    )
+    paths = starts.select("walk_id", F.lit(0).alias("step"), "node")
+    frontier = starts
+    for s in range(1, _RW_STEPS + 1):
+        cand = frontier.join(sym, frontier["node"] == sym["src"]).select(
+            "walk_id", F.col("dst").alias("nxt")
+        )
+        h = F.md5(
+            F.concat(
+                F.lit("rw|"),
+                F.col("walk_id"),
+                F.lit(f"|{s}|"),
+                F.col("nxt"),
+            )
+        )
+        wp = W.partitionBy("walk_id").orderBy(h, "nxt")
+        frontier = (
+            cand.select("walk_id", "nxt", F.row_number().over(wp).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("walk_id", F.col("nxt").alias("node"))
+        )
+        paths = paths.unionByName(
+            frontier.select("walk_id", F.lit(s).alias("step"), "node")
+        )
+    return paths.select("walk_id", F.col("step").cast("int").alias("step"), "node")
+
+
+# ---------------------------------------------------------------------------
+# Retraction-aware rollup IVM: deletes merge for sum/cnt, repair min/max
+# ---------------------------------------------------------------------------
+
+_RR_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mth,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c,
+         (EXTRACT(MONTH FROM o_orderdate) = 3 AND o_orderkey % 5 = 0)
+           AS deleted
+  FROM orders
+),
+ins AS (
+  SELECT prio, mth, c + 50000 AS c FROM base
+  WHERE NOT deleted AND c % 7 = 1
+),
+eff AS (
+  SELECT prio, mth, c FROM base WHERE NOT deleted
+  UNION ALL
+  SELECT prio, mth, c FROM ins
+),
+delkeys AS (SELECT DISTINCT prio, mth FROM base WHERE deleted)
+SELECT e.prio, e.mth,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(e.c) / 100.0, 2) AS revenue,
+       ROUND(MIN(e.c) / 100.0, 2) AS mn,
+       ROUND(MAX(e.c) / 100.0, 2) AS mx,
+       CAST(CASE WHEN d.prio IS NULL THEN 0 ELSE 1 END AS INTEGER) AS repaired
+FROM eff e LEFT JOIN delkeys d ON d.prio = e.prio AND d.mth = e.mth
+GROUP BY e.prio, e.mth, d.prio
+"""
+
+
+@register(
+    "rollup_retractions",
+    _RR_SQL,
+    doc=(
+        "retraction-aware incremental view maintenance — the delete "
+        "half rollup_incremental's insert-only merge cannot express: "
+        "sum/count are GROUPS under retraction (state - delete-"
+        "partial + insert-partial, exact integer cents), but min/max "
+        "are only SEMIGROUPS — a deleted minimum cannot be un-merged "
+        "from state — so keys touched by a delete REPAIR their "
+        "min/max by re-aggregating survivors + inserts SCOPED to the "
+        "affected keys (one semi-join; here deletes hit only March, "
+        "so 5 of ~60 keys rescan and every other key's min/max comes "
+        "straight from the least/greatest insert merge, never "
+        "recomputed). This is the asymmetry every IVM engine "
+        "(Materialize, Flink retract streams, DBSP) encodes; the "
+        "oracle is the direct re-aggregation of (base - deletes + "
+        "inserts), so the hash match proves the incremental path "
+        "equals full recompute exactly. Delete/insert fixtures "
+        "derive deterministically from the snapshot (the cdc_apply "
+        "pattern); a repaired flag marks which keys took the rescan "
+        "path so the scoping itself is verified"
+    ),
+)
+def rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.month("o_orderdate").cast("bigint").alias("mth"),
+        dround(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        ((F.month("o_orderdate") == 3) & (F.col("o_orderkey") % 5 == 0)).alias(
+            "deleted"
+        ),
+    ).localCheckpoint(eager=True)  # feeds state, deletes, inserts, repair
+    keys = ["prio", "mth"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("c").alias("s"),
+            F.min("c").alias("mn"),
+            F.max("c").alias("mx"),
+        )
+
+    state = partial(base.select(*keys, "c"))  # pre-delete stored rollup
+    dels = base.filter(F.col("deleted"))
+    ins = base.filter(~F.col("deleted") & (F.col("c") % 7 == 1)).select(
+        *keys, (F.col("c") + 50000).alias("c")
+    )
+    dpart = partial(dels.select(*keys, "c")).select(
+        *keys,
+        F.col("cnt").alias("d_cnt"),
+        F.col("s").alias("d_s"),
+    )
+    ipart = partial(ins).select(
+        *keys,
+        F.col("cnt").alias("i_cnt"),
+        F.col("s").alias("i_s"),
+        F.col("mn").alias("i_mn"),
+        F.col("mx").alias("i_mx"),
+    )
+    merged = (
+        state.join(dpart, keys, "left")
+        .join(ipart, keys, "left")
+        .select(
+            *keys,
+            (
+                F.col("cnt")
+                - F.coalesce(F.col("d_cnt"), F.lit(0))
+                + F.coalesce(F.col("i_cnt"), F.lit(0))
+            ).alias("cnt"),
+            (
+                F.col("s")
+                - F.coalesce(F.col("d_s"), F.lit(0))
+                + F.coalesce(F.col("i_s"), F.lit(0))
+            ).alias("s"),
+            # insert-only min/max merge is exact (least/greatest skip
+            # nulls) — valid ONLY for keys without deletes
+            F.least(F.col("mn"), F.col("i_mn")).alias("mn"),
+            F.greatest(F.col("mx"), F.col("i_mx")).alias("mx"),
+            F.col("d_cnt").isNotNull().alias("repaired"),
+        )
+    )
+    # scoped repair: re-aggregate min/max from survivors + inserts for
+    # ONLY the delete-touched keys
+    delkeys = dels.select(*keys).distinct()
+    survivors = base.filter(~F.col("deleted")).select(*keys, "c").unionByName(ins)
+    repair = (
+        survivors.join(delkeys, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.min("c").alias("r_mn"), F.max("c").alias("r_mx"))
+    )
+    out = merged.join(repair, keys, "left").select(
+        *keys,
+        F.col("cnt").cast("bigint").alias("cnt"),
+        dround(F.col("s") / 100.0, 2).alias("revenue"),
+        dround(
+            F.when(F.col("repaired"), F.col("r_mn")).otherwise(F.col("mn"))
+            / 100.0,
+            2,
+        ).alias("mn"),
+        dround(
+            F.when(F.col("repaired"), F.col("r_mx")).otherwise(F.col("mx"))
+            / 100.0,
+            2,
+        ).alias("mx"),
+        F.when(F.col("repaired"), 1).otherwise(0).cast("int").alias("repaired"),
+    )
+    # a key could in principle be fully deleted (cnt 0) — drop it like
+    # the direct re-aggregation would
+    return out.filter(F.col("cnt") > 0)

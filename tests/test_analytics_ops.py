@@ -272,3 +272,71 @@ def test_fd_audit_key_dependency_has_zero_violations(spark):
     assert key_fd.n_violating == 0 and key_fd.max_rhs == 1
     fan = rows["nation: n_regionkey -> n_name"]
     assert fan.n_lhs == 5 and fan.n_violating == 5 and fan.max_rhs == 5
+
+
+def test_window_funnel_later_signup_can_convert(spark, tmp_path):
+    """The per-occurrence claim: u1 converts A->B->C inside one window
+    (depth 3); u2's view arrives outside the 12h window (depth 1); u3's
+    FIRST signup leads nowhere but the SECOND converts — windowFunnel
+    must report 3 where a first-signup-only chain would report 1."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return base + dt.timedelta(hours=h)
+
+    rows = [
+        (1, ts(0), "signup"), (1, ts(1), "view"), (1, ts(2), "purchase"),
+        (2, ts(0), "signup"), (2, ts(20), "view"),
+        (3, ts(0), "signup"), (3, ts(100), "signup"),
+        (3, ts(101), "view"), (3, ts(102), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, et, 1.0, "{}") for i, (u, t, et) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        r.depth: r.n_users
+        for r in registry()["events_window_funnel"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {3: 2, 1: 1}
+
+
+def test_rollup_retractions_repairs_only_delete_touched_keys(spark):
+    """Deletes hit only March keys, so exactly the mth==3 rows carry
+    repaired=1 — the scoped-rescan contract (everything else must ride
+    the insert-only merge)."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = registry()["rollup_retractions"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert any(r.repaired == 1 for r in rows)
+    for r in rows:
+        assert (r.repaired == 1) == (r.mth == 3), (r.prio, r.mth, r.repaired)
+
+
+def test_random_walks_are_deterministic_and_replicas_diverge(spark):
+    """Two invocations return the identical path set (pure function of
+    the graph); the two replicas of at least one seed must diverge
+    (the walk_id is in the draw hash)."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    fn = registry()["graph_random_walks"].fn
+    p1 = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    p2 = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    assert p1 == p2
+    by_walk = {}
+    for wid, step, node in p1:
+        by_walk.setdefault(wid, []).append((step, node))
+    diverged = any(
+        sorted(by_walk.get(f"{s}|0", [])) != sorted(by_walk.get(f"{s}|1", []))
+        for s in ("c1", "c2", "c3", "c4", "c5")
+        if len(by_walk.get(f"{s}|0", [])) > 1
+    )
+    assert diverged, "replicas never diverged — walk_id missing from the hash?"
