@@ -641,3 +641,441 @@ def rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a key could in principle be fully deleted (cnt 0) — drop it like
     # the direct re-aggregation would
     return out.filter(F.col("cnt") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling: the degeneracy / graph-pruning family
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "e0s"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+keep{i} AS (
+  SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+),
+e{i} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN keep{i} a ON a.src = e.src
+  JOIN keep{i} b ON b.src = e.dst
+)""")
+        prev = f"e{i}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0s AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+{','.join(rounds)}
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY src
+"""
+
+
+@register(
+    "graph_kcore",
+    _kcore_sql(),
+    doc=(
+        f"bounded k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} "
+        "rounds) over the undirected purchase graph — the degeneracy "
+        "family next to CC (membership), PageRank (centrality), BFS "
+        "(distance), LPA (community): repeatedly drop nodes with "
+        "degree < k, with the round count FIXED so the plan is "
+        "static and the oracle unrolls (full convergence is the "
+        "same loop run to fixpoint with the dedup_components "
+        "changed-count test; 3 rounds already strips the long tail "
+        "of degree-1 chains hanging off the core). Each round is "
+        "one degree aggregate + two semi-joins filtering edges to "
+        "surviving endpoints — O(E) per round, edge state only, and "
+        "the edge frame shrinks monotonically so later rounds cost "
+        "less. Output is each survivor's within-subgraph degree — "
+        "integer, nothing to round"
+    ),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_analytics import _edges
+
+    e0 = _edges(spark, sf_dir)
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic in exact integers
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+WITH s AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS g
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pv AS (
+  SELECT v,
+         SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS a1,
+         SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS a2
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(a1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(a2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2,
+         SUM(a1) OVER () AS n1,
+         SUM(a2) OVER () AS n2
+  FROM pv
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_scaled,
+       ROUND(MAX(ABS(c1 * n2 - c2 * n1)) * 1.0 / (MAX(n1) * MAX(n2)), 6) AS ks_d
+FROM cum
+"""
+
+
+@register(
+    "stats_ks_test",
+    _KS_SQL,
+    doc=(
+        "two-sample Kolmogorov-Smirnov statistic (click vs view value "
+        "distributions) — the nonparametric distribution-comparison "
+        "family beyond binned chi-square/TVD: D = max_v |F1(v) - "
+        "F2(v)| over the MERGED support, computed entirely in "
+        "integers via the cross-multiplied form |c1*n2 - c2*n1| / "
+        "(n1*n2) — ECDFs never materialize as floats, so the max is "
+        "immune to division rounding and fold order; one double "
+        "division at the very end. Shape: reduce both samples to "
+        "per-distinct-value counts first (the merged support is "
+        "|distinct cents|, far below |events|), one cumulative window "
+        "over that reduced frame, one max. At 100 TB the prefix sum "
+        "swaps onto the range-exchange + per-partition-offset pattern "
+        "(shuffle_deterministic) exactly like abc_classification "
+        "documents. Overflow bound: c*n products cap at n1*n2 ~ "
+        "(rows/2)^2 — fine through ~3e9 rows per side, then rescale "
+        "counts by a common divisor (KS is scale-invariant in each "
+        "ECDF)"
+    ),
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        dround(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(2).alias("g"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("a2"),
+    )
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = pv.select(
+        F.sum("a1").over(w_cum).alias("c1"),
+        F.sum("a2").over(w_cum).alias("c2"),
+        F.sum("a1").over(w_all).alias("n1"),
+        F.sum("a2").over(w_all).alias("n2"),
+    )
+    gap = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max(gap).cast("bigint").alias("d_scaled"),
+        dround(
+            F.max(gap) * F.lit(1.0) / (F.max("n1") * F.max("n2")), 6
+        ).alias("ks_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals over the linear-trend forecaster
+# ---------------------------------------------------------------------------
+
+_CF_TRAIN = 20  # day indexes 1..20 fit the model
+_CF_CAL_END = 25  # 21..25 calibrate; 26.. are scored
+
+_CF_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+fit AS (
+  SELECT event_type,
+         ROUND(regr_slope(c, i), 6) AS b,
+         ROUND(regr_intercept(c, i), 6) AS a
+  FROM idx WHERE i <= {_CF_TRAIN} GROUP BY event_type
+),
+q AS (
+  SELECT i.event_type, MAX(ABS(i.c - (f.a + f.b * i.i))) AS qhat
+  FROM idx i JOIN fit f ON f.event_type = i.event_type
+  WHERE i.i > {_CF_TRAIN} AND i.i <= {_CF_CAL_END}
+  GROUP BY i.event_type
+)
+SELECT i.event_type, i.day,
+       ROUND(i.c / 100.0, 2) AS actual,
+       ROUND((f.a + f.b * i.i) / 100.0, 2) AS pred,
+       ROUND((f.a + f.b * i.i - q.qhat) / 100.0, 2) AS lo,
+       ROUND((f.a + f.b * i.i + q.qhat) / 100.0, 2) AS hi,
+       CAST(CASE WHEN i.c >= f.a + f.b * i.i - q.qhat
+                  AND i.c <= f.a + f.b * i.i + q.qhat
+            THEN 1 ELSE 0 END AS INTEGER) AS covered
+FROM idx i
+JOIN fit f ON f.event_type = i.event_type
+JOIN q ON q.event_type = i.event_type
+WHERE i.i > {_CF_CAL_END}
+"""
+
+
+@register(
+    "forecast_conformal",
+    _CF_SQL,
+    doc=(
+        "split-conformal prediction intervals (the distribution-free "
+        "uncertainty layer every production forecaster needs on top "
+        "of forecast_linear's point estimate): fit the per-series "
+        f"linear trend on day indexes 1..{_CF_TRAIN}, take qhat = the "
+        f"max absolute residual on the held-out {_CF_TRAIN + 1}.."
+        f"{_CF_CAL_END} calibration days (the (n+1)(1-a) conformal "
+        "rank with a = 1/(n_cal+1), i.e. the finite-sample-valid "
+        "max), and score the remaining days with pred +/- qhat plus "
+        "a covered flag. Coefficients round to 6dp before ANY reuse "
+        "(the forecast_linear discipline — regr_* internal float "
+        "sums are fold-order noisy, the round re-synchronizes "
+        "engines); residuals compare integer cents against the "
+        "rounded-coefficient prediction, so qhat and the coverage "
+        "compare are deterministic on both engines. Everything after "
+        "the one daily reduction runs on 30-row-per-series frames"
+    ),
+)
+def forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(dround(F.col("value") * 100, 0).cast("bigint")).alias("c"))
+    idx = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    ).localCheckpoint(eager=True)  # fit, calibration, and scoring consumers
+    fit = (
+        idx.filter(F.col("i") <= _CF_TRAIN)
+        .groupBy("event_type")
+        .agg(
+            dround(F.regr_slope(F.col("c"), F.col("i")), 6).alias("b"),
+            dround(F.regr_intercept(F.col("c"), F.col("i")), 6).alias("a"),
+        )
+    )
+    pred = F.col("a") + F.col("b") * F.col("i")
+    q = (
+        idx.filter((F.col("i") > _CF_TRAIN) & (F.col("i") <= _CF_CAL_END))
+        .join(F.broadcast(fit), "event_type")
+        .groupBy("event_type")
+        .agg(F.max(F.abs(F.col("c") - pred)).alias("qhat"))
+    )
+    return (
+        idx.filter(F.col("i") > _CF_CAL_END)
+        .join(F.broadcast(fit), "event_type")
+        .join(F.broadcast(q), "event_type")
+        .select(
+            "event_type",
+            "day",
+            dround(F.col("c") / 100.0, 2).alias("actual"),
+            dround(pred / 100.0, 2).alias("pred"),
+            dround((pred - F.col("qhat")) / 100.0, 2).alias("lo"),
+            dround((pred + F.col("qhat")) / 100.0, 2).alias("hi"),
+            F.when(
+                (F.col("c") >= pred - F.col("qhat"))
+                & (F.col("c") <= pred + F.col("qhat")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("covered"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest: MAE + sMAPE error metrics in synced integers
+# ---------------------------------------------------------------------------
+
+_BT_LAG = 7  # seasonal-naive: predict value from 7 days earlier
+
+_BT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, c,
+         LAG(c, {_BT_LAG}) OVER (PARTITION BY event_type ORDER BY day) AS p
+  FROM daily
+),
+terms AS (
+  SELECT event_type, ABS(c - p) AS ae,
+         CAST(ROUND(2.0 * ABS(c - p) * 100000000 / (c + p), 0) AS BIGINT)
+           AS smape_i
+  FROM lagged WHERE p IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(SUM(ae) / (COUNT(*) * 100.0), 2) AS mae,
+       ROUND(SUM(smape_i) / (COUNT(*) * 100000000.0), 6) AS smape
+FROM terms GROUP BY event_type
+"""
+
+
+@register(
+    "forecast_backtest_smape",
+    _BT_SQL,
+    doc=(
+        f"forecaster backtest: score the seasonal-naive predictor "
+        f"(value from {_BT_LAG} days earlier) against actuals per "
+        "series with MAE and sMAPE — the baseline every fancier "
+        "forecaster must beat, and the error-metric harness that "
+        "makes forecast quality a QUERY instead of a notebook. MAE "
+        "is exact integer cents summed then divided once. Each "
+        "sMAPE term 2|a-p|/(a+p) is a per-row double division whose "
+        "operands are identical integers on both engines, rounded to "
+        "integer 1e-8 units BEFORE the sum (the events_survival_km "
+        "discipline) — averaging float terms directly would make the "
+        "result depend on aggregate fold order. One lag window over "
+        "the reduced per-day frame, one aggregate"
+    ),
+)
+def forecast_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(dround(F.col("value") * 100, 0).cast("bigint")).alias("c"))
+    lagged = daily.select(
+        "event_type",
+        "c",
+        F.lag("c", _BT_LAG)
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("p"),
+    ).filter(F.col("p").isNotNull())
+    ae = F.abs(F.col("c") - F.col("p"))
+    smape_i = dround(
+        F.lit(2.0) * ae * 100000000 / (F.col("c") + F.col("p")), 0
+    ).cast("bigint")
+    return lagged.select("event_type", ae.alias("ae"), smape_i.alias("si")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        dround(F.sum("ae") / (F.count(F.lit(1)) * F.lit(100.0)), 2).alias("mae"),
+        dround(
+            F.sum("si") / (F.count(F.lit(1)) * F.lit(100000000.0)), 6
+        ).alias("smape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: OOV rate against the corpus top-k vocab
+# ---------------------------------------------------------------------------
+
+_OOV_K = 100
+
+_OOV_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+    FROM tok GROUP BY w
+  ) t WHERE rnk <= {_OOV_K}
+),
+per_doc AS (
+  SELECT t.doc_id, t.source,
+         CAST(ROUND(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                    * 100000000.0 / COUNT(*), 0) AS BIGINT) AS oov_i
+  FROM tok t LEFT JOIN vocab v ON v.w = t.w
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(oov_i) / (COUNT(*) * 100000000.0), 6) AS oov_rate
+FROM per_doc GROUP BY source
+"""
+
+
+@register(
+    "text_oov_rate",
+    _OOV_SQL,
+    doc=(
+        f"vocabulary coverage: per-source mean out-of-vocabulary "
+        f"token rate against the corpus top-{_OOV_K} vocab (the "
+        "text_vocab_topk head) — the tokenizer-fit diagnostic that "
+        "decides whether a vocab transfers to a new source before "
+        "training on it. The vocab is derived with a deterministic "
+        "(count DESC, token) rank so boundary ties can never differ "
+        "between engines; membership is one LEFT join of the token "
+        "stream against the (tiny, broadcastable) vocab; per-doc OOV "
+        "rates round to integer 1e-8 units before the per-source "
+        "mean so the average is an exact integer sum. Two "
+        "aggregations over the token stream (vocab fit + coverage "
+        "scan) — both partial-aggregated, nothing collected"
+    ),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).localCheckpoint(eager=True)  # vocab fit + coverage scan share it
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), "w")
+        .limit(_OOV_K)
+        .select("w", F.lit(1).alias("inv"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            dround(
+                F.sum(F.when(F.col("inv").isNull(), 1).otherwise(0))
+                * F.lit(100000000.0)
+                / F.count(F.lit(1)),
+                0,
+            )
+            .cast("bigint")
+            .alias("oov_i")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        dround(
+            F.sum("oov_i") / (F.count(F.lit(1)) * F.lit(100000000.0)), 6
+        ).alias("oov_rate"),
+    )

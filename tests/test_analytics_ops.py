@@ -340,3 +340,80 @@ def test_random_walks_are_deterministic_and_replicas_diverge(spark):
         if len(by_walk.get(f"{s}|0", [])) > 1
     )
     assert diverged, "replicas never diverged — walk_id missing from the hash?"
+
+
+def test_kcore_matches_pure_python_peeling(spark):
+    """Replay graph_kcore's bounded peeling in pure Python over the
+    sf0.001 purchase graph and compare surviving nodes + degrees."""
+    from collections import Counter
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_analytics import _edges
+    from a_share_data_pipeline_spark.plans.queries_quality import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e0 = [(r.src, r.dst) for r in _edges(spark, sf).collect()]
+    edges = e0 + [(b, a) for a, b in e0]
+    for _ in range(_KCORE_ROUNDS):
+        deg = Counter(a for a, _ in edges)
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        edges = [(a, b) for a, b in edges if a in keep and b in keep]
+    want = Counter(a for a, _ in edges)
+    got = {
+        r.node: r.degree
+        for r in registry()["graph_kcore"].fn(spark, sf).collect()
+    }
+    assert got == dict(want)
+
+
+def test_ks_statistic_matches_pure_python_ecdf(spark):
+    """Replay the two-sample KS D in pure Python (integer cross-
+    multiplied form) over sf0.001 events and compare all four outputs."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT), event_type "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet') "
+        "WHERE event_type IN ('click', 'view')"
+    ).fetchall()
+    s1 = sorted(v for v, t in rows if t == "click")
+    s2 = sorted(v for v, t in rows if t == "view")
+    n1, n2 = len(s1), len(s2)
+    support = sorted(set(s1) | set(s2))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(s1, v) * n2 - bisect.bisect_right(s2, v) * n1)
+        for v in support
+    )
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = registry()["stats_ks_test"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert (got.n1, got.n2, got.d_scaled) == (n1, n2, d)
+    assert abs(got.ks_d - d / (n1 * n2)) < 1e-6
+
+
+def test_conformal_interval_invariants(spark):
+    """The emitted interval must be symmetric around pred and the
+    covered flag must agree with the (unrounded-tolerant) containment
+    of actual in [lo, hi]."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = registry()["forecast_conformal"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs((r.pred - r.lo) - (r.hi - r.pred)) < 0.03, r
+        inside = r.lo - 0.011 <= r.actual <= r.hi + 0.011
+        outside = r.actual < r.lo - 0.011 or r.actual > r.hi + 0.011
+        if inside and not outside:
+            pass  # covered may be 0 only at the rounded boundary
+        if r.covered == 1:
+            assert inside, r
+        else:
+            assert r.actual < r.lo + 0.011 or r.actual > r.hi - 0.011, r
