@@ -1079,3 +1079,264 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("oov_i") / (F.count(F.lit(1)) * F.lit(100000000.0)), 6
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational division: "customers who bought ALL of a part set"
+# ---------------------------------------------------------------------------
+
+_DIV_SQL = """
+WITH d AS (SELECT DISTINCT o_orderpriority AS pr FROM orders),
+b AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+SELECT o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM b
+GROUP BY o_custkey
+HAVING COUNT(*) = (SELECT COUNT(*) FROM d)
+"""
+
+
+@register(
+    "join_relational_division",
+    _DIV_SQL,
+    doc=(
+        "relational division (Codd's ÷, the universal-quantifier "
+        "join): customers with orders in EVERY priority class — the "
+        "'for all' the join family's semi/anti (exists / not exists) "
+        "cannot express, over a divisor DERIVED FROM THE DATA "
+        "(SELECT DISTINCT priorities) so the quotient stays "
+        "non-vacuous at every scale factor (a fixed part-set divisor "
+        "empties out as the corpus grows — purchases spread thin; "
+        "division by an intrinsic category set does not). "
+        "Implemented as the count-matching reduction: dedupe to "
+        "distinct (customer, class), count per customer, keep counts "
+        "equal to |divisor| (a broadcast 1-row aggregate) — two hash "
+        "aggregations; the doubly-nested NOT EXISTS formulation "
+        "decorrelates to the same shape at best and a quadratic at "
+        "worst"
+    ),
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select("o_orderpriority").distinct()
+    nset = d.agg(F.count(F.lit(1)).alias("n_set"))
+    b = orders.select("o_custkey", "o_orderpriority").distinct()
+    return (
+        b.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+        .crossJoin(F.broadcast(nset))
+        .filter(F.col("n_matched") == F.col("n_set"))
+        .select(F.col("o_custkey").alias("custkey"), "n_matched")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal anti-join: views never followed up within the window
+# ---------------------------------------------------------------------------
+
+_TAJ_HOURS = 12
+_TAJ_US = _TAJ_HOURS * 3600 * 1000000
+
+_TAJ_SQL = f"""
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS e FROM events
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS e FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+         SELECT 1 FROM p WHERE p.user_id = v.user_id
+           AND p.e > v.e AND p.e <= v.e + {_TAJ_US}
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+FROM v GROUP BY v.user_id
+"""
+
+
+@register(
+    "join_interval_anti",
+    _TAJ_SQL,
+    doc=(
+        f"temporal ANTI-join (the Flink interval-anti shape): views "
+        f"with NO purchase in the following {_TAJ_HOURS}h by the same "
+        "user — abandonment counting, the negative space "
+        "join_interval_overlap and events_window_funnel (both "
+        "existence-positive) cannot report. Same strictly-future "
+        "RANGE-window rewrite as the funnel: union views+purchases "
+        "per user, next-purchase = min over the (1 FOLLOWING .. "
+        "unbounded) epoch-micros frame, abandoned = next is NULL or "
+        "past the bound — one exchange on user_id, no correlated "
+        "subquery, no self-join of the log; the oracle is the NOT "
+        "EXISTS textbook form so the rewrite is hash-proven. Emits "
+        "per-user view/abandoned counts (the retention input)"
+    ),
+)
+def join_interval_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_type", F.unix_micros("ts").alias("e"))
+    v = base.filter(F.col("event_type") == "view").select(
+        "user_id", "e", F.lit("V").alias("tag")
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "e", F.lit("P").alias("tag")
+    )
+    w_fut = (
+        W.partitionBy("user_id")
+        .orderBy("e")
+        .rangeBetween(1, W.unboundedFollowing)
+    )
+    np_ = F.min(F.when(F.col("tag") == "P", F.col("e"))).over(w_fut)
+    flagged = (
+        v.unionByName(p)
+        .select("user_id", "e", "tag", np_.alias("np"))
+        .filter(F.col("tag") == "V")
+        .select(
+            "user_id",
+            (
+                F.col("np").isNull() | (F.col("np") > F.col("e") + _TAJ_US)
+            ).alias("abandoned"),
+        )
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views"),
+        F.sum(F.when(F.col("abandoned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_abandoned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization: force every series onto the shared distribution
+# ---------------------------------------------------------------------------
+
+_QN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, day, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, day) AS r
+  FROM daily
+),
+ref AS (
+  SELECT r, SUM(c) AS s, COUNT(*) AS k FROM ranked GROUP BY r
+)
+SELECT rk.event_type, rk.day,
+       ROUND(rk.c / 100.0, 2) AS original,
+       ROUND(ref.s / (ref.k * 100.0), 4) AS normalized
+FROM ranked rk JOIN ref ON ref.r = rk.r
+"""
+
+
+@register(
+    "feature_quantile_normalize",
+    _QN_SQL,
+    doc=(
+        "quantile normalization (the bioinformatics-standard "
+        "cross-sample calibration, also the rank-based feature "
+        "scaler): every series is forced onto the SHARED "
+        "distribution by replacing each value with the mean of the "
+        "equally-ranked values across all series — rank within "
+        "series (deterministic (value, day) tie order), average "
+        "across series per rank, join back on rank. Unlike "
+        "feature_winsorize/discretize (per-series clipping/binning) "
+        "this is a CROSS-series operator: after it, every "
+        "event_type has the identical value multiset. The reference "
+        "distribution is an exact integer sum divided once at emit; "
+        "ranks, the per-rank aggregate, and the join-back all run "
+        "over the reduced 30-rows-per-series frame — at 100 TB with "
+        "high-cardinality series the rank step is the "
+        "range-exchange prefix pattern and the per-rank mean is one "
+        "aggregation keyed on rank"
+    ),
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(dround(F.col("value") * 100, 0).cast("bigint")).alias("c"))
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("c", "day"))
+        .alias("r"),
+    ).localCheckpoint(eager=True)  # feeds the ref aggregate AND the join-back
+    ref = ranked.groupBy("r").agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("k")
+    )
+    return ranked.join(F.broadcast(ref), "r").select(
+        "event_type",
+        "day",
+        dround(F.col("c") / 100.0, 2).alias("original"),
+        dround(F.col("s") / (F.col("k") * F.lit(100.0)), 4).alias("normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median: the order statistic under a weight column
+# ---------------------------------------------------------------------------
+
+_WMED_SQL = """
+WITH pv AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, v, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM pv
+)
+SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+       ROUND(MIN(CASE WHEN 2 * cw >= tw THEN v END) / 100.0, 2) AS wmedian
+FROM cum GROUP BY flag
+"""
+
+
+@register(
+    "agg_weighted_median",
+    _WMED_SQL,
+    doc=(
+        "weighted median (smallest value whose cumulative weight "
+        "reaches half the total — here extendedprice weighted by "
+        "quantity per returnflag): the order statistic under a "
+        "weight column, which percentile()/MEDIAN (uniform weights) "
+        "and approx sketches (no weights) do not provide. The "
+        "half-total compare is 2*cum >= total in pure int64 — the "
+        "fractional midpoint never materializes — and the pick is a "
+        "conditional MIN, not a second window. Reduce to per-"
+        "distinct-value weight sums first, one cumulative window "
+        "per group over that reduced frame; at 100 TB the prefix "
+        "sum swaps onto the range-exchange offset pattern "
+        "(shuffle_deterministic), same as stats_ks_test documents"
+    ),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        dround(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    wf = W.partitionBy("flag")
+    wc = wf.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = pv.select(
+        "flag",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wf).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        dround(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))) / 100.0,
+            2,
+        ).alias("wmedian"),
+    )

@@ -417,3 +417,85 @@ def test_conformal_interval_invariants(spark):
             assert inside, r
         else:
             assert r.actual < r.lo + 0.011 or r.actual > r.hi - 0.011, r
+
+
+def test_quantile_normalize_makes_value_multisets_identical(spark):
+    """After quantile normalization every series must carry the exact
+    same multiset of normalized values — the defining property."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = registry()["feature_quantile_normalize"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.normalized)
+    sets = [sorted(v) for v in by_type.values()]
+    assert len(sets) > 1 and all(s == sets[0] for s in sets[1:])
+
+
+def test_weighted_median_matches_pure_python(spark):
+    """Replay the weighted-median definition (smallest v with
+    2*cumweight >= total) in pure Python from the raw parquet."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), "
+        "CAST(l_quantity AS BIGINT) "
+        "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for flag, v, w in rows:
+        per[flag].append((v, w))
+    want = {}
+    for flag, vw in per.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= tot:
+                want[flag] = (round(v / 100.0, 2), tot)
+                break
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        r.flag: (r.wmedian, r.total_weight)
+        for r in registry()["agg_weighted_median"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
+
+
+def test_interval_anti_counts_complement_the_funnel_positive(spark):
+    """A view is either followed up within the window or abandoned —
+    per user, n_views must equal abandoned + followed (recount the
+    positive side with the correlated definition in DuckDB)."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_quality import _TAJ_US
+
+    followed = dict(
+        duckdb.connect().execute(f"""
+WITH v AS (SELECT user_id, epoch_us(ts) AS e
+           FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, epoch_us(ts) AS e
+      FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+      WHERE event_type = 'purchase')
+SELECT v.user_id, SUM(CASE WHEN EXISTS (
+  SELECT 1 FROM p WHERE p.user_id = v.user_id
+    AND p.e > v.e AND p.e <= v.e + {_TAJ_US}) THEN 1 ELSE 0 END)
+FROM v GROUP BY v.user_id
+""").fetchall()
+    )
+    rows = registry()["join_interval_anti"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_views == r.n_abandoned + followed[r.user_id], r
