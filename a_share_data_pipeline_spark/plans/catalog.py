@@ -218,7 +218,16 @@ _REGISTRY: dict[str, Query] = {}
 # whose oracle proves the no-false-negative guarantee),
 # profile_distribution_drift (integer-exact TVD monitoring),
 # events_attribution (integer-ppm credit), dedup_containment
-# (excerpt detection).
+# (excerpt detection). The round-6 wave-5..9 families queue behind
+# those, strongest first: events_window_funnel (per-occurrence
+# funnel, oracle = the correlated textbook form),
+# rollup_retractions (delete-side IVM with scoped min/max repair),
+# dedup_lsh_quality (banding precision/recall vs exhaustive truth),
+# skyline_pareto (reduce+window frontier vs quadratic-definition
+# oracle), graph_sssp_weighted / graph_kcore (weighted relaxation /
+# degeneracy peeling), cdc_time_travel (multi-version AS OF),
+# stats_ks_test (integer two-sample KS), forecast_conformal
+# (distribution-free intervals).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",

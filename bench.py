@@ -122,6 +122,11 @@ HEADLINE = [
     "stats_bootstrap_ci",
     "cdc_time_travel",
     "window_rolling_median",
+    # waves 7-9: per-occurrence funnel, degeneracy peeling, and the
+    # exhaustive-truth quality harness (the costliest new shapes)
+    "events_window_funnel",
+    "graph_kcore",
+    "dedup_lsh_quality",
     # the streaming lane: real AvailableNow file-stream cycles (landing
     # write + micro-batch run + memory sink), timed end-to-end so the
     # Structured Streaming machinery has a tracked cost per round
