@@ -699,9 +699,17 @@ FROM {prev} GROUP BY src
     ),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .queries_analytics import _edges
+    # rides the shared int64 purchase-graph bijection (the
+    # graph_pagerank move: every round's aggregate + semi-joins
+    # shuffle int64s instead of strings; the string-edge oracle is
+    # untouched because the output decodes back to the same ids).
+    # Per-round eager localCheckpoint is load-bearing here: each
+    # round's edge frame has TWO consumers (the degree aggregate and
+    # the self semi-join) — without it the filter chain recomputes
+    # per consumer, 2^rounds times by the last round.
+    from .queries_analytics import decode_purchase_node, purchase_iedges
 
-    e0 = _edges(spark, sf_dir)
+    e0 = purchase_iedges(spark, sf_dir)
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -719,9 +727,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return edges.groupBy(F.col("src").alias("node")).agg(
+    return edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
-    )
+    ).select(decode_purchase_node("src").alias("node"), "degree")
 
 
 # ---------------------------------------------------------------------------
