@@ -2799,9 +2799,12 @@ def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     del_cust = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    # two consumers (the orders audit row AND aff_orders feeding the
+    # lineitem hop) — materialize once or the orders⟕delete-list join
+    # runs twice per action (repo two-consumer checkpoint policy)
     ord_flag = orders.join(
         del_cust, orders["o_custkey"] == del_cust["c_custkey"], "left"
-    )
+    ).localCheckpoint(eager=True)
     aff_orders = ord_flag.filter(F.col("c_custkey").isNotNull()).select(
         "o_orderkey"
     )
@@ -2941,7 +2944,10 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = means.select(
         "m", F.row_number().over(W.orderBy("m", "b")).alias("rn")
     )
-    pt = daily.agg(
+    # point estimate from the already-checkpointed idx — computing it
+    # from `daily` would re-scan and re-reduce the raw events a second
+    # time (the doc's one-scan claim)
+    pt = idx.agg(
         (F.sum("c") * F.lit(1.0) / F.count(F.lit(1))).alias("m0")
     )
     lo = ranked.filter(F.col("rn") == _BOOT_LO).select(F.col("m").alias("m_lo"))
@@ -3022,9 +3028,23 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # base columns renamed first: a same-select alias of "k"/"price"
     # can shadow the input column in the expression that reads it
-    # (the _emb_augmented alias-shadowing trap) — bk/bp are unambiguous
+    # (the _emb_augmented alias-shadowing trap) — bk/bp are unambiguous.
+    # Loud precondition on the +1e8 synthetic-insert offset: snapshot
+    # keys at or above it would make fabricated inserts COLLIDE with
+    # real keys and silently overwrite them (both engines would agree,
+    # so the hash match could never catch it) — raise instead; larger
+    # corpora re-derive the fixture with a wider offset.
+    k_ok = F.when(
+        F.col("k") >= 100000000,
+        F.raise_error(
+            F.lit(
+                "cdc_time_travel: snapshot key >= 1e8 collides with the "
+                "synthetic insert-key offset; widen the offset"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("k"))
     base = snap.select(
-        F.col("k").alias("bk"), F.col("price").alias("bp"), "status"
+        k_ok.alias("bk"), F.col("price").alias("bp"), "status"
     )
     u1 = base.filter(F.col("bk") % 10 == 0).select(
         F.col("bk").alias("k"),

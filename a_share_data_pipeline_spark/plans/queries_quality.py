@@ -114,6 +114,10 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e",
             F.when(F.col("nb") <= F.col("e") + _WF_US, F.col("nb")).alias("tb"),
         )
+        # two consumers (the pass-2 pipeline and the no_view re-entry)
+        # — materialize once or the whole union+window pass over the
+        # log runs twice per action
+        .localCheckpoint(eager=True)
     )
 
     # pass 2: first purchase strictly after that view, still inside
@@ -951,8 +955,9 @@ lagged AS (
 ),
 terms AS (
   SELECT event_type, ABS(c - p) AS ae,
-         CAST(ROUND(2.0 * ABS(c - p) * 100000000 / (c + p), 0) AS BIGINT)
-           AS smape_i
+         CASE WHEN c + p = 0 THEN 0
+              ELSE CAST(ROUND(2.0 * ABS(c - p) * 100000000 / (c + p), 0)
+                        AS BIGINT) END AS smape_i
   FROM lagged WHERE p IS NOT NULL
 )
 SELECT event_type,
@@ -994,9 +999,16 @@ def forecast_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p"),
     ).filter(F.col("p").isNotNull())
     ae = F.abs(F.col("c") - F.col("p"))
-    smape_i = dround(
-        F.lit(2.0) * ae * 100000000 / (F.col("c") + F.col("p")), 0
-    ).cast("bigint")
+    # a = p = 0 would make the term 0/0; define it as 0 on both
+    # engines (latent — current totals are positive, but nothing
+    # enforces that)
+    smape_i = (
+        F.when(F.col("c") + F.col("p") == 0, F.lit(0))
+        .otherwise(
+            dround(F.lit(2.0) * ae * 100000000 / (F.col("c") + F.col("p")), 0)
+        )
+        .cast("bigint")
+    )
     return lagged.select("event_type", ae.alias("ae"), smape_i.alias("si")).groupBy(
         "event_type"
     ).agg(

@@ -409,14 +409,12 @@ def test_conformal_interval_invariants(spark):
     assert rows
     for r in rows:
         assert abs((r.pred - r.lo) - (r.hi - r.pred)) < 0.03, r
-        inside = r.lo - 0.011 <= r.actual <= r.hi + 0.011
-        outside = r.actual < r.lo - 0.011 or r.actual > r.hi + 0.011
-        if inside and not outside:
-            pass  # covered may be 0 only at the rounded boundary
         if r.covered == 1:
-            assert inside, r
+            # covered rows must sit inside the (rounding-tolerant) band
+            assert r.lo - 0.011 <= r.actual <= r.hi + 0.011, r
         else:
-            assert r.actual < r.lo + 0.011 or r.actual > r.hi - 0.011, r
+            # uncovered rows must NOT sit strictly inside it
+            assert not (r.lo + 0.011 <= r.actual <= r.hi - 0.011), r
 
 
 def test_quantile_normalize_makes_value_multisets_identical(spark):
