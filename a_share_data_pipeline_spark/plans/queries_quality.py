@@ -1360,3 +1360,215 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("wmedian"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-T inequality decomposition: within- and between-group parts
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = """
+WITH rev AS (
+  SELECT n_name,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+),
+tot AS (
+  SELECT SUM(x) AS s, COUNT(*) AS n,
+         CAST(ROUND((LN(SUM(x)) - LN(COUNT(*))) * 100000, 0) AS BIGINT)
+           AS iln_mu
+  FROM rev
+),
+terms AS (
+  SELECT r.n_name, r.x,
+         r.x * (CAST(ROUND(LN(r.x) * 100000, 0) AS BIGINT) - t.iln_mu)
+           AS tx
+  FROM rev r CROSS JOIN tot t
+),
+grp AS (
+  SELECT n_name, SUM(x) AS sg, COUNT(*) AS ng, SUM(tx) AS txg
+  FROM terms GROUP BY n_name
+)
+SELECT g.n_name,
+       CAST(g.ng AS BIGINT) AS n_orders,
+       ROUND(g.sg * 1.0 / (g.ng * 100.0), 2) AS mean_rev,
+       ROUND((g.txg - g.sg * (CAST(ROUND((LN(g.sg) - LN(g.ng)) * 100000, 0)
+                                   AS BIGINT) - t.iln_mu))
+             * 1.0 / (g.sg * 100000.0), 4) AS theil_within,
+       ROUND(g.sg * (CAST(ROUND((LN(g.sg) - LN(g.ng)) * 100000, 0) AS BIGINT)
+                     - t.iln_mu) * 1.0 / (t.s * 100000.0), 6) AS between_contrib
+FROM grp g CROSS JOIN tot t
+"""
+
+
+@register(
+    "agg_theil_decomposition",
+    _THEIL_SQL,
+    doc=(
+        "Theil-T inequality index with its additive within/between-"
+        "group decomposition (the property Gini famously lacks, and "
+        "why Theil is the concentration measure you can DRILL INTO): "
+        "per nation, the within-group index T_g and the between-"
+        "group contribution (S_g/S)·ln(mu_g/mu); summing "
+        "between_contrib + (S_g/S)·theil_within over groups "
+        "reconstructs total T exactly (tested). Numerics: every "
+        "ln(x/mu) expands to iln(x) - iln(mu) with each ln rounded "
+        "ONCE to integer 1e-5 units, so all sums are exact int64 — "
+        "term magnitudes x·Δiln stay under ~5e13 per order and "
+        "~8e17 per group at sf0.1-like shapes (the 1e-5 scale is "
+        "chosen exactly so the 100 TB row counts fit; tighter "
+        "scales overflow first, looser ones cost precision the 4dp "
+        "output does not need). One fact scan, one group aggregate, "
+        "one broadcast 1-row total"
+    ),
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .select(
+            "n_name",
+            dround(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
+        )
+    )
+
+    def iln5(col: "F.Column") -> "F.Column":
+        return dround(F.log(col) * 100000, 0).cast("bigint")
+
+    tot = rev.agg(
+        F.sum("x").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        dround((F.log(F.sum("x")) - F.log(F.count(F.lit(1)))) * 100000, 0)
+        .cast("bigint")
+        .alias("iln_mu"),
+    )
+    terms = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "x",
+        "s",
+        "iln_mu",
+        (F.col("x") * (iln5(F.col("x")) - F.col("iln_mu"))).alias("tx"),
+    )
+    grp = terms.groupBy("n_name").agg(
+        F.sum("x").alias("sg"),
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("tx").alias("txg"),
+        F.max("s").alias("s"),
+        F.max("iln_mu").alias("iln_mu"),
+    )
+    iln_mug = (
+        dround((F.log(F.col("sg")) - F.log(F.col("ng"))) * 100000, 0)
+        .cast("bigint")
+    )
+    between_term = F.col("sg") * (iln_mug - F.col("iln_mu"))
+    return grp.select(
+        "n_name",
+        F.col("ng").cast("bigint").alias("n_orders"),
+        dround(F.col("sg") * F.lit(1.0) / (F.col("ng") * F.lit(100.0)), 2).alias(
+            "mean_rev"
+        ),
+        dround(
+            (F.col("txg") - between_term)
+            * F.lit(1.0)
+            / (F.col("sg") * F.lit(100000.0)),
+            4,
+        ).alias("theil_within"),
+        dround(
+            between_term * F.lit(1.0) / (F.col("s") * F.lit(100000.0)), 6
+        ).alias("between_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: quintile-scored recency / frequency / monetary
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT MAX(day) AS mxd FROM p),
+per_user AS (
+  SELECT p.user_id,
+         DATEDIFF('day', MAX(p.day), mx.mxd) AS recency,
+         COUNT(*) AS frequency,
+         SUM(p.c) AS monetary
+  FROM p CROSS JOIN mx GROUP BY p.user_id, mx.mxd
+),
+scored AS (
+  SELECT user_id, recency, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency DESC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+  FROM per_user
+)
+SELECT CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(SUM(monetary) / (COUNT(*) * 100.0), 2) AS avg_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+@register(
+    "events_rfm_segmentation",
+    _RFM_SQL,
+    doc=(
+        "RFM segmentation (the marketing-analytics workhorse): "
+        "recency / frequency / monetary per purchasing user, each "
+        "quintile-scored with NTILE(5) under a TOTAL order (metric "
+        "+ user_id tie-break — ntile on a partial order is engine-"
+        "arbitrary at bucket boundaries and could never be oracle-"
+        "verified; the window_distribution lesson), then segments "
+        "aggregated to (r, f, m) cells with user counts and average "
+        "spend. Higher score = better on every axis (recency DESC "
+        "because recent means a SMALLER day gap). One reduce to "
+        "per-user metrics, three ntile windows over the reduced "
+        "frame, one final aggregate; at 100 TB user counts the "
+        "ntile swaps for the percentile-threshold join "
+        "(feature_discretize's equi-depth pattern) to avoid the "
+        "single-ordering bottleneck"
+    ),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    mx = p.agg(F.max("day").alias("mxd"))
+    per_user = (
+        p.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("mxd"), F.max("day")).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("c").alias("monetary"),
+        )
+    )
+    scored = per_user.select(
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.col("recency").desc(), "user_id"))
+        .alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "user_id")).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        dround(F.sum("monetary") / (F.count(F.lit(1)) * F.lit(100.0)), 2).alias(
+            "avg_monetary"
+        ),
+    )

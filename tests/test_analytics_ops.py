@@ -497,3 +497,56 @@ FROM v GROUP BY v.user_id
     assert rows
     for r in rows:
         assert r.n_views == r.n_abandoned + followed[r.user_id], r
+
+
+def test_theil_decomposition_is_additive(spark):
+    """The decomposition property that justifies Theil over Gini:
+    sum_g (S_g/S)*T_g + sum_g between_contrib_g must reconstruct the
+    directly-computed total Theil index (within float tolerance of
+    the 1e-5 ln rounding)."""
+    import math as m
+
+    import duckdb
+
+    rows = registry_rows = None
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = registry()["agg_theil_decomposition"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    raw = duckdb.connect().execute("""
+SELECT n_name, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+FROM read_parquet('/root/testdata/sf0.001/orders.parquet') o
+JOIN read_parquet('/root/testdata/sf0.001/customer.parquet') c ON c_custkey = o_custkey
+JOIN read_parquet('/root/testdata/sf0.001/nation.parquet') n ON n_nationkey = c_nationkey
+""").fetchall()
+    xs = [x for _, x in raw]
+    S, N = sum(xs), len(xs)
+    mu = S / N
+    t_direct = sum((x / S) * m.log(x / mu) for x in xs)
+    shares = {}
+    for g, x in raw:
+        shares[g] = shares.get(g, 0) + x
+    recon = sum(
+        (shares[r.n_name] / S) * r.theil_within + r.between_contrib for r in rows
+    )
+    assert abs(recon - t_direct) < 2e-4, (recon, t_direct)
+
+
+def test_rfm_scores_partition_users_into_balanced_quintiles(spark):
+    """Each score axis must distribute users across exactly 5 buckets
+    with sizes differing by at most 1 (the NTILE contract under a
+    total order)."""
+    from collections import Counter
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = registry()["events_rfm_segmentation"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for axis in ("r_score", "f_score", "m_score"):
+        per = Counter()
+        for r in rows:
+            per[getattr(r, axis)] += r.n_users
+        assert set(per) == {1, 2, 3, 4, 5}, (axis, per)
+        assert max(per.values()) - min(per.values()) <= 1, (axis, per)
