@@ -1572,3 +1572,248 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_monetary"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift: distribution monitoring for vector corpora
+# ---------------------------------------------------------------------------
+
+_CD_SQL = """
+WITH e AS (
+  SELECT vec_id, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+         generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT half, d, ROUND(AVG(x), 8) AS m FROM e GROUP BY half, d
+),
+j AS (
+  SELECT a.d, a.m AS ma, b.m AS mb
+  FROM (SELECT d, m FROM cent WHERE half = 'a') a
+  JOIN (SELECT d, m FROM cent WHERE half = 'b') b ON b.d = a.d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+       ROUND(SUM(ma * mb) / (SQRT(SUM(ma * ma)) * SQRT(SUM(mb * mb))), 4)
+         AS centroid_cosine,
+       ROUND(SQRT(SUM((ma - mb) * (ma - mb))), 6) AS centroid_l2
+FROM j
+"""
+
+
+@register(
+    "sim_centroid_drift",
+    _CD_SQL,
+    doc=(
+        "embedding-distribution drift monitor: split the vector corpus "
+        "into two cohorts (vec_id parity here; batch id / time window "
+        "in production), compute each cohort's per-dimension centroid, "
+        "and report the centroid cosine + L2 gap — the cheap early-"
+        "warning that an embedding model or upstream corpus shifted "
+        "(full drift runs profile_distribution_drift per dimension; "
+        "the centroid is the one-number tripwire). Per-dim means come "
+        "from one posexplode + groupBy(dim) aggregation — never a "
+        "driver-side vector fold — and round to 8dp BEFORE the cosine "
+        "(per-dim double sums are fold-order noisy across engines; "
+        "the round re-synchronizes, then the 64-term cosine over "
+        "identical rounded means is deterministic). At 100 TB: the "
+        "explode is map-side, the aggregate carries cohorts x dims "
+        "rows, the cosine runs on a 64-row frame"
+    ),
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.when(F.col("vec_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias(
+            "half"
+        ),
+        F.posexplode(F.col("embedding")).alias("d0", "x"),
+    ).select("half", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x"))
+    cent = e.groupBy("half", "d").agg(dround(F.avg("x"), 8).alias("m"))
+    a = cent.filter(F.col("half") == "a").select("d", F.col("m").alias("ma"))
+    b = cent.filter(F.col("half") == "b").select("d", F.col("m").alias("mb"))
+    j = a.join(b, "d")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        dround(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            4,
+        ).alias("centroid_cosine"),
+        dround(
+            F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))),
+            6,
+        ).alias("centroid_l2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral regularity: bot-likeness from inter-event gap dispersion
+# ---------------------------------------------------------------------------
+
+_BOT_MIN_EVENTS = 20
+
+_BOT_SQL = f"""
+WITH ue AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events
+),
+gaps AS (
+  SELECT user_id,
+         es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) AS g
+  FROM ue
+),
+st AS (
+  SELECT user_id, COUNT(*) AS n, SUM(g) AS s, SUM(g * g) AS ss
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= {_BOT_MIN_EVENTS}
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       ROUND(s * 1.0 / n, 2) AS mean_gap_s,
+       ROUND(SQRT((ss - s * s * 1.0 / n) / n) / (s * 1.0 / n), 4) AS cv,
+       CAST(CASE WHEN SQRT((ss - s * s * 1.0 / n) / n) / (s * 1.0 / n) < 0.3
+            THEN 1 ELSE 0 END AS INTEGER) AS bot_like
+FROM st
+"""
+
+
+@register(
+    "events_bot_regularity",
+    _BOT_SQL,
+    doc=(
+        "behavioral bot detection via inter-event-gap regularity: "
+        "humans arrive bursty (coefficient of variation near or above "
+        "1, the exponential-arrival signature); schedulers and "
+        "scrapers tick (CV near 0) — the classic timing-regularity "
+        "screen that needs no content features. Gaps come from one "
+        "lag window per user over epoch-SECONDS (integer); mean and "
+        "variance derive from exact integer SUM and SUM-of-squares "
+        "(population variance via the ss - s^2/n identity — gap "
+        "seconds square to ~1e8, x rows per user stays far inside "
+        f"int64), with doubles only in the final CV division; "
+        f">= {_BOT_MIN_EVENTS} gaps required so the CV is "
+        "meaningful. The synthetic corpus is a Poisson-ish generator "
+        "so everything lands human-side — the THRESHOLD contract "
+        "(cv < 0.3) is what the oracle verifies; a production corpus "
+        "sets it from the bimodal CV histogram"
+    ),
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id", (F.unix_micros("ts") / 1000000).cast("bigint").alias("es")
+    )
+    gaps = ue.select(
+        "user_id",
+        (
+            F.col("es")
+            - F.lag("es").over(W.partitionBy("user_id").orderBy("es"))
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    st = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(F.col("g") * F.col("g")).alias("ss"),
+        )
+        .filter(F.col("n") >= _BOT_MIN_EVENTS)
+    )
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") * F.lit(1.0) / F.col("n")) / F.col("n"))
+    cv = sd / mean
+    return st.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        dround(mean, 2).alias("mean_gap_s"),
+        dround(cv, 4).alias("cv"),
+        F.when(cv < 0.3, 1).otherwise(0).cast("int").alias("bot_like"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus dedup report: the pipeline-level summary of the dedup stack
+# ---------------------------------------------------------------------------
+
+
+def _dedup_report_sql() -> str:
+    from .queries_llm import _COMPONENTS_CTE
+
+    return f"""{_COMPONENTS_CTE},
+sizes AS (
+  SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_clustered_docs,
+       CAST(SUM(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT)
+         AS n_removable,
+       CAST(MAX(sz) AS BIGINT) AS largest_cluster,
+       ROUND(SUM(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) * 1.0 /
+             (SELECT COUNT(*) FROM documents), 6) AS dedup_ratio
+FROM sizes
+"""
+
+
+@register(
+    "curation_dedup_report",
+    _dedup_report_sql(),
+    doc=(
+        "corpus dedup report — the one-row summary a pipeline "
+        "operator actually reads before committing a dedup pass: "
+        "total docs, near-dup clusters (size > 1 components of the "
+        "jaccard pair graph, same guarded expansion as "
+        "dedup_components), docs inside clusters, docs REMOVABLE "
+        "(keep one canonical per cluster), the largest cluster "
+        "(boilerplate blowups show up here first), and the overall "
+        "dedup ratio. Composes the existing pair-graph + connected-"
+        "components machinery and reduces it to cluster-size "
+        "statistics — the marginal cost over dedup_components is one "
+        "tiny aggregate, and at 100 TB the report IS the cheap "
+        "artifact to persist per corpus snapshot (the full doc-to-"
+        "component map only needs materializing when the ratio says "
+        "the pass is worth it)"
+    ),
+)
+def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from ..operators.graph import connected_components
+    from .queries_llm import _JACCARD_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.exploded_shingles(docs).localCheckpoint(eager=False)
+    pairs = (
+        D.pair_jaccard(shingled, min_overlap=3, max_bucket=_JACCARD_MAX_BUCKET)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("a", "b")
+    )
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs, id_col="id"
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    rep = sizes.agg(
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clusters"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_clustered_docs"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removable"),
+        F.max("sz").cast("bigint").alias("largest_cluster"),
+    )
+    return n_docs.crossJoin(F.broadcast(rep)).select(
+        "n_docs",
+        "n_clusters",
+        "n_clustered_docs",
+        "n_removable",
+        "largest_cluster",
+        dround(
+            F.col("n_removable") * F.lit(1.0) / F.col("n_docs"), 6
+        ).alias("dedup_ratio"),
+    )

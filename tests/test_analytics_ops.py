@@ -550,3 +550,50 @@ def test_rfm_scores_partition_users_into_balanced_quintiles(spark):
             per[getattr(r, axis)] += r.n_users
         assert set(per) == {1, 2, 3, 4, 5}, (axis, per)
         assert max(per.values()) - min(per.values()) <= 1, (axis, per)
+
+
+def test_dedup_report_consistent_with_components(spark):
+    """The one-row report must recount dedup_components' own output:
+    clusters = size>1 components, removable = clustered - clusters."""
+    from collections import Counter
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    comp = registry()["dedup_components"].fn(spark, sf).collect()
+    sizes = Counter(r.component for r in comp)
+    big = {c: s for c, s in sizes.items() if s > 1}
+    rep = registry()["curation_dedup_report"].fn(spark, sf).collect()[0]
+    assert rep.n_clusters == len(big)
+    assert rep.n_clustered_docs == sum(big.values())
+    assert rep.n_removable == sum(big.values()) - len(big)
+    assert rep.largest_cluster == max(sizes.values())
+
+
+def test_bot_regularity_cv_replay(spark):
+    """Replay one user's gap CV in pure Python (integer seconds, the
+    ss - s^2/n identity) and compare against the query row."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = registry()["events_bot_regularity"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    r0 = sorted(rows, key=lambda r: r.user_id)[0]
+    es = [
+        int(x[0])
+        for x in duckdb.connect().execute(
+            "SELECT epoch_us(ts) // 1000000 FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet') "
+            f"WHERE user_id = {r0.user_id} ORDER BY 1"
+        ).fetchall()
+    ]
+    gaps = [b - a for a, b in zip(es, es[1:])]
+    n, s, ss = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    mean = s / n
+    cv = ((ss - s * s / n) / n) ** 0.5 / mean
+    assert r0.n_gaps == n
+    assert abs(r0.mean_gap_s - round(mean, 2)) < 0.011
+    assert abs(r0.cv - cv) < 1e-3
