@@ -1,8 +1,15 @@
-"""Round-6 wave 7: measurement, maintenance, and sampling families —
-windowFunnel (per-occurrence maximal stage depth), retraction-aware
-rollup IVM with scoped min/max repair, LSH dedup quality (precision /
-recall vs the exhaustive truth), information-gain feature scoring, and
-deterministic random-walk corpus sampling over the purchase graph.
+"""Round-6 waves 7-11: measurement, maintenance, and monitoring
+families — windowFunnel (per-occurrence maximal stage depth),
+retraction-aware rollup IVM with scoped min/max repair, LSH dedup
+quality (precision/recall vs the exhaustive truth), information-gain
+feature scoring, deterministic random-walk corpus sampling; (wave 8)
+bounded k-core peeling, the integer two-sample KS statistic,
+split-conformal prediction intervals, the seasonal-naive backtest,
+OOV-rate vocabulary coverage; (wave 9) relational division, the
+temporal anti-join, quantile normalization, the weighted median;
+(wave 10) Theil inequality decomposition and RFM segmentation;
+(wave 11) embedding centroid drift, the bot-regularity screen, and
+the corpus dedup report.
 
 Same discipline as the earlier waves: integer arithmetic wherever a
 sum feeds a compare, dround() on every emitted double, md5-integer
