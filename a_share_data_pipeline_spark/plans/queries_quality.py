@@ -1824,3 +1824,301 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_removable") * F.lit(1.0) / F.col("n_docs"), 6
         ).alias("dedup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities: mutual reinforcement on the bipartite graph
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 2
+
+
+def _hits_sql() -> str:
+    rounds = []
+    ph, pa = "h0", "a0"
+    for i in range(1, _HITS_ROUNDS + 1):
+        rounds.append(f"""
+ar{i} AS (
+  SELECT e.dst AS node, SUM(h.s) AS raw
+  FROM edges e JOIN {ph} h ON h.node = e.src GROUP BY e.dst
+),
+a{i} AS (
+  SELECT node, ROUND(raw / (SELECT SUM(raw) FROM ar{i}), 6) AS s FROM ar{i}
+),
+hr{i} AS (
+  SELECT e.src AS node, SUM(a.s) AS raw
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+),
+h{i} AS (
+  SELECT node, ROUND(raw / (SELECT SUM(raw) FROM hr{i}), 6) AS s FROM hr{i}
+)""")
+        ph, pa = f"h{i}", f"a{i}"
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT src AS node, 1.0 AS s FROM edges),
+{','.join(rounds)}
+SELECT node, 'hub' AS role, s AS score FROM {ph}
+UNION ALL
+SELECT node, 'authority', s FROM {pa}
+"""
+
+
+@register(
+    "graph_hits",
+    _hits_sql(),
+    doc=(
+        f"HITS hubs & authorities ({_HITS_ROUNDS} rounds) on the "
+        "DIRECTED customer->supplier purchase graph — the mutual-"
+        "reinforcement ranking PageRank's single random walk cannot "
+        "express, and the bipartite graph is its natural home "
+        "(customers score as hubs of good suppliers, suppliers as "
+        "authorities endorsed by good hubs). Each half-round is one "
+        "O(E) join + aggregate; scores L1-normalize and ROUND TO "
+        "1e-6 EVERY half-round (the graph_pagerank discipline — the "
+        "round re-synchronizes float state across engines, and the "
+        "normalizing sum is a broadcast 1-row aggregate). Rides the "
+        "shared int64 node bijection with string decode at the end; "
+        "the oracle unrolls the identical half-rounds as CTEs"
+    ),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_analytics import decode_purchase_node, purchase_iedges
+
+    edges = purchase_iedges(spark, sf_dir)
+    h = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("s")
+    )
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        ar = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        atot = ar.agg(F.sum("raw").alias("t"))
+        a = ar.crossJoin(F.broadcast(atot)).select(
+            "node", dround(F.col("raw") / F.col("t"), 6).alias("s")
+        ).localCheckpoint(eager=True)
+        hr = (
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        htot = hr.agg(F.sum("raw").alias("t"))
+        h = hr.crossJoin(F.broadcast(htot)).select(
+            "node", dround(F.col("raw") / F.col("t"), 6).alias("s")
+        ).localCheckpoint(eager=True)
+    return h.select(
+        decode_purchase_node("node").alias("node"),
+        F.lit("hub").alias("role"),
+        F.col("s").alias("score"),
+    ).unionByName(
+        a.select(
+            decode_purchase_node("node").alias("node"),
+            F.lit("authority").alias("role"),
+            F.col("s").alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: the rank-sum test in exact doubled integers
+# ---------------------------------------------------------------------------
+
+_MWU_SQL = """
+WITH s AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS g
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pv AS (
+  SELECT v,
+         SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS a1,
+         SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS a2
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT v, a1, a2, a1 + a2 AS t,
+         COALESCE(SUM(a1 + a2) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS cl,
+         SUM(a1) OVER () AS n1,
+         SUM(a2) OVER () AS n2
+  FROM pv
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(SUM(a1 * (2 * cl + t + 1)) - MAX(n1) * (MAX(n1) + 1)
+            AS BIGINT) AS u1_x2,
+       CAST(2 * MAX(n1) * MAX(n2)
+            - (SUM(a1 * (2 * cl + t + 1)) - MAX(n1) * (MAX(n1) + 1))
+            AS BIGINT) AS u2_x2,
+       ROUND((SUM(a1 * (2 * cl + t + 1)) - MAX(n1) * (MAX(n1) + 1))
+             / (2.0 * MAX(n1) * MAX(n2)), 6) AS auc
+FROM cum
+"""
+
+
+@register(
+    "stats_mann_whitney",
+    _MWU_SQL,
+    doc=(
+        "Mann-Whitney U (the rank-sum companion to stats_ks_test — "
+        "KS asks 'do the distributions differ anywhere', U asks 'is "
+        "one stochastically larger'): with ties handled by midranks, "
+        "DOUBLED ranks are integers — 2*midrank(v) = 2*count_less + "
+        "count_tied + 1 — so 2*R1, U1*2, U2*2 and the identity check "
+        "U1+U2 = n1*n2 are all exact int64; the only double is the "
+        "final AUC = U1/(n1*n2), which IS the probability a random "
+        "click value exceeds a random view value (the U/AUC "
+        "equivalence). Same reduce-first shape as KS: per-distinct-"
+        "value counts, one cumulative window over the merged "
+        "support, one aggregate"
+    ),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        dround(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(2).alias("g"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("a2"),
+    )
+    w_lt = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = pv.select(
+        "a1",
+        (F.col("a1") + F.col("a2")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("a1") + F.col("a2")).over(w_lt), F.lit(0)
+        ).alias("cl"),
+        F.sum("a1").over(w_all).alias("n1"),
+        F.sum("a2").over(w_all).alias("n2"),
+    )
+    r1x2 = F.sum(F.col("a1") * (2 * F.col("cl") + F.col("t") + 1))
+    u1x2 = r1x2 - F.max("n1") * (F.max("n1") + 1)
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        u1x2.cast("bigint").alias("u1_x2"),
+        (2 * F.max("n1") * F.max("n2") - u1x2).cast("bigint").alias("u2_x2"),
+        dround(u1x2 / (F.lit(2.0) * F.max("n1") * F.max("n2")), 6).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPC control chart: Western-Electric-style run rules over daily totals
+# ---------------------------------------------------------------------------
+
+_SPC_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, day, c,
+         SUM(c) OVER (PARTITION BY event_type) AS s,
+         SUM(c * c) OVER (PARTITION BY event_type) AS ss,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+z AS (
+  SELECT event_type, day,
+         ROUND((c - s * 1.0 / n) / SQRT((ss - s * s * 1.0 / n) / n), 4) AS z
+  FROM st
+),
+rules AS (
+  SELECT event_type, day, z,
+         CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END AS r1_beyond_3s,
+         CASE WHEN SUM(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+                OR SUM(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+              THEN 1 ELSE 0 END AS r2_two_of_three_2s,
+         CASE WHEN SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8
+                OR SUM(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 8
+              THEN 1 ELSE 0 END AS r3_eight_one_side
+  FROM z
+)
+SELECT event_type, day, z,
+       CAST(r1_beyond_3s AS INTEGER) AS r1_beyond_3s,
+       CAST(r2_two_of_three_2s AS INTEGER) AS r2_two_of_three_2s,
+       CAST(r3_eight_one_side AS INTEGER) AS r3_eight_one_side
+FROM rules
+"""
+
+
+@register(
+    "events_anomaly_spc",
+    _SPC_SQL,
+    doc=(
+        "SPC control chart with Western-Electric-style run rules — "
+        "the process-monitoring family beyond point anomalies "
+        "(events_anomaly's 3-sigma flags single points; run rules "
+        "catch SUSTAINED shifts a process drifts into without any "
+        "single point alarming): rule 1 = |z| > 3, rule 2 = two of "
+        "three consecutive beyond 2-sigma same side, rule 3 = eight "
+        "consecutive same side of center. z-scores derive from "
+        "exact integer sum / sum-of-squares (population sigma via "
+        "the ss - s^2/n identity) and ROUND TO 4dp FIRST; every "
+        "rule then evaluates counting windows over the ROUNDED z, "
+        "so rule decisions are bit-deterministic on both engines "
+        "(comparing unrounded floats at the 2.0/3.0 boundaries "
+        "would be fold-order fragile). All windows run over the "
+        "reduced per-day frame"
+    ),
+)
+def events_anomaly_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(dround(F.col("value") * 100, 0).cast("bigint")).alias("c"))
+    wt = W.partitionBy("event_type")
+    st = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(wt).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(wt).alias("ss"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    sd = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") * F.lit(1.0) / F.col("n"))
+        / F.col("n")
+    )
+    z = st.select(
+        "event_type", "day", dround((F.col("c") - mean) / sd, 4).alias("z")
+    )
+    w3 = wt.orderBy("day").rowsBetween(-2, W.currentRow)
+    w8 = wt.orderBy("day").rowsBetween(-7, W.currentRow)
+    hi2 = F.sum(F.when(F.col("z") > 2, 1).otherwise(0)).over(w3)
+    lo2 = F.sum(F.when(F.col("z") < -2, 1).otherwise(0)).over(w3)
+    hi0 = F.sum(F.when(F.col("z") > 0, 1).otherwise(0)).over(w8)
+    lo0 = F.sum(F.when(F.col("z") < 0, 1).otherwise(0)).over(w8)
+    return z.select(
+        "event_type",
+        "day",
+        "z",
+        F.when(F.abs(F.col("z")) > 3, 1).otherwise(0).cast("int").alias(
+            "r1_beyond_3s"
+        ),
+        F.when((hi2 >= 2) | (lo2 >= 2), 1).otherwise(0).cast("int").alias(
+            "r2_two_of_three_2s"
+        ),
+        F.when((hi0 == 8) | (lo0 == 8), 1).otherwise(0).cast("int").alias(
+            "r3_eight_one_side"
+        ),
+    )

@@ -597,3 +597,73 @@ def test_bot_regularity_cv_replay(spark):
     assert r0.n_gaps == n
     assert abs(r0.mean_gap_s - round(mean, 2)) < 0.011
     assert abs(r0.cv - cv) < 1e-3
+
+
+def test_hits_scores_sum_to_one_per_role(spark):
+    """After the final L1 normalization each role's scores must sum to
+    1 (within the 1e-6 per-node rounding), and every hub is a customer
+    node, every authority a supplier node."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = registry()["graph_hits"].fn(spark, "/root/testdata/sf0.001").collect()
+    for role, prefix in (("hub", "c"), ("authority", "s")):
+        part = [r for r in rows if r.role == role]
+        assert part and all(r.node.startswith(prefix) for r in part)
+        assert abs(sum(r.score for r in part) - 1.0) < 1e-3
+
+
+def test_mann_whitney_identities(spark):
+    """U1 + U2 = n1*n2 (doubled form), and AUC replayed in pure Python
+    from the raw values must match."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = registry()["stats_mann_whitney"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.u1_x2 + got.u2_x2 == 2 * got.n1 * got.n2
+    rows = duckdb.connect().execute(
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT), event_type "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet') "
+        "WHERE event_type IN ('click', 'view')"
+    ).fetchall()
+    s1 = [v for v, t in rows if t == "click"]
+    s2 = [v for v, t in rows if t == "view"]
+    wins = sum(
+        (1.0 if a > b else 0.5 if a == b else 0.0) for a in s1 for b in s2
+    )
+    assert abs(got.auc - wins / (len(s1) * len(s2))) < 1e-5
+
+
+def test_spc_rule2_fires_on_constructed_shift(spark, tmp_path):
+    """A series with two big spikes in three days must flag rule 2 on
+    the day the second spike lands even though neither point breaches
+    3-sigma on its own. With near-constant quiet days ANY two-spike
+    series puts the spikes at z = 3.74 (the z of 2-in-30 outliers is
+    configuration-fixed), so the quiet days alternate 95/105 to give
+    sigma a floor; spikes at 118 then sit at z ~ +2.56."""
+    import datetime as dt
+
+    vals = [95.0 if i % 2 else 105.0 for i in range(27)]
+    vals += [118.0, 100.0, 118.0]
+    rows = []
+    for i, v in enumerate(vals):
+        rows.append(
+            (i, dt.datetime(2024, 1, 1 + i % 28, 12, 0, 0)
+             + dt.timedelta(days=(i // 28) * 28), 1, "click", v, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    out = sorted(
+        registry()["events_anomaly_spc"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.day,
+    )
+    assert out[-1].r2_two_of_three_2s == 1, out[-3:]
+    assert all(r.r1_beyond_3s == 0 for r in out), "no single point should hit 3s"
