@@ -2122,3 +2122,165 @@ def events_anomaly_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r3_eight_one_side"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line open-interval counting: the difference-array pattern
+# ---------------------------------------------------------------------------
+
+_SWEEP_SQL = """
+WITH iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + INTERVAL (o_orderkey % 30) DAY AS e
+  FROM orders
+),
+deltas AS (
+  SELECT s AS day, 1 AS d FROM iv
+  UNION ALL
+  SELECT CAST(e AS DATE) + INTERVAL 1 DAY, -1 FROM iv
+),
+byday AS (
+  SELECT CAST(day AS DATE) AS day, SUM(d) AS net FROM deltas GROUP BY 1
+)
+SELECT day, CAST(SUM(net) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+FROM byday
+"""
+
+
+@register(
+    "events_interval_open_counts",
+    _SWEEP_SQL,
+    doc=(
+        "sweep-line open-interval counting (orders open from "
+        "placement through a deterministic orderkey-derived "
+        "fulfillment date, inclusive): how many intervals cover each "
+        "day — the backlog burn-down / concurrent-sessions / "
+        "occupancy readout. THE difference-array pattern: each "
+        "interval contributes +1 at its start and -1 the day AFTER "
+        "its end, one aggregate nets the deltas per day, one "
+        "cumulative window over the reduced per-day frame "
+        "reconstructs the coverage — O(n + change points), where the "
+        "naive interval⋈calendar join (the join_interval_overlap "
+        "shape pointed at a calendar) is O(n·duration) rows; at "
+        "100 TB with long-lived intervals the difference array is "
+        "the only viable plan. The output is the step function's "
+        "CHANGE POINTS (a row only where the count changes; the "
+        "value holds until the next row — densifying against a "
+        "calendar is exactly the join this pattern exists to avoid, "
+        "and the step-lookup contract is tested). Integer +1/-1 "
+        "deltas: bit-exact everywhere"
+    ),
+)
+def events_interval_open_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30).cast("int"),
+        ).alias("e"),
+    )
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.date_add(F.col("e"), 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    byday = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return byday.select(
+        "day", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: the two-group two-period causal estimator
+# ---------------------------------------------------------------------------
+
+_DID_SQL = """
+WITH base AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+         CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 'post'
+              ELSE 'pre' END AS period,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT grp, period, COUNT(*) AS n, SUM(c) AS s FROM base GROUP BY 1, 2
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN grp = 'treat' AND period = 'post' THEN s * 1.0 / n END) AS tp,
+    MAX(CASE WHEN grp = 'treat' AND period = 'pre' THEN s * 1.0 / n END) AS tr,
+    MAX(CASE WHEN grp = 'control' AND period = 'post' THEN s * 1.0 / n END) AS cp,
+    MAX(CASE WHEN grp = 'control' AND period = 'pre' THEN s * 1.0 / n END) AS cr,
+    SUM(n) AS n_total
+  FROM cells
+)
+SELECT ROUND((tp - tr) / 100.0, 4) AS treat_delta,
+       ROUND((cp - cr) / 100.0, 4) AS control_delta,
+       ROUND(((tp - tr) - (cp - cr)) / 100.0, 4) AS did,
+       CAST(n_total AS BIGINT) AS n_obs
+FROM w
+"""
+
+
+@register(
+    "stats_diff_in_diff",
+    _DID_SQL,
+    doc=(
+        "difference-in-differences (the workhorse two-group x "
+        "two-period causal estimator): treatment split by user "
+        "parity, periods split at the corpus midpoint, DiD = "
+        "(treat_post - treat_pre) - (control_post - control_pre) — "
+        "the control group's trend nets out the secular drift a "
+        "naive before/after comparison absorbs (on this synthetic "
+        "corpus the true effect is ~0, which is the right null "
+        "readout and exactly what the parallel-trends assumption "
+        "predicts for a parity split). Each cell mean is an exact "
+        "integer-cents sum over one hash aggregation of the "
+        "type-pruned scan divided once; the four cells pivot via "
+        "conditional MAX on a 4-row frame. Pair with stats_ab_test "
+        "(z on levels) and forecast_conformal (uncertainty) for the "
+        "experimentation read-stack"
+    ),
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "treat").otherwise("control").alias(
+            "grp"
+        ),
+        F.when(
+            F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"), "post"
+        )
+        .otherwise("pre")
+        .alias("period"),
+        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    cells = base.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+
+    def cell(g: str, p: str) -> "F.Column":
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p),
+                F.col("s") * F.lit(1.0) / F.col("n"),
+            )
+        )
+
+    w = cells.agg(
+        cell("treat", "post").alias("tp"),
+        cell("treat", "pre").alias("tr"),
+        cell("control", "post").alias("cp"),
+        cell("control", "pre").alias("cr"),
+        F.sum("n").alias("n_total"),
+    )
+    return w.select(
+        dround((F.col("tp") - F.col("tr")) / 100.0, 4).alias("treat_delta"),
+        dround((F.col("cp") - F.col("cr")) / 100.0, 4).alias("control_delta"),
+        dround(
+            ((F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))) / 100.0,
+            4,
+        ).alias("did"),
+        F.col("n_total").cast("bigint").alias("n_obs"),
+    )

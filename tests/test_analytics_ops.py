@@ -667,3 +667,70 @@ def test_spc_rule2_fires_on_constructed_shift(spark, tmp_path):
     )
     assert out[-1].r2_two_of_three_2s == 1, out[-3:]
     assert all(r.r1_beyond_3s == 0 for r in out), "no single point should hit 3s"
+
+
+def test_sweep_line_matches_naive_interval_count(spark):
+    """The difference-array coverage must equal the naive per-day
+    'count intervals covering this day' (inclusive ends), replayed in
+    pure Python from the raw orders."""
+    import datetime as dt
+    from collections import Counter
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(o_orderdate AS DATE), o_orderkey % 30 "
+        "FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchall()
+    cover = Counter()
+    for s, dur in rows:
+        for i in range(int(dur) + 1):
+            cover[s + dt.timedelta(days=i)] += 1
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        r.day: r.open_orders
+        for r in registry()["events_interval_open_counts"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    # the output is the STEP FUNCTION's change points (rows only on
+    # delta days; the value holds until the next row) — check every
+    # emitted day exactly, and every covered day via step lookup
+    for day, n in got.items():
+        assert cover.get(day, 0) == n, (day, n, cover.get(day, 0))
+    emitted = sorted(got)
+    import bisect
+
+    for day, n in cover.items():
+        i = bisect.bisect_right(emitted, day) - 1
+        assert i >= 0 and got[emitted[i]] == n, (day, n)
+
+
+def test_did_nets_out_common_trend(spark, tmp_path):
+    """Constructed fixture: both groups drift +10 post; treatment adds
+    +5 on top. The naive treat delta reads 15; DiD must read exactly
+    5.00."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for u in range(20):
+        grp_treat = u % 2 == 0
+        for period, day in (("pre", 5), ("post", 25)):
+            v = 100.0 + (10.0 if period == "post" else 0.0)
+            if grp_treat and period == "post":
+                v += 5.0
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 12), u, "purchase", v, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    [r] = registry()["stats_diff_in_diff"].fn(spark, str(tmp_path)).collect()
+    assert r.treat_delta == 15.0 and r.control_delta == 10.0 and r.did == 5.0
