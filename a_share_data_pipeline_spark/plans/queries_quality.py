@@ -2284,3 +2284,275 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did"),
         F.col("n_total").cast("bigint").alias("n_obs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation in exact doubled-rank integers
+# ---------------------------------------------------------------------------
+
+_SPEAR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'view'
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS xv,
+         SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS yv
+  FROM events GROUP BY 1
+),
+mid AS (
+  SELECT day, xv, yv,
+         2 * (SELECT COUNT(*) FROM daily d2 WHERE d2.xv < d.xv)
+           + (SELECT COUNT(*) FROM daily d2 WHERE d2.xv = d.xv) + 1 AS x2,
+         2 * (SELECT COUNT(*) FROM daily d2 WHERE d2.yv < d.yv)
+           + (SELECT COUNT(*) FROM daily d2 WHERE d2.yv = d.yv) + 1 AS y2
+  FROM daily d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND((COUNT(*) * SUM(x2 * y2) - SUM(x2) * SUM(y2)) /
+             (SQRT(COUNT(*) * SUM(x2 * x2) - SUM(x2) * SUM(x2)) *
+              SQRT(COUNT(*) * SUM(y2 * y2) - SUM(y2) * SUM(y2))), 4)
+         AS spearman_rho
+FROM mid
+"""
+
+
+@register(
+    "agg_spearman_corr",
+    _SPEAR_SQL,
+    doc=(
+        "Spearman rank correlation between daily view and purchase "
+        "totals — the monotone-association companion to agg_stats' "
+        "Pearson corr (outlier-robust, invariant to any monotone "
+        "rescaling): values convert to DOUBLED midranks (2*midrank = "
+        "2*count_less + count_tied + 1, the stats_mann_whitney "
+        "integer-tie trick), so every Pearson sum over the ranks "
+        "(sum x2, x2*y2, x2^2 ...) is exact int64 and rho emerges "
+        "from ONE double expression at the end — no float rank, no "
+        "fold-order exposure. Runs over the reduced per-day frame; "
+        "at scale the midranks come from the same cumulative-count "
+        "reduction KS and U use instead of per-row count subqueries"
+    ),
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = dround(F.col("value") * 100, 0).cast("bigint")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0)).alias(
+            "xv"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("yv"),
+    )
+
+    # 2*midrank = 2*count_less + count_tied + 1; rank() returns
+    # 1 + count_less, so 2*rank(value) - 1 + count_tied gives the
+    # doubled midrank directly (ties share a rank() value)
+    ranked = daily.select(
+        (
+            2 * F.rank().over(W.orderBy("xv"))
+            - 1
+            + F.count(F.lit(1)).over(W.partitionBy("xv"))
+        ).alias("x2"),
+        (
+            2 * F.rank().over(W.orderBy("yv"))
+            - 1
+            + F.count(F.lit(1)).over(W.partitionBy("yv"))
+        ).alias("y2"),
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x2"), F.sum("y2")
+    sxy = F.sum(F.col("x2") * F.col("y2"))
+    sxx = F.sum(F.col("x2") * F.col("x2"))
+    syy = F.sum(F.col("y2") * F.col("y2"))
+    return ranked.agg(
+        n.cast("bigint").alias("n_days"),
+        dround(
+            (n * sxy - sx * sy)
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            ),
+            4,
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# ---------------------------------------------------------------------------
+
+_JSD_SRC_A = "src0"
+_JSD_SRC_B = "src1"
+
+_JSD_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE source IN ('{_JSD_SRC_A}', '{_JSD_SRC_B}')
+),
+cnt AS (
+  SELECT w,
+         SUM(CASE WHEN source = '{_JSD_SRC_A}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN source = '{_JSD_SRC_B}' THEN 1 ELSE 0 END) AS cb
+  FROM tok GROUP BY w
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM cnt),
+terms AS (
+  SELECT
+    CASE WHEN ca > 0 THEN ca * (
+      CAST(ROUND(LN(2.0 * ca * nb) * 100000000, 0) AS BIGINT)
+      - CAST(ROUND(LN(ca * nb + cb * na) * 100000000, 0) AS BIGINT)
+    ) ELSE 0 END AS ta,
+    CASE WHEN cb > 0 THEN cb * (
+      CAST(ROUND(LN(2.0 * cb * na) * 100000000, 0) AS BIGINT)
+      - CAST(ROUND(LN(ca * nb + cb * na) * 100000000, 0) AS BIGINT)
+    ) ELSE 0 END AS tb,
+    na, nb
+  FROM cnt CROSS JOIN tot
+)
+SELECT CAST(MAX(na) AS BIGINT) AS n_tokens_a,
+       CAST(MAX(nb) AS BIGINT) AS n_tokens_b,
+       ROUND((SUM(ta) * 1.0 / MAX(na) + SUM(tb) * 1.0 / MAX(nb))
+             / (2 * 100000000.0 * LN(2.0)), 6) AS jsd_bits
+FROM terms
+"""
+
+
+@register(
+    "text_js_divergence",
+    _JSD_SQL,
+    doc=(
+        f"Jensen-Shannon divergence between the '{_JSD_SRC_A}' and "
+        f"'{_JSD_SRC_B}' unigram distributions, in bits — the "
+        "SYMMETRIC, always-finite corpus-distance (KL explodes on "
+        "any token one side lacks; JSD's mixture midpoint never "
+        "does), the standard answer to 'how different are these two "
+        "sources before I mix them'. The log-ratio trick keeps it "
+        "integer-exact: each term p_a*ln(2*p_a/(p_a+p_b)) rewrites "
+        "over COUNTS as ca*(ln(2*ca*nb) - ln(ca*nb + cb*na)) — "
+        "denominators cancel — with each ln rounded once to integer "
+        "1e-8 units (the profile_information_gain discipline), so "
+        "both engines sum identical integers and divide once at the "
+        "end. One token-count aggregation, one broadcast total, one "
+        "reduce; JSD is bounded in [0, 1] bit, emitted at 6dp"
+    ),
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.col("source").isin(_JSD_SRC_A, _JSD_SRC_B)).select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == _JSD_SRC_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == _JSD_SRC_B, 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+
+    def iln8(col: "F.Column") -> "F.Column":
+        return dround(F.log(col) * 100000000, 0).cast("bigint")
+
+    mix = iln8(F.col("ca") * F.col("nb") + F.col("cb") * F.col("na"))
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("ca") > 0,
+            F.col("ca") * (iln8(F.lit(2.0) * F.col("ca") * F.col("nb")) - mix),
+        )
+        .otherwise(0)
+        .alias("ta"),
+        F.when(
+            F.col("cb") > 0,
+            F.col("cb") * (iln8(F.lit(2.0) * F.col("cb") * F.col("na")) - mix),
+        )
+        .otherwise(0)
+        .alias("tb"),
+        "na",
+        "nb",
+    )
+    import math as _m
+
+    return terms.agg(
+        F.max("na").cast("bigint").alias("n_tokens_a"),
+        F.max("nb").cast("bigint").alias("n_tokens_b"),
+        dround(
+            (
+                F.sum("ta") * F.lit(1.0) / F.max("na")
+                + F.sum("tb") * F.lit(1.0) / F.max("nb")
+            )
+            / F.lit(2 * 100000000.0 * _m.log(2.0)),
+            6,
+        ).alias("jsd_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown: the prefix-max identity in integer cents
+# ---------------------------------------------------------------------------
+
+_MDD_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+eq AS (
+  SELECT event_type, day,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS equity
+  FROM daily
+),
+dd AS (
+  SELECT event_type, day, equity,
+         MAX(equity) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS peak
+  FROM eq
+)
+SELECT event_type,
+       CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_c,
+       ROUND(MAX(peak - equity) / 100.0, 2) AS max_drawdown,
+       ROUND(MAX((peak - equity) * 1.0 / peak), 6) AS max_drawdown_frac
+FROM dd GROUP BY event_type
+"""
+
+
+@register(
+    "events_max_drawdown",
+    _MDD_SQL,
+    doc=(
+        "maximum drawdown of the cumulative daily value curve per "
+        "event_type — the risk metric behind the CUSUM identity "
+        "(events_cusum_changepoint documents s = P - min-prefix; "
+        "drawdown is the mirror: max over days of prefix-MAX minus "
+        "current equity): two cumulative windows (running sum, "
+        "running max of it) over the reduced per-day frame, then one "
+        "aggregate. Integer cents throughout — the only doubles are "
+        "the emitted dollar value and the peak-relative fraction, "
+        "each one division. The fraction's per-row division is safe "
+        "on both engines because peak is a positive int64 (first "
+        "day's equity > 0 on this corpus) and the ROUND happens "
+        "after the MAX of exactly-equal doubles"
+    ),
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(dround(F.col("value") * 100, 0).cast("bigint")).alias("v"))
+    wc = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    eq = daily.select(
+        "event_type", "day", F.sum("v").over(wc).alias("equity")
+    )
+    dd = eq.select(
+        "event_type",
+        "equity",
+        F.max("equity").over(wc).alias("peak"),
+    )
+    gap = F.col("peak") - F.col("equity")
+    return dd.groupBy("event_type").agg(
+        F.max(gap).cast("bigint").alias("max_drawdown_c"),
+        dround(F.max(gap) / 100.0, 2).alias("max_drawdown"),
+        dround(F.max(gap * F.lit(1.0) / F.col("peak")), 6).alias(
+            "max_drawdown_frac"
+        ),
+    )

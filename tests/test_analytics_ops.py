@@ -734,3 +734,100 @@ def test_did_nets_out_common_trend(spark, tmp_path):
 
     [r] = registry()["stats_diff_in_diff"].fn(spark, str(tmp_path)).collect()
     assert r.treat_delta == 15.0 and r.control_delta == 10.0 and r.did == 5.0
+
+
+def test_spearman_matches_pure_python_midranks(spark):
+    """Replay rho in pure Python with textbook midranks from the raw
+    daily totals."""
+    import duckdb
+
+    rows = duckdb.connect().execute("""
+SELECT SUM(CASE WHEN event_type = 'view'
+       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END),
+       SUM(CASE WHEN event_type = 'purchase'
+       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+GROUP BY CAST(ts AS DATE)
+""").fetchall()
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+
+    def midranks(vs):
+        return [
+            (sum(1 for u in vs if u < v) + (sum(1 for u in vs if u <= v) + 1))
+            / 2.0
+            for v in vs
+        ]
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+    )
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = registry()["agg_spearman_corr"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert got.n_days == n
+    assert abs(got.spearman_rho - rho) < 1e-3
+
+
+def test_jsd_identical_halves_is_zero_and_bounded(spark, tmp_path):
+    """JSD of a corpus against itself must be 0; on the real corpus it
+    must land in [0, 1] bit."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    real = registry()["text_js_divergence"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0.0 <= real.jsd_bits <= 1.0
+    rows = [
+        (1, "the quick brown fox", "en", "src0", 19),
+        (2, "the quick brown fox", "en", "src1", 19),
+        (3, "jumps over the dog", "en", "src0", 18),
+        (4, "jumps over the dog", "en", "src1", 18),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    same = registry()["text_js_divergence"].fn(spark, str(tmp_path)).collect()[0]
+    assert same.jsd_bits == 0.0
+
+
+def test_max_drawdown_matches_pure_python(spark):
+    """Replay peak-minus-equity in pure Python from the raw parquet."""
+    import duckdb
+
+    rows = duckdb.connect().execute("""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+GROUP BY 1, 2 ORDER BY 1, 2
+""").fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for t, _, v in rows:
+        series[t].append(v)
+    want = {}
+    for t, vs in series.items():
+        eq = peak = mdd = 0
+        for v in vs:
+            eq += v
+            peak = max(peak if want else peak, peak, eq)
+            mdd = max(mdd, peak - eq)
+        want[t] = mdd
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        r.event_type: r.max_drawdown_c
+        for r in registry()["events_max_drawdown"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
