@@ -1027,6 +1027,27 @@ SELECT doc_id, component, n_chars FROM ranked WHERE rn = 1
 """
 
 
+def components_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, component) over the jaccard>=0.05 pair graph — THE dedup
+    clustering frame, shared by dedup_components (the full map) and
+    queries_quality.curation_dedup_report (its one-row summary) so the
+    0.05 / min_overlap=3 / hot-bucket thresholds live in exactly one
+    place; the SQL twins share _COMPONENTS_CTE the same way."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    # lazy localCheckpoint: see dedup_components' measured rationale
+    shingled = D.exploded_shingles(docs).localCheckpoint(eager=False)
+    pairs = (
+        D.pair_jaccard(shingled, min_overlap=3, max_bucket=_JACCARD_MAX_BUCKET)
+        .filter(F.col("jaccard") >= 0.05)
+        .select("a", "b")
+    )
+    return connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs, id_col="id"
+    )
+
+
 @register(
     "dedup_components",
     _COMPONENTS_SQL,
@@ -1042,24 +1063,7 @@ SELECT doc_id, component, n_chars FROM ranked WHERE rn = 1
     ),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    # the exploded shingle set feeds BOTH passes inside pair_jaccard
-    # (per-doc counts + the bucket-pair intersection) — materialize it
-    # once; localCheckpoint, not persist — see dedup_minhash_lsh.
-    # Lazy is kept HERE: the cold A/B is a wash (lazy 2.98s min/3.78
-    # mean vs eager 3.45/3.61) because the graph loop's per-round
-    # eager checkpoints already serialize the consumers.
-    shingled = D.exploded_shingles(docs).localCheckpoint(eager=False)
-    pairs = (
-        D.pair_jaccard(shingled, min_overlap=3, max_bucket=_JACCARD_MAX_BUCKET)
-        .filter(F.col("jaccard") >= 0.05)
-        .select("a", "b")
-    )
-    comp = connected_components(
-        docs.select(F.col("doc_id").alias("id")), pairs, id_col="id"
-    )
+    comp = components_frame(spark, sf_dir)
     return comp.select(
         F.col("id").alias("doc_id"),
         "component",

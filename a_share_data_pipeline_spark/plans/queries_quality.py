@@ -1679,8 +1679,11 @@ st AS (
 )
 SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
        ROUND(s * 1.0 / n, 2) AS mean_gap_s,
-       ROUND(SQRT((ss - s * s * 1.0 / n) / n) / (s * 1.0 / n), 4) AS cv,
-       CAST(CASE WHEN SQRT((ss - s * s * 1.0 / n) / n) / (s * 1.0 / n) < 0.3
+       CASE WHEN s = 0 THEN NULL
+            ELSE ROUND(SQRT((ss - s * s * 1.0 / n) / n) / (s * 1.0 / n), 4)
+       END AS cv,
+       CAST(CASE WHEN s > 0
+                  AND SQRT((ss - s * s * 1.0 / n) / n) / (s * 1.0 / n) < 0.3
             THEN 1 ELSE 0 END AS INTEGER) AS bot_like
 FROM st
 """
@@ -1709,8 +1712,11 @@ FROM st
 )
 def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # floor division, not truncating cast — matches DuckDB's // on
+    # pre-epoch timestamps with sub-second remainders
     ue = ev.select(
-        "user_id", (F.unix_micros("ts") / 1000000).cast("bigint").alias("es")
+        "user_id",
+        F.floor(F.unix_micros("ts") / 1000000).cast("bigint").alias("es"),
     )
     gaps = ue.select(
         "user_id",
@@ -1731,12 +1737,17 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("s") * F.lit(1.0) / F.col("n")
     sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") * F.lit(1.0) / F.col("n")) / F.col("n"))
     cv = sd / mean
+    # NULL cv when every gap is zero (mean 0: all events share one
+    # timestamp) — Spark ANSI would throw where DuckDB returns NULL
     return st.select(
         "user_id",
         F.col("n").cast("bigint").alias("n_gaps"),
         dround(mean, 2).alias("mean_gap_s"),
-        dround(cv, 4).alias("cv"),
-        F.when(cv < 0.3, 1).otherwise(0).cast("int").alias("bot_like"),
+        F.when(F.col("s") != 0, dround(cv, 4)).alias("cv"),
+        F.when((F.col("s") > 0) & (cv < 0.3), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("bot_like"),
     )
 
 
@@ -1786,20 +1797,10 @@ FROM sizes
     ),
 )
 def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as D
-    from ..operators.graph import connected_components
-    from .queries_llm import _JACCARD_MAX_BUCKET
+    from .queries_llm import components_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    shingled = D.exploded_shingles(docs).localCheckpoint(eager=False)
-    pairs = (
-        D.pair_jaccard(shingled, min_overlap=3, max_bucket=_JACCARD_MAX_BUCKET)
-        .filter(F.col("jaccard") >= 0.05)
-        .select("a", "b")
-    )
-    comp = connected_components(
-        docs.select(F.col("doc_id").alias("id")), pairs, id_col="id"
-    )
+    comp = components_frame(spark, sf_dir)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     rep = sizes.agg(
@@ -2030,7 +2031,9 @@ st AS (
 ),
 z AS (
   SELECT event_type, day,
-         ROUND((c - s * 1.0 / n) / SQRT((ss - s * s * 1.0 / n) / n), 4) AS z
+         CASE WHEN ss - s * s * 1.0 / n = 0 THEN NULL
+              ELSE ROUND((c - s * 1.0 / n) /
+                         SQRT((ss - s * s * 1.0 / n) / n), 4) END AS z
   FROM st
 ),
 rules AS (
@@ -2099,8 +2102,16 @@ def events_anomaly_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ss") - F.col("s") * F.col("s") * F.lit(1.0) / F.col("n"))
         / F.col("n")
     )
+    # NULL z on a zero-variance series on BOTH engines (Spark ANSI
+    # throws on /0 where DuckDB returns NULL — the stats_ab_test guard)
     z = st.select(
-        "event_type", "day", dround((F.col("c") - mean) / sd, 4).alias("z")
+        "event_type",
+        "day",
+        F.when(
+            F.col("ss") - F.col("s") * F.col("s") * F.lit(1.0) / F.col("n")
+            != 0,
+            dround((F.col("c") - mean) / sd, 4),
+        ).alias("z"),
     )
     w3 = wt.orderBy("day").rowsBetween(-2, W.currentRow)
     w8 = wt.orderBy("day").rowsBetween(-7, W.currentRow)
@@ -2141,6 +2152,7 @@ deltas AS (
 ),
 byday AS (
   SELECT CAST(day AS DATE) AS day, SUM(d) AS net FROM deltas GROUP BY 1
+  HAVING SUM(d) <> 0
 )
 SELECT day, CAST(SUM(net) OVER (ORDER BY day
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
@@ -2184,7 +2196,12 @@ def events_interval_open_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionByName(
         iv.select(F.date_add(F.col("e"), 1).alias("day"), F.lit(-1).alias("d"))
     )
-    byday = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    # net-zero days (equal starts and ends) are not change points —
+    # dropping them before the cumulative sum changes no later value
+    # and keeps the documented change-points-only contract exact
+    byday = deltas.groupBy("day").agg(F.sum("d").alias("net")).filter(
+        F.col("net") != 0
+    )
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     return byday.select(
         "day", F.sum("net").over(w).cast("bigint").alias("open_orders")

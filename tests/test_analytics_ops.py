@@ -508,7 +508,6 @@ def test_theil_decomposition_is_additive(spark):
 
     import duckdb
 
-    rows = registry_rows = None
     from a_share_data_pipeline_spark.plans.catalog import registry
 
     rows = registry()["agg_theil_decomposition"].fn(
@@ -816,10 +815,12 @@ GROUP BY 1, 2 ORDER BY 1, 2
         series[t].append(v)
     want = {}
     for t, vs in series.items():
-        eq = peak = mdd = 0
+        eq = 0
+        peak = None
+        mdd = 0
         for v in vs:
             eq += v
-            peak = max(peak if want else peak, peak, eq)
+            peak = eq if peak is None else max(peak, eq)
             mdd = max(mdd, peak - eq)
         want[t] = mdd
     from a_share_data_pipeline_spark.plans.catalog import registry
