@@ -2573,3 +2573,423 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function in exact n²-scaled integers (wave 15)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ser AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, c FROM daily),
+tot AS (SELECT COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss FROM ser),
+ks AS (SELECT range AS k FROM range(1, {_ACF_MAX_LAG + 1})),
+terms AS (
+  SELECT ks.k,
+         SUM(a.c * b.c) AS sxy,
+         SUM(a.c) AS sh,
+         SUM(b.c) AS st
+  FROM ks JOIN ser a ON a.t > ks.k JOIN ser b ON b.t = a.t - ks.k
+  GROUP BY ks.k
+)
+SELECT CAST(t.k AS INTEGER) AS lag,
+       CAST(tot.n - t.k AS BIGINT) AS n_pairs,
+       CASE WHEN tot.n * tot.ss - tot.s * tot.s <> 0 THEN
+         ROUND((tot.n * tot.n * t.sxy - tot.n * tot.s * (t.sh + t.st)
+                + (tot.n - t.k) * tot.s * tot.s) * 1.0
+               / (tot.n * (tot.n * tot.ss - tot.s * tot.s)), 6)
+       END AS acf
+FROM terms t CROSS JOIN tot
+"""
+
+
+@register(
+    "events_autocorrelation",
+    _ACF_SQL,
+    doc=(
+        f"autocorrelation function of the daily purchase-count series "
+        f"at lags 1..{_ACF_MAX_LAG} — the lag-structure diagnostic "
+        "that motivates events_seasonal_decompose's period choice and "
+        "forecast_backtest_smape's seasonal-naive baseline: the "
+        "mean-centered lag-k product sum rewrites as n²·Σ(x_t·x_(t-k)) "
+        "− n·S·(head+tail sums) + (n−k)·S², so every term is exact "
+        "int64 over integer day-counts and acf emerges from ONE "
+        "double division per lag (the agg_spearman_corr device). One "
+        "window pass computes all lag columns (row_number + lag 1..k "
+        "share a single O(days) sort), one aggregation produces the "
+        "cross-lag sums, and a stack() unpivot emits the lag rows — "
+        "reduce-first: events collapse to the per-day frame before "
+        "any window. Zero-variance series yields NULL acf on both "
+        "engines instead of an ANSI divide-by-zero"
+    ),
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # O(days) frame: the single-partition window is over the reduced
+    # series, the events_cumulative_uniques posture
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "c", *[F.lag("c", k).over(w).alias(f"l{k}") for k in range(1, _ACF_MAX_LAG + 1)]
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    ]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(F.col("c") * lk).alias(f"sxy{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("c"))).alias(f"sh{k}"),
+            F.sum(lk).alias(f"st{k}"),
+        ]
+    one = lagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}, sxy{k}, sh{k}, st{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    rows = one.select(
+        "n",
+        "s",
+        "ss",
+        F.expr(
+            f"stack({_ACF_MAX_LAG}, {stack_args}) AS (k, sxy, sh, st)"
+        ),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    k, sxy = F.col("k"), F.col("sxy")
+    num = n * n * sxy - n * s * (F.col("sh") + F.col("st")) + (n - k) * s * s
+    den = n * (n * ss - s * s)
+    return rows.select(
+        k.cast("int").alias("lag"),
+        (n - k).cast("bigint").alias("n_pairs"),
+        F.when(n * ss - s * s != 0, dround(num * F.lit(1.0) / den, 6)).alias(
+            "acf"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (wave 15)
+# ---------------------------------------------------------------------------
+
+_TE_SQL = """
+WITH t AS (
+  SELECT o_orderkey, c_mktsegment AS seg,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (
+  SELECT o_orderkey, seg, cents,
+         SUM(cents) OVER (PARTITION BY seg) AS s,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM t
+)
+SELECT o_orderkey, seg,
+       ROUND(cents / 100.0, 2) AS price,
+       CASE WHEN n > 1
+            THEN ROUND((s - cents) / ((n - 1) * 100.0), 4)
+       END AS loo_mean_price
+FROM g
+"""
+
+
+@register(
+    "feature_target_encoding",
+    _TE_SQL,
+    doc=(
+        "leave-one-out target encoding of the customer market segment "
+        "against order value — the categorical-feature encoder beside "
+        "feature_discretize/winsorize/quantile_normalize: each row is "
+        "encoded as (segment_sum − own_value)/(segment_count − 1), so "
+        "the encoding never leaks the row's own target (the "
+        "train-time leakage the split_leakage_safe family guards at "
+        "corpus level, here at feature level). Sums are exact int64 "
+        "cents accumulated by an UNORDERED partition window (no sort "
+        "— one hash shuffle on segment), the per-row encode is "
+        "map-only, and the single double division happens last; "
+        "singleton segments emit NULL instead of an ANSI /0. The "
+        "customer dim broadcasts into the fact scan"
+    ),
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    t = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        dround(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wseg = W.partitionBy("seg")
+    g = t.select(
+        "o_orderkey",
+        "seg",
+        "cents",
+        F.sum("cents").over(wseg).alias("s"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    return g.select(
+        "o_orderkey",
+        "seg",
+        dround(F.col("cents") / 100.0, 2).alias("price"),
+        F.when(
+            F.col("n") > 1,
+            dround(
+                (F.col("s") - F.col("cents"))
+                / ((F.col("n") - 1) * F.lit(100.0)),
+                4,
+            ),
+        ).alias("loo_mean_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / Jaccard scores on non-edges (wave 15)
+# ---------------------------------------------------------------------------
+
+_LP_MAX_DEGREE = 200  # same hot-node guard as graph_triangles: a
+# d-degree node opens O(d^2) wedges
+_LP_TOP = 20
+
+_LP_SQL = f"""
+WITH keyed AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] || '|' ||
+           CAST(CAST(FLOOR(length(p_name) / 4.0) AS BIGINT) AS VARCHAR) AS blk
+  FROM part
+),
+rawpairs AS (
+  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+deg0 AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT ka AS node FROM rawpairs UNION ALL SELECT kb FROM rawpairs
+  ) GROUP BY node
+),
+ok AS (SELECT node FROM deg0 WHERE d <= {_LP_MAX_DEGREE}),
+pairs AS (
+  SELECT ka, kb FROM rawpairs
+  JOIN ok oa ON oa.node = rawpairs.ka
+  JOIN ok ob ON ob.node = rawpairs.kb
+),
+adj AS (
+  SELECT ka AS src, kb AS dst FROM pairs
+  UNION ALL SELECT kb, ka FROM pairs
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM adj GROUP BY src),
+cand AS (
+  SELECT a1.dst AS a, a2.dst AS c, COUNT(*) AS cn
+  FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT cand.a, cand.c, cand.cn FROM cand
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p WHERE p.ka = cand.a AND p.kb = cand.c
+  )
+)
+SELECT n.a AS node_a, n.c AS node_b,
+       CAST(n.cn AS BIGINT) AS common_neighbors,
+       CAST(da.d + dc.d - n.cn AS BIGINT) AS union_size,
+       ROUND(n.cn * 1.0 / (da.d + dc.d - n.cn), 4) AS jaccard
+FROM nonadj n
+JOIN deg da ON da.node = n.a
+JOIN deg dc ON dc.node = n.c
+ORDER BY common_neighbors DESC, node_a, node_b LIMIT {_LP_TOP}
+"""
+
+
+@register(
+    "graph_link_prediction",
+    _LP_SQL,
+    doc=(
+        "link prediction over the blocked-similarity part graph — the "
+        "missing-edge scorer beside the existing graph analytics (CC "
+        "finds what IS connected; this ranks what is NOT yet "
+        "connected but should be): candidate non-edges materialize "
+        "through the same oriented wedge join graph_triangles uses "
+        "(adj self-join on the shared middle node, a < c so each "
+        "unordered pair counts once), scored by common-neighbor count "
+        "and neighborhood Jaccard |N(a)∩N(c)| / (deg a + deg c − "
+        "|∩|) — exact integers until one final double division (the "
+        "Adamic-Adar Σ1/log(deg) variant is deliberately avoided: a "
+        "float SUM's fold order is engine-dependent). Existing edges "
+        "drop via an anti-join, the hot-node cap bounds wedge fan-out "
+        "BEFORE the self-join (mirrored in the oracle), and output is "
+        f"the deterministic top-{_LP_TOP} (cn desc, node ids) via "
+        "TakeOrdered — never the full candidate set"
+    ),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_profile import join_fuzzy_blocked
+
+    pairs_raw = join_fuzzy_blocked(spark, sf_dir).select(
+        F.col("key_a").alias("ka"), F.col("key_b").alias("kb")
+    )
+    deg0 = (
+        pairs_raw.select(F.col("ka").alias("node"))
+        .unionByName(pairs_raw.select(F.col("kb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ok = deg0.filter(F.col("d") <= _LP_MAX_DEGREE).select("node")
+    pairs = (
+        pairs_raw.join(ok.withColumnRenamed("node", "ka"), "ka")
+        .join(ok.withColumnRenamed("node", "kb"), "kb")
+        .select("ka", "kb")
+        .localCheckpoint(eager=True)  # consumers: adj (×2 wedge sides),
+        # degree aggregate, anti-join probe
+    )
+    adj = pairs.unionByName(
+        pairs.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
+    )
+    a1 = adj.select(F.col("ka").alias("b"), F.col("kb").alias("a"))
+    a2 = adj.select(F.col("ka").alias("b"), F.col("kb").alias("c"))
+    cand = (
+        a1.join(a2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonadj = cand.join(
+        pairs.select(F.col("ka").alias("a"), F.col("kb").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    deg = adj.groupBy("ka").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("ka").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("ka").alias("c"), F.col("d").alias("dc"))
+    scored = nonadj.join(da, "a").join(dc, "c")
+    union_size = F.col("da") + F.col("dc") - F.col("cn")
+    return (
+        scored.select(
+            F.col("a").alias("node_a"),
+            F.col("c").alias("node_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            union_size.cast("bigint").alias("union_size"),
+            dround(F.col("cn") * F.lit(1.0) / union_size, 4).alias("jaccard"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "node_a", "node_b")
+        .limit(_LP_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise covariance/correlation matrix in exact integers (wave 15)
+# ---------------------------------------------------------------------------
+
+_COV_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT d.day, t.event_type, COALESCE(x.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type
+),
+j AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n,
+         SUM(a.c) AS sx, SUM(b.c) AS sy, SUM(a.c * b.c) AS sxy,
+         SUM(a.c * a.c) AS sxx, SUM(b.c * b.c) AS syy
+  FROM dense a JOIN dense b ON a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * sxy - sx * sy) * 1.0 / (n * n), 4) AS cov,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         ROUND((n * sxy - sx * sy) /
+               (SQRT((n * sxx - sx * sx) * 1.0) *
+                SQRT((n * syy - sy * sy) * 1.0)), 4)
+       END AS corr
+FROM j
+"""
+
+
+@register(
+    "agg_covariance_pairs",
+    _COV_SQL,
+    doc=(
+        "pairwise covariance/correlation matrix of the daily count "
+        "series across event types — the multivariate companion to "
+        "agg_stats' single-pair corr and agg_spearman_corr's rank "
+        "version: the per-(day,type) counts DENSE-fill through a "
+        "days×types cross join (a missing day is a 0 observation, "
+        "not an absent row — skipping it would silently compute "
+        "covariance over misaligned series), then one self-join on "
+        "day with type_a < type_b emits each unordered pair once. "
+        "Population cov = (n·Σxy − Sx·Sy)/n² and Pearson corr keep "
+        "every sum exact int64 (reduce-first: the joined frame is "
+        "O(days·types²), never O(events²)); zero-variance series "
+        "yield NULL corr on both engines. At scale the dense frame "
+        "partitions by day so the pair join is co-located"
+    ),
+)
+def agg_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = dense.select(
+        "day", F.col("event_type").alias("ta"), F.col("c").alias("ca")
+    )
+    b = dense.select(
+        "day", F.col("event_type").alias("tb"), F.col("c").alias("cb")
+    )
+    j = (
+        a.join(b, "day")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    num = n * F.col("sxy") - sx * sy
+    return j.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        n.cast("bigint").alias("n_days"),
+        dround(num * F.lit(1.0) / (n * n), 4).alias("cov"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            dround(
+                num
+                / (
+                    F.sqrt((vx * F.lit(1.0)))
+                    * F.sqrt((vy * F.lit(1.0)))
+                ),
+                4,
+            ),
+        ).alias("corr"),
+    )

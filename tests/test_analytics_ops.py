@@ -832,3 +832,152 @@ GROUP BY 1, 2 ORDER BY 1, 2
         .collect()
     }
     assert got == want
+
+
+def test_autocorrelation_matches_pure_python(spark):
+    """Replay the textbook mean-centered ACF from the raw daily
+    purchase counts at every lag the query emits."""
+    import duckdb
+
+    rows = duckdb.connect().execute("""
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1
+""").fetchall()
+    c = [n for _, n in rows]
+    n = len(c)
+    m = sum(c) / n
+    den = sum((x - m) ** 2 for x in c)
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        r.lag: r
+        for r in registry()["events_autocorrelation"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(got) == set(range(1, 8))
+    for k in range(1, 8):
+        want = sum((c[t] - m) * (c[t - k] - m) for t in range(k, n)) / den
+        assert got[k].n_pairs == n - k
+        assert abs(got[k].acf - want) < 1e-4, (k, got[k].acf, want)
+
+
+def test_target_encoding_loo_excludes_own_row(spark, tmp_path):
+    """Three orders in one segment: each row's encoding is the mean of
+    the OTHER two; a singleton segment yields NULL."""
+    import datetime as dt
+
+    cust = [(1, "a", 0, 0.0, "BIG"), (2, "b", 0, 0.0, "BIG"),
+            (3, "c", 0, 0.0, "BIG"), (4, "d", 0, 0.0, "LONE")]
+    orders = [
+        (10, 1, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (11, 2, "O", 200.0, dt.datetime(2024, 1, 2), "1-URGENT"),
+        (12, 3, "O", 300.0, dt.datetime(2024, 1, 3), "1-URGENT"),
+        (13, 4, "O", 999.0, dt.datetime(2024, 1, 4), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        r.o_orderkey: r
+        for r in registry()["feature_target_encoding"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[10].loo_mean_price == 250.0
+    assert got[11].loo_mean_price == 200.0
+    assert got[12].loo_mean_price == 150.0
+    assert got[13].loo_mean_price is None
+
+
+def test_link_prediction_matches_bruteforce_on_crafted_parts(spark, tmp_path):
+    """Four part names crafted into a known fuzzy graph; expected
+    non-edge scores derived by an in-test brute force over the SAME
+    blocking + levenshtein + wedge rules, so the assertion is
+    self-verifying rather than hand-waved."""
+    names = {1: "x aaaaaa", 2: "x aaabbb", 3: "x bbbbbb", 4: "x aaaccc"}
+    rows = [(k, v, "B", "T", 1, 1.0) for k, v in names.items()]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def blk(s):
+        return s.split(" ")[0] + "|" + str(len(s) // 4)
+
+    edges = {
+        (a, b)
+        for a in names
+        for b in names
+        if a < b and blk(names[a]) == blk(names[b])
+        and lev(names[a], names[b]) <= 3
+    }
+    nbr = {k: {b for a, b in edges if a == k} | {a for a, b in edges if b == k}
+           for k in names}
+    want = {}
+    for a in names:
+        for c in names:
+            if a < c and (a, c) not in edges:
+                cn = len(nbr[a] & nbr[c])
+                if cn:
+                    want[(a, c)] = (cn, cn / len(nbr[a] | nbr[c]))
+    assert want, "fixture must produce at least one scored non-edge"
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        (r.node_a, r.node_b): (r.common_neighbors, r.jaccard)
+        for r in registry()["graph_link_prediction"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
+
+
+def test_covariance_pairs_dense_fills_missing_days(spark, tmp_path):
+    """Type X misses day 2 entirely; the dense fill must treat it as a
+    0 count, giving the hand-computed cov/corr of the aligned series
+    X=(2,0), Y=(1,3): cov -1, corr -1."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day, typ, cnt in [(1, "X", 2), (1, "Y", 1), (2, "Y", 3)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 3, day, 9, 0, 0), 1, typ, 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    out = registry()["agg_covariance_pairs"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.n_days) == ("X", "Y", 2)
+    assert r.cov == -1.0
+    assert r.corr == -1.0
