@@ -309,6 +309,7 @@ def registry() -> dict[str, Query]:
     from . import queries_analytics  # noqa: F401
     from . import queries_core  # noqa: F401
     from . import queries_curation  # noqa: F401
+    from . import queries_eval  # noqa: F401
     from . import queries_llm  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_profile  # noqa: F401

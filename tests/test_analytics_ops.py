@@ -981,3 +981,290 @@ def test_covariance_pairs_dense_fills_missing_days(spark, tmp_path):
     assert (r.type_a, r.type_b, r.n_days) == ("X", "Y", 2)
     assert r.cov == -1.0
     assert r.corr == -1.0
+
+
+def test_market_basket_hand_fixture(spark, tmp_path):
+    """Four baskets over three items; every support/confidence/lift
+    value checked against the hand computation."""
+    part = [(1, "pa", "X", "t", 1, 1.0), (2, "pb", "Y", "t", 1, 1.0),
+            (3, "pc", "Z", "t", 1, 1.0)]
+    # baskets: {X,Y}, {X,Y}, {X,Z}, {Y}  (duplicate lines collapse)
+    li = [(100, 1), (100, 2), (101, 1), (101, 2), (101, 2),
+          (102, 1), (102, 3), (103, 2)]
+    import datetime as dt
+
+    spark.createDataFrame(
+        part,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          dt.datetime(2024, 1, 1)) for ok, pk in li],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    rows = {(r.item_a, r.item_b): r
+            for r in registry()["assoc_market_basket"]
+            .fn(spark, str(tmp_path)).collect()}
+    # N=4; c(X)=3 c(Y)=3 c(Z)=1; c(XY)=2 c(XZ)=1; YZ never co-occurs
+    assert set(rows) == {("X", "Y"), ("X", "Z")}
+    xy = rows[("X", "Y")]
+    assert (xy.pair_count, xy.count_a, xy.count_b, xy.n_baskets) == (2, 3, 3, 4)
+    assert xy.support == 0.5
+    assert abs(xy.conf_a_to_b - round(2 / 3, 4)) < 1e-9
+    assert abs(xy.lift - round(4 * 2 / 9, 4)) < 1e-9
+    xz = rows[("X", "Z")]
+    assert (xz.pair_count, xz.count_a, xz.count_b) == (1, 3, 1)
+    assert xz.conf_b_to_a == 1.0
+    assert abs(xz.lift - round(4 / 3, 4)) < 1e-9
+
+
+def test_ndcg_matches_pure_python(spark):
+    """Replay NDCG@10 from the raw documents with hashlib md5 grades
+    and a float log2 discount — the integer discount table must land
+    within rounding distance of the textbook value, and the exact
+    integer DCGs must match the replayed integer sums."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    docs = duckdb.connect().execute("""
+SELECT doc_id, n_chars
+FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+""").fetchall()
+    disc = [round(1e8 / math.log2(i + 1)) for i in range(1, 11)]
+    groups = {}
+    for doc_id, n_chars in docs:
+        rel = int(hashlib.md5(f"rel|{doc_id}".encode()).hexdigest()[:4], 16) % 4
+        groups.setdefault(doc_id % 8, []).append((doc_id, n_chars, rel))
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        r.qid: r
+        for r in registry()["search_ndcg_eval"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(got) == set(groups)
+    for qid, items in groups.items():
+        ret = sorted(items, key=lambda x: (-x[1], x[0]))[:10]
+        ideal = sorted(items, key=lambda x: (-x[2], x[0]))[:10]
+        dcg = sum(r * disc[i] for i, (_, _, r) in enumerate(ret))
+        idcg = sum(r * disc[i] for i, (_, _, r) in enumerate(ideal))
+        assert got[qid].dcg_int == dcg, qid
+        assert got[qid].idcg_int == idcg, qid
+        if idcg:
+            # vs the float-log2 textbook value: the 1e8 discount table
+            # quantizes at ~1e-8 relative error
+            f_dcg = sum(r / math.log2(i + 2) for i, (_, _, r) in enumerate(ret))
+            f_idcg = sum(r / math.log2(i + 2) for i, (_, _, r) in enumerate(ideal))
+            assert abs(got[qid].ndcg - f_dcg / f_idcg) < 1e-6, qid
+
+
+def test_auc_roc_matches_bruteforce_pairs(spark):
+    """The rank-sum AUC must equal the O(n1*n0) pairwise definition
+    (wins + 0.5*ties) / (n1*n0) replayed in pure Python."""
+    import duckdb
+
+    units = duckdb.connect().execute("""
+SELECT SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS score,
+       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+GROUP BY user_id, CAST(ts AS DATE)
+""").fetchall()
+    pos = [s for s, l in units if l]
+    neg = [s for s, l in units if not l]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    row = (
+        registry()["events_auc_roc"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row.n_pos, row.n_neg, row.wins, row.ties) == (
+        len(pos), len(neg), wins, ties)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row.auc - want) < 1e-6
+
+
+def test_mad_outliers_matches_statistics_median(spark):
+    """med/mad/flag replayed with statistics.median per event type."""
+    import statistics
+
+    import duckdb
+
+    daily = duckdb.connect().execute("""
+SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+FROM read_parquet('/root/testdata/sf0.001/events.parquet') GROUP BY 1, 2
+""").fetchall()
+    series = {}
+    for et, day, c in daily:
+        series.setdefault(et, {})[day] = c
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        (r.event_type, r.day): r
+        for r in registry()["profile_mad_outliers"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert len(got) == len(daily)
+    for et, days in series.items():
+        med = statistics.median(days.values())
+        mad = statistics.median(abs(c - med) for c in days.values())
+        for day, c in days.items():
+            r = got[(et, day)]
+            assert r.c == c
+            assert r.med == med and r.mad == mad, (et, day)
+            assert r.is_outlier == (abs(c - med) > 3 * mad), (et, day)
+
+
+def test_zorder_stats_matches_python_morton(spark):
+    """Replay the Morton interleave and per-bucket spans in pure
+    Python from the raw lineitem keys."""
+    import duckdb
+
+    rows = duckdb.connect().execute("""
+SELECT l_partkey, l_suppkey
+FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+""").fetchall()
+    buckets = {}
+    for pk, sk in rows:
+        p8, s8 = pk & 255, sk & 255
+        z = 0
+        for i in range(8):
+            z += (((p8 >> i) & 1) + 2 * ((s8 >> i) & 1)) * 4 ** i
+        buckets.setdefault(z // 1024, []).append((p8, s8))
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        r.bucket: r
+        for r in registry()["layout_zorder_stats"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(got) == set(buckets)
+    for b, pts in buckets.items():
+        ps = [p for p, _ in pts]
+        ss = [s for _, s in pts]
+        r = got[b]
+        assert (r.n, r.p_min, r.p_max, r.s_min, r.s_max) == (
+            len(pts), min(ps), max(ps), min(ss), max(ss))
+        assert r.span == (max(ps) - min(ps)) + (max(ss) - min(ss))
+        # the z-order promise: a 1024-wide z range bounds BOTH dims to
+        # a 32-aligned window (interleaved high bits fixed)
+        assert max(ps) - min(ps) <= 63 and max(ss) - min(ss) <= 31
+
+
+def test_pmi_matches_pure_python(spark):
+    """PMI replayed with float math.log from raw bigram counts —
+    the integer-ln device must land within quantization distance."""
+    import math
+
+    import duckdb
+
+    texts = duckdb.connect().execute("""
+SELECT text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+""").fetchall()
+    from collections import Counter
+
+    big = Counter()
+    for (t,) in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    head, tail = Counter(), Counter()
+    for (a, b), c in big.items():
+        head[a] += c
+        tail[b] += c
+    n = sum(big.values())
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        (r.wa, r.wb): r
+        for r in registry()["text_pmi_bigrams"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    want_keys = {k for k, c in big.items() if c >= 5}
+    assert set(got) == want_keys
+    for (a, b), r in got.items():
+        assert (r.pair_count, r.head_count, r.tail_count, r.n_bigrams) == (
+            big[(a, b)], head[a], tail[b], n)
+        want = math.log(big[(a, b)] * n) - math.log(head[a] * tail[b])
+        assert abs(r.pmi - want) < 1e-5, (a, b)
+
+
+def test_feature_hashing_matches_hashlib(spark):
+    """Bucket, sign, and weight replayed with hashlib md5."""
+    import hashlib
+
+    import duckdb
+
+    rows = duckdb.connect().execute("""
+SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+""").fetchall()
+    want = {}
+    for doc_id, text in rows:
+        for w in text.split(" "):
+            h = hashlib.md5(f"fh|{w}".encode()).hexdigest()
+            bucket = int(h[:8], 16) % 64
+            sign = 1 - 2 * (int(h[8:12], 16) % 2)
+            want[(doc_id, bucket)] = want.get((doc_id, bucket), 0) + sign
+    want = {k: v for k, v in want.items() if v != 0}
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        (r.doc_id, r.bucket): r.weight
+        for r in registry()["feature_hashing"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
+
+
+def test_calibration_bins_match_pure_python(spark):
+    """Per-bin reliability and integer-exact Brier replayed from the
+    raw user-day units."""
+    import duckdb
+
+    units = duckdb.connect().execute("""
+SELECT SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS score,
+       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+GROUP BY user_id, CAST(ts AS DATE)
+""").fetchall()
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0])
+    for s, y in units:
+        g[s][0] += 1
+        g[s][1] += y
+    maxs = max(g)
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    got = {
+        r.score: r
+        for r in registry()["events_calibration_bins"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(got) == set(g)
+    for s, (n, pos) in g.items():
+        r = got[s]
+        assert (r.n, r.n_pos) == (n, pos)
+        assert abs(r.mean_pred - s / maxs) < 1e-6
+        assert abs(r.frac_pos - pos / n) < 1e-6
+        brier = sum(
+            (s / maxs - y) ** 2
+            for ss, y in units if ss == s
+        ) / n
+        assert abs(r.brier - brier) < 1e-6, s
