@@ -311,8 +311,10 @@ def registry() -> dict[str, Query]:
     from . import queries_curation  # noqa: F401
     from . import queries_eval  # noqa: F401
     from . import queries_llm  # noqa: F401
+    from . import queries_market  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_profile  # noqa: F401
+    from . import queries_rec  # noqa: F401
     from . import queries_quality  # noqa: F401
     from . import queries_sql  # noqa: F401
     from . import queries_streaming  # noqa: F401

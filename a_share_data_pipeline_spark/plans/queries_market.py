@@ -1,0 +1,450 @@
+"""Round-6 wave 18: completing the kline/market-indicator family the
+reference's domain (daily A-share bars, market/non_fq_daily_kline.py)
+sits in front of — VWAP/TWAP bars, Donchian channel + Williams %R
+position, floor-trader pivot points, the MA golden-cross signal, and
+the Sharpe ratio over weekly returns.
+
+Same discipline as waves 5-17: prices convert to exact int64 cents
+BEFORE any sum or compare, every emitted double goes through ONE
+division (or one dround), MA comparisons are integer cross-multiplies
+(no division at all), and every window runs over the already-reduced
+O(days·types) daily/weekly frame — never over raw ticks.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..sources import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# shared frames: cents-priced ticks, daily closes, weekly OHLC
+# ---------------------------------------------------------------------------
+
+# Zero-padded (epoch-micros, event_id) string key: unique, identically
+# ordered on both engines — the events_ohlc tie-break discipline.
+_ORDKEY_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') "
+    "|| lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+def _ordkey() -> F.Column:
+    return F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+
+def _cents() -> F.Column:
+    return dround(F.col("value") * 100, 0).cast("bigint")
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+
+
+_DAILY_CLOSE_SQL = f"""
+daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         arg_max(CAST(ROUND(value * 100, 0) AS BIGINT), {_ORDKEY_SQL}) AS close_c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+)"""
+
+
+def _daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) closing price in int64 cents — ONE partial-
+    aggregated shuffle on the tick table; max_by carries a single
+    (cents, ordkey) pair per group through the combine."""
+    return (
+        _ticks(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            _cents().alias("close_c"),
+            _ordkey().alias("ordkey"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max_by("close_c", "ordkey").alias("close_c"))
+    )
+
+
+_WEEKLY_OHLC_SQL = f"""
+weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS h_c,
+         MIN(CAST(ROUND(value * 100, 0) AS BIGINT)) AS l_c,
+         arg_max(CAST(ROUND(value * 100, 0) AS BIGINT), {_ORDKEY_SQL}) AS c_c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+)"""
+
+
+def _weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ticks(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            _cents().alias("c"),
+            _ordkey().alias("ordkey"),
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.max("c").alias("h_c"),
+            F.min("c").alias("l_c"),
+            F.max_by("c", "ordkey").alias("c_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# VWAP / TWAP weekly bars (wave 18)
+# ---------------------------------------------------------------------------
+
+_VWAP_SQL = """
+WITH t AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_type IN ('view', 'purchase')
+)
+SELECT event_type, week,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(SUM(k) AS BIGINT) AS w_total,
+       ROUND(SUM(cents * k) / (SUM(k) * 100.0), 6) AS vwap,
+       ROUND(SUM(cents) / (COUNT(*) * 100.0), 6) AS twap
+FROM t
+GROUP BY event_type, week
+HAVING SUM(k) > 0
+"""
+
+
+@register(
+    "events_vwap",
+    _VWAP_SQL,
+    doc=(
+        "weekly VWAP/TWAP bars — the volume-weighted price the "
+        "reference's daily kline carries as amount/vol: per-tick size "
+        "comes from the props JSON (typed extraction, the F7 lane), "
+        "price converts to int64 cents BEFORE any sum, so the VWAP "
+        "numerator Σ(cents·k) and denominator Σk are exact integers "
+        "with ONE double division at emit (TWAP likewise over the "
+        "tick count). ONE partial-aggregated shuffle on (type, week); "
+        "zero-size weeks drop via an integer HAVING — no NaN lanes"
+    ),
+)
+def events_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    base = _ticks(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        _cents().alias("cents"),
+        k.alias("k"),
+    )
+    return (
+        base.groupBy("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.sum("k").cast("bigint").alias("w_total"),
+            F.sum(F.col("cents") * F.col("k")).alias("_num"),
+            F.sum("cents").alias("_csum"),
+        )
+        .filter(F.col("w_total") > 0)
+        .select(
+            "event_type",
+            "week",
+            "n_ticks",
+            "w_total",
+            dround(F.col("_num") / (F.col("w_total") * F.lit(100.0)), 6).alias("vwap"),
+            dround(F.col("_csum") / (F.col("n_ticks") * F.lit(100.0)), 6).alias("twap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Donchian channel + Williams-%R position (wave 18)
+# ---------------------------------------------------------------------------
+
+_DONCHIAN_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+framed AS (
+  SELECT event_type, day, close_c,
+         MAX(close_c) OVER w AS hi_c,
+         MIN(close_c) OVER w AS lo_c,
+         COUNT(*) OVER w AS n7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       ROUND(close_c / 100.0, 2) AS close,
+       ROUND(hi_c / 100.0, 2) AS channel_hi,
+       ROUND(lo_c / 100.0, 2) AS channel_lo,
+       ROUND((hi_c + lo_c) / 200.0, 4) AS channel_mid,
+       ROUND((hi_c - lo_c) / 100.0, 2) AS width,
+       CASE WHEN hi_c > lo_c
+            THEN ROUND((close_c - lo_c) * 1.0 / (hi_c - lo_c), 4)
+       END AS pct_position
+FROM framed
+WHERE n7 = 7
+"""
+
+
+@register(
+    "events_donchian",
+    _DONCHIAN_SQL,
+    doc=(
+        "7-day Donchian channel + the Williams-%R-style position of "
+        "the close inside it: daily closes reduce FIRST (max_by over "
+        "the tie-safe ordkey — O(days·types) rows), then hi/lo/count "
+        "share ONE rows-frame window over one exchange. All channel "
+        "arithmetic stays in int64 cents (hi, lo, width, the position "
+        "numerator/denominator) with one division per emitted double; "
+        "zero-width channels emit NULL position instead of a NaN, and "
+        "warm-up rows (frame not yet 7 deep) drop via the integer "
+        "frame count"
+    ),
+)
+def events_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    framed = daily.select(
+        "event_type",
+        "day",
+        "close_c",
+        F.max("close_c").over(w).alias("hi_c"),
+        F.min("close_c").over(w).alias("lo_c"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    hi, lo, close = F.col("hi_c"), F.col("lo_c"), F.col("close_c")
+    return framed.select(
+        "event_type",
+        "day",
+        dround(close / 100.0, 2).alias("close"),
+        dround(hi / 100.0, 2).alias("channel_hi"),
+        dround(lo / 100.0, 2).alias("channel_lo"),
+        dround((hi + lo) / 200.0, 4).alias("channel_mid"),
+        dround((hi - lo) / 100.0, 2).alias("width"),
+        F.when(hi > lo, dround((close - lo) * F.lit(1.0) / (hi - lo), 4)).alias(
+            "pct_position"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Floor-trader pivot points from the prior week's bar (wave 18)
+# ---------------------------------------------------------------------------
+
+_PIVOT_SQL = f"""
+WITH {_WEEKLY_OHLC_SQL},
+lagged AS (
+  SELECT event_type, week,
+         lag(h_c) OVER w AS ph, lag(l_c) OVER w AS pl, lag(c_c) OVER w AS pc
+  FROM weekly
+  WINDOW w AS (PARTITION BY event_type ORDER BY week)
+)
+SELECT event_type, week,
+       ROUND((ph + pl + pc) / 300.0, 6) AS pivot,
+       ROUND((2 * (ph + pl + pc) - 3 * ph) / 300.0, 6) AS r1,
+       ROUND((2 * (ph + pl + pc) - 3 * pl) / 300.0, 6) AS s1,
+       ROUND(((ph + pl + pc) + 3 * (ph - pl)) / 300.0, 6) AS r2,
+       ROUND(((ph + pl + pc) - 3 * (ph - pl)) / 300.0, 6) AS s2
+FROM lagged
+WHERE ph IS NOT NULL
+"""
+
+
+@register(
+    "events_pivot_points",
+    _PIVOT_SQL,
+    doc=(
+        "floor-trader pivot points for each week from the PRIOR "
+        "week's H/L/C bar (P=(H+L+C)/3, R1=2P-H, S1=2P-L, R2=P+(H-L), "
+        "S2=P-(H-L)): the weekly OHLC reduces first, one lag window "
+        "per type over the O(weeks) frame, and every level is an "
+        "EXACT int64-cents numerator over the common denominator 300 "
+        "— the /3 never happens in isolation, so there is no "
+        "intermediate double to drift; one division per emitted level"
+    ),
+)
+def events_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weekly = _weekly_ohlc(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("week")
+    lagged = weekly.select(
+        "event_type",
+        "week",
+        F.lag("h_c").over(w).alias("ph"),
+        F.lag("l_c").over(w).alias("pl"),
+        F.lag("c_c").over(w).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    ph, pl, pc = F.col("ph"), F.col("pl"), F.col("pc")
+    tot = ph + pl + pc
+    return lagged.select(
+        "event_type",
+        "week",
+        dround(tot / 300.0, 6).alias("pivot"),
+        dround((F.lit(2) * tot - F.lit(3) * ph) / 300.0, 6).alias("r1"),
+        dround((F.lit(2) * tot - F.lit(3) * pl) / 300.0, 6).alias("s1"),
+        dround((tot + F.lit(3) * (ph - pl)) / 300.0, 6).alias("r2"),
+        dround((tot - F.lit(3) * (ph - pl)) / 300.0, 6).alias("s2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MA golden-cross / death-cross signal detection (wave 18)
+# ---------------------------------------------------------------------------
+
+_CROSS_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+framed AS (
+  SELECT event_type, day,
+         SUM(close_c) OVER w3 AS s3, COUNT(*) OVER w3 AS n3,
+         SUM(close_c) OVER w7 AS s7, COUNT(*) OVER w7 AS n7
+  FROM daily
+  WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+states AS (
+  SELECT event_type, day, s3, s7,
+         CASE WHEN n3 = 3 AND n7 = 7 THEN
+           CASE WHEN s3 * 7 > s7 * 3 THEN 1
+                WHEN s3 * 7 < s7 * 3 THEN -1
+                ELSE 0 END
+         END AS state
+  FROM framed
+),
+flagged AS (
+  SELECT event_type, day, s3, s7, state,
+         lag(state) OVER (PARTITION BY event_type ORDER BY day) AS prev_state
+  FROM states
+)
+SELECT event_type, day,
+       ROUND(s3 / 300.0, 4) AS fast_ma,
+       ROUND(s7 / 700.0, 4) AS slow_ma,
+       CASE WHEN state = 1 THEN 'golden' ELSE 'death' END AS direction
+FROM flagged
+WHERE state * prev_state = -1
+"""
+
+
+@register(
+    "events_golden_cross",
+    _CROSS_SQL,
+    doc=(
+        "MA(3)/MA(7) golden-cross & death-cross signal days: the "
+        "fast-above-slow state is an INTEGER cross-multiply "
+        "(7·Σ3 vs 3·Σ7 in cents — the means are never materialized, "
+        "so the signal is exact, no epsilon), both rolling sums share "
+        "one window exchange+sort over the reduced daily frame, and a "
+        "cross fires exactly when the state sign flips (state · "
+        "lag(state) = -1; warm-up and flat-tie days are NULL/0 states "
+        "that can never fabricate a flip). The MAs themselves emit "
+        "with one division each, for display only"
+    ),
+)
+def events_golden_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    w3 = W.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    framed = daily.select(
+        "event_type",
+        "day",
+        F.sum("close_c").over(w3).alias("s3"),
+        F.count(F.lit(1)).over(w3).alias("n3"),
+        F.sum("close_c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    state = F.when(
+        (F.col("n3") == 3) & (F.col("n7") == 7),
+        F.when(F.col("s3") * 7 > F.col("s7") * 3, F.lit(1))
+        .when(F.col("s3") * 7 < F.col("s7") * 3, F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    states = framed.select("event_type", "day", "s3", "s7", state.alias("state"))
+    wl = W.partitionBy("event_type").orderBy("day")
+    flagged = states.withColumn("prev_state", F.lag("state").over(wl))
+    return flagged.filter(F.col("state") * F.col("prev_state") == -1).select(
+        "event_type",
+        "day",
+        dround(F.col("s3") / 300.0, 4).alias("fast_ma"),
+        dround(F.col("s7") / 700.0, 4).alias("slow_ma"),
+        F.when(F.col("state") == 1, F.lit("golden"))
+        .otherwise(F.lit("death"))
+        .alias("direction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharpe ratio over weekly returns (wave 18)
+# ---------------------------------------------------------------------------
+
+_SQRT52 = math.sqrt(52.0)  # annualization for weekly bars; the SAME
+# Python-float literal is inlined into both engines' plans
+
+_SHARPE_SQL = f"""
+WITH {_WEEKLY_OHLC_SQL},
+rets AS (
+  SELECT event_type, week, c_c,
+         lag(c_c) OVER (PARTITION BY event_type ORDER BY week) AS prev_c
+  FROM weekly
+),
+r AS (
+  SELECT event_type, (c_c - prev_c) * 1.0 / prev_c AS ret
+  FROM rets WHERE prev_c IS NOT NULL AND prev_c > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       ROUND(AVG(ret), 6) AS mean_ret,
+       ROUND(stddev_samp(ret), 6) AS std_ret,
+       ROUND(AVG(ret) / NULLIF(stddev_samp(ret), 0) * {_SQRT52!r}, 4) AS sharpe_ann
+FROM r
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_sharpe",
+    _SHARPE_SQL,
+    doc=(
+        "annualized Sharpe ratio per series from weekly close-to-close "
+        "returns: weekly closes reduce first (int64 cents, tie-safe "
+        "ordkey), each return is ONE division of two exact integers — "
+        "bit-identical doubles on both engines — and only the final "
+        "mean/stddev over the O(weeks) return series carries "
+        "fold-order noise, absorbed by 6dp/4dp rounding (the "
+        "driver-green agg_stats discipline). √52 is one shared "
+        "Python-float literal; a zero-variance series emits NULL via "
+        "NULLIF instead of ±inf"
+    ),
+)
+def events_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weekly = _weekly_ohlc(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("week")
+    rets = weekly.select(
+        "event_type", "week", "c_c", F.lag("c_c").over(w).alias("prev_c")
+    ).filter(F.col("prev_c").isNotNull() & (F.col("prev_c") > 0))
+    r = rets.select(
+        "event_type",
+        ((F.col("c_c") - F.col("prev_c")) * F.lit(1.0) / F.col("prev_c")).alias("ret"),
+    )
+    mean, std = F.avg("ret"), F.stddev_samp("ret")
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        dround(mean, 6).alias("mean_ret"),
+        dround(std, 6).alias("std_ret"),
+        dround(mean / F.nullif(std, F.lit(0.0)) * F.lit(_SQRT52), 4).alias(
+            "sharpe_ann"
+        ),
+    )

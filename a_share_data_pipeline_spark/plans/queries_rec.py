@@ -1,0 +1,240 @@
+"""Round-6 wave 19: the collaborative-filtering recommender family —
+the item-item cosine kNN graph and the user top-N scoring pass that
+consumes it. Together they are the classic two-stage batch recommender
+(Amazon-style item-based CF): an O(vocab²)-bounded model build, then a
+user-linear scoring join.
+
+Same discipline as waves 5-18: co-occurrence counts are exact int64,
+the cosine is ONE sqrt + ONE division over exact integer inputs
+(bit-identical doubles on both engines — no rounding needed before the
+order-by), user scores re-quantize to integer ppm BEFORE summation so
+the ranking compare is pure int64, and every fan-out is bounded by the
+brand vocabulary, never by data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..sources import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# item-item cosine kNN graph (wave 19)
+# ---------------------------------------------------------------------------
+
+_TOPK_NEIGHBORS = 5
+
+# Shared CTE prefix: the distinct user×brand interaction set and the
+# integer co-occurrence/cosine item graph derived from it.
+_SIMS_CTES = """
+interactions AS (
+  SELECT DISTINCT o.o_custkey AS user_id, p.p_brand AS item
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+),
+cnt AS (SELECT item, COUNT(*) AS c FROM interactions GROUP BY item),
+pair AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS c_ab
+  FROM interactions a JOIN interactions b
+    ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT p.item_a, p.item_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+         p.c_ab / sqrt(ca.c * cb.c) AS cosine
+  FROM pair p
+  JOIN cnt ca ON ca.item = p.item_a
+  JOIN cnt cb ON cb.item = p.item_b
+)"""
+
+_ITEM_COOCCUR_SQL = f"""
+WITH {_SIMS_CTES}
+SELECT item_a, item_b,
+       CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(c_a AS BIGINT) AS c_a,
+       CAST(c_b AS BIGINT) AS c_b,
+       ROUND(cosine, 6) AS cosine,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY item_a ORDER BY cosine DESC, item_b
+  ) AS rnk
+  FROM sims s
+)
+WHERE rnk <= {_TOPK_NEIGHBORS}
+"""
+
+
+def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+
+
+def _item_sims(inter: DataFrame) -> DataFrame:
+    """The item-item cosine graph over a distinct (user, item) frame.
+
+    The pair expansion self-joins on the USER key (one shuffle, the
+    exchange reused on both sides), so per-user work is bounded by the
+    brand vocabulary — never by interaction volume; the resulting
+    graph is at most vocab² edges regardless of corpus size. The
+    cosine c_ab/√(c_a·c_b) is one sqrt + one division over exact
+    int64 counts, so both engines produce bit-identical doubles and
+    it can serve as an ORDER BY key without any rounding."""
+    cnt = inter.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = inter.select("user_id", F.col("item").alias("item_a"))
+    b = inter.select("user_id", F.col("item").alias("item_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .withColumn(
+            "cosine", F.col("c_ab") / F.sqrt(F.col("c_a") * F.col("c_b"))
+        )
+    )
+
+
+@register(
+    "rec_item_cooccur",
+    _ITEM_COOCCUR_SQL,
+    doc=(
+        "item-based CF model build: the top-5 cosine neighbors of "
+        "every brand from co-interaction counts. Distinct (user, "
+        "brand) interactions reduce first; the pair expansion "
+        "self-joins on the user key so per-user fan-out is bounded by "
+        "the brand vocabulary and the item graph is at most vocab² "
+        "edges at ANY corpus scale; count marginals broadcast. The "
+        "cosine c_ab/√(c_a·c_b) is one sqrt + one division over exact "
+        "int64 counts — bit-identical on both engines — so the kNN "
+        "row_number orders by the raw double with the item id as the "
+        "only tie-break needed (symmetric pairs: equal counts → equal "
+        "cosines, handled by the id order)"
+    ),
+)
+def rec_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = _item_sims(_interactions(spark, sf_dir))
+    w = W.partitionBy("item_a").orderBy(F.col("cosine").desc(), "item_b")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK_NEIGHBORS)
+        .select(
+            "item_a",
+            "item_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            dround(F.col("cosine"), 6).alias("cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# user top-N recommendations from the item graph (wave 19)
+# ---------------------------------------------------------------------------
+
+_TOPN_RECS = 3
+
+_USER_TOPN_SQL = f"""
+WITH {_SIMS_CTES},
+knn AS (
+  SELECT item_a, item_b,
+         CAST(FLOOR(cosine * 1000000) AS BIGINT) AS sim_ppm
+  FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY item_a ORDER BY cosine DESC, item_b
+    ) AS rnk
+    FROM sims s
+  )
+  WHERE rnk <= {_TOPK_NEIGHBORS}
+),
+scored AS (
+  SELECT i.user_id, k.item_b AS item, SUM(k.sim_ppm) AS score_ppm
+  FROM interactions i JOIN knn k ON k.item_a = i.item
+  WHERE NOT EXISTS (
+    SELECT 1 FROM interactions h
+    WHERE h.user_id = i.user_id AND h.item = k.item_b
+  )
+  GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, item,
+       CAST(score_ppm AS BIGINT) AS score_ppm,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY user_id ORDER BY score_ppm DESC, item
+  ) AS rnk
+  FROM scored s
+)
+WHERE rnk <= {_TOPN_RECS}
+"""
+
+
+@register(
+    "rec_user_topn",
+    _USER_TOPN_SQL,
+    doc=(
+        "the scoring half of item-based CF: every user's history rows "
+        "join the broadcast-size kNN item graph (≤ vocab·5 edges), "
+        "candidate scores aggregate per (user, candidate), "
+        "already-interacted items drop via an anti-join on the SAME "
+        "(user, item) key, and the top-3 window partitions by user — "
+        "every stage keys on user_id, so the whole pass is one "
+        "user-linear pipeline at any scale. Neighbor cosines "
+        "re-quantize to integer ppm (floor of a bit-identical double) "
+        "BEFORE summation, so scores and the ranking compare are pure "
+        "int64 — no float-fold ambiguity across engines"
+    ),
+)
+def rec_user_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = _interactions(spark, sf_dir).localCheckpoint(eager=True)  # consumers:
+    # the sims build (twice via self-join), the scoring join, and the
+    # history anti-join — one materialization instead of four scans
+    sims = _item_sims(inter)
+    wk = W.partitionBy("item_a").orderBy(F.col("cosine").desc(), "item_b")
+    knn = (
+        sims.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= _TOPK_NEIGHBORS)
+        .select(
+            "item_a",
+            "item_b",
+            F.floor(F.col("cosine") * F.lit(1000000)).cast("bigint").alias("sim_ppm"),
+        )
+    )
+    hist = inter.select("user_id", F.col("item").alias("item_b"))
+    scored = (
+        inter.join(F.broadcast(knn), inter.item == knn.item_a)
+        .select("user_id", F.col("item_b"), "sim_ppm")
+        .join(hist, ["user_id", "item_b"], "left_anti")
+        .groupBy("user_id", F.col("item_b").alias("item"))
+        .agg(F.sum("sim_ppm").alias("score_ppm"))
+    )
+    wu = W.partitionBy("user_id").orderBy(F.col("score_ppm").desc(), "item")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wu))
+        .filter(F.col("rnk") <= _TOPN_RECS)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "item",
+            F.col("score_ppm").cast("bigint").alias("score_ppm"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
