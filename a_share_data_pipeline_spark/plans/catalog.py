@@ -317,6 +317,7 @@ def registry() -> dict[str, Query]:
     from . import queries_rec  # noqa: F401
     from . import queries_quality  # noqa: F401
     from . import queries_sql  # noqa: F401
+    from . import queries_stats  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_udf  # noqa: F401
 

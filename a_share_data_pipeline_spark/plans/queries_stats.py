@@ -263,19 +263,18 @@ obs AS (
   FROM base
 ),
 perms AS (
-  SELECT p.p,
+  SELECT x.p,
          CAST(SUM(CASE WHEN flip THEN c ELSE 0 END) AS HUGEINT) AS s1,
          CAST(SUM(CASE WHEN flip THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
          CAST(SUM(CASE WHEN NOT flip THEN c ELSE 0 END) AS HUGEINT) AS s2,
          CAST(SUM(CASE WHEN NOT flip THEN 1 ELSE 0 END) AS HUGEINT) AS n2
   FROM (
-    SELECT b.c, p.p,
-           (CAST(('0x' || substring(md5(CAST(p.p AS VARCHAR) || '|' ||
-              CAST(b.event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2) = 0 AS flip
-    FROM base b CROSS JOIN (SELECT unnest(range({_N_PERMS})) AS p) p
-  ) AS x(c, p, flip)
-  JOIN (SELECT unnest(range({_N_PERMS})) AS p) p ON p.p = x.p
-  GROUP BY p.p
+    SELECT b.c, pr.p,
+           ((('0x' || substring(md5(CAST(pr.p AS VARCHAR) || '|' ||
+              CAST(b.event_id AS VARCHAR)), 1, 8))::BIGINT) % 2) = 0 AS flip
+    FROM base b CROSS JOIN (SELECT unnest(range({_N_PERMS})) AS p) pr
+  ) x
+  GROUP BY x.p
 ),
 exceed AS (
   SELECT COUNT(*) AS n_exceed

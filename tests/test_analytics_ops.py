@@ -1268,3 +1268,229 @@ GROUP BY user_id, CAST(ts AS DATE)
             for ss, y in units if ss == s
         ) / n
         assert abs(r.brier - brier) < 1e-6, s
+
+
+# ---------------------------------------------------------------------------
+# waves 18-20: market indicators, recommender, classical inference
+# ---------------------------------------------------------------------------
+
+
+def _daily_closes_py(sf="/root/testdata/sf0.001"):
+    """Pure-Python daily closes in cents keyed (event_type, day) —
+    last tick by the (epoch_us, event_id) ordkey, the query's rule."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE), "
+        "CAST(ROUND(value*100,0) AS BIGINT), epoch_us(ts), event_id "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        "WHERE event_type IN ('view','purchase')"
+    ).fetchall()
+    best = {}
+    for et, day, c, us, eid in rows:
+        k = (et, day)
+        ok = (us, eid)
+        if k not in best or ok > best[k][0]:
+            best[k] = (ok, c)
+    return {k: v[1] for k, v in best.items()}
+
+
+def test_golden_cross_replay(spark):
+    """Replay the MA(3)/MA(7) integer cross-multiply state machine in
+    pure Python and compare the exact cross days + directions."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    expect = set()
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        cs = [closes[(et, d)] for d in days]
+        prev = None
+        for i in range(len(cs)):
+            if i >= 6:
+                s3, s7 = sum(cs[i - 2 : i + 1]), sum(cs[i - 6 : i + 1])
+                state = 1 if s3 * 7 > s7 * 3 else (-1 if s3 * 7 < s7 * 3 else 0)
+            else:
+                state = None
+            if state is not None and prev is not None and state * prev == -1:
+                expect.add((et, days[i], "golden" if state == 1 else "death"))
+            prev = state
+    got = {
+        (r.event_type, r.day, r.direction)
+        for r in registry()["events_golden_cross"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == expect and expect
+
+
+def test_donchian_position_bounds_and_replay(spark):
+    """pct_position ∈ [0,1] (NULL only on zero width) and hi/lo match a
+    pure-Python rolling min/max over the replayed daily closes."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    rows = (
+        registry()["events_donchian"].fn(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert rows
+    for r in rows:
+        days = sorted(d for (t, d) in closes if t == r.event_type and d <= r.day)
+        win = [closes[(r.event_type, d)] for d in days[-7:]]
+        assert len(win) == 7
+        assert r.channel_hi == round(max(win) / 100.0, 2)
+        assert r.channel_lo == round(min(win) / 100.0, 2)
+        if r.pct_position is not None:
+            assert 0.0 <= r.pct_position <= 1.0
+        else:
+            assert max(win) == min(win)
+
+
+def test_welch_ttest_replay(spark):
+    """Replay Welch's t, Satterthwaite dof, and Cohen's d in pure
+    Python floats from the raw cents and compare to 1e-3."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    r = (
+        registry()["stats_welch_ttest"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    gs = {}
+    for g in ("purchase", "click"):
+        gs[g] = [
+            x[0]
+            for x in con.execute(
+                "SELECT CAST(ROUND(value*100,0) AS BIGINT) FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet') "
+                f"WHERE event_type = '{g}'"
+            ).fetchall()
+        ]
+    import statistics
+
+    x1 = [c / 100.0 for c in gs["purchase"]]
+    x2 = [c / 100.0 for c in gs["click"]]
+    n1, n2 = len(x1), len(x2)
+    m1, m2 = statistics.fmean(x1), statistics.fmean(x2)
+    v1, v2 = statistics.variance(x1), statistics.variance(x2)
+    t = (m1 - m2) / (v1 / n1 + v2 / n2) ** 0.5
+    dof = (v1 / n1 + v2 / n2) ** 2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    d = (m1 - m2) / (((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) ** 0.5
+    assert (r.n1, r.n2) == (n1, n2)
+    assert abs(r.t_stat - t) < 1e-3
+    assert abs(r.welch_dof - dof) < 0.1
+    assert abs(r.cohens_d - d) < 1e-3
+
+
+def test_anova_f_replay(spark):
+    """Replay one-way ANOVA SSB/SSW/F in pure Python floats."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    r = (
+        registry()["stats_anova_oneway"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(ROUND(value*100,0) AS BIGINT) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    groups = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c / 100.0)
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    gm = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r.k, r.n_total) == (k, n)
+    assert abs(r.ss_between - ssb) / ssb < 1e-6
+    assert abs(r.ss_within - ssw) / ssw < 1e-6
+    assert abs(r.f_stat - f) < 1e-3
+
+
+def test_permutation_flip_replay_one_perm(spark):
+    """Replay permutation p=0's md5-parity labels with hashlib and
+    pin that the add-one p-value is in its lawful range."""
+    import duckdb
+    import hashlib
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    r = (
+        registry()["stats_permutation_test"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert r.n_perms == 100
+    assert 0 <= r.n_exceed <= 100
+    assert abs(r.p_value - round((r.n_exceed + 1) / 101, 4)) < 1e-9
+    # the md5-parity flip is engine-reproducible: recompute group-1
+    # size for p=0 in Python and compare against a DuckDB re-run
+    ids = [
+        x[0]
+        for x in duckdb.connect().execute(
+            "SELECT event_id FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet') "
+            "WHERE event_type IN ('purchase','click')"
+        ).fetchall()
+    ]
+    n1_py = sum(
+        1
+        for i in ids
+        if int(hashlib.md5(f"0|{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+    )
+    n1_duck = duckdb.connect().execute(
+        "SELECT COUNT(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/events.parquet') "
+        "WHERE event_type IN ('purchase','click') AND "
+        "(('0x' || substring(md5('0|' || CAST(event_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 2) = 0"
+    ).fetchone()[0]
+    assert n1_py == n1_duck > 0
+
+
+def test_rec_user_topn_contract(spark):
+    """Recommendations never include already-interacted items; scores
+    equal the hand-summed ppm sims of the user's history neighbors."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    recs = registry()["rec_user_topn"].fn(spark, sf).collect()
+    assert recs
+    knn = {
+        (r.item_a, r.item_b): r.cosine
+    for r in registry()["rec_item_cooccur"].fn(spark, sf).collect()}
+    hist_rows = duckdb.connect().execute(
+        "SELECT DISTINCT o.o_custkey, p.p_brand FROM "
+        f"read_parquet('{sf}/orders.parquet') o JOIN "
+        f"read_parquet('{sf}/lineitem.parquet') l ON l.l_orderkey = o.o_orderkey "
+        f"JOIN read_parquet('{sf}/part.parquet') p ON p.p_partkey = l.l_partkey"
+    ).fetchall()
+    hist = {}
+    for u, b in hist_rows:
+        hist.setdefault(u, set()).add(b)
+    import math as _m
+
+    for r in recs[:50]:
+        assert r.item not in hist[r.user_id]
+        expect = sum(
+            _m.floor(round(knn[(j, r.item)], 6) * 1_000_000)
+            for j in hist[r.user_id]
+            if (j, r.item) in knn
+        )
+        # knn stores the 6dp-rounded cosine; floor(rounded·1e6) can sit
+        # one ppm off floor(raw·1e6) per contributing neighbor
+        assert abs(r.score_ppm - expect) <= len(hist[r.user_id])
