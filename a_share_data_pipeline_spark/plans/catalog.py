@@ -310,6 +310,7 @@ def registry() -> dict[str, Query]:
     from . import queries_core  # noqa: F401
     from . import queries_curation  # noqa: F401
     from . import queries_eval  # noqa: F401
+    from . import queries_geo  # noqa: F401
     from . import queries_llm  # noqa: F401
     from . import queries_market  # noqa: F401
     from . import queries_pipeline  # noqa: F401
@@ -319,6 +320,7 @@ def registry() -> dict[str, Query]:
     from . import queries_sql  # noqa: F401
     from . import queries_stats  # noqa: F401
     from . import queries_streaming  # noqa: F401
+    from . import queries_text2  # noqa: F401
     from . import queries_udf  # noqa: F401
 
     missing = [n for n in CORE_WINDOW if n not in _REGISTRY]

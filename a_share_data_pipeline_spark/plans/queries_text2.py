@@ -1,0 +1,151 @@
+"""Round-6 wave 22: text-analysis completion — readability profiling
+(the vowel-group syllable proxy + Flesch-style score) — plus the
+Spark-4 `GROUP BY ALL` / `ORDER BY ALL` SQL-surface row.
+
+Same discipline as waves 5-21: all per-doc counts are exact integers
+from one map-only expression pass (array HOFs, no Python), every
+emitted double is one division (or one fixed IEEE chain) from those
+integers, and corpus-level reduces happen on already-per-doc-reduced
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dround
+from ..sources import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Readability profile (wave 22)
+# ---------------------------------------------------------------------------
+
+_READ_SQL = """
+WITH counts AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+              t -> len(regexp_extract_all(t, '[aeiou]+')))) AS BIGINT) AS n_syll,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> len(regexp_extract_all(t, '[aeiou]+')) <= 1)) AS BIGINT) AS n_mono,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+           AS n_sentences
+  FROM documents
+)
+SELECT doc_id, n_words, n_syll, n_sentences,
+       ROUND(n_chars * 1.0 / n_words, 4) AS avg_word_len,
+       ROUND(n_syll * 1.0 / n_words, 4) AS syll_per_word,
+       ROUND(n_mono * 1.0 / n_words, 4) AS mono_share,
+       ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                     - 84.6 * (n_syll * 1.0 / n_words), 2) AS flesch
+FROM counts
+WHERE n_words > 0
+"""
+
+
+@register(
+    "text_readability",
+    _READ_SQL,
+    doc=(
+        "per-document readability profile — the quality-gate siblings "
+        "the curation stack consumes: word count, vowel-group "
+        "syllable proxy, monosyllable share, average word length, and "
+        "the Flesch reading-ease score. ONE map-only expression pass "
+        "(split + array HOFs + regexp counts — all JVM codegen, no "
+        "Python, no shuffle at all); every count is an exact integer "
+        "and each emitted ratio is one division (Flesch is a fixed "
+        "IEEE chain over two such ratios with shared literal "
+        "coefficients). Sentence count floors at 1 so the "
+        "punctuation-free synthetic corpus degrades deterministically "
+        "instead of dividing by zero"
+    ),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    syll = F.aggregate(
+        F.transform(toks, lambda t: F.regexp_count(t, F.lit("[aeiou]+"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mono = F.size(
+        F.filter(toks, lambda t: F.regexp_count(t, F.lit("[aeiou]+")) <= 1)
+    )
+    counts = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        syll.alias("n_syll"),
+        mono.cast("bigint").alias("n_mono"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint").alias(
+            "n_chars"
+        ),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("bigint"), F.lit(1)
+        ).alias("n_sentences"),
+    ).filter(F.col("n_words") > 0)
+    nw = F.col("n_words")
+    return counts.select(
+        "doc_id",
+        "n_words",
+        "n_syll",
+        "n_sentences",
+        dround(F.col("n_chars") * F.lit(1.0) / nw, 4).alias("avg_word_len"),
+        dround(F.col("n_syll") * F.lit(1.0) / nw, 4).alias("syll_per_word"),
+        dround(F.col("n_mono") * F.lit(1.0) / nw, 4).alias("mono_share"),
+        dround(
+            F.lit(206.835)
+            - F.lit(1.015) * (nw * F.lit(1.0) / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syll") * F.lit(1.0) / nw),
+            2,
+        ).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (wave 22)
+# ---------------------------------------------------------------------------
+
+_GBA_SQL = """
+SELECT o_orderpriority,
+       CAST(strftime(o_orderdate, '%Y') AS INT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(ROUND(o_totalprice * 100, 0))) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all",
+    _GBA_SQL,
+    doc=(
+        "the Spark-4 / modern-SQL GROUP BY ALL + ORDER BY ALL "
+        "surface: grouping keys are inferred from the non-aggregate "
+        "select items and the output orders by every column — both "
+        "resolve at analysis time to the ordinary hash-aggregate + "
+        "sort plan (partial+final agg, one shuffle), so the sugar "
+        "costs nothing physical. Revenue sums in exact integer cents "
+        "(per-row rounding BEFORE the sum — the fold-order "
+        "discipline); the year extraction mirrors DuckDB strftime"
+    ),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(date_format(o_orderdate, 'yyyy') AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

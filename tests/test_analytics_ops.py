@@ -1494,3 +1494,72 @@ def test_rec_user_topn_contract(spark):
         # knn stores the 6dp-rounded cosine; floor(rounded·1e6) can sit
         # one ppm off floor(raw·1e6) per contributing neighbor
         assert abs(r.score_ppm - expect) <= len(hist[r.user_id])
+
+
+def test_geo_grid_knn_matches_neighborhood_brute_force(spark):
+    """Replay the grid kNN in pure Python: md5 coords, 3×3 cell
+    candidate set, exact integer dist² ranking — identical rows."""
+    import duckdb
+    import hashlib
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    ids = [
+        x[0]
+        for x in duckdb.connect()
+        .execute(f"SELECT c_custkey FROM read_parquet('{sf}/customer.parquet')")
+        .fetchall()
+    ]
+
+    def coord(tag, i):
+        return int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    pts = {i: (coord("gx", i), coord("gy", i)) for i in ids}
+    cell = {i: (x // 50_000, y // 50_000) for i, (x, y) in pts.items()}
+    by_cell = {}
+    for i, c in cell.items():
+        by_cell.setdefault(c, []).append(i)
+    expect = set()
+    for i, (x, y) in pts.items():
+        cx, cy = cell[i]
+        cands = [
+            j
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for j in by_cell.get((cx + dx, cy + dy), [])
+            if j != i
+        ]
+        ranked = sorted(
+            ((pts[j][0] - x) ** 2 + (pts[j][1] - y) ** 2, j) for j in cands
+        )[:3]
+        for rnk, (d2, j) in enumerate(ranked, start=1):
+            expect.add((i, j, d2, rnk))
+    got = {
+        (r.id, r.neighbor, r.dist2, r.rnk)
+        for r in registry()["geo_grid_knn"].fn(spark, sf).collect()
+    }
+    assert got == expect and expect
+
+
+def test_geo_cell_density_neighborhood_sum(spark):
+    """n_neighborhood equals the hand-summed 3×3 counts and total n
+    over cells equals the customer count."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["geo_cell_density"].fn(spark, sf).collect()
+    n_cust = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/customer.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) == n_cust
+    counts = {(r.cx, r.cy): r.n for r in rows}
+    for r in rows:
+        hand = sum(
+            counts.get((r.cx + dx, r.cy + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        assert r.n_neighborhood == hand
