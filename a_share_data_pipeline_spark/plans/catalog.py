@@ -313,6 +313,7 @@ def registry() -> dict[str, Query]:
     from . import queries_geo  # noqa: F401
     from . import queries_llm  # noqa: F401
     from . import queries_market  # noqa: F401
+    from . import queries_ml  # noqa: F401
     from . import queries_pipeline  # noqa: F401
     from . import queries_profile  # noqa: F401
     from . import queries_rec  # noqa: F401

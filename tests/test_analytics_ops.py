@@ -1563,3 +1563,45 @@ def test_geo_cell_density_neighborhood_sum(spark):
             for dy in (-1, 0, 1)
         )
         assert r.n_neighborhood == hand
+
+
+def test_pca_power_matches_numpy_integer_replay(spark):
+    """Replay the ENTIRE integer-grid power iteration in numpy —
+    quantize, exact covariance numerator, ppm rescale, 8 rounds —
+    and require bit-identical loadings + the delta_ppm diagnostic."""
+    import duckdb
+    import numpy as np
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    X = np.array(
+        [
+            r[0]
+            for r in duckdb.connect()
+            .execute(f"SELECT embedding FROM read_parquet('{sf}/embeddings.parquet')")
+            .fetchall()
+        ],
+        dtype=np.float64,
+    )
+    Xq = np.round(X * 1e6)
+    n = len(Xq)
+    S = Xq.sum(axis=0)
+    G = (n * (Xq.T @ Xq) - np.outer(S, S)).astype(object)  # exact ints
+    cmax = max(abs(int(x)) for x in G.flat)
+    g = np.array(
+        [[round(float(int(x)) / float(cmax) * 1e6) for x in row] for row in G],
+        dtype=np.int64,
+    )
+    v = np.full(64, 10**6, dtype=np.int64)
+    for _ in range(8):
+        prev = v
+        u = g @ v
+        m = np.abs(u).max()
+        v = np.array([round(float(x) / float(m) * 1e6) for x in u], dtype=np.int64)
+    delta = int(np.abs(v - prev).max())
+    rows = registry()["feature_pca_power"].fn(spark, sf).collect()
+    got = {r.dim: (r.loading_ppm, r.delta_ppm) for r in rows}
+    assert len(got) == 64
+    for d in range(64):
+        assert got[d + 1] == (int(v[d]), delta), d
