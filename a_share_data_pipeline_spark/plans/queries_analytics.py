@@ -3088,3 +3088,301 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return untouched.unionByName(
         latest.filter(F.col("op") != "D").select("k", "price", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 24: boolean retrieval over posting lists
+# ---------------------------------------------------------------------------
+
+_BOOL_ALL = ("data", "merge")  # every term required
+_BOOL_ANY = ("spark", "window")  # at least one required
+_BOOL_NOT = ("slow",)  # excluded
+
+_BOOL_SQL = f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         COUNT(DISTINCT CASE WHEN term IN ('data', 'merge')
+                             THEN term END) AS n_all,
+         COUNT(DISTINCT CASE WHEN term IN ('spark', 'window')
+                             THEN term END) AS n_any,
+         COUNT(DISTINCT CASE WHEN term IN ('slow')
+                             THEN term END) AS n_not,
+         array_to_string(list_sort(list(DISTINCT CASE WHEN term IN
+           ('spark', 'window') THEN term END)), ',') AS any_matched
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, any_matched
+FROM hits
+WHERE n_all = {len(_BOOL_ALL)} AND n_any >= 1 AND n_not = 0
+"""
+
+
+@register(
+    "text_boolean_retrieval",
+    _BOOL_SQL,
+    doc=(
+        "boolean posting-list retrieval — the AND/OR/NOT query model "
+        "under every lexical search engine, beside text_phrase_search "
+        "(positional adjacency) and text_bm25 (ranked): docs matching "
+        "ALL of {data, merge} AND ANY of {spark, window} AND NOT "
+        "{slow}. The explode reduces immediately to distinct "
+        "(doc, term) rows FILTERED to the five query terms (at scale "
+        "this is the pre-built inverted index scanned by term — the "
+        "filter IS the posting-list fetch), then ONE conditional "
+        "aggregation per doc evaluates all three clauses as integer "
+        "distinct-counts: AND = count equals clause size, OR = count "
+        "≥ 1, NOT = count = 0. No self-joins, no per-clause passes; "
+        "the matched OR-terms come from the same aggregation as a "
+        "sorted csv"
+    ),
+)
+def text_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    all_q = list(_BOOL_ALL + _BOOL_ANY + _BOOL_NOT)
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(all_q))
+        .distinct()
+    )
+    t = F.col("term")
+    hits = terms.groupBy("doc_id").agg(
+        F.count_distinct(F.when(t.isin(list(_BOOL_ALL)), t)).alias("n_all"),
+        F.count_distinct(F.when(t.isin(list(_BOOL_ANY)), t)).alias("n_any"),
+        F.count_distinct(F.when(t.isin(list(_BOOL_NOT)), t)).alias("n_not"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.when(t.isin(list(_BOOL_ANY)), t))), ","
+        ).alias("any_matched"),
+    )
+    return hits.filter(
+        (F.col("n_all") == len(_BOOL_ALL))
+        & (F.col("n_any") >= 1)
+        & (F.col("n_not") == 0)
+    ).select("doc_id", "any_matched")
+
+
+# ---------------------------------------------------------------------------
+# Wave 24: pre-join fan-out audit (cardinality-explosion estimator)
+# ---------------------------------------------------------------------------
+
+_FANOUT_SQL = """
+WITH sides AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+),
+contrib AS (
+  SELECT user_id, n_view, n_purchase,
+         CAST(n_view AS BIGINT) * n_purchase AS pairs
+  FROM sides
+),
+tot AS (
+  SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs,
+         CAST(SUM(n_view) AS BIGINT) AS total_view,
+         CAST(SUM(n_purchase) AS BIGINT) AS total_purchase,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM contrib
+)
+SELECT c.user_id, CAST(c.n_view AS BIGINT) AS n_view,
+       CAST(c.n_purchase AS BIGINT) AS n_purchase,
+       c.pairs,
+       t.total_pairs, t.n_keys,
+       ROUND(c.pairs * 1.0 / t.total_pairs, 6) AS share,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT c.*, row_number() OVER (
+    ORDER BY c.pairs DESC, c.user_id
+  ) AS rnk
+  FROM contrib c
+) c CROSS JOIN tot t
+WHERE rnk <= 10 AND c.pairs > 0
+"""
+
+
+@register(
+    "audit_join_fanout",
+    _FANOUT_SQL,
+    doc=(
+        "pre-join cardinality-explosion audit — the planning pass you "
+        "run BEFORE a key join that might blow up (here the view× "
+        "purchase per-user enrich, the stream_stream_join shape): "
+        "per-key counts of both sides reduce in ONE conditional "
+        "aggregation, the exact output size Σ n_a·n_b is pure int64, "
+        "and the top-10 contributing keys (with their share of total "
+        "pairs) name exactly which keys need the salting/cap "
+        "treatment. profile_skew_report diagnoses one side's row "
+        "skew; this audits the JOIN PRODUCT — the number that "
+        "actually explodes. The window is a TakeOrdered top-k, never "
+        "a global sort"
+    ),
+)
+def audit_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sides = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchase"
+        ),
+    )
+    contrib = sides.select(
+        "user_id",
+        "n_view",
+        "n_purchase",
+        (F.col("n_view").cast("bigint") * F.col("n_purchase")).alias("pairs"),
+    )
+    tot = contrib.agg(
+        F.sum("pairs").cast("bigint").alias("total_pairs"),
+        F.sum("n_view").cast("bigint").alias("total_view"),
+        F.sum("n_purchase").cast("bigint").alias("total_purchase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    w = W.orderBy(F.col("pairs").desc(), "user_id")
+    top = (
+        contrib.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 10) & (F.col("pairs") > 0))
+        .crossJoin(F.broadcast(tot.select("total_pairs", "n_keys")))
+    )
+    return top.select(
+        "user_id",
+        F.col("n_view").cast("bigint").alias("n_view"),
+        F.col("n_purchase").cast("bigint").alias("n_purchase"),
+        "pairs",
+        "total_pairs",
+        "n_keys",
+        dround(F.col("pairs") * F.lit(1.0) / F.col("total_pairs"), 6).alias("share"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 24: burst-episode detection (volume anomaly islands)
+# ---------------------------------------------------------------------------
+
+_BURST_SQL = """
+WITH daily0 AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  -- fixture augmentation (the _PII_AUG precedent): the synthetic
+  -- corpus's daily volume is too smooth to burst organically at
+  -- sf >= 0.01, so md5-selected days (~19%) get a deterministic 5x
+  -- boost on BOTH engines before the detector runs
+  SELECT event_type, day,
+         CASE WHEN substring(md5('burst|' || event_type || '|' ||
+                     strftime(day, '%Y-%m-%d')), 1, 1) < '3'
+              THEN c * 5 ELSE c END AS c
+  FROM daily0
+),
+framed AS (
+  SELECT event_type, day, c,
+         SUM(c) OVER w AS s7, COUNT(*) OVER w AS n7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+bursts AS (
+  SELECT event_type, day, c,
+         date_diff('day', DATE '1970-01-01', day)
+           - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS grp
+  FROM framed
+  WHERE n7 = 7 AND c * 7 > 2 * s7
+)
+SELECT event_type,
+       MIN(day) AS start_day, MAX(day) AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(c) AS BIGINT) AS peak_count,
+       arg_max(day, c * 1000000 - date_diff('day', DATE '1970-01-01', day))
+         AS peak_day
+FROM bursts
+GROUP BY event_type, grp
+"""
+
+
+@register(
+    "events_burst_episodes",
+    _BURST_SQL,
+    doc=(
+        "burst-episode detection (Kleinberg-lite volume anomaly): a "
+        "day bursts when its count exceeds 2× the trailing 7-day "
+        "average — evaluated as the integer cross-multiply 7c > 2·Σ7 "
+        "over an EXCLUSIVE trailing frame (rows -7..-1, so the burst "
+        "day never inflates its own baseline; warm-up days drop via "
+        "the frame count), and consecutive burst days fuse into "
+        "EPISODES via the epoch-day-minus-row-number island key "
+        "(events_streaks' device pointed at anomalies instead of "
+        "activity). Per-episode start/end/length/peak aggregate in "
+        "one pass; the peak DAY ties deterministically to the "
+        "earliest max via an integer composite arg_max key. Both "
+        "windows run over the reduced O(days·types) frame. The "
+        "synthetic corpus's volume is too smooth to burst organically "
+        "past sf0.001, so md5-selected days carry a deterministic 5× "
+        "boost on both engines (the fixture-augmentation contract) — "
+        "the detector itself is untouched"
+    ),
+)
+def events_burst_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily0 = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # fixture augmentation — see the oracle comment: deterministic 5x
+    # boost on md5-selected days, identical on both engines
+    boost = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("burst|"),
+                F.col("event_type"),
+                F.lit("|"),
+                F.date_format("day", "yyyy-MM-dd"),
+            )
+        ),
+        1,
+        1,
+    ) < "3"
+    daily = daily0.select(
+        "event_type",
+        "day",
+        F.when(boost, F.col("c") * 5).otherwise(F.col("c")).alias("c"),
+    )
+    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    framed = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    wr = W.partitionBy("event_type").orderBy("day")
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    bursts = framed.filter(
+        (F.col("n7") == 7) & (F.col("c") * 7 > F.lit(2) * F.col("s7"))
+    ).select(
+        "event_type",
+        "day",
+        "c",
+        (epoch_day - F.row_number().over(wr)).alias("grp"),
+    )
+    return (
+        bursts.groupBy("event_type", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("c").cast("bigint").alias("peak_count"),
+            F.max_by(
+                "day",
+                F.col("c") * F.lit(1000000)
+                - F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+            ).alias("peak_day"),
+        )
+        .drop("grp")
+    )
