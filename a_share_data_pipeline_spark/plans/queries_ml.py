@@ -1,6 +1,8 @@
-"""Round-6 wave 23: distributed linear algebra — the top principal
-component of the embedding covariance via power iteration, fully
-deterministic across engines.
+"""Round-6 waves 23 + 25: ML primitives — the top principal component
+of the embedding covariance via power iteration (wave 23), and the
+supervised pair: categorical Naive Bayes train/apply and the
+decision-stump best-split search (wave 25), all fully deterministic
+across engines.
 
 PCA at corpus scale is a two-phase shape: (1) ONE data-sized pass
 builds the d×d Gram/covariance matrix (map-side products, the shuffle
@@ -17,6 +19,7 @@ round, bit-identical on both engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dround
@@ -221,4 +224,276 @@ def feature_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("dim"),
         F.col("v").cast("bigint").alias("loading_ppm"),
         F.col("d").cast("bigint").alias("delta_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 25: Naive Bayes train + apply + confusion matrix
+# ---------------------------------------------------------------------------
+
+_NB_CLASSES = ("A", "N", "R")  # fixed literal order: every cross-class
+# expression (scores, the argmax CASE) chains in THIS order on both
+# engines
+
+# deterministic 80/20 split: md5 parity over the row key
+_NB_TEST = (
+    "(('0x' || substring(md5('nb|' || CAST(l_orderkey AS VARCHAR) || '|' ||"
+    " CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 5) = 0"
+)
+
+_NB_FEATS_SQL = """
+  l_linestatus AS f1,
+  CAST(CAST(l_quantity AS BIGINT) // 10 AS BIGINT) AS f2,
+  CAST(CAST(ROUND(l_discount * 100, 0) AS BIGINT) // 2 AS BIGINT) AS f3
+"""
+
+
+def _nb_sql() -> str:
+    # per-feature likelihood tables pivot classes into columns; the
+    # per-row score is a FIXED 4-term IEEE chain per class
+    score = {}
+    for c in _NB_CLASSES:
+        score[c] = (
+            f"(tot_{c} * 1.0 / n_train)"
+            f" * ((c1_{c} + 1.0) / (tot_{c} + v1))"
+            f" * ((c2_{c} + 1.0) / (tot_{c} + v2))"
+            f" * ((c3_{c} + 1.0) / (tot_{c} + v3))"
+        )
+    f_tables = []
+    for k in (1, 2, 3):
+        cols = ", ".join(
+            f"SUM(CASE WHEN label = '{c}' THEN 1 ELSE 0 END) AS c{k}_{c}"
+            for c in _NB_CLASSES
+        )
+        f_tables.append(
+            f"t{k} AS (SELECT f{k}, {cols} FROM train GROUP BY f{k})"
+        )
+    return f"""
+WITH base AS (
+  SELECT l_returnflag AS label, {_NB_FEATS_SQL},
+         {_NB_TEST} AS is_test
+  FROM lineitem
+),
+train AS (SELECT * FROM base WHERE NOT is_test),
+{','.join(f_tables)},
+cls AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         {', '.join(f"SUM(CASE WHEN label = '{c}' THEN 1 ELSE 0 END) AS tot_{c}" for c in _NB_CLASSES)},
+         (SELECT COUNT(DISTINCT f1) FROM train) AS v1,
+         (SELECT COUNT(DISTINCT f2) FROM train) AS v2,
+         (SELECT COUNT(DISTINCT f3) FROM train) AS v3
+  FROM train
+),
+scored AS (
+  SELECT b.label,
+         CASE WHEN {score['A']} >= {score['N']} AND {score['A']} >= {score['R']} THEN 'A'
+              WHEN {score['N']} >= {score['R']} THEN 'N'
+              ELSE 'R' END AS prediction
+  FROM base b
+  JOIN t1 ON t1.f1 = b.f1
+  JOIN t2 ON t2.f2 = b.f2
+  JOIN t3 ON t3.f3 = b.f3
+  CROSS JOIN cls
+  WHERE b.is_test
+)
+SELECT label, prediction, CAST(COUNT(*) AS BIGINT) AS n
+FROM scored GROUP BY label, prediction
+"""
+
+
+_NB_SQL = _nb_sql()
+
+
+@register(
+    "ml_naive_bayes_confusion",
+    _NB_SQL,
+    doc=(
+        "categorical Naive Bayes, trained and applied in one "
+        "declarative pass: deterministic md5 80/20 split, per-feature "
+        "Laplace-smoothed likelihood tables built by ONE conditional "
+        "aggregation each with classes pivoted into COLUMNS, then "
+        "every test row joins the three broadcast-size tables + the "
+        "1-row class-prior frame and scores each class as a FIXED "
+        "4-term IEEE chain over exact integer counts — bit-identical "
+        "doubles, argmax by a literal-order CASE (ties resolve to the "
+        "earlier class, deterministically). Output is the test-split "
+        "confusion matrix (exact integer counts). The synthetic "
+        "labels are independent of the features, so accuracy sits at "
+        "chance — the witness is the train/apply machinery, which is "
+        "label-distribution-agnostic. At scale: likelihood tables are "
+        "O(values×classes) broadcasts; scoring is map-only"
+    ),
+)
+def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    is_test = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("nb|"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+        == 0
+    )
+    base = li.select(
+        F.col("l_returnflag").alias("label"),
+        F.col("l_linestatus").alias("f1"),
+        (F.col("l_quantity").cast("bigint") / 10).cast("bigint").alias("f2"),
+        (dround(F.col("l_discount") * 100, 0).cast("bigint") / 2)
+        .cast("bigint")
+        .alias("f3"),
+        is_test.alias("is_test"),
+    ).localCheckpoint(eager=True)  # consumers: three likelihood
+    # tables, the class-prior frame, and the scoring pass
+    train = base.filter(~F.col("is_test"))
+    tabs = {}
+    for k in (1, 2, 3):
+        tabs[k] = train.groupBy(f"f{k}").agg(
+            *[
+                F.sum(F.when(F.col("label") == c, 1).otherwise(0)).alias(f"c{k}_{c}")
+                for c in _NB_CLASSES
+            ]
+        )
+    vs = train.agg(
+        *[F.count_distinct(F.col(f"f{k}")).alias(f"v{k}") for k in (1, 2, 3)]
+    )
+    cls = train.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        *[
+            F.sum(F.when(F.col("label") == c, 1).otherwise(0)).alias(f"tot_{c}")
+            for c in _NB_CLASSES
+        ],
+    ).crossJoin(F.broadcast(vs))
+    test = (
+        base.filter(F.col("is_test"))
+        .join(F.broadcast(tabs[1]), "f1")
+        .join(F.broadcast(tabs[2]), "f2")
+        .join(F.broadcast(tabs[3]), "f3")
+        .crossJoin(F.broadcast(cls))
+    )
+
+    def score(c: str) -> F.Column:
+        return (
+            (F.col(f"tot_{c}") * F.lit(1.0) / F.col("n_train"))
+            * ((F.col(f"c1_{c}") + F.lit(1.0)) / (F.col(f"tot_{c}") + F.col("v1")))
+            * ((F.col(f"c2_{c}") + F.lit(1.0)) / (F.col(f"tot_{c}") + F.col("v2")))
+            * ((F.col(f"c3_{c}") + F.lit(1.0)) / (F.col(f"tot_{c}") + F.col("v3")))
+        )
+
+    a, n, r = (score(c) for c in _NB_CLASSES)
+    pred = (
+        F.when((a >= n) & (a >= r), F.lit("A"))
+        .when(n >= r, F.lit("N"))
+        .otherwise(F.lit("R"))
+    )
+    return (
+        test.select("label", pred.alias("prediction"))
+        .groupBy("label", "prediction")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 25: decision stump — best Gini split on a literal threshold grid
+# ---------------------------------------------------------------------------
+
+_STUMP_THRESHOLDS = tuple(range(10_000_00, 100_000_01, 10_000_00))  # cents:
+# a data-independent literal grid ($10k..$100k step $10k) — candidate
+# thresholds that never move with the data, so tuning is cost-only
+
+_STUMP_SQL = f"""
+WITH base AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+cand AS (SELECT unnest(ARRAY{list(_STUMP_THRESHOLDS)}) AS thr),
+split AS (
+  SELECT c.thr,
+         SUM(CASE WHEN b.x < c.thr THEN 1 ELSE 0 END) AS n_l,
+         SUM(CASE WHEN b.x < c.thr THEN b.y ELSE 0 END) AS p_l,
+         SUM(CASE WHEN b.x >= c.thr THEN 1 ELSE 0 END) AS n_r,
+         SUM(CASE WHEN b.x >= c.thr THEN b.y ELSE 0 END) AS p_r
+  FROM base b CROSS JOIN cand c
+  GROUP BY c.thr
+),
+scored AS (
+  SELECT thr, n_l, p_l, n_r, p_r,
+         2.0 * (CAST(p_l AS DOUBLE) * (n_l - p_l) / NULLIF(n_l, 0)
+              + CAST(p_r AS DOUBLE) * (n_r - p_r) / NULLIF(n_r, 0))
+           / (n_l + n_r) AS gini_w
+  FROM split
+)
+SELECT CAST(thr AS BIGINT) AS threshold_cents,
+       CAST(n_l AS BIGINT) AS n_left, CAST(p_l AS BIGINT) AS pos_left,
+       CAST(n_r AS BIGINT) AS n_right, CAST(p_r AS BIGINT) AS pos_right,
+       ROUND(gini_w, 8) AS gini_weighted,
+       CAST(row_number() OVER (ORDER BY gini_w, thr) AS INT) AS rnk
+FROM scored
+"""
+
+
+@register(
+    "ml_decision_stump",
+    _STUMP_SQL,
+    doc=(
+        "decision-stump training (the boosted-trees primitive): find "
+        "the best binary split of price against the is-returned label "
+        "over a LITERAL threshold grid — data-independent candidates, "
+        "so the operator is one conditional-aggregation scan (the ×10 "
+        "candidate fan-out is map-side and constant) producing exact "
+        "integer (n, pos) per side per candidate; weighted binary "
+        "Gini 2·Σₛ pₛ(nₛ−pₛ)/nₛ / N is a fixed IEEE chain over those "
+        "integers, ranked with the threshold as tie-break. All ten "
+        "candidates ship with their impurity (rnk 1 = the stump), so "
+        "the caller sees the whole split landscape, not a bare argmin"
+    ),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        dround(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cand = F.explode(
+        F.array(*[F.lit(t).cast("bigint") for t in _STUMP_THRESHOLDS])
+    ).alias("thr")
+    fanned = base.select("x", "y", cand)
+    left = F.col("x") < F.col("thr")
+    split = fanned.groupBy("thr").agg(
+        F.sum(F.when(left, 1).otherwise(0)).alias("n_l"),
+        F.sum(F.when(left, F.col("y")).otherwise(0)).alias("p_l"),
+        F.sum(F.when(~left, 1).otherwise(0)).alias("n_r"),
+        F.sum(F.when(~left, F.col("y")).otherwise(0)).alias("p_r"),
+    )
+    nl, pl, nr, pr = (F.col(c) for c in ("n_l", "p_l", "n_r", "p_r"))
+    gini = (
+        F.lit(2.0)
+        * (
+            pl.cast("double") * (nl - pl) / F.nullif(nl, F.lit(0))
+            + pr.cast("double") * (nr - pr) / F.nullif(nr, F.lit(0))
+        )
+        / (nl + nr)
+    )
+    scored = split.select("thr", "n_l", "p_l", "n_r", "p_r", gini.alias("gini_w"))
+    w = W.orderBy("gini_w", "thr")
+    return scored.select(
+        F.col("thr").cast("bigint").alias("threshold_cents"),
+        nl.cast("bigint").alias("n_left"),
+        pl.cast("bigint").alias("pos_left"),
+        nr.cast("bigint").alias("n_right"),
+        pr.cast("bigint").alias("pos_right"),
+        dround(F.col("gini_w"), 8).alias("gini_weighted"),
+        F.row_number().over(w).cast("int").alias("rnk"),
     )

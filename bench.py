@@ -132,6 +132,13 @@ HEADLINE = [
     # Structured Streaming machinery has a tracked cost per round
     "stream_curation_gates",
     "stream_stream_join",
+    # waves 18-24: the costliest new shapes — the n·d² Gram pass +
+    # integer power iteration, the ×100 permutation fan-out, the
+    # user-key pair expansion (CF), and the 9-cell spatial probe join
+    "feature_pca_power",
+    "stats_permutation_test",
+    "rec_user_topn",
+    "geo_grid_knn",
 ]
 
 

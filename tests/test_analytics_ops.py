@@ -1605,3 +1605,92 @@ def test_pca_power_matches_numpy_integer_replay(spark):
     assert len(got) == 64
     for d in range(64):
         assert got[d + 1] == (int(v[d]), delta), d
+
+
+def test_naive_bayes_confusion_replay(spark):
+    """Replay the full NB train/apply in pure Python (hashlib split,
+    Laplace counts, fixed-chain scores, literal-order argmax) and
+    compare the exact confusion matrix."""
+    import duckdb
+    import hashlib
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, "
+        "CAST(l_quantity AS BIGINT) // 10, "
+        "CAST(ROUND(l_discount*100,0) AS BIGINT) // 2 "
+        f"FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchall()
+    data = []
+    for ok, ln, lab, f1, f2, f3 in rows:
+        h = int(hashlib.md5(f"nb|{ok}|{ln}".encode()).hexdigest()[:8], 16)
+        data.append((lab, f1, int(f2), int(f3), h % 5 == 0))
+    train = [d for d in data if not d[4]]
+    classes = ("A", "N", "R")
+    tot = {c: sum(1 for d in train if d[0] == c) for c in classes}
+    n_train = len(train)
+    cnt = {}
+    vs = {}
+    for k in (1, 2, 3):
+        vals = {d[k] for d in train}
+        vs[k] = len(vals)
+        for c in classes:
+            for v in vals:
+                cnt[(k, v, c)] = sum(
+                    1 for d in train if d[0] == c and d[k] == v
+                )
+    conf = {}
+    for lab, f1, f2, f3, is_test in data:
+        if not is_test:
+            continue
+        s = {}
+        for c in classes:
+            s[c] = (
+                (tot[c] * 1.0 / n_train)
+                * ((cnt.get((1, f1, c), 0) + 1.0) / (tot[c] + vs[1]))
+                * ((cnt.get((2, f2, c), 0) + 1.0) / (tot[c] + vs[2]))
+                * ((cnt.get((3, f3, c), 0) + 1.0) / (tot[c] + vs[3]))
+            )
+        if s["A"] >= s["N"] and s["A"] >= s["R"]:
+            p = "A"
+        elif s["N"] >= s["R"]:
+            p = "N"
+        else:
+            p = "R"
+        conf[(lab, p)] = conf.get((lab, p), 0) + 1
+    got = {
+        (r.label, r.prediction): r.n
+        for r in registry()["ml_naive_bayes_confusion"].fn(spark, sf).collect()
+    }
+    assert got == conf and sum(conf.values()) > 0
+
+
+def test_decision_stump_gini_replay(spark):
+    """Replay each candidate's weighted Gini from the raw cents and
+    pin that rnk orders by it (threshold tie-break)."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    xy = duckdb.connect().execute(
+        "SELECT CAST(ROUND(l_extendedprice*100,0) AS BIGINT), "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END "
+        f"FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchall()
+    rows = registry()["ml_decision_stump"].fn(spark, sf).collect()
+    assert len(rows) == 10
+    for r in rows:
+        nl = sum(1 for x, y in xy if x < r.threshold_cents)
+        pl = sum(y for x, y in xy if x < r.threshold_cents)
+        nr = len(xy) - nl
+        pr = sum(y for x, y in xy) - pl
+        assert (r.n_left, r.pos_left, r.n_right, r.pos_right) == (nl, pl, nr, pr)
+        gl = pl * (nl - pl) / nl if nl else 0.0
+        gr = pr * (nr - pr) / nr if nr else 0.0
+        g = 2.0 * (gl + gr) / (nl + nr)
+        assert abs(r.gini_weighted - g) < 1e-7
+    order = sorted(rows, key=lambda r: (r.gini_weighted, r.threshold_cents))
+    assert [r.rnk for r in order] == list(range(1, 11))
