@@ -3386,3 +3386,162 @@ def events_burst_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 26: content-defined chunking dedup (the storage-dedup operator)
+# ---------------------------------------------------------------------------
+
+# Fixture augmentation (the _LINE_AUG precedent): the synthetic corpus
+# has no repeated passages, so md5-selected docs (~25%) get the SAME
+# 48-token boilerplate tail on BOTH engines. Content-defined chunking
+# must then re-discover identical interior chunks across those docs
+# even though every doc's preceding content differs — the shift-
+# robustness property that makes CDC the storage-dedup primitive.
+_CDC_TAIL = " ".join(
+    ["spark merge data window batch stream the fast key order"] * 4
+    + ["table scan join filter sort agg"]
+)  # 46 tokens; expected chunk size 16 → ~3 interior boundaries
+
+_CDC_MOD = 16  # boundary when md5(4-gram) % 16 == 0
+
+
+_CDC_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5('cdc|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   < '4'
+              THEN text || ' ' || '{_CDC_TAIL}' ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM aug
+),
+pos AS (
+  SELECT doc_id, ts, generate_subscripts(ts, 1) AS p, unnest(ts) AS tok
+  FROM toks
+),
+flagged AS (
+  SELECT doc_id, p, tok,
+         CASE WHEN p = 1 OR
+              (('0x' || substring(md5(array_to_string(
+                   ts[p:LEAST(p + 3, len(ts))], ' ')), 1, 8))::BIGINT
+               % {_CDC_MOD}) = 0
+         THEN 1 ELSE 0 END AS boundary
+  FROM pos
+),
+chunked AS (
+  SELECT doc_id, p, tok,
+         SUM(boundary) OVER (PARTITION BY doc_id ORDER BY p) AS chunk_idx
+  FROM flagged
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash,
+         COUNT(*) AS n_tok
+  FROM chunked GROUP BY doc_id, chunk_idx
+),
+corpus AS (
+  SELECT chunk_hash, COUNT(*) AS n_occ FROM chunks GROUP BY chunk_hash
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(c.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN co.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       ROUND(SUM(CASE WHEN co.n_occ > 1 THEN c.n_tok ELSE 0 END) * 1.0
+             / SUM(c.n_tok), 4) AS dup_token_share
+FROM chunks c JOIN corpus co ON co.chunk_hash = c.chunk_hash
+GROUP BY c.doc_id
+"""
+
+
+@register(
+    "dedup_content_chunking",
+    _CDC_SQL,
+    doc=(
+        "content-defined chunking dedup — the rsync/LBFS storage-"
+        "dedup primitive beside dedup_substring's fixed-stride "
+        "windows: chunk boundaries fall where md5(4-gram) ≡ 0 mod "
+        f"{_CDC_MOD} (expected ~16-token chunks), so IDENTICAL "
+        "passages chunk identically regardless of how much unrelated "
+        "content precedes them — the shift-robustness fixed-stride "
+        "schemes lack, proven here by the md5-selected docs sharing "
+        "one boilerplate tail behind different prefixes (fixture-"
+        "augmentation contract) whose interior chunks deduplicate "
+        "across the corpus. Pipeline: one positional explode (rows, "
+        "not array-append prefix sums — the winnowing O(m²) lesson), "
+        "boundary flags map-side, chunk ids via ONE cumulative window "
+        "per doc, ordered struct-sort reassembly per chunk, corpus "
+        "chunk counts by hash, per-doc dup share with ONE division. "
+        "Every stage keys on doc or chunk-hash — linear at any scale"
+    ),
+)
+def dedup_content_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("cdc|"), F.col("doc_id").cast("string"))), 1, 1
+            )
+            < "4",
+            F.concat(F.col("text"), F.lit(" " + _CDC_TAIL)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = aug.select("doc_id", F.split("text", " ").alias("ts"))
+    pos = toks.select(
+        "doc_id", "ts", F.posexplode("ts").alias("p0", "tok")
+    ).select("doc_id", "ts", (F.col("p0") + 1).alias("p"), "tok")
+    gram = F.array_join(
+        F.slice(
+            F.col("ts"),
+            F.col("p"),
+            F.least(F.lit(4), F.size("ts") - F.col("p") + 1),
+        ),
+        " ",
+    )
+    hash_mod = (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint") % _CDC_MOD
+    )
+    flagged = pos.select(
+        "doc_id",
+        "p",
+        "tok",
+        F.when((F.col("p") == 1) | (hash_mod == 0), 1).otherwise(0).alias("boundary"),
+    )
+    wc = W.partitionBy("doc_id").orderBy("p")
+    chunked = flagged.select(
+        "doc_id", "p", "tok", F.sum("boundary").over(wc).alias("chunk_idx")
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    corpus = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = F.col("n_occ") > 1
+    return (
+        chunks.join(corpus, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("dup_chunks"),
+            dround(
+                F.sum(F.when(dup, F.col("n_tok")).otherwise(0))
+                * F.lit(1.0)
+                / F.sum("n_tok"),
+                4,
+            ).alias("dup_token_share"),
+        )
+    )

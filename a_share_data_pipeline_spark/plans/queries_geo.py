@@ -114,10 +114,13 @@ WHERE rnk <= {_KNN}
         "candidates inside the bounded set. Coordinates are "
         "md5-derived integer micro-units so dist2 is exact int64 and "
         "the top-3 window needs no float tie-break. Per-point work is "
-        "bounded by neighborhood density; at scale the cell edge "
-        "shrinks with density (keep ~O(10) points/cell) and hot cells "
-        "get the salting treatment — the blocking key is data-"
-        "independent, so the tuning never changes results, only cost"
+        "bounded by neighborhood density; at scale the cell edge is "
+        "sized to ~O(10) points/cell and hot cells get the salting "
+        "treatment. The cell edge is PART OF THE CONTRACT — "
+        "candidates are exactly the 3×3 neighborhood, so retuning it "
+        "changes which far-away neighbors are reachable (unlike a "
+        "pure cost knob); production callers fix the grid constant "
+        "per dataset or widen the probe ring instead"
     ),
 )
 def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -448,3 +448,147 @@ def events_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sharpe_ann"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Candlestick pattern detection (wave 26)
+# ---------------------------------------------------------------------------
+
+_CANDLE_SQL = f"""
+WITH keyed AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         {_ORDKEY_SQL} AS ordkey
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+bars AS (
+  SELECT event_type, day,
+         arg_min(c, ordkey) AS o, MAX(c) AS h, MIN(c) AS l,
+         arg_max(c, ordkey) AS cl
+  FROM keyed GROUP BY event_type, day
+),
+lagged AS (
+  SELECT event_type, day, o, h, l, cl,
+         lag(o) OVER w AS po, lag(cl) OVER w AS pcl
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+flags AS (
+  SELECT event_type, day, o, h, l, cl,
+         (h > l AND ABS(cl - o) * 20 <= (h - l)) AS is_doji,
+         ((LEAST(o, cl) - l) >= 2 * ABS(cl - o)
+          AND (h - GREATEST(o, cl)) <= ABS(cl - o)
+          AND ABS(cl - o) > 0) AS is_hammer,
+         (po IS NOT NULL AND pcl < po AND cl > o
+          AND o <= pcl AND cl >= po) AS is_bull_engulf,
+         (po IS NOT NULL AND pcl > po AND cl < o
+          AND o >= pcl AND cl <= po) AS is_bear_engulf
+  FROM lagged
+),
+long AS (
+  SELECT event_type, day, o, h, l, cl, 'doji' AS pattern
+  FROM flags WHERE is_doji
+  UNION ALL
+  SELECT event_type, day, o, h, l, cl, 'hammer' FROM flags WHERE is_hammer
+  UNION ALL
+  SELECT event_type, day, o, h, l, cl, 'bullish_engulfing'
+  FROM flags WHERE is_bull_engulf
+  UNION ALL
+  SELECT event_type, day, o, h, l, cl, 'bearish_engulfing'
+  FROM flags WHERE is_bear_engulf
+)
+SELECT event_type, day, pattern,
+       ROUND(o / 100.0, 2) AS open, ROUND(h / 100.0, 2) AS high,
+       ROUND(l / 100.0, 2) AS low, ROUND(cl / 100.0, 2) AS close
+FROM long
+"""
+
+
+@register(
+    "events_candle_patterns",
+    _CANDLE_SQL,
+    doc=(
+        "candlestick pattern detection over daily OHLC bars — the "
+        "rule-based signal layer on top of events_ohlc's resample "
+        "(doji: body ≤ 5% of range as the integer cross-multiply "
+        "20·|c−o| ≤ h−l; hammer: lower shadow ≥ 2×body with a capped "
+        "upper shadow; bullish/bearish engulfing: the previous bar's "
+        "body strictly inside the current one, via ONE lag window). "
+        "Every rule is a pure int64-cents comparison — no epsilons, "
+        "no floats — so pattern membership can never flip between "
+        "engines; the four flags compute in one pass and unpivot via "
+        "UNION ALL branches of the same tiny flags frame (O(weeks· "
+        "types), reduced before any window)"
+    ),
+)
+def events_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = _ticks(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        _cents().alias("c"),
+        _ordkey().alias("ordkey"),
+    )
+    bars = keyed.groupBy("event_type", "day").agg(
+        F.min_by("c", "ordkey").alias("o"),
+        F.max("c").alias("h"),
+        F.min("c").alias("l"),
+        F.max_by("c", "ordkey").alias("cl"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = bars.select(
+        "event_type",
+        "day",
+        "o",
+        "h",
+        "l",
+        "cl",
+        F.lag("o").over(w).alias("po"),
+        F.lag("cl").over(w).alias("pcl"),
+    )
+    o, h, l, cl = (F.col(x) for x in ("o", "h", "l", "cl"))
+    po, pcl = F.col("po"), F.col("pcl")
+    body = F.abs(cl - o)
+    flags = lagged.select(
+        "event_type",
+        "day",
+        "o",
+        "h",
+        "l",
+        "cl",
+        ((h > l) & (body * 20 <= (h - l))).alias("is_doji"),
+        (
+            ((F.least(o, cl) - l) >= 2 * body)
+            & ((h - F.greatest(o, cl)) <= body)
+            & (body > 0)
+        ).alias("is_hammer"),
+        (po.isNotNull() & (pcl < po) & (cl > o) & (o <= pcl) & (cl >= po)).alias(
+            "is_bull_engulf"
+        ),
+        (po.isNotNull() & (pcl > po) & (cl < o) & (o >= pcl) & (cl <= po)).alias(
+            "is_bear_engulf"
+        ),
+    ).localCheckpoint(eager=True)  # consumers: the four unpivot branches
+    parts = []
+    for flag, name in (
+        ("is_doji", "doji"),
+        ("is_hammer", "hammer"),
+        ("is_bull_engulf", "bullish_engulfing"),
+        ("is_bear_engulf", "bearish_engulfing"),
+    ):
+        parts.append(
+            flags.filter(F.col(flag)).select(
+                "event_type", "day", F.lit(name).alias("pattern"), "o", "h", "l", "cl"
+            )
+        )
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+    return long.select(
+        "event_type",
+        "day",
+        "pattern",
+        dround(F.col("o") / 100.0, 2).alias("open"),
+        dround(F.col("h") / 100.0, 2).alias("high"),
+        dround(F.col("l") / 100.0, 2).alias("low"),
+        dround(F.col("cl") / 100.0, 2).alias("close"),
+    )

@@ -149,3 +149,50 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (wave 26)
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_quantity >= 25
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    _PIPE_ORACLE,
+    doc=(
+        "the Spark-4 SQL pipe syntax (|> operators, the linear "
+        "GoogleSQL-style query form): FROM … |> WHERE … |> AGGREGATE "
+        "… GROUP BY … |> ORDER BY parses to EXACTLY the plan the "
+        "nested form produces — filter pushed into the scan, "
+        "partial+final hash agg, one sort — so the surface is free; "
+        "the oracle states the same query in classic ANSI form, "
+        "proving the two syntaxes are semantically identical. "
+        "Revenue sums in exact integer cents"
+    ),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 25
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                       AS revenue_cents
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                  CAST(revenue_cents AS BIGINT) AS revenue_cents
+        |> ORDER BY l_returnflag
+        """
+    )
