@@ -497,3 +497,169 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("gini_w"), 8).alias("gini_weighted"),
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 27: k-fold cross-validated stump selection
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+_CV_SQL = f"""
+WITH base AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         (('0x' || substring(md5('cv|' || CAST(l_orderkey AS VARCHAR) || '|'
+            || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+          % {_CV_FOLDS}) AS fold
+  FROM lineitem
+),
+cand AS (SELECT unnest(ARRAY{list(_STUMP_THRESHOLDS)}) AS thr),
+grp AS (
+  SELECT c.thr, b.fold,
+         SUM(CASE WHEN b.x < c.thr THEN 1 ELSE 0 END) AS n_l,
+         SUM(CASE WHEN b.x < c.thr THEN b.y ELSE 0 END) AS p_l,
+         SUM(CASE WHEN b.x >= c.thr THEN 1 ELSE 0 END) AS n_r,
+         SUM(CASE WHEN b.x >= c.thr THEN b.y ELSE 0 END) AS p_r
+  FROM base b CROSS JOIN cand c
+  GROUP BY c.thr, b.fold
+),
+train AS (
+  SELECT thr, fold, n_l, p_l, n_r, p_r,
+         SUM(n_l) OVER wt - n_l AS tn_l, SUM(p_l) OVER wt - p_l AS tp_l,
+         SUM(n_r) OVER wt - n_r AS tn_r, SUM(p_r) OVER wt - p_r AS tp_r
+  FROM grp
+  WINDOW wt AS (PARTITION BY thr)
+),
+scored AS (
+  SELECT t.*,
+         2.0 * (CASE WHEN tn_l = 0 THEN 0.0
+                     ELSE CAST(tp_l AS DOUBLE) * (tn_l - tp_l) / tn_l END
+              + CASE WHEN tn_r = 0 THEN 0.0
+                     ELSE CAST(tp_r AS DOUBLE) * (tn_r - tp_r) / tn_r END)
+           / (tn_l + tn_r) AS train_gini,
+         (CASE WHEN 2 * tp_l > tn_l THEN p_l ELSE n_l - p_l END
+          + CASE WHEN 2 * tp_r > tn_r THEN p_r ELSE n_r - p_r END) AS correct
+  FROM train t
+)
+SELECT CAST(fold AS INT) AS fold,
+       CAST(thr AS BIGINT) AS best_threshold_cents,
+       ROUND(train_gini, 8) AS train_gini,
+       CAST(n_l + n_r AS BIGINT) AS n_holdout,
+       ROUND(correct * 1.0 / (n_l + n_r), 6) AS holdout_acc
+FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY fold ORDER BY train_gini, thr
+  ) AS rnk
+  FROM scored s
+)
+WHERE rnk = 1
+"""
+
+
+@register(
+    "ml_stump_cv",
+    _CV_SQL,
+    doc=(
+        f"{_CV_FOLDS}-fold cross-validated stump selection — the "
+        "model-selection loop on top of ml_decision_stump, still ONE "
+        "data-sized scan: rows carry an md5 fold id, the ×10 "
+        "candidate fan-out aggregates to a (thr × fold) grid of exact "
+        "integer side-counts, and each fold's TRAIN counts are the "
+        "thr-partition totals minus its own fold row (the LOO window "
+        "device — no second scan, no 5× retrain). Best threshold per "
+        "fold minimizes train Gini (fixed IEEE chain, thr tie-break); "
+        "the held-out fold scores by majority-class side prediction "
+        "(2·p > n integer compares) with accuracy's single division "
+        "at emit. Empty train sides contribute zero impurity by the "
+        "standard convention — no NULL-ordering divergence"
+    ),
+)
+def ml_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cv|"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CV_FOLDS
+    )
+    base = li.select(
+        dround(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        fold.alias("fold"),
+    )
+    cand = F.explode(
+        F.array(*[F.lit(t).cast("bigint") for t in _STUMP_THRESHOLDS])
+    ).alias("thr")
+    fanned = base.select("x", "y", "fold", cand)
+    left = F.col("x") < F.col("thr")
+    grp = fanned.groupBy("thr", "fold").agg(
+        F.sum(F.when(left, 1).otherwise(0)).alias("n_l"),
+        F.sum(F.when(left, F.col("y")).otherwise(0)).alias("p_l"),
+        F.sum(F.when(~left, 1).otherwise(0)).alias("n_r"),
+        F.sum(F.when(~left, F.col("y")).otherwise(0)).alias("p_r"),
+    )
+    wt = W.partitionBy("thr")
+    train = grp.select(
+        "thr",
+        "fold",
+        "n_l",
+        "p_l",
+        "n_r",
+        "p_r",
+        (F.sum("n_l").over(wt) - F.col("n_l")).alias("tn_l"),
+        (F.sum("p_l").over(wt) - F.col("p_l")).alias("tp_l"),
+        (F.sum("n_r").over(wt) - F.col("n_r")).alias("tn_r"),
+        (F.sum("p_r").over(wt) - F.col("p_r")).alias("tp_r"),
+    )
+    tnl, tpl, tnr, tpr = (F.col(c) for c in ("tn_l", "tp_l", "tn_r", "tp_r"))
+    gini = (
+        F.lit(2.0)
+        * (
+            F.when(tnl == 0, F.lit(0.0)).otherwise(
+                tpl.cast("double") * (tnl - tpl) / tnl
+            )
+            + F.when(tnr == 0, F.lit(0.0)).otherwise(
+                tpr.cast("double") * (tnr - tpr) / tnr
+            )
+        )
+        / (tnl + tnr)
+    )
+    correct = F.when(2 * tpl > tnl, F.col("p_l")).otherwise(
+        F.col("n_l") - F.col("p_l")
+    ) + F.when(2 * tpr > tnr, F.col("p_r")).otherwise(F.col("n_r") - F.col("p_r"))
+    scored = train.select(
+        "thr",
+        "fold",
+        "n_l",
+        "n_r",
+        gini.alias("train_gini"),
+        correct.alias("correct"),
+    )
+    wr = W.partitionBy("fold").orderBy("train_gini", "thr")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            F.col("thr").cast("bigint").alias("best_threshold_cents"),
+            dround(F.col("train_gini"), 8).alias("train_gini"),
+            (F.col("n_l") + F.col("n_r")).cast("bigint").alias("n_holdout"),
+            dround(
+                F.col("correct") * F.lit(1.0) / (F.col("n_l") + F.col("n_r")), 6
+            ).alias("holdout_acc"),
+        )
+    )

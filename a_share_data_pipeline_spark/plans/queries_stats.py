@@ -383,3 +383,96 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_exceed") + 1) * F.lit(1.0) / F.lit(_N_PERMS + 1), 4
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 27: SPRT — Wald's sequential probability ratio test
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.4, 0.5  # H0 vs H1 conversion rate
+_SPRT_ALPHA = _SPRT_BETA = 0.05
+# pre-rounded integer NANO log-likelihood increments and boundaries —
+# the text_js_divergence "once-rounded integer ln" device: Python
+# computes each log ONCE and injects the SAME int64 literal into both
+# engines, so the cumulative LLR is exact integer arithmetic
+_SPRT_L1 = round(_math.log(_SPRT_P1 / _SPRT_P0) * 1e9)  # per conversion
+_SPRT_L0 = round(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e9)  # per miss
+_SPRT_A = round(_math.log((1 - _SPRT_BETA) / _SPRT_ALPHA) * 1e9)  # accept H1
+_SPRT_B = round(_math.log(_SPRT_BETA / (1 - _SPRT_ALPHA)) * 1e9)  # accept H0
+
+_SPRT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_neg
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+),
+walk AS (
+  SELECT day, n_pos, n_neg,
+         SUM(n_pos * CAST({_SPRT_L1} AS BIGINT)
+             + n_neg * CAST({_SPRT_L0} AS BIGINT))
+           OVER (ORDER BY day) AS cum_llr_nano
+  FROM daily
+)
+SELECT day, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(cum_llr_nano AS BIGINT) AS cum_llr_nano,
+       CASE WHEN cum_llr_nano >= {_SPRT_A} THEN 'accept_h1'
+            WHEN cum_llr_nano <= {_SPRT_B} THEN 'accept_h0'
+            ELSE 'continue' END AS state
+FROM walk
+"""
+
+
+@register(
+    "stats_sprt",
+    _SPRT_SQL,
+    doc=(
+        "Wald's SPRT — the sequential-analysis family beside the "
+        "fixed-horizon tests: is the purchase:click conversion rate "
+        f"{_SPRT_P1} (H1) or {_SPRT_P0} (H0)? Per-day (conversions, "
+        "misses) reduce FIRST, each day's log-likelihood increment is "
+        "n⁺·L1 + n⁻·L0 over PRE-ROUNDED integer-nano log literals "
+        "(Python computes each ln once; both engines add the same "
+        "int64 constants — the once-rounded integer-ln device, so "
+        "the random walk can never drift), and ONE cumulative window "
+        "over the O(days) frame emits the trajectory with Wald "
+        "boundary states ln((1−β)/α) / ln(β/(1−α)). Decision "
+        "granularity is the day — the reduce-first trade the doc "
+        "states explicitly (tick-level SPRT would need a global "
+        "ordered walk; daily batching is how sequential monitors "
+        "actually deploy)"
+    ),
+)
+def stats_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_pos"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_neg"),
+    )
+    inc = F.col("n_pos") * F.lit(_SPRT_L1).cast("bigint") + F.col("n_neg") * F.lit(
+        _SPRT_L0
+    ).cast("bigint")
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    walk = daily.select(
+        "day", "n_pos", "n_neg", F.sum(inc).over(w).alias("cum_llr_nano")
+    )
+    c = F.col("cum_llr_nano")
+    return walk.select(
+        "day",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        c.cast("bigint").alias("cum_llr_nano"),
+        F.when(c >= _SPRT_A, F.lit("accept_h1"))
+        .when(c <= _SPRT_B, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("state"),
+    )
