@@ -227,7 +227,16 @@ _REGISTRY: dict[str, Query] = {}
 # oracle), graph_sssp_weighted / graph_kcore (weighted relaxation /
 # degeneracy peeling), cdc_time_travel (multi-version AS OF),
 # stats_ks_test (integer two-sample KS), forecast_conformal
-# (distribution-free intervals).
+# (distribution-free intervals). The round-6 waves 18-27 add one
+# more candidate tier (strongest first): feature_pca_power (the
+# third iterative family — integer-grid linear algebra, d²-bounded
+# shuffle), dedup_content_chunking (shift-robust CDC storage dedup,
+# fixture-proven), rec_user_topn (two-stage item-CF — model build +
+# user-linear scoring in one), stats_permutation_test (md5-resample
+# inference, 128-bit cross-multiply compares), geo_grid_knn
+# (grid-blocked spatial kNN — the LSH-banding analogue), events_vwap
+# (the reference-domain VWAP bar), stats_sprt (sequential analysis
+# over integer-nano ln literals).
 CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
