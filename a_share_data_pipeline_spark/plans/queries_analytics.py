@@ -3545,3 +3545,284 @@ def dedup_content_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 28: dynamic partition pruning witness
+# ---------------------------------------------------------------------------
+
+_DPP_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+  WHERE CAST(strftime(date_trunc('day', ts), '%d') AS INT) <= 3
+)
+SELECT d.day, daily.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(daily.cents) AS BIGINT) AS cents
+FROM daily JOIN dim d ON d.day = daily.day
+GROUP BY d.day, daily.event_type
+"""
+
+
+@register(
+    "layout_dpp_join",
+    _DPP_SQL,
+    doc=(
+        "dynamic partition pruning — the runtime sibling of "
+        "sim_ann_index_scan's static PartitionFilters: the fact table "
+        "is REWRITTEN partitioned by day (idempotent overwrite into "
+        "the local warehouse; at scale the same partitionBy on an "
+        "object store), then joined to a small filtered day-dim. "
+        "Catalyst injects a dynamicpruning#N subquery into the fact "
+        "scan so only the dim's surviving days are ever READ — the "
+        "10-TB-fact × tiny-dim shape where DPP is the difference "
+        "between scanning 3 partitions and scanning all of them. "
+        "tests/test_plan_quality.py gates dynamicpruning/ "
+        "PartitionFilters present in the executed plan; the oracle "
+        "computes the same join on the raw table, proving the "
+        "partitioned rewrite is lossless"
+    ),
+)
+def layout_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urllib.parse import urlparse
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+        dround(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    # idempotent rewrite per call (the layout_zorder warehouse
+    # discipline): local-FS path; at scale only the prefix changes
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/events_by_day"
+    daily.write.mode("overwrite").partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+        .filter(F.dayofmonth("day") <= 3)
+    )
+    return (
+        fact.join(dim.hint("broadcast"), "day")
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 28: interpolated bigram LM scoring
+# ---------------------------------------------------------------------------
+
+_LM2_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+_LM2_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+uni AS (SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_tok FROM pos),
+big AS (
+  SELECT a.doc_id, a.p, b.tok AS prev, a.tok
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p - 1
+),
+bigc AS (SELECT prev, tok, COUNT(*) AS c2 FROM big GROUP BY prev, tok),
+scored AS (
+  SELECT g.doc_id,
+         CAST(FLOOR(({_LM2_LAMBDA} * c2.c2 / cp.c
+                     + {1 - _LM2_LAMBDA} * cw.c / n.n_tok) * 1000000000)
+              AS BIGINT) AS s
+  FROM big g
+  JOIN bigc c2 ON c2.prev = g.prev AND c2.tok = g.tok
+  JOIN uni cp ON cp.tok = g.prev
+  JOIN uni cw ON cw.tok = g.tok
+  CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s) AS BIGINT) AS sum_ppb,
+       ROUND(SUM(s) * 1.0 / COUNT(*) / 1000000000, 6) AS avg_prob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bigram_lm_score",
+    _LM2_SQL,
+    doc=(
+        "interpolated bigram LM quality scoring — the order-2 upgrade "
+        "of text_lm_quality's unigram model: each bigram occurrence "
+        "scores λ·c(w₂|w₁)/c(w₁) + (1−λ)·c(w₂)/N and the per-doc "
+        "aggregate is computed over INTEGER ppb scores (floor of a "
+        "fixed IEEE chain over exact corpus counts — the interpolated "
+        "probability is bit-identical on both engines, and summation "
+        "after the floor can never reorder-drift). Bigrams come from "
+        "a positional self-join on (doc, p-1); the count tables are "
+        "vocabulary- and vocab²-bounded broadcasts here — at open-"
+        "vocabulary scale the same joins run as shuffle joins on the "
+        "token/bigram keys with identical semantics. One division at "
+        "emit"
+    ),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok").localCheckpoint(
+        eager=True
+    )  # consumers: unigram counts, total, both self-join sides
+    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = pos.agg(F.count(F.lit(1)).alias("n_tok"))
+    a = pos.select("doc_id", "p", "tok")
+    b = pos.select(
+        F.col("doc_id").alias("doc_id"), (F.col("p") + 1).alias("p"), F.col("tok").alias("prev")
+    )
+    big = a.join(b, ["doc_id", "p"])
+    bigc = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    cp = uni.select(F.col("tok").alias("prev"), F.col("c").alias("c_prev"))
+    cw = uni.select("tok", F.col("c").alias("c_tok"))
+    s = F.floor(
+        (
+            F.lit(_LM2_LAMBDA) * F.col("c2") / F.col("c_prev")
+            + F.lit(1 - _LM2_LAMBDA) * F.col("c_tok") / F.col("n_tok")
+        )
+        * F.lit(1000000000)
+    ).cast("bigint")
+    scored = (
+        big.join(F.broadcast(bigc), ["prev", "tok"])
+        .join(F.broadcast(cp), "prev")
+        .join(F.broadcast(cw), "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", s.alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("s").cast("bigint").alias("sum_ppb"),
+        dround(
+            F.sum("s") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000000), 6
+        ).alias("avg_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 28: Haar wavelet block transform
+# ---------------------------------------------------------------------------
+
+_HAAR_PIV = ",\n         ".join(
+    f"MAX(CASE WHEN slot = {i} THEN close_c END) AS a{i}" for i in range(8)
+)
+
+_HAAR_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         arg_max(CAST(ROUND(value * 100, 0) AS BIGINT),
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+slotted AS (
+  SELECT event_type, day, close_c,
+         date_diff('day', DATE '1970-01-01', day) // 8 AS blk,
+         date_diff('day', DATE '1970-01-01', day) % 8 AS slot
+  FROM daily
+),
+piv AS (
+  SELECT event_type, blk, MIN(day) AS block_start, COUNT(*) AS n8,
+         {_HAAR_PIV}
+  FROM slotted GROUP BY event_type, blk
+)
+SELECT event_type, block_start,
+       CAST(a0+a1+a2+a3+a4+a5+a6+a7 AS BIGINT) AS approx_c,
+       CAST((a0+a1+a2+a3) - (a4+a5+a6+a7) AS BIGINT) AS d1_c,
+       CAST((a0+a1) - (a2+a3) AS BIGINT) AS d2a_c,
+       CAST((a4+a5) - (a6+a7) AS BIGINT) AS d2b_c,
+       CAST(a0-a1 AS BIGINT) AS d3a_c, CAST(a2-a3 AS BIGINT) AS d3b_c,
+       CAST(a4-a5 AS BIGINT) AS d3c_c, CAST(a6-a7 AS BIGINT) AS d3d_c
+FROM piv
+WHERE n8 = 8
+"""
+
+
+@register(
+    "events_haar_transform",
+    _HAAR_SQL,
+    doc=(
+        "unnormalized Haar wavelet transform of the daily close "
+        "series in 8-day blocks — the multiresolution decomposition "
+        "under time-series compression and multi-scale anomaly "
+        "detection: one approximation + 3 detail levels per block, "
+        "all EXACT int64-cents integer combinations (the unnormalized "
+        "basis needs no √2 — the transform is losslessly invertible "
+        "by integer arithmetic alone, so both engines agree bit-for-"
+        "bit). The 8 slots pivot via conditional MAX in ONE "
+        "aggregation over the reduced daily frame (epoch-day mod 8 "
+        "slotting — calendar-aligned, data-independent blocks); "
+        "partial blocks drop via the integer slot count. O(days) in, "
+        "O(days/8) out"
+    ),
+)
+def events_haar_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _haar_daily(spark, sf_dir)
+    epoch = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    slotted = daily.select(
+        "event_type",
+        "day",
+        "close_c",
+        (epoch / 8).cast("bigint").alias("blk"),
+        (epoch % 8).alias("slot"),
+    )
+    aggs = [F.min("day").alias("block_start"), F.count(F.lit(1)).alias("n8")]
+    for i in range(8):
+        aggs.append(F.max(F.when(F.col("slot") == i, F.col("close_c"))).alias(f"a{i}"))
+    piv = slotted.groupBy("event_type", "blk").agg(*aggs).filter(F.col("n8") == 8)
+    a = [F.col(f"a{i}") for i in range(8)]
+    return piv.select(
+        "event_type",
+        "block_start",
+        (a[0] + a[1] + a[2] + a[3] + a[4] + a[5] + a[6] + a[7])
+        .cast("bigint")
+        .alias("approx_c"),
+        ((a[0] + a[1] + a[2] + a[3]) - (a[4] + a[5] + a[6] + a[7]))
+        .cast("bigint")
+        .alias("d1_c"),
+        ((a[0] + a[1]) - (a[2] + a[3])).cast("bigint").alias("d2a_c"),
+        ((a[4] + a[5]) - (a[6] + a[7])).cast("bigint").alias("d2b_c"),
+        (a[0] - a[1]).cast("bigint").alias("d3a_c"),
+        (a[2] - a[3]).cast("bigint").alias("d3b_c"),
+        (a[4] - a[5]).cast("bigint").alias("d3c_c"),
+        (a[6] - a[7]).cast("bigint").alias("d3d_c"),
+    )
+
+
+def _haar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily closes in cents — the queries_market._daily_close shape,
+    local to avoid a cross-module import cycle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            dround(F.col("value") * 100, 0).cast("bigint").alias("close_c"),
+            ordkey.alias("ordkey"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max_by("close_c", "ordkey").alias("close_c"))
+    )

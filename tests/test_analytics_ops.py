@@ -1694,3 +1694,35 @@ def test_decision_stump_gini_replay(spark):
         assert abs(r.gini_weighted - g) < 1e-7
     order = sorted(rows, key=lambda r: (r.gini_weighted, r.threshold_cents))
     assert [r.rnk for r in order] == list(range(1, 11))
+
+
+def test_haar_transform_is_losslessly_invertible(spark):
+    """The unnormalized Haar coefficients must reconstruct all 8
+    daily closes exactly by integer arithmetic — the lossless claim."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    coef = registry()["events_haar_transform"].fn(spark, sf).collect()
+    assert coef
+    closes = _daily_closes_py(sf)
+    for r in coef:
+        # invert: sums at each level are recoverable top-down
+        s03 = (r.approx_c + r.d1_c) // 2
+        s47 = (r.approx_c - r.d1_c) // 2
+        assert s03 + s47 == r.approx_c
+        s01, s23 = (s03 + r.d2a_c) // 2, (s03 - r.d2a_c) // 2
+        s45, s67 = (s47 + r.d2b_c) // 2, (s47 - r.d2b_c) // 2
+        a = [
+            (s01 + r.d3a_c) // 2, (s01 - r.d3a_c) // 2,
+            (s23 + r.d3b_c) // 2, (s23 - r.d3b_c) // 2,
+            (s45 + r.d3c_c) // 2, (s45 - r.d3c_c) // 2,
+            (s67 + r.d3d_c) // 2, (s67 - r.d3d_c) // 2,
+        ]
+        import datetime as _dt
+
+        epoch0 = _dt.date(1970, 1, 1)
+        base = (r.block_start - epoch0).days
+        blk = base // 8
+        for slot in range(8):
+            day = epoch0 + _dt.timedelta(days=blk * 8 + slot)
+            assert a[slot] == closes[(r.event_type, day)], (r.event_type, day)

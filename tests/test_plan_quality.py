@@ -890,3 +890,14 @@ def test_bootstrap_grid_join_never_cartesian(spark):
     q = registry()["stats_bootstrap_ci"].fn(spark, SF)
     p = plan_str(q, "simple")
     assert "CartesianProduct" not in p, p
+
+
+def test_layout_dpp_join_prunes_partitions(spark):
+    """layout_dpp_join's fact scan must carry a dynamicpruning
+    subquery (runtime partition pruning injected from the dim side) —
+    the 10-TB-fact contract the query exists to witness."""
+    df = registry()["layout_dpp_join"].fn(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower(), p
+    assert "PartitionFilters" in p, p
