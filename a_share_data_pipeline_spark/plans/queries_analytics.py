@@ -3826,3 +3826,249 @@ def _haar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.max_by("close_c", "ordkey").alias("close_c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 29: interval union / coverage (merge overlapping intervals)
+# ---------------------------------------------------------------------------
+
+_COV_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 AS s,
+         epoch_us(ts) // 1000000
+           + 60 * (1 + CAST(json_extract_string(props, '$.k') AS BIGINT) % 30)
+           AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), -1) THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, e
+         ) AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island, MIN(s) AS cov_s, MAX(e) AS cov_e
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_merged,
+       CAST(SUM(cov_e - cov_s) AS BIGINT) AS covered_seconds,
+       CAST(MAX(cov_e - cov_s) AS BIGINT) AS longest_seconds
+FROM merged GROUP BY user_id
+"""
+
+
+@register(
+    "events_interval_coverage",
+    _COV_SQL,
+    doc=(
+        "interval UNION (merge-overlaps) per user — the other classic "
+        "interval operator beside events_interval_open_counts' "
+        "sweep-line COUNTING: each event opens a session interval "
+        "(duration from the props payload, integer seconds), a new "
+        "covered span starts exactly when an interval's start clears "
+        "the running MAX of all previous ends (one exclusive-frame "
+        "cummax window — the islands device generalized to "
+        "overlapping ranges), and island aggregation yields merged "
+        "span count, total covered time, and the longest span. All "
+        "integer epoch-seconds; two windows + one aggregation over "
+        "the same user-partitioned exchange — no self-join, no "
+        "interval×interval blowup at any scale"
+    ),
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    s = (F.unix_micros("ts") / 1000000).cast("bigint")
+    iv = ev.select(
+        "user_id",
+        s.alias("s"),
+        (s + 60 * (1 + k % 30)).alias("e"),
+    )
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wrun = W.partitionBy("user_id").orderBy("s", "e")
+    islands = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(wrun).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("cov_s"), F.max("e").alias("cov_e")
+    )
+    span = F.col("cov_e") - F.col("cov_s")
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum(span).cast("bigint").alias("covered_seconds"),
+        F.max(span).cast("bigint").alias("longest_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 29: suffix/prefix stitch detection (chunk-boundary artifacts)
+# ---------------------------------------------------------------------------
+
+_STITCH_K = 8  # overlap length (tokens) that counts as a stitch joint
+_STITCH_CAP = 32  # hot-joint cap: joints seen on > cap docs per side
+# are boilerplate, not split artifacts — dropped (the LSH hot-bucket
+# discipline; a single viral run must not quadratic-blow the output)
+
+# Fixture augmentation: the corpus has no natural cross-document
+# overlaps, so md5-selected docs get an 8-token run APPENDED (group
+# A, ~12%) or PREPENDED (group B, ~12%) on both engines — A-docs'
+# suffixes then equal B-docs' prefixes, the split-document artifact
+# this operator exists to find. The run is BUCKET-PARAMETERIZED
+# (16 variants, last token carries the bucket id) so the fixture
+# produces many small joints instead of one corpus-wide mega-joint —
+# matching the real artifact's shape, where each split point is
+# shared by a handful of fragments, not by 12% of the corpus.
+_STITCH_RUN7 = "alpha beta gamma delta epsilon zeta eta"  # + ' b<k>'
+
+_STITCH_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5('sa|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0', '1')
+              THEN text || ' {_STITCH_RUN7} b' ||
+                   CAST((('0x' || substring(md5('sk|' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16) AS VARCHAR)
+              WHEN substring(md5('sb|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0', '1')
+              THEN '{_STITCH_RUN7} b' ||
+                   CAST((('0x' || substring(md5('sk|' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16) AS VARCHAR)
+                   || ' ' || text
+              ELSE text END AS text
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM aug
+),
+edges AS (
+  SELECT doc_id,
+         md5(array_to_string(ts[1:{_STITCH_K}], ' ')) AS prefix_h,
+         md5(array_to_string(ts[len(ts) - {_STITCH_K} + 1:len(ts)], ' '))
+           AS suffix_h,
+         len(ts) AS n_tok
+  FROM keyed
+  WHERE len(ts) >= {_STITCH_K}
+),
+lc AS (SELECT suffix_h AS joint, COUNT(*) AS nl FROM edges GROUP BY 1),
+rc AS (SELECT prefix_h AS joint, COUNT(*) AS nr FROM edges GROUP BY 1)
+SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+       CAST(a.n_tok AS BIGINT) AS left_tokens,
+       CAST(b.n_tok AS BIGINT) AS right_tokens
+FROM edges a
+JOIN edges b ON b.prefix_h = a.suffix_h AND b.doc_id <> a.doc_id
+JOIN lc ON lc.joint = a.suffix_h
+JOIN rc ON rc.joint = a.suffix_h
+WHERE lc.nl <= {_STITCH_CAP} AND rc.nr <= {_STITCH_CAP}
+"""
+
+
+@register(
+    "dedup_suffix_prefix_stitch",
+    _STITCH_SQL,
+    doc=(
+        f"suffix/prefix stitch detection — finds ordered doc pairs "
+        f"where one document's last {_STITCH_K} tokens equal "
+        f"another's first {_STITCH_K} (the chunk-boundary artifact "
+        "left when a source was split mid-passage; stitch pairs feed "
+        "document reassembly or boundary-dedup). Each doc reduces to "
+        "TWO md5 edge fingerprints map-side, candidates come from "
+        "ONE equi-join suffix-hash = prefix-hash, and joints seen on "
+        f"more than {_STITCH_CAP} docs per side are dropped BEFORE "
+        "the join (broadcast count filters — the LSH hot-bucket cap: "
+        "a viral boilerplate run is not a split artifact, and without "
+        "the cap one hot joint makes the output quadratic). "
+        "Non-vacuous at every SF via the bucket-parameterized append/"
+        "prepend fixture augmentation (identical on both engines)"
+    ),
+)
+def dedup_suffix_prefix_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ga = F.substring(
+        F.md5(F.concat(F.lit("sa|"), F.col("doc_id").cast("string"))), 1, 1
+    ).isin("0", "1")
+    gb = F.substring(
+        F.md5(F.concat(F.lit("sb|"), F.col("doc_id").cast("string"))), 1, 1
+    ).isin("0", "1")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sk|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    )
+    run = F.concat(F.lit(_STITCH_RUN7 + " b"), bucket.cast("string"))
+    aug = docs.select(
+        "doc_id",
+        F.when(ga, F.concat(F.col("text"), F.lit(" "), run))
+        .when(gb, F.concat(run, F.lit(" "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    ts = F.split(F.col("text"), " ")
+    keyed = aug.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= _STITCH_K)
+    edges = keyed.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.col("ts"), 1, _STITCH_K), " ")).alias("prefix_h"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("ts"), F.size("ts") - _STITCH_K + 1, _STITCH_K), " "
+            )
+        ).alias("suffix_h"),
+        F.size("ts").cast("bigint").alias("n_tok"),
+    ).localCheckpoint(eager=True)  # consumers: both join sides + both
+    # hot-joint count frames
+    lc = edges.groupBy(F.col("suffix_h").alias("joint")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    rc = edges.groupBy(F.col("prefix_h").alias("joint")).agg(
+        F.count(F.lit(1)).alias("nr")
+    )
+    a = edges.select(
+        F.col("doc_id").alias("left_doc"),
+        F.col("suffix_h").alias("joint"),
+        F.col("n_tok").alias("left_tokens"),
+    )
+    b = edges.select(
+        F.col("doc_id").alias("right_doc"),
+        F.col("prefix_h").alias("joint"),
+        F.col("n_tok").alias("right_tokens"),
+    )
+    return (
+        a.join(b, "joint")
+        .join(F.broadcast(lc), "joint")
+        .join(F.broadcast(rc), "joint")
+        .filter(
+            (F.col("left_doc") != F.col("right_doc"))
+            & (F.col("nl") <= _STITCH_CAP)
+            & (F.col("nr") <= _STITCH_CAP)
+        )
+        .select("left_doc", "right_doc", "left_tokens", "right_tokens")
+    )
