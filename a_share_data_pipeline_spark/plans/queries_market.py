@@ -156,8 +156,11 @@ def events_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
             F.sum("k").cast("bigint").alias("w_total"),
-            F.sum(F.col("cents") * F.col("k")).alias("_num"),
-            F.sum("cents").alias("_csum"),
+            # 128-bit sums: cents·k is ~1e9/row, so an int64 sum wraps
+            # around 1e10 rows/group — DuckDB auto-promotes SUM(BIGINT)
+            # to HUGEINT, Spark needs the explicit decimal addend
+            F.sum((F.col("cents") * F.col("k")).cast("decimal(20,0)")).alias("_num"),
+            F.sum(F.col("cents").cast("decimal(20,0)")).alias("_csum"),
         )
         .filter(F.col("w_total") > 0)
         .select(
@@ -591,4 +594,125 @@ def events_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("h") / 100.0, 2).alias("high"),
         dround(F.col("l") / 100.0, 2).alias("low"),
         dround(F.col("cl") / 100.0, 2).alias("close"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram at fixed calendar frequencies (wave 30)
+# ---------------------------------------------------------------------------
+
+_PG_P = 16  # cycle length (days); data-independent calendar grid
+_PG_KS = (1, 2, 3)  # probed frequencies: periods 16, 8, 5.33 days
+
+
+def _pg_lits(k: int) -> tuple[list[int], list[int]]:
+    """Integer-ppm cos/sin tables for frequency k over the 16 slots —
+    computed ONCE in Python, injected into both engines (the
+    once-rounded integer-ln device, pointed at trig)."""
+    cos = [round(math.cos(2 * math.pi * k * s / _PG_P) * 1e6) for s in range(_PG_P)]
+    sin = [round(math.sin(2 * math.pi * k * s / _PG_P) * 1e6) for s in range(_PG_P)]
+    return cos, sin
+
+
+def _pg_sql() -> str:
+    branches = []
+    for k in _PG_KS:
+        cos, sin = _pg_lits(k)
+        branches.append(
+            f"""
+  SELECT event_type, {k} AS freq_k,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(close_c) AS HUGEINT) AS s_tot,
+         CAST(SUM(close_c * (ARRAY{cos})[slot + 1]) AS HUGEINT) AS c_raw,
+         CAST(SUM(close_c * (ARRAY{sin})[slot + 1]) AS HUGEINT) AS s_raw,
+         CAST(SUM((ARRAY{cos})[slot + 1]) AS HUGEINT) AS kc,
+         CAST(SUM((ARRAY{sin})[slot + 1]) AS HUGEINT) AS ks
+  FROM slotted GROUP BY event_type"""
+        )
+    union = "\n  UNION ALL".join(branches)
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         arg_max(CAST(ROUND(value * 100, 0) AS BIGINT),
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+slotted AS (
+  SELECT event_type, close_c,
+         date_diff('day', DATE '1970-01-01', day) % {_PG_P} AS slot
+  FROM daily
+),
+coefs AS ({union})
+SELECT event_type, CAST(freq_k AS INT) AS freq_k,
+       CAST(n AS BIGINT) AS n_days,
+       ROUND(sqrt(CAST((n * c_raw - s_tot * kc) AS DOUBLE)
+                  * CAST((n * c_raw - s_tot * kc) AS DOUBLE)
+                + CAST((n * s_raw - s_tot * ks) AS DOUBLE)
+                  * CAST((n * s_raw - s_tot * ks) AS DOUBLE))
+             / (n * n * 1000000.0 * 100.0), 6) AS amplitude
+FROM coefs
+"""
+
+
+@register(
+    "events_periodogram",
+    _pg_sql(),
+    doc=(
+        f"fixed-frequency periodogram — spectral energy of the daily "
+        f"close series at the {_PG_P}/k-day calendar periods "
+        f"(k∈{_PG_KS}), the frequency-domain seasonality probe beside "
+        "events_seasonal_decompose's time-domain split: cos/sin "
+        "tables are integer-ppm LITERALS computed once in Python and "
+        "indexed by epoch-day mod 16 (data-independent slots), so "
+        "every Fourier sum Σ c·cosₖ[slot] is EXACT 128-bit integer — "
+        "no float fold at any corpus size. Mean-centering happens "
+        "algebraically AFTER aggregation (n·C − S·Σcos — still exact "
+        "integers), and the amplitude's sqrt over two squared casts "
+        "is the only float, one fixed chain per output row. One scan "
+        "→ a 3-branch union over the same reduced frame; O(types·k) "
+        "output"
+    ),
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    epoch = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    slotted = daily.select(
+        "event_type", "close_c", (epoch % _PG_P).alias("slot")
+    ).localCheckpoint(eager=True)  # consumers: one branch per frequency
+    d38 = "decimal(38,0)"
+    parts = []
+    for k in _PG_KS:
+        cos, sin = _pg_lits(k)
+        cosa = F.array(*[F.lit(c).cast("bigint") for c in cos])
+        sina = F.array(*[F.lit(sv).cast("bigint") for sv in sin])
+        cl = F.element_at(cosa, F.col("slot").cast("int") + 1)
+        sl = F.element_at(sina, F.col("slot").cast("int") + 1)
+        parts.append(
+            slotted.groupBy("event_type").agg(
+                F.lit(k).alias("freq_k"),
+                F.count(F.lit(1)).cast(d38).alias("n"),
+                F.sum(F.col("close_c").cast("decimal(20,0)")).alias("s_tot"),
+                F.sum((F.col("close_c") * cl).cast("decimal(24,0)")).alias("c_raw"),
+                F.sum((F.col("close_c") * sl).cast("decimal(24,0)")).alias("s_raw"),
+                F.sum(cl.cast("decimal(20,0)")).alias("kc"),
+                F.sum(sl.cast("decimal(20,0)")).alias("ks"),
+            )
+        )
+    coefs = parts[0]
+    for p in parts[1:]:
+        coefs = coefs.unionByName(p)
+    n, st = F.col("n"), F.col("s_tot")
+    cc = (n * F.col("c_raw") - st * F.col("kc")).cast("double")
+    ss = (n * F.col("s_raw") - st * F.col("ks")).cast("double")
+    return coefs.select(
+        "event_type",
+        F.col("freq_k").cast("int").alias("freq_k"),
+        n.cast("bigint").alias("n_days"),
+        dround(
+            F.sqrt(cc * cc + ss * ss)
+            / (n.cast("double") * n.cast("double") * F.lit(1000000.0) * F.lit(100.0)),
+            6,
+        ).alias("amplitude"),
     )

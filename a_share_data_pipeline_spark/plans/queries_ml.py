@@ -663,3 +663,134 @@ def ml_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("holdout_acc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 30: two-feature multiple regression via exact normal equations
+# ---------------------------------------------------------------------------
+
+_MR_SQL = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+         SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+         SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+         SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+         SUM(CAST(x2 AS HUGEINT) * y) AS s2y,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM base
+),
+cent AS (
+  SELECT n,
+         CAST(n * s11 - s1 * s1 AS DOUBLE) AS a11,
+         CAST(n * s12 - s1 * s2 AS DOUBLE) AS a12,
+         CAST(n * s22 - s2 * s2 AS DOUBLE) AS a22,
+         CAST(n * s1y - s1 * sy AS DOUBLE) AS b1v,
+         CAST(n * s2y - s2 * sy AS DOUBLE) AS b2v,
+         CAST(n * syy - sy * sy AS DOUBLE) AS sst,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         CAST(sy AS DOUBLE) AS syd
+  FROM m
+),
+solved AS (
+  SELECT n, s1d, s2d, syd, sst,
+         (b1v * a22 - b2v * a12) / (a11 * a22 - a12 * a12) AS b1,
+         (b2v * a11 - b1v * a12) / (a11 * a22 - a12 * a12) AS b2,
+         b1v, b2v
+  FROM cent
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((syd - b1 * s1d - b2 * s2d) / CAST(n AS DOUBLE) / 100.0, 4)
+         AS intercept,
+       ROUND(b1 / 100.0, 6) AS beta_quantity,
+       ROUND(b2 / 100.0, 6) AS beta_discount_pct,
+       ROUND((b1 * b1v + b2 * b2v) / sst, 6) AS r2
+FROM solved
+"""
+
+
+@register(
+    "ml_multiple_regression",
+    _MR_SQL,
+    doc=(
+        "two-feature OLS (price ~ quantity + discount) by the closed-"
+        "form normal equations — the multiple-regression upgrade of "
+        "agg_stats' single-feature regr_slope: ONE scan accumulates "
+        "all nine moments as exact integers (products 128-bit), the "
+        "centered Gram entries n·Σxy − ΣxΣy are exact BEFORE their "
+        "single double cast, and the 2×2 Cramer solve + R² = "
+        "(β·B)/SST are fixed IEEE chains over those bit-identical "
+        "doubles. O(1) output from O(n) scan; the shuffle carries one "
+        "row. The synthetic price is independent of both features, so "
+        "R² is honestly near zero — the witness is the exact solve, "
+        "numpy-lstsq-replay tested to 1e-6"
+    ),
+)
+def ml_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = dround(F.col("l_discount") * 100, 0).cast("bigint")
+    y = dround(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    b = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    c = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    m = b.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x1").cast(d38).alias("s1"),
+        F.sum("x2").cast(d38).alias("s2"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum((c("x1") * c("x1")).cast("decimal(22,0)")).alias("s11"),
+        F.sum((c("x2") * c("x2")).cast("decimal(22,0)")).alias("s22"),
+        F.sum((c("x1") * c("x2")).cast("decimal(22,0)")).alias("s12"),
+        F.sum((c("x1") * c("y")).cast("decimal(26,0)")).alias("s1y"),
+        F.sum((c("x2") * c("y")).cast("decimal(26,0)")).alias("s2y"),
+        F.sum((c("y") * c("y")).cast("decimal(30,0)")).alias("syy"),
+    )
+    n, s1, s2, sy = (F.col(x) for x in ("n", "s1", "s2", "sy"))
+    cent = m.select(
+        "n",
+        (n * F.col("s11") - s1 * s1).cast("double").alias("a11"),
+        (n * F.col("s12") - s1 * s2).cast("double").alias("a12"),
+        (n * F.col("s22") - s2 * s2).cast("double").alias("a22"),
+        (n * F.col("s1y") - s1 * sy).cast("double").alias("b1v"),
+        (n * F.col("s2y") - s2 * sy).cast("double").alias("b2v"),
+        (n * F.col("syy") - sy * sy).cast("double").alias("sst"),
+        s1.cast("double").alias("s1d"),
+        s2.cast("double").alias("s2d"),
+        sy.cast("double").alias("syd"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    solved = cent.select(
+        "n",
+        "s1d",
+        "s2d",
+        "syd",
+        "sst",
+        "b1v",
+        "b2v",
+        ((F.col("b1v") * F.col("a22") - F.col("b2v") * F.col("a12")) / det).alias("b1"),
+        ((F.col("b2v") * F.col("a11") - F.col("b1v") * F.col("a12")) / det).alias("b2"),
+    )
+    return solved.select(
+        F.col("n").cast("bigint").alias("n"),
+        dround(
+            (F.col("syd") - F.col("b1") * F.col("s1d") - F.col("b2") * F.col("s2d"))
+            / F.col("n").cast("double")
+            / F.lit(100.0),
+            4,
+        ).alias("intercept"),
+        dround(F.col("b1") / 100.0, 6).alias("beta_quantity"),
+        dround(F.col("b2") / 100.0, 6).alias("beta_discount_pct"),
+        dround(
+            (F.col("b1") * F.col("b1v") + F.col("b2") * F.col("b2v")) / F.col("sst"),
+            6,
+        ).alias("r2"),
+    )

@@ -1726,3 +1726,71 @@ def test_haar_transform_is_losslessly_invertible(spark):
         for slot in range(8):
             day = epoch0 + _dt.timedelta(days=blk * 8 + slot)
             assert a[slot] == closes[(r.event_type, day)], (r.event_type, day)
+
+
+def test_multiple_regression_matches_numpy_lstsq(spark):
+    """The closed-form normal-equation solve must agree with numpy's
+    least squares on the same (quantity, discount_pct) design."""
+    import duckdb
+    import numpy as np
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT CAST(l_quantity AS BIGINT), "
+        "CAST(ROUND(l_discount*100,0) AS BIGINT), "
+        "CAST(ROUND(l_extendedprice*100,0) AS BIGINT) "
+        f"FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchall()
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    y = np.array([r[2] / 100.0 for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    ss_res = ((y - pred) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    r2 = 1 - ss_res / ss_tot
+    got = registry()["ml_multiple_regression"].fn(spark, sf).collect()[0]
+    assert got.n == len(rows)
+    assert abs(got.intercept - beta[0]) < max(1e-3, abs(beta[0]) * 1e-5)
+    assert abs(got.beta_quantity - beta[1]) < 1e-4
+    assert abs(got.beta_discount_pct - beta[2]) < 1e-3
+    assert abs(got.r2 - r2) < 1e-6
+    # the synthetic price is independent of quantity/discount, so the
+    # fit is near-zero by construction — the witness is the exact
+    # solve, which the five asserts above pin against numpy
+    assert 0.0 <= got.r2 < 0.05
+
+
+def test_periodogram_matches_numpy_fourier_sum(spark):
+    """Replay one frequency's centered Fourier amplitude in numpy
+    from the replayed daily closes."""
+    import numpy as np
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import _pg_lits
+
+    closes = _daily_closes_py()
+    rows = registry()["events_periodogram"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r.freq_k for r in rows} == {1, 2, 3}
+    import datetime as _dt
+
+    epoch0 = _dt.date(1970, 1, 1)
+    for r in rows:
+        cos, sin = _pg_lits(r.freq_k)
+        days = sorted(d for (t, d) in closes if t == r.event_type)
+        c = [closes[(r.event_type, d)] for d in days]
+        slots = [(d - epoch0).days % 16 for d in days]
+        n = len(c)
+        s_tot = sum(c)
+        c_raw = sum(ci * cos[s] for ci, s in zip(c, slots))
+        s_raw = sum(ci * sin[s] for ci, s in zip(c, slots))
+        kc = sum(cos[s] for s in slots)
+        ks = sum(sin[s] for s in slots)
+        cc = float(n * c_raw - s_tot * kc)
+        ss = float(n * s_raw - s_tot * ks)
+        amp = (cc * cc + ss * ss) ** 0.5 / (n * n * 1e6 * 100.0)
+        assert r.n_days == n
+        assert abs(r.amplitude - amp) < 1e-5, r.freq_k
