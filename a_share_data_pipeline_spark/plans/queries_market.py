@@ -716,3 +716,114 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("amplitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB-style downsampling (wave 31)
+# ---------------------------------------------------------------------------
+
+_LTTB_BUCKET = 4  # days per bucket → ~4x downsample of the daily series
+
+_LTTB_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+pts AS (
+  SELECT event_type, day, close_c,
+         date_diff('day', DATE '1970-01-01', day) AS x,
+         date_diff('day', DATE '1970-01-01', day) // {_LTTB_BUCKET} AS b
+  FROM daily
+),
+bstats AS (
+  SELECT event_type, b, SUM(x) AS sx, SUM(close_c) AS sy,
+         COUNT(*) AS n
+  FROM pts GROUP BY event_type, b
+),
+ctx AS (
+  SELECT event_type, b,
+         lag(sx) OVER w AS sx_p, lag(sy) OVER w AS sy_p, lag(n) OVER w AS n_p,
+         lead(sx) OVER w AS sx_n, lead(sy) OVER w AS sy_n, lead(n) OVER w AS n_n
+  FROM bstats
+  WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+scored AS (
+  SELECT p.event_type, p.day, p.close_c, p.b,
+         ABS((p.x * c.n_p - c.sx_p) * (c.sy_n * c.n_p - c.sy_p * c.n_n)
+           - (c.sx_n * c.n_p - c.sx_p * c.n_n) * (p.close_c * c.n_p - c.sy_p))
+           AS area2
+  FROM pts p
+  JOIN ctx c ON c.event_type = p.event_type AND c.b = p.b
+  WHERE c.n_p IS NOT NULL AND c.n_n IS NOT NULL
+)
+SELECT event_type, day, ROUND(close_c / 100.0, 2) AS close,
+       CAST(area2 AS BIGINT) AS area2
+FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY event_type, b ORDER BY area2 DESC, day
+  ) AS rnk
+  FROM scored s
+)
+WHERE rnk = 1
+"""
+
+
+@register(
+    "events_lttb_downsample",
+    _LTTB_SQL,
+    doc=(
+        "LTTB-style series downsampling (the visualization/compaction "
+        "reducer): per 4-day bucket, keep the point whose triangle "
+        "against the NEIGHBOR BUCKETS' mean points has maximum area — "
+        "the parallel variant of largest-triangle-three-buckets "
+        "(anchoring on bucket means instead of the previously "
+        "selected point removes the sequential dependency, so every "
+        "bucket decides independently — the distributed trade stated "
+        "plainly). The area comparison is EXACT: multiplying the "
+        "2×area formula through by n_prev²·n_next clears every "
+        "rational mean, so candidates rank by int64 cross-products "
+        "with the day as tie-break — no float anywhere before the "
+        "display-only close emit. One lag/lead window over the "
+        "O(buckets) frame + one bounded (≤4 rows/bucket) ranking"
+    ),
+)
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    epoch = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    pts = daily.select(
+        "event_type",
+        "day",
+        "close_c",
+        epoch.alias("x"),
+        (epoch / _LTTB_BUCKET).cast("bigint").alias("b"),
+    ).localCheckpoint(eager=True)  # consumers: bucket stats + candidates
+    bstats = pts.groupBy("event_type", "b").agg(
+        F.sum("x").alias("sx"), F.sum("close_c").alias("sy"), F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("b")
+    ctx = bstats.select(
+        "event_type",
+        "b",
+        F.lag("sx").over(w).alias("sx_p"),
+        F.lag("sy").over(w).alias("sy_p"),
+        F.lag("n").over(w).alias("n_p"),
+        F.lead("sx").over(w).alias("sx_n"),
+        F.lead("sy").over(w).alias("sy_n"),
+        F.lead("n").over(w).alias("n_n"),
+    ).filter(F.col("n_p").isNotNull() & F.col("n_n").isNotNull())
+    j = pts.join(ctx, ["event_type", "b"])
+    area2 = F.abs(
+        (F.col("x") * F.col("n_p") - F.col("sx_p"))
+        * (F.col("sy_n") * F.col("n_p") - F.col("sy_p") * F.col("n_n"))
+        - (F.col("sx_n") * F.col("n_p") - F.col("sx_p") * F.col("n_n"))
+        * (F.col("close_c") * F.col("n_p") - F.col("sy_p"))
+    )
+    scored = j.select("event_type", "day", "close_c", "b", area2.alias("area2"))
+    wr = W.partitionBy("event_type", "b").orderBy(F.col("area2").desc(), "day")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            "day",
+            dround(F.col("close_c") / 100.0, 2).alias("close"),
+            F.col("area2").cast("bigint").alias("area2"),
+        )
+    )

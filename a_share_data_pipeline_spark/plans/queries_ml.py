@@ -794,3 +794,112 @@ def ml_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 31: farthest-first traversal (k-center seeding)
+# ---------------------------------------------------------------------------
+
+_KC_K = 4  # centers to pick (first = lowest vec_id, then 3 rounds)
+
+
+def _kc_sql() -> str:
+    rounds = []
+    prev_centers = "c0"
+    for r in range(1, _KC_K):
+        rounds.append(
+            f"""
+d{r} AS MATERIALIZED (
+  SELECT q.vec_id, MIN(dd.d2) AS mind2
+  FROM (
+    SELECT q.vec_id,
+           SUM((q.qv[i.i] - c.qv[i.i]) * (q.qv[i.i] - c.qv[i.i])) AS d2
+    FROM q
+    CROSS JOIN {prev_centers} c
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+    GROUP BY q.vec_id, c.vec_id
+  ) dd
+  JOIN q ON q.vec_id = dd.vec_id
+  GROUP BY q.vec_id
+),
+pick{r} AS (
+  SELECT vec_id FROM d{r}
+  ORDER BY mind2 DESC, vec_id LIMIT 1
+),
+c{r} AS (
+  SELECT q.vec_id, q.qv FROM q JOIN pick{r} p ON p.vec_id = q.vec_id
+  UNION ALL
+  SELECT * FROM {prev_centers}
+)"""
+        )
+        prev_centers = f"c{r}"
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1
+),
+{','.join(rounds)}
+SELECT CAST(vec_id AS BIGINT) AS center_id
+FROM {prev_centers}
+"""
+
+
+@register(
+    "ml_kcenter_init",
+    _kc_sql(),
+    doc=(
+        f"farthest-first traversal ({_KC_K} centers) — the "
+        "deterministic k-center seeding that replaces k-means++'s "
+        "randomized D² sampling at scale (same 2-approximation "
+        "family, zero RNG): start from the lowest vec_id, then each "
+        "round adds the point maximizing its min squared distance to "
+        "the chosen set (vec_id tie-break). Distances are exact int64 "
+        "over micro-unit quantized components, so every argmax is an "
+        "integer compare — the selection sequence can never drift. "
+        "Per round: one broadcast of the ≤k chosen vectors against "
+        "the corpus (map-side distance, no pair shuffle), one "
+        "TakeOrdered(1). Rounds are unrolled (fixed k), each over the "
+        "corpus-linear frame — the standard distributed seeding pass "
+        "before a Lloyd refinement like kmeans_embeddings"
+    ),
+)
+def ml_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: dround(x.cast("double") * 1000000, 0).cast("bigint"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)  # consumers: every round's distance pass
+    centers = q.orderBy("vec_id").limit(1).select("vec_id", "qv")
+    for _ in range(1, _KC_K):
+        c = centers.select(
+            F.col("vec_id").alias("c_id"), F.col("qv").alias("cv")
+        )
+        d2 = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        mind = (
+            q.crossJoin(F.broadcast(c))
+            .select("vec_id", "qv", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("mind2"))
+        )
+        pick = (
+            mind.orderBy(F.col("mind2").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id")
+        )
+        new_center = q.join(pick, "vec_id").select("vec_id", "qv")
+        centers = centers.unionByName(new_center).localCheckpoint(eager=True)
+        # ^ multi-use across the next round's broadcast — the CC
+        # checkpoint discipline keeps each round one small job
+    return centers.select(F.col("vec_id").cast("bigint").alias("center_id"))

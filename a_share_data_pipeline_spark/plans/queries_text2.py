@@ -196,3 +196,41 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# listagg / string_agg ordered aggregation (wave 31)
+# ---------------------------------------------------------------------------
+
+_LISTAGG_SQL = """
+SELECT n_regionkey AS region_key,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register(
+    "agg_listagg_ordered",
+    _LISTAGG_SQL,
+    doc=(
+        "ordered string aggregation — Spark 4's listagg()/string_agg "
+        "surface (SQL:2023) with a WITHIN-GROUP order: nations per "
+        "region as a deterministic csv. Spark's listagg has no "
+        "order-by clause, so the plan sorts INSIDE the aggregation "
+        "via the sort_array(collect_list) composition — the same "
+        "ordered-reassembly device the chunking/substring queries "
+        "use; DuckDB states it natively as string_agg(... ORDER BY). "
+        "Both reduce in one hash aggregation; the csv is "
+        "deterministic because the order key is total"
+    ),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations_csv"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+    )

@@ -1794,3 +1794,81 @@ def test_periodogram_matches_numpy_fourier_sum(spark):
         amp = (cc * cc + ss * ss) ** 0.5 / (n * n * 1e6 * 100.0)
         assert r.n_days == n
         assert abs(r.amplitude - amp) < 1e-5, r.freq_k
+
+
+def test_kcenter_init_matches_greedy_replay(spark):
+    """Replay farthest-first traversal in pure Python over the
+    quantized vectors — identical center sequence (as a set; the
+    query emits the chosen ids)."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    q = {vid: [round(float(x) * 1e6) for x in emb] for vid, emb in rows}
+    centers = [min(q)]
+    for _ in range(3):
+        best = None
+        for vid, v in q.items():
+            mind = min(
+                sum((a - b) ** 2 for a, b in zip(v, q[c])) for c in centers
+            )
+            key = (-mind, vid)
+            if best is None or key < best[0]:
+                best = (key, vid)
+        centers.append(best[1])
+    got = {
+        r.center_id
+        for r in registry()["ml_kcenter_init"].fn(spark, sf).collect()
+    }
+    assert got == set(centers)
+
+
+def test_lttb_keeps_one_point_per_interior_bucket(spark):
+    """Every interior 4-day bucket emits exactly one kept point and it
+    maximizes the exact scaled triangle area (python replay)."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    rows = registry()["events_lttb_downsample"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import datetime as _dt
+
+    epoch0 = _dt.date(1970, 1, 1)
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        by_b = {}
+        for d in days:
+            by_b.setdefault((d - epoch0).days // 4, []).append(d)
+        bs = sorted(by_b)
+        interior = bs[1:-1]
+        got = {
+            (r.day - epoch0).days // 4: r.day
+            for r in rows
+            if r.event_type == et
+        }
+        assert set(got) == set(interior)
+        for b in interior:
+            prev, nxt = by_b[b - 1] if b - 1 in by_b else None, by_b.get(b + 1)
+            # buckets are consecutive in this dataset
+            sxp = sum((d - epoch0).days for d in by_b[b - 1])
+            syp = sum(closes[(et, d)] for d in by_b[b - 1])
+            np_ = len(by_b[b - 1])
+            sxn = sum((d - epoch0).days for d in by_b[b + 1])
+            syn = sum(closes[(et, d)] for d in by_b[b + 1])
+            nn = len(by_b[b + 1])
+            best = None
+            for d in by_b[b]:
+                x, y = (d - epoch0).days, closes[(et, d)]
+                a2 = abs(
+                    (x * np_ - sxp) * (syn * np_ - syp * nn)
+                    - (sxn * np_ - sxp * nn) * (y * np_ - syp)
+                )
+                key = (-a2, d)
+                if best is None or key < best[0]:
+                    best = (key, d)
+            assert got[b] == best[1], (et, b)
