@@ -4072,3 +4072,114 @@ def dedup_suffix_prefix_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("left_doc", "right_doc", "left_tokens", "right_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 32: incremental connected components (dynamic-graph IVM)
+# ---------------------------------------------------------------------------
+
+_CCI_CUTOFF = "1998-01-01"  # base = orders before; delta = on/after
+
+_CCI_SQL = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+sym AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach AS (
+  SELECT src AS node, dst AS r FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+)
+SELECT n.node,
+       LEAST(n.node, COALESCE(MIN(reach.r), n.node)) AS component
+FROM nodes n LEFT JOIN reach ON reach.node = n.node
+GROUP BY n.node
+"""
+
+
+@register(
+    "graph_cc_incremental",
+    _CCI_SQL,
+    doc=(
+        "INCREMENTAL connected components — dynamic-graph view "
+        "maintenance for the iterative operator family (the graph "
+        "sibling of rollup_incremental/join IVM): the customer⇄"
+        f"supplier co-purchase graph splits at {_CCI_CUTOFF} into a "
+        "base (labeled once by the standard hash-min CC) and a delta "
+        "of NEW edges; instead of relabeling the world, delta edges "
+        "CONTRACT to (base-label, base-label) pairs, a second CC runs "
+        "on that contracted graph — sized by the DELTA's touched "
+        "components, not the corpus — and one remap join produces the "
+        "final labels. Because base labels are min-member ids and the "
+        "contracted CC again takes min labels, the composition equals "
+        "a full recompute EXACTLY (the oracle IS the full-graph "
+        "closure; tests/test_analytics_ops pins incremental ≡ full on "
+        "the Spark side too). Endpoints unseen in the base enter the "
+        "contracted graph as themselves — no special case"
+    ),
+)
+def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges_all = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            (F.col("o_orderdate") < F.lit(_CCI_CUTOFF).cast("timestamp")).alias(
+                "is_base"
+            ),
+        )
+        .groupBy("a", "b")
+        .agg(F.max(F.col("is_base")).alias("is_base"))  # an edge seen in
+        # both eras is a base edge — the delta holds strictly NEW pairs
+        .localCheckpoint(eager=True)  # consumers: base CC, delta remap,
+        # node frame
+    )
+    base_e = edges_all.filter(F.col("is_base")).select("a", "b")
+    delta_e = edges_all.filter(~F.col("is_base")).select("a", "b")
+    base_nodes = (
+        base_e.select(F.col("a").alias("id"))
+        .unionByName(base_e.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    base_cc = connected_components(base_nodes, base_e).localCheckpoint(
+        eager=True
+    )  # (id, component); consumers: two endpoint remaps + final remap
+    lab = base_cc.select(F.col("id"), F.col("component").alias("lab"))
+    # contract delta edges to base-label pairs; unseen endpoints keep
+    # their own id as label
+    da = delta_e.join(lab.withColumnRenamed("id", "a"), "a", "left").select(
+        F.coalesce(F.col("lab"), F.col("a")).alias("la"), "b"
+    )
+    dl = da.join(lab.withColumnRenamed("id", "b"), "b", "left").select(
+        "la", F.coalesce(F.col("lab"), F.col("b")).alias("lb")
+    )
+    contracted = dl.filter(F.col("la") != F.col("lb")).distinct()
+    c_nodes = (
+        contracted.select(F.col("la").alias("id"))
+        .unionByName(contracted.select(F.col("lb").alias("id")))
+        .distinct()
+    )
+    small_cc = connected_components(
+        c_nodes, contracted.select(F.col("la").alias("a"), F.col("lb").alias("b"))
+    ).select(F.col("id").alias("lab"), F.col("component").alias("final_lab"))
+    # final labels over ALL nodes: base label (or own id), then the
+    # contracted remap where one applies
+    all_nodes = (
+        edges_all.select(F.col("a").alias("node"))
+        .unionByName(edges_all.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    with_base = all_nodes.join(
+        lab.withColumnRenamed("id", "node"), "node", "left"
+    ).select("node", F.coalesce(F.col("lab"), F.col("node")).alias("lab"))
+    return with_base.join(F.broadcast(small_cc), "lab", "left").select(
+        "node",
+        F.coalesce(F.col("final_lab"), F.col("lab")).alias("component"),
+    )

@@ -1872,3 +1872,37 @@ def test_lttb_keeps_one_point_per_interior_bucket(spark):
                 if best is None or key < best[0]:
                     best = (key, d)
             assert got[b] == best[1], (et, b)
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    """The incremental path (base CC + contracted delta CC + remap)
+    must equal a one-shot CC over the full edge set, label for label."""
+    from a_share_data_pipeline_spark.operators.graph import connected_components
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (r.node, r.component)
+        for r in registry()["graph_cc_incremental"].fn(spark, sf).collect()
+    }
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .unionByName(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    full = {
+        (r.id, r.component)
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert inc == full and inc
