@@ -4183,3 +4183,68 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.coalesce(F.col("final_lab"), F.col("lab")).alias("component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 33: bucketed co-join — the zero-shuffle sort-merge join
+# ---------------------------------------------------------------------------
+
+_BKJOIN_SQL = """
+SELECT o.o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_custkey
+"""
+
+
+@register(
+    "join_bucketed_zero_shuffle",
+    _BKJOIN_SQL,
+    doc=(
+        "co-located bucketed join — BOTH fact tables rewritten "
+        "bucketBy(8, orderkey) + sortBy into catalog tables, so the "
+        "orders⋈lineitem sort-merge join runs with ZERO Exchange on "
+        "either side (plan-gated: no shuffle before the SMJ) — the "
+        "bucketing contract that turns the biggest recurring join of "
+        "a warehouse into a map-side merge at any scale; bucketed_ma "
+        "witnesses the same layout for windows, this is the JOIN "
+        "half. Idempotent local-warehouse rewrite per call (the "
+        "bucketed_ma discipline); revenue in exact integer cents. "
+        "The final groupBy(custkey) still shuffles — only the join "
+        "co-location is the claim"
+    ),
+)
+def join_bucketed_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl, df, key in (
+        ("orders_bk", orders, "o_orderkey"),
+        ("lineitem_bk", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if wh:
+            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(tbl)
+    o = spark.table("orders_bk").filter(F.col("o_orderstatus") == "O")
+    lb = spark.table("lineitem_bk")
+    # hint("merge") pins the SortMergeJoin path: at test SFs AQE would
+    # broadcast the filtered orders side and never exercise the
+    # co-location; at the 10-TB scale this query models, SMJ is what
+    # the planner picks anyway and the hint is a no-op
+    return (
+        o.hint("merge").join(lb, lb.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(dround(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

@@ -234,3 +234,54 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_nations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# XML surface: build → from_xml round-trip (wave 33)
+# ---------------------------------------------------------------------------
+
+_XML_SQL = """
+SELECT n_nationkey AS nation_key, n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS region_key
+FROM nation
+WHERE n_regionkey <> 2
+"""
+
+
+@register(
+    "scalar_xml_roundtrip",
+    _XML_SQL,
+    doc=(
+        "the Spark-4 native XML lane (F7 sibling of the JSON/VARIANT "
+        "rows): each nation row renders to an XML fragment in-query, "
+        "then from_xml with an explicit schema parses it back to "
+        "typed columns — a build→parse ROUND-TRIP, so the oracle is "
+        "simply the original columns and any parser asymmetry (type "
+        "coercion, whitespace, escaping) breaks the hash. DuckDB has "
+        "no XML type, which is exactly why the identity-oracle form "
+        "is the right verification: the Spark-only surface is proven "
+        "against engine-neutral values. Map-only, no shuffle before "
+        "the filter/projection"
+    ),
+)
+def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><key>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</key><name>"),
+        F.col("n_name"),
+        F.lit("</name><region>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</region></nation>"),
+    )
+    parsed = nation.select(xml.alias("xml")).select(
+        F.from_xml(
+            "xml", "key BIGINT, name STRING, region BIGINT"
+        ).alias("p")
+    )
+    return parsed.select(
+        F.col("p.key").cast("int").alias("nation_key"),
+        F.col("p.name").alias("name"),
+        F.col("p.region").cast("bigint").alias("region_key"),
+    ).filter(F.col("region_key") != 2)

@@ -901,3 +901,19 @@ def test_layout_dpp_join_prunes_partitions(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in p.lower(), p
     assert "PartitionFilters" in p, p
+
+
+def test_bucketed_join_has_no_shuffle_before_smj(spark):
+    """join_bucketed_zero_shuffle's SMJ must read both bucketed tables
+    without an Exchange on either input — the co-location contract."""
+    df = registry()["join_bucketed_zero_shuffle"].fn(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]  # judge the FINAL plan only
+    assert "SortMergeJoin" in p, p
+    smj_idx = p.index("SortMergeJoin")
+    # the aggregation above the join may shuffle; nothing below the
+    # join (textually after it in the tree dump) may
+    below = p[smj_idx:]
+    assert "Exchange hashpartitioning" not in below, below
+    assert p.count("SelectedBucketsCount") >= 2, p
