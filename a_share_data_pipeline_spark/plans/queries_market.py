@@ -827,3 +827,97 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("area2").cast("bigint").alias("area2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (wave 34)
+# ---------------------------------------------------------------------------
+
+_TS_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+pts AS (
+  SELECT event_type, close_c,
+         date_diff('day', DATE '1970-01-01', day) AS x
+  FROM daily
+),
+slopes AS (
+  SELECT a.event_type,
+         (b.close_c - a.close_c) * 1.0 / (b.x - a.x) AS slope
+  FROM pts a JOIN pts b
+    ON b.event_type = a.event_type AND b.x > a.x
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, slope) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM slopes
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_slopes,
+       ROUND(MIN(CASE WHEN 2 * rn >= n + 1 THEN slope END) / 100.0, 6)
+         AS theil_sen_slope
+FROM ranked
+GROUP BY event_type, n
+"""
+
+
+@register(
+    "events_theil_sen",
+    _TS_SQL,
+    doc=(
+        "Theil-Sen robust trend — the median of all pairwise slopes, "
+        "the breakdown-resistant alternative to OLS trend "
+        "(forecast_linear's regr_slope moves with one fat-finger "
+        "tick; this needs 29% corruption): the O(days²) pair fan-out "
+        "runs AFTER the daily reduce, so it is bounded by the "
+        "calendar, never the tick volume (a year ≈ 66k pairs/series "
+        "— trivial; at decade scale the windowed variant samples "
+        "pairs per day). Each slope is ONE division of two exact "
+        "integers — bit-identical doubles, safe to ORDER BY — and "
+        "the median is the lower-median pick 2·rn ≥ n+1 (an integer "
+        "rank condition, no float interpolation). Cents → per-day "
+        "dollars with one final division"
+    ),
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    epoch = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    pts = daily.select("event_type", "close_c", epoch.alias("x")).localCheckpoint(
+        eager=True
+    )  # consumers: both sides of the pair join
+    a = pts.select("event_type", F.col("close_c").alias("ya"), F.col("x").alias("xa"))
+    b = pts.select("event_type", F.col("close_c").alias("yb"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xb") > F.col("xa"))
+        .select(
+            "event_type",
+            (
+                (F.col("yb") - F.col("ya")) * F.lit(1.0) / (F.col("xb") - F.col("xa"))
+            ).alias("slope"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("slope", "slope")
+    wn = W.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type", "n")
+        .agg(
+            dround(
+                F.min(F.when(2 * F.col("rn") >= F.col("n") + 1, F.col("slope")))
+                / 100.0,
+                6,
+            ).alias("theil_sen_slope")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_slopes"),
+            "theil_sen_slope",
+        )
+    )

@@ -285,3 +285,55 @@ def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.name").alias("name"),
         F.col("p.region").cast("bigint").alias("region_key"),
     ).filter(F.col("region_key") != 2)
+
+
+# ---------------------------------------------------------------------------
+# try_* error-safe expression lane (wave 34)
+# ---------------------------------------------------------------------------
+
+_TRY_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ')[1] AS w1, n_chars,
+         CAST(doc_id % 5 AS BIGINT) AS d
+  FROM documents
+)
+SELECT doc_id,
+       TRY_CAST(w1 AS BIGINT) AS w1_as_int,
+       CASE WHEN d = 0 THEN NULL ELSE n_chars // d END AS safe_div,
+       CASE WHEN n_chars >= 0 THEN CAST(ROUND(sqrt(n_chars), 4) AS DOUBLE)
+       END AS safe_sqrt
+FROM base
+"""
+
+
+@register(
+    "scalar_try_functions",
+    _TRY_SQL,
+    doc=(
+        "the error-safe expression lane (ANSI-mode survival kit): "
+        "try_cast on non-numeric tokens → NULL instead of a thrown "
+        "cast error, try_divide on an engineered zero denominator → "
+        "NULL instead of DIVIDE_BY_ZERO — the lane that lets a "
+        "malformed minority of a 100-TB corpus degrade to NULLs "
+        "instead of failing the job. The oracle states the same "
+        "semantics with guard CASEs (DuckDB's TRY_CAST + explicit "
+        "zero guard), so the NULL-propagation contract hash-matches. "
+        "Map-only, one projection"
+    ),
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").getItem(0).alias("w1"),
+        "n_chars",
+        (F.col("doc_id") % 5).cast("bigint").alias("d"),
+    )
+    return base.select(
+        "doc_id",
+        F.expr("try_cast(w1 AS BIGINT)").alias("w1_as_int"),
+        F.expr("try_divide(n_chars, d)").cast("bigint").alias("safe_div"),
+        F.when(F.col("n_chars") >= 0, dround(F.sqrt("n_chars"), 4)).alias(
+            "safe_sqrt"
+        ),
+    )

@@ -1906,3 +1906,33 @@ def test_cc_incremental_equals_full_recompute(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert inc == full and inc
+
+
+def test_theil_sen_matches_statistics_median_of_slopes(spark):
+    """Replay the median-of-pairwise-slopes in pure Python (lower
+    median, matching the 2·rn ≥ n+1 pick)."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    rows = registry()["events_theil_sen"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import datetime as _dt
+
+    epoch0 = _dt.date(1970, 1, 1)
+    for r in rows:
+        pts = sorted(
+            ((d - epoch0).days, closes[(r.event_type, d)])
+            for (t, d) in closes
+            if t == r.event_type
+        )
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+            if x2 > x1
+        )
+        n = len(slopes)
+        med = slopes[(n + 1) // 2 - 1]  # lower median, 1-indexed rank
+        assert r.n_slopes == n
+        assert abs(r.theil_sen_slope - med / 100.0) < 1e-6
