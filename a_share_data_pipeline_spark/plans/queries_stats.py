@@ -476,3 +476,122 @@ def stats_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 35: Wald-Wolfowitz runs test (randomness diagnostic)
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         arg_max(CAST(ROUND(value * 100, 0) AS BIGINT),
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+moves AS (
+  SELECT event_type, day,
+         CASE WHEN close_c > lag(close_c) OVER w THEN 1
+              WHEN close_c < lag(close_c) OVER w THEN 0 END AS up
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+seq AS (
+  SELECT event_type, up,
+         CASE WHEN lag(up) OVER (PARTITION BY event_type ORDER BY day)
+                   IS DISTINCT FROM up THEN 1 ELSE 0 END AS brk
+  FROM moves WHERE up IS NOT NULL
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(up) AS BIGINT) AS n1,
+         CAST(SUM(1 - up) AS BIGINT) AS n0,
+         CAST(SUM(brk) AS BIGINT) AS runs
+  FROM seq GROUP BY event_type
+)
+SELECT event_type, n1, n0, runs,
+       ROUND(1.0 + 2.0 * n1 * n0 / (n1 + n0), 4) AS expected_runs,
+       ROUND((runs - (1.0 + 2.0 * n1 * n0 / (n1 + n0)))
+             / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - (n1 + n0))
+                    / ((n1 + n0) * (n1 + n0) * 1.0 * ((n1 + n0) - 1))),
+             4) AS z_stat
+FROM agg
+WHERE n1 > 0 AND n0 > 0
+"""
+
+
+@register(
+    "stats_runs_test",
+    _RUNS_SQL,
+    doc=(
+        "Wald-Wolfowitz runs test on the daily up/down move sequence "
+        "— the randomness diagnostic beside events_autocorrelation "
+        "(too few runs = trending, too many = mean-reverting): moves "
+        "reduce from int-cents daily closes (flat days drop — they "
+        "are neither symbol), the run count is Σ[move differs from "
+        "its predecessor] via ONE lag window whose null-safe compare "
+        "makes the first move open run #1 — R is the exact total run "
+        "count as a pure 0/1 integer sum — and E[R], Var[R], z are "
+        "fixed IEEE chains over "
+        "the exact integer (n1, n0, R). Two windows + one aggregation "
+        "over the O(days) frame"
+    ),
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            dround(F.col("value") * 100, 0).cast("bigint").alias("close_c"),
+            ordkey.alias("ordkey"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max_by("close_c", "ordkey").alias("close_c"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("close_c").over(w)
+    moves = daily.select(
+        "event_type",
+        "day",
+        F.when(F.col("close_c") > prev, 1)
+        .when(F.col("close_c") < prev, 0)
+        .alias("up"),
+    ).filter(F.col("up").isNotNull())
+    brk = F.when(
+        ~F.lag("up").over(w).eqNullSafe(F.col("up")), 1
+    ).otherwise(0)
+    seq = moves.select("event_type", "up", brk.alias("brk"))
+    agg = seq.groupBy("event_type").agg(
+        F.sum("up").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("up")).cast("bigint").alias("n0"),
+        F.sum("brk").cast("bigint").alias("runs"),
+    ).filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    n1, n0, r = F.col("n1"), F.col("n0"), F.col("runs")
+    n = n1 + n0
+    e = F.lit(1.0) + F.lit(2.0) * n1 * n0 / n
+    var = (
+        F.lit(2.0)
+        * n1
+        * n0
+        * (F.lit(2.0) * n1 * n0 - n)
+        / (n * n * F.lit(1.0) * (n - 1))
+    )
+    return agg.select(
+        "event_type",
+        "n1",
+        "n0",
+        "runs",
+        dround(e, 4).alias("expected_runs"),
+        dround((r - e) / F.sqrt(var), 4).alias("z_stat"),
+    )

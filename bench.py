@@ -139,6 +139,10 @@ HEADLINE = [
     "stats_permutation_test",
     "rec_user_topn",
     "geo_grid_knn",
+    # waves 26-33: the positional-explode CDC chunker and the
+    # two-CC-pass incremental graph maintenance
+    "dedup_content_chunking",
+    "graph_cc_incremental",
 ]
 
 
