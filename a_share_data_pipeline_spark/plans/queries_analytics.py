@@ -4080,10 +4080,18 @@ def dedup_suffix_prefix_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CCI_CUTOFF = "1998-01-01"  # base = orders before; delta = on/after
 
+# Node encoding: customers = 2·custkey, suppliers = 2·suppkey+1 —
+# the k-core/pagerank int64-encode discipline (hash-min CC over int
+# keys, measured ~2x vs string ids); labels decode at emit and the
+# component id is the decoded min-ENCODED member on both engines.
+_CCI_DECODE_SQL = (
+    "CASE WHEN {x} % 2 = 0 THEN 'c' || CAST({x} // 2 AS VARCHAR) "
+    "ELSE 's' || CAST({x} // 2 AS VARCHAR) END"
+)
+
 _CCI_SQL = f"""
 WITH RECURSIVE e0 AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
-                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  SELECT DISTINCT 2 * o_custkey AS a, 2 * l_suppkey + 1 AS b
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 sym AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
@@ -4092,11 +4100,16 @@ reach AS (
   SELECT src AS node, dst AS r FROM sym
   UNION
   SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+),
+comp AS (
+  SELECT n.node,
+         LEAST(n.node, COALESCE(MIN(reach.r), n.node)) AS component
+  FROM nodes n LEFT JOIN reach ON reach.node = n.node
+  GROUP BY n.node
 )
-SELECT n.node,
-       LEAST(n.node, COALESCE(MIN(reach.r), n.node)) AS component
-FROM nodes n LEFT JOIN reach ON reach.node = n.node
-GROUP BY n.node
+SELECT {_CCI_DECODE_SQL.format(x='node')} AS node,
+       {_CCI_DECODE_SQL.format(x='component')} AS component
+FROM comp
 """
 
 
@@ -4118,7 +4131,13 @@ GROUP BY n.node
         "a full recompute EXACTLY (the oracle IS the full-graph "
         "closure; tests/test_analytics_ops pins incremental ≡ full on "
         "the Spark side too). Endpoints unseen in the base enter the "
-        "contracted graph as themselves — no special case"
+        "contracted graph as themselves — no special case. Nodes ride "
+        "as int64 (2k / 2k+1 bipartite encode, the k-core discipline) "
+        "and decode only at emit; measured at sf0.1 the encode is "
+        "cost-NEUTRAL (~12s either way — local-mode time is the "
+        "convergence loop's per-round job overhead, not key width), "
+        "kept because at cluster scale int keys halve the shuffled "
+        "bytes of every CC round"
     ),
 )
 def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4129,8 +4148,8 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_all = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            (F.lit(2) * F.col("o_custkey")).alias("a"),
+            (F.lit(2) * F.col("l_suppkey") + 1).alias("b"),
             (F.col("o_orderdate") < F.lit(_CCI_CUTOFF).cast("timestamp")).alias(
                 "is_base"
             ),
@@ -4179,9 +4198,19 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_base = all_nodes.join(
         lab.withColumnRenamed("id", "node"), "node", "left"
     ).select("node", F.coalesce(F.col("lab"), F.col("node")).alias("lab"))
-    return with_base.join(F.broadcast(small_cc), "lab", "left").select(
+    enc = with_base.join(F.broadcast(small_cc), "lab", "left").select(
         "node",
         F.coalesce(F.col("final_lab"), F.col("lab")).alias("component"),
+    )
+
+    def decode(c):
+        half = (F.col(c) / 2).cast("bigint").cast("string")
+        return F.when(
+            F.col(c) % 2 == 0, F.concat(F.lit("c"), half)
+        ).otherwise(F.concat(F.lit("s"), half))
+
+    return enc.select(
+        decode("node").alias("node"), decode("component").alias("component")
     )
 
 
