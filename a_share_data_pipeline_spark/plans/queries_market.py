@@ -921,3 +921,109 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_slope",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Garman-Klass range volatility (wave 36)
+# ---------------------------------------------------------------------------
+
+_GK_C2 = 2.0 * math.log(2.0) - 1.0  # 0.386294…, one shared literal
+
+# daily OHLC in cents (all four fields; the candle-pattern frame)
+_DAILY_OHLC_SQL = f"""
+dbars AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         arg_min(CAST(ROUND(value * 100, 0) AS BIGINT), {_ORDKEY_SQL}) AS o,
+         MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS h,
+         MIN(CAST(ROUND(value * 100, 0) AS BIGINT)) AS l,
+         arg_max(CAST(ROUND(value * 100, 0) AS BIGINT), {_ORDKEY_SQL}) AS c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+)"""
+
+_GK_SQL = f"""
+WITH {_DAILY_OHLC_SQL},
+lns AS (
+  SELECT event_type,
+         CAST(ROUND(ln(h) * 100000000, 0) AS BIGINT)
+           - CAST(ROUND(ln(l) * 100000000, 0) AS BIGINT) AS d_hl,
+         CAST(ROUND(ln(c) * 100000000, 0) AS BIGINT)
+           - CAST(ROUND(ln(o) * 100000000, 0) AS BIGINT) AS d_co
+  FROM dbars WHERE l > 0 AND o > 0
+),
+per_day AS (
+  SELECT event_type,
+         CAST(FLOOR((0.5 * CAST(d_hl AS DOUBLE) * CAST(d_hl AS DOUBLE)
+                     - {_GK_C2!r} * CAST(d_co AS DOUBLE) * CAST(d_co AS DOUBLE))
+                    / 1000000.0) AS BIGINT) AS gk_u
+  FROM lns
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(SUM(gk_u) * 1.0 / COUNT(*) / 10000000000.0, 10) AS gk_daily_var,
+       ROUND(sqrt(GREATEST(SUM(gk_u) * 1.0 / COUNT(*) / 10000000000.0, 0.0)
+                  * 252.0), 6) AS ann_vol
+FROM per_day GROUP BY event_type
+"""
+
+
+@register(
+    "events_volatility_gk",
+    _GK_SQL,
+    doc=(
+        "Garman-Klass range volatility — the OHLC-based variance "
+        "estimator (≈7.4× more efficient than close-to-close) that "
+        "completes the kline risk stack beside events_atr/Bollinger: "
+        "0.5·ln(H/L)² − (2ln2−1)·ln(C/O)² per day, averaged, "
+        "annualized ×252. Each ln rides the once-rounded integer-ln "
+        "device (iln(x) on int cents, 1e-8 grid — ln(H/L) expands to "
+        "iln(H)−iln(L), an exact int difference), the per-day GK "
+        "value is ONE fixed IEEE chain over those ints FLOORED onto "
+        "a 1e-10-ln² integer grid, and only then summed — so the "
+        "cross-day aggregation is exact integer at any day count. "
+        "One OHLC reduce + one aggregation; O(types) output"
+    ),
+)
+def events_volatility_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = (
+        _ticks(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            _cents().alias("cent"),
+            _ordkey().alias("ordkey"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("cent", "ordkey").alias("o"),
+            F.max("cent").alias("h"),
+            F.min("cent").alias("l"),
+            F.max_by("cent", "ordkey").alias("c"),
+        )
+        .filter((F.col("l") > 0) & (F.col("o") > 0))
+    )
+
+    def iln(col: F.Column) -> F.Column:
+        return dround(F.log(col) * 100000000, 0).cast("bigint")
+
+    lns = bars.select(
+        "event_type",
+        (iln(F.col("h")) - iln(F.col("l"))).alias("d_hl"),
+        (iln(F.col("c")) - iln(F.col("o"))).alias("d_co"),
+    )
+    gk_u = F.floor(
+        (
+            F.lit(0.5) * F.col("d_hl").cast("double") * F.col("d_hl").cast("double")
+            - F.lit(_GK_C2) * F.col("d_co").cast("double") * F.col("d_co").cast("double")
+        )
+        / F.lit(1000000.0)
+    ).cast("bigint")
+    per_day = lns.select("event_type", gk_u.alias("gk_u"))
+    mean_var = F.sum("gk_u") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1e10)
+    return per_day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        dround(mean_var, 10).alias("gk_daily_var"),
+        dround(F.sqrt(F.greatest(mean_var, F.lit(0.0)) * F.lit(252.0)), 6).alias(
+            "ann_vol"
+        ),
+    )
