@@ -181,6 +181,44 @@ _REGISTRY: dict[str, Query] = {}
 # agg_gini (inequality coefficient in exact integer cents), and
 # events_cumulative_uniques (expanding distinct via the first-seen
 # reduction).
+#
+# Round-7 rotation (VERDICT r6 item 2): five never-driver-verified
+# operator FAMILIES enter the window — sim_ann_index_scan (stored
+# partition-pruned IVF index: write-time layout + read-time
+# PartitionFilters, the serving half of ANN), stream_incremental_dedup
+# (continuous-ingestion dedup, O(batch) state per micro-batch — the
+# streaming half of the dedup story), scd2_dim_history (change feed →
+# validity intervals, the warehouse temporal-dimension shape),
+# incremental_join_delta (join IVM: delta×base + base×delta + delta×
+# delta, never base×base re-paired), agg_sketch_merge
+# (re-aggregatable HLL shard sketches — the sketch-algebra family).
+# Retired to extended (redundant witnesses, all driver-green r1-r6):
+# dedup_embedding_cosine (its sign-LSH band + exact-cosine-verify
+# path is composed verbatim INSIDE dedup_semantic — the sim_ann_pq
+# precedent), dedup_substring (fingerprint-window family witnessed by
+# curation_line_dedup's md5-segment-count machinery; the Lee-et-al
+# span stats remain oracled locally), sim_ann_lsh (band-bucket ANN ⊂
+# sim_ann_ivfpq's cell-restricted search, same precedent that retired
+# sim_ann_ivf in r6), sample_stratified (md5-hash-threshold core is
+# the identical mechanism inside sample_mixture's rate-table path),
+# text_tfidf (tf·idf is composed verbatim INSIDE text_bm25's
+# saturated scoring). Every retained name is unchanged —
+# CORRECTNESS keys are the driver's contract and renames reset
+# verification history.
+#
+# Strongest r8 rotation candidates (never-driver-verified families,
+# strongest first): join_bloom_prune (sketch-prune semi-join),
+# events_ohlc (argmin/argmax bar aggregate — the reference-domain
+# kline resample), sql_recursive_cte (in-engine recursion),
+# graph_label_propagation (community detection),
+# profile_distribution_drift (integer-exact TVD monitoring),
+# dedup_jaccard_prefix (prefix-filter prune, now broadcast-fixed),
+# events_window_funnel (per-occurrence funnel), stats_ks_test
+# (two-sample KS), feature_pca_power (iterative integer-grid PCA),
+# rec_user_topn (two-stage item-CF), geo_grid_knn (grid-blocked
+# spatial kNN), rollup_retractions (delete-side IVM), cdc_time_travel
+# (multi-version AS OF), table_diff (row-hash snapshot diff),
+# er_resolve (record-linkage capstone).
 # Round-6 rotation (VERDICT r5 item 1): five never-driver-verified
 # operator FAMILIES enter the window — graph_pagerank (the only
 # iterative family besides CC; unrolled-CTE oracle), cdc_apply
@@ -248,6 +286,8 @@ CORE_WINDOW: tuple[str, ...] = (
     # sort / set ops
     "sort_topk",
     "set_ops",
+    # sketch algebra: re-aggregatable HLL shards (r7)
+    "agg_sketch_merge",
     # join shapes
     "join_regional_revenue",
     "join_semi_anti",
@@ -264,6 +304,8 @@ CORE_WINDOW: tuple[str, ...] = (
     "incremental_delta",
     "rollup_incremental",
     "cdc_apply",
+    "scd2_dim_history",
+    "incremental_join_delta",
     "events_tumbling",
     "events_sessionize",
     "events_macd",
@@ -272,6 +314,7 @@ CORE_WINDOW: tuple[str, ...] = (
     "source_jsonl",
     # Structured Streaming (deterministic AvailableNow cycle, full oracle)
     "stream_stream_join",
+    "stream_incremental_dedup",
     # UDF lanes
     "udf_pandas_scalar",
     "udf_grouped_map",
@@ -279,23 +322,19 @@ CORE_WINDOW: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_incremental",
-    "dedup_embedding_cosine",
     "dedup_semantic",
-    "dedup_substring",
     "dedup_components",
     "dedup_keep_canonical",
     "sim_cosine_topk",
-    "sim_ann_lsh",
     "sim_ann_ivfpq",
+    "sim_ann_index_scan",
     "kmeans_embeddings",
     "text_metrics",
-    "text_tfidf",
     "text_bm25",
     "graph_pagerank",
     "curation_pipeline",
     "curation_pii_redact",
     "curation_line_dedup",
-    "sample_stratified",
     "sample_mixture",
     "multimodal_features",
 )

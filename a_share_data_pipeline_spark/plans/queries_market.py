@@ -849,7 +849,7 @@ slopes AS (
 ranked AS (
   SELECT event_type, slope,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY slope, slope) AS rn,
+                            ORDER BY slope) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM slopes
 )
@@ -898,7 +898,11 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
-    w = W.partitionBy("event_type").orderBy("slope", "slope")
+    # ORDER BY slope alone: ties among equal slopes rank arbitrarily,
+    # but the emitted lower-median VALUE is deterministic because equal
+    # values are interchangeable across ranks (ADVICE r6 dropped the
+    # duplicated no-op second key that faked a unique tie-break)
+    w = W.partitionBy("event_type").orderBy("slope")
     wn = W.partitionBy("event_type")
     ranked = slopes.select(
         "event_type",

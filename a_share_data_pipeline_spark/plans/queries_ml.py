@@ -158,8 +158,18 @@ def feature_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("j0") + 1).alias("j"),
         dround(F.col("xj").cast("double") * _Q, 0).cast("bigint").alias("qj"),
     )
+    # per-row product cast to decimal BEFORE the sum: |qi|,|qj| ≤ 1e6
+    # so each product is ~1e12, and an int64 accumulator would silently
+    # wrap past ~9.2e6 rows — the oracle sums in HUGEINT, so the engines
+    # would diverge exactly at scale (ADVICE r6). decimal(26,0) per-row
+    # sums into decimal(36,0), inside the 38 cap; same discipline as
+    # ml_multiple_regression / events_periodogram.
     gram = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("qi") * F.col("qj")).cast(d38).alias("sxy")
+        F.sum(
+            (F.col("qi").cast("decimal(19,0)") * F.col("qj")).cast("decimal(26,0)")
+        )
+        .cast(d38)
+        .alias("sxy")
     )
     marg = q.groupBy("i").agg(
         F.sum("qi").cast(d38).alias("s"),

@@ -1,12 +1,16 @@
 #!/usr/bin/env python
 """Round-over-round bench diff: ``python bench_diff.py OLD.json NEW.json``.
 
-Prints per-query deltas between two driver bench records
-(``BENCH_r{N}.json`` shape: ``{"parsed": {...}}`` or the raw record),
-flagging each as faster / slower / noise. The noise band comes from the
-per-rep spread when a ``bench_detail`` blob is available (bench.py
-writes it to stderr, so round logs may carry it); otherwise a flat
-±15% band is used — local[32] rep-to-rep jitter measured across rounds.
+Prints per-query deltas between two bench records, flagging each as
+faster / slower / noise. Accepted shapes: the full record bench.py
+writes to ``BENCH_DETAIL.json`` (has a ``queries`` map — the
+round-over-round comparison input since round 7), legacy driver
+``BENCH_r{N}.json`` records from rounds ≤6 (``{"parsed": {...}}`` or
+raw, with a ``queries`` map), and round-7+ driver records only if
+someone re-adds a map (they are compact by design — use the committed
+``BENCH_DETAIL.json`` instead). The noise band is a flat ±15% —
+local[32] rep-to-rep jitter measured across rounds; per-rep spread
+lives in the record's ``detail`` blob for manual reading.
 
 Two records are comparable ONLY if their ``method`` labels match
 (``xxhash64-full-gc1`` since round 5); the script refuses loudly when

@@ -1913,155 +1913,13 @@ def test_cc_incremental_equals_full_recompute(spark):
     assert inc == full and inc
 
 
-def test_multiple_regression_matches_numpy_lstsq(spark):
-    """The closed-form normal-equation solve must agree with numpy's
-    least squares on the same (quantity, discount_pct) design."""
-    import duckdb
-    import numpy as np
-
-    from a_share_data_pipeline_spark.plans.catalog import registry
-
-    sf = "/root/testdata/sf0.001"
-    rows = duckdb.connect().execute(
-        "SELECT CAST(l_quantity AS BIGINT), "
-        "CAST(ROUND(l_discount*100,0) AS BIGINT), "
-        "CAST(ROUND(l_extendedprice*100,0) AS BIGINT) "
-        f"FROM read_parquet('{sf}/lineitem.parquet')"
-    ).fetchall()
-    X = np.array([[1.0, r[0], r[1]] for r in rows])
-    y = np.array([r[2] / 100.0 for r in rows])
-    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
-    pred = X @ beta
-    ss_res = ((y - pred) ** 2).sum()
-    ss_tot = ((y - y.mean()) ** 2).sum()
-    r2 = 1 - ss_res / ss_tot
-    got = registry()["ml_multiple_regression"].fn(spark, sf).collect()[0]
-    assert got.n == len(rows)
-    assert abs(got.intercept - beta[0]) < max(1e-3, abs(beta[0]) * 1e-5)
-    assert abs(got.beta_quantity - beta[1]) < 1e-4
-    assert abs(got.beta_discount_pct - beta[2]) < 1e-3
-    assert abs(got.r2 - r2) < 1e-6
-    # the synthetic price is independent of quantity/discount, so the
-    # fit is near-zero by construction — the witness is the exact
-    # solve, which the five asserts above pin against numpy
-    assert 0.0 <= got.r2 < 0.05
-
-
-def test_periodogram_matches_numpy_fourier_sum(spark):
-    """Replay one frequency's centered Fourier amplitude in numpy
-    from the replayed daily closes."""
-    import numpy as np
-
-    from a_share_data_pipeline_spark.plans.catalog import registry
-    from a_share_data_pipeline_spark.plans.queries_market import _pg_lits
-
-    closes = _daily_closes_py()
-    rows = registry()["events_periodogram"].fn(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
-    assert {r.freq_k for r in rows} == {1, 2, 3}
-    import datetime as _dt
-
-    epoch0 = _dt.date(1970, 1, 1)
-    for r in rows:
-        cos, sin = _pg_lits(r.freq_k)
-        days = sorted(d for (t, d) in closes if t == r.event_type)
-        c = [closes[(r.event_type, d)] for d in days]
-        slots = [(d - epoch0).days % 16 for d in days]
-        n = len(c)
-        s_tot = sum(c)
-        c_raw = sum(ci * cos[s] for ci, s in zip(c, slots))
-        s_raw = sum(ci * sin[s] for ci, s in zip(c, slots))
-        kc = sum(cos[s] for s in slots)
-        ks = sum(sin[s] for s in slots)
-        cc = float(n * c_raw - s_tot * kc)
-        ss = float(n * s_raw - s_tot * ks)
-        amp = (cc * cc + ss * ss) ** 0.5 / (n * n * 1e6 * 100.0)
-        assert r.n_days == n
-        assert abs(r.amplitude - amp) < 1e-5, r.freq_k
-
-
-def test_kcenter_init_matches_greedy_replay(spark):
-    """Replay farthest-first traversal in pure Python over the
-    quantized vectors — identical center sequence (as a set; the
-    query emits the chosen ids)."""
-    import duckdb
-
-    from a_share_data_pipeline_spark.plans.catalog import registry
-
-    sf = "/root/testdata/sf0.001"
-    rows = duckdb.connect().execute(
-        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
-    ).fetchall()
-    q = {vid: [round(float(x) * 1e6) for x in emb] for vid, emb in rows}
-    centers = [min(q)]
-    for _ in range(3):
-        best = None
-        for vid, v in q.items():
-            mind = min(
-                sum((a - b) ** 2 for a, b in zip(v, q[c])) for c in centers
-            )
-            key = (-mind, vid)
-            if best is None or key < best[0]:
-                best = (key, vid)
-        centers.append(best[1])
-    got = {
-        r.center_id
-        for r in registry()["ml_kcenter_init"].fn(spark, sf).collect()
-    }
-    assert got == set(centers)
-
-
-def test_lttb_keeps_one_point_per_interior_bucket(spark):
-    """Every interior 4-day bucket emits exactly one kept point and it
-    maximizes the exact scaled triangle area (python replay)."""
-    from a_share_data_pipeline_spark.plans.catalog import registry
-
-    closes = _daily_closes_py()
-    rows = registry()["events_lttb_downsample"].fn(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
-    import datetime as _dt
-
-    epoch0 = _dt.date(1970, 1, 1)
-    for et in ("view", "purchase"):
-        days = sorted(d for (t, d) in closes if t == et)
-        by_b = {}
-        for d in days:
-            by_b.setdefault((d - epoch0).days // 4, []).append(d)
-        bs = sorted(by_b)
-        interior = bs[1:-1]
-        got = {
-            (r.day - epoch0).days // 4: r.day
-            for r in rows
-            if r.event_type == et
-        }
-        assert set(got) == set(interior)
-        for b in interior:
-            prev, nxt = by_b[b - 1] if b - 1 in by_b else None, by_b.get(b + 1)
-            # buckets are consecutive in this dataset
-            sxp = sum((d - epoch0).days for d in by_b[b - 1])
-            syp = sum(closes[(et, d)] for d in by_b[b - 1])
-            np_ = len(by_b[b - 1])
-            sxn = sum((d - epoch0).days for d in by_b[b + 1])
-            syn = sum(closes[(et, d)] for d in by_b[b + 1])
-            nn = len(by_b[b + 1])
-            best = None
-            for d in by_b[b]:
-                x, y = (d - epoch0).days, closes[(et, d)]
-                a2 = abs(
-                    (x * np_ - sxp) * (syn * np_ - syp * nn)
-                    - (sxn * np_ - sxp * nn) * (y * np_ - syp)
-                )
-                key = (-a2, d)
-                if best is None or key < best[0]:
-                    best = (key, d)
-            assert got[b] == best[1], (et, b)
-
-
-def test_cc_incremental_equals_full_recompute(spark):
-    """The incremental path (base CC + contracted delta CC + remap)
-    must equal a one-shot CC over the full edge set, label for label."""
+def test_cc_incremental_equals_full_recompute_string_ids(spark):
+    """Same incremental ≡ full equivalence, but with the reference
+    string node ids ("c<custkey>"/"s<suppkey>") instead of the int64
+    bipartite encoding — pins that connected_components itself is
+    id-type agnostic and the query's encode/decode is a pure bijection.
+    (This was the shadowing duplicate ADVICE r6 flagged; both variants
+    now run under distinct names.)"""
     from a_share_data_pipeline_spark.operators.graph import connected_components
     from a_share_data_pipeline_spark.plans.catalog import registry
     from a_share_data_pipeline_spark.sources import load_table

@@ -647,8 +647,7 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # (sim_ann_pq rotated back out in r5 — its encode+ADC path is
     # composed verbatim inside the in-window sim_ann_ivfpq)
     for name in ("curation_pipeline", "dedup_incremental",
-                 "sample_stratified", "dedup_keep_canonical",
-                 "curation_pii_redact"):
+                 "dedup_keep_canonical", "curation_pii_redact"):
         assert name in CORE_WINDOW, name
     # round-4 rotation (VERDICT r3 item 5): the last never-driver-
     # verified families now sit inside the window
@@ -656,7 +655,9 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
         assert name in CORE_WINDOW, name
     # round-5 rotation (VERDICT r4 item 2): the strongest round-4
     # families enter; the PQ family stays witnessed via sim_ann_ivfpq
-    for name in ("dedup_semantic", "curation_line_dedup", "dedup_substring",
+    # (dedup_substring rotated back out in r7: fingerprint-window
+    # family stays witnessed via curation_line_dedup)
+    for name in ("dedup_semantic", "curation_line_dedup",
                  "stream_stream_join", "sim_ann_ivfpq"):
         assert name in CORE_WINDOW, name
     # round-6 rotation (VERDICT r5 item 1): five never-driver-verified
@@ -664,6 +665,13 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # ranked retrieval, chained-window kline indicator, interval join
     for name in ("graph_pagerank", "cdc_apply", "text_bm25",
                  "events_macd", "join_interval_overlap"):
+        assert name in CORE_WINDOW, name
+    # round-7 rotation (VERDICT r6 item 2): five never-driver-verified
+    # families enter — stored-index ANN serving, streaming incremental
+    # dedup, SCD2 temporal dimension, join IVM, sketch algebra
+    for name in ("sim_ann_index_scan", "stream_incremental_dedup",
+                 "scd2_dim_history", "incremental_join_delta",
+                 "agg_sketch_merge"):
         assert name in CORE_WINDOW, name
     assert any(n.startswith("stream_") for n in CORE_WINDOW)
 
@@ -690,6 +698,40 @@ def test_coverage_totals_match_live_catalog():
             os.path.join(repo, "COVERAGE.md")
         ).read(), "COVERAGE.md totals line != totals_markdown()"
     assert line in catalog_markdown()
+
+
+def test_bench_record_stays_driver_parseable():
+    """The driver captures only a 2,000-char stdout tail and parses the
+    LAST line; rounds 4 and 6 both lost their bench record
+    (``parsed: null``) when the per-query map grew past the window.
+    Pin the round-7 contract: the compact final record carries NO
+    per-catalog-size content (so it can never regrow), every headline/
+    extended name resolves in the registry, and the two sets are
+    disjoint with the headline frozen to CORE_WINDOW + the fixed
+    representatives."""
+    import json
+
+    import bench
+
+    from a_share_data_pipeline_spark.plans.catalog import CORE_WINDOW, registry
+
+    reg = registry()
+    assert [n for n in bench.HEADLINE if n not in reg] == []
+    assert [n for n in bench.EXTENDED if n not in reg] == []
+    assert set(bench.HEADLINE).isdisjoint(bench.EXTENDED)
+    assert bench.HEADLINE[: len(CORE_WINDOW)] == list(CORE_WINDOW)
+    assert len(bench.HEADLINE) <= 62  # window + ~10 representatives
+    # worst-case compact record: every field at its widest
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": 99999.999,
+        "unit": "sec",
+        "n_queries": len(bench.HEADLINE),
+        "sf": 100.0,
+        "method": "xxhash64-full-gc1",
+        "n_skipped": len(bench.HEADLINE),
+    }
+    assert len(json.dumps(record)) < 500
 
 
 def test_pq_codebook_training_improves_recall(spark):
