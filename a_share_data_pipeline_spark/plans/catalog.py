@@ -380,6 +380,96 @@ def registry() -> dict[str, Query]:
     return {**core, **extended}
 
 
+def driver_history(repo_root: str | None = None) -> dict[str, list[int]]:
+    """name → rounds in which the driver's CORRECTNESS record was fully
+    green for it (rows+schema+hash, no err), read from the committed
+    ``CORRECTNESS_r*.json`` files. This is the ground truth for the
+    "driver-verified" claim — generated, never hand-written (VERDICT r6
+    item 5: the hand-written 'window covers every §2.12 operator' claim
+    went stale as the catalog grew)."""
+    import glob
+    import json
+    import os
+    import re
+
+    if repo_root is None:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    hist: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rec = json.load(f)
+        if not isinstance(rec, dict):
+            continue
+        for name, row in rec.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                hist.setdefault(name, []).append(rnd)
+    return hist
+
+
+def verification_tiers(repo_root: str | None = None) -> dict[str, list[str]]:
+    """Every catalog query sorted into its TRUE verification tier:
+
+    - ``driver``: inside the current CORE_WINDOW (will be driver-
+      verified next round; all current members also have green history
+      or are this round's rotation newcomers),
+    - ``driver_hist``: green in some past round's CORRECTNESS record
+      but since rotated to the extended tier (the standing
+      name-stability rule makes that history durable),
+    - ``local_only``: never in any driver record — verified solely by
+      the local DuckDB oracle harness (tests/test_oracle_diff.py).
+    """
+    hist = driver_history(repo_root)
+    reg = registry()
+    window = set(CORE_WINDOW)
+    tiers: dict[str, list[str]] = {"driver": [], "driver_hist": [], "local_only": []}
+    for name in reg:
+        if name in window:
+            tiers["driver"].append(name)
+        elif name in hist:
+            tiers["driver_hist"].append(name)
+        else:
+            tiers["local_only"].append(name)
+    return tiers
+
+
+def tiers_markdown(repo_root: str | None = None) -> str:
+    """The generated verification-tier block COVERAGE.md carries
+    (pinned by tests/test_scale_ops.py). States the true split instead
+    of claiming the 50-entry window covers everything."""
+    t = verification_tiers(repo_root)
+    lines = [
+        f"Verification tiers (generated from `CORE_WINDOW` ∪ the committed "
+        f"`CORRECTNESS_r*.json` history via `catalog.verification_tiers()`): "
+        f"**{len(t['driver'])} in the current driver window**, "
+        f"**{len(t['driver_hist'])} driver-green in a past round** (since "
+        f"rotated to the extended tier; names are stable so that history "
+        f"stands), **{len(t['local_only'])} local-oracle-only** (verified "
+        f"each round by `tests/test_oracle_diff.py` at sf0.001 and the "
+        f"full driver-sim at sf0.01, never yet in a driver record).",
+        "",
+        "Local-only queries (the rotation queue draws from these):",
+        "",
+    ]
+    names = sorted(t["local_only"])
+    for i in range(0, len(names), 6):
+        lines.append(", ".join(f"`{n}`" for n in names[i : i + 6]) + ",")
+    if names:
+        lines[-1] = lines[-1].rstrip(",") + "."
+    return "\n".join(lines)
+
+
 def catalog_totals() -> dict[str, int]:
     """Live tier counts — the single source of truth for every doc
     that states catalog totals (VERDICT r5: COVERAGE.md hand-wrote

@@ -171,6 +171,276 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wave 37: whole-graph structure metrics — degree assortativity and
+# community modularity (exact integer moments, one final division)
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = """
+WITH iedges0 AS (
+  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+iedges AS MATERIALIZED (
+  SELECT src, dst FROM iedges0 UNION SELECT dst, src FROM iedges0
+),
+deg AS MATERIALIZED (
+  SELECT src AS node, COUNT(*)::BIGINT AS d FROM iedges GROUP BY 1
+),
+ep AS (
+  SELECT a.d AS dx, b.d AS dy
+  FROM iedges e JOIN deg a ON a.node = e.src JOIN deg b ON b.node = e.dst
+),
+s AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM(dx)::HUGEINT AS sx, SUM(dy)::HUGEINT AS sy,
+         SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+         SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+         SUM(CAST(dy AS HUGEINT) * dy) AS syy
+  FROM ep
+)
+SELECT CAST(n AS BIGINT) AS n_endpoints,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+FROM s
+"""
+
+
+@register(
+    "graph_assortativity",
+    _ASSORT_SQL,
+    doc=(
+        "degree assortativity — Pearson correlation of endpoint "
+        "degrees over the undirected purchase graph (Newman 2002), "
+        "the one-number answer to 'do hubs link to hubs?' (bipartite "
+        "purchase graphs are typically disassortative: high-degree "
+        "customers buy from ordinary suppliers). Pure reduce shapes: "
+        "one degree count (O(E) shuffle to O(V)), two joins of the "
+        "degree frame back onto the symmetric edges (co-keyed on the "
+        "node), and ONE global aggregate of five integer moments — "
+        "per-row degree products cast to decimal BEFORE summing (the "
+        "feature_pca_power overflow discipline; oracle sums HUGEINT), "
+        "so the correlation is a ratio of exact integers with exactly "
+        "one double division + two sqrts at the end, bit-identical "
+        "across engines. No iteration, no windows: this is the "
+        "graph-metric shape that runs at any scale for two shuffles"
+    ),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ie = purchase_iedges(spark, sf_dir)
+    sym = ie.unionByName(
+        ie.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ep = (
+        sym.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "dx")
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")),
+            "dst",
+        )
+        .select("dx", "dy")
+    )
+    c19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = ep.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum((c19("dx") * c19("dy")).cast("decimal(26,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum((c19("dx") * c19("dx")).cast("decimal(26,0)")).cast("decimal(38,0)").alias("sxx"),
+        F.sum((c19("dy") * c19("dy")).cast("decimal(26,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_endpoints"),
+        dround(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def _mod_rounds(iters: int = 3) -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        mat = " MATERIALIZED" if i == iters else ""
+        rounds.append(f"""
+l{i} AS{mat} (
+  SELECT dst AS node,
+         CAST(MAX(cnt * {_LPA_SHIFT} + lbl) % {_LPA_SHIFT} AS BIGINT) AS lbl
+  FROM (
+    SELECT e.dst, l.lbl, COUNT(*) AS cnt
+    FROM iedges e JOIN {prev} l ON l.node = e.src
+    GROUP BY e.dst, l.lbl
+  ) c
+  GROUP BY dst
+)""")
+        prev = f"l{i}"
+    return ",".join(rounds)
+
+
+_MODULARITY_SQL = f"""
+WITH iedges0 AS MATERIALIZED (
+  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+iedges AS MATERIALIZED (
+  SELECT src, dst FROM iedges0 UNION SELECT dst, src FROM iedges0
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM iedges),
+{_mod_rounds()},
+labs AS MATERIALIZED (
+  SELECT 'lpa' AS scheme, node, lbl FROM l3
+  UNION ALL
+  SELECT 'nation', 2 * c_custkey, c_nationkey::BIGINT FROM customer
+  UNION ALL
+  SELECT 'nation', 2 * s_suppkey + 1, s_nationkey::BIGINT FROM supplier
+),
+m AS (SELECT COUNT(*)::HUGEINT AS m FROM iedges0),
+inside AS (
+  SELECT a.scheme, COUNT(*)::HUGEINT AS inside
+  FROM iedges0 e
+  JOIN labs a ON a.node = e.src
+  JOIN labs b ON b.node = e.dst AND b.scheme = a.scheme
+  WHERE a.lbl = b.lbl
+  GROUP BY 1
+),
+deg AS (SELECT src AS node, COUNT(*)::BIGINT AS d FROM iedges GROUP BY 1),
+comm AS (
+  SELECT l.scheme, l.lbl, SUM(d)::HUGEINT AS dc
+  FROM deg JOIN labs l ON l.node = deg.node GROUP BY 1, 2
+),
+sums AS (
+  SELECT scheme, COUNT(*)::BIGINT AS n_comm, SUM(dc * dc)::HUGEINT AS sum_dc2
+  FROM comm GROUP BY 1
+)
+SELECT s.scheme,
+       s.n_comm AS n_communities,
+       CAST(m AS BIGINT) AS m_edges,
+       CAST(COALESCE(i.inside, 0) AS BIGINT) AS inside_edges,
+       ROUND(CAST(4 * m * COALESCE(i.inside, 0) - s.sum_dc2 AS DOUBLE)
+             / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS modularity
+FROM sums s LEFT JOIN inside i ON i.scheme = s.scheme, m
+"""
+
+
+@register(
+    "graph_modularity",
+    _MODULARITY_SQL,
+    doc=(
+        "modularity Q — the number that tells you whether a candidate "
+        "community structure is real (Q≈0: no better than random "
+        "given the degree sequence) — evaluated for TWO partitions of "
+        "the purchase graph in one pass: the LPA labels (composing "
+        "the driver-verified 3-round packed-argmax; on a bipartite "
+        "graph synchronous LPA bi-colors the two sides — the classic "
+        "oscillation — so its Q is exactly −0.5, every edge crossing, "
+        "and the query WITNESSES that known pathology rather than "
+        "hiding it) and the nation-affinity partition (customers + "
+        "suppliers labeled by nationkey — cross-side communities "
+        "whose Q measures actual national purchase affinity and "
+        "moves with the data). Three reduce-only passes per scheme: "
+        "edges-inside-community (two label joins on the directed-"
+        "unique edge list), per-community total degree, and ONE "
+        "algebraic collapse — Q = Σc[mc/m − (Dc/2m)²] rearranges to "
+        "(4·m·Σmc − ΣDc²)/(4m²), so every sum is an exact integer "
+        "(decimal accumulators; oracle HUGEINT) and exactly one "
+        "double division happens at the end. The labels frame is "
+        "multi-use → checkpointed once; aggregates are O(C). Oracle "
+        "unrolls the identical integer LPA rounds (final round "
+        "MATERIALIZED — 3 consumers would re-inline the whole "
+        "recursion, the documented DuckDB CTE blowup)"
+    ),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    ie = purchase_iedges(spark, sf_dir)
+    lpa = label_propagation(ie, edges_dedup=False).select(
+        F.lit("lpa").alias("scheme"), "node", "lbl"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("nation").alias("scheme"),
+        (2 * F.col("c_custkey")).alias("node"),
+        F.col("c_nationkey").cast("bigint").alias("lbl"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.lit("nation").alias("scheme"),
+        (2 * F.col("s_suppkey") + 1).alias("node"),
+        F.col("s_nationkey").cast("bigint").alias("lbl"),
+    )
+    labels = (
+        lpa.unionByName(cust).unionByName(supp).localCheckpoint(eager=True)
+    )  # consumers: two endpoint remaps + the degree join
+    m_df = ie.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+    la = labels.select(
+        F.col("scheme"), F.col("node").alias("src"), F.col("lbl").alias("la")
+    )
+    lb = labels.select(
+        F.col("scheme").alias("scheme_b"),
+        F.col("node").alias("dst"),
+        F.col("lbl").alias("lb"),
+    )
+    inside_df = (
+        ie.join(la, "src")
+        .join(lb, "dst")
+        .filter(
+            (F.col("scheme") == F.col("scheme_b"))
+            & (F.col("la") == F.col("lb"))
+        )
+        .groupBy("scheme")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("inside"))
+    )
+    sym = ie.unionByName(
+        ie.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    comm = deg.join(labels, "node").groupBy("scheme", "lbl").agg(
+        F.sum("d").cast("decimal(19,0)").alias("dc")
+    )
+    sums = comm.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum((F.col("dc") * F.col("dc")).cast("decimal(26,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_dc2"),
+    )
+    return (
+        sums.join(inside_df, "scheme", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "scheme",
+            "n_communities",
+            F.col("m").cast("bigint").alias("m_edges"),
+            F.coalesce(F.col("inside"), F.lit(0).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("inside_edges"),
+            dround(
+                (
+                    F.lit(4).cast("decimal(38,0)")
+                    * F.col("m")
+                    * F.coalesce(F.col("inside"), F.lit(0).cast("decimal(38,0)"))
+                    - F.col("sum_dc2")
+                ).cast("double")
+                / (
+                    F.lit(4.0)
+                    * F.col("m").cast("double")
+                    * F.col("m").cast("double")
+                ),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multi-source BFS: shortest-path hop distance from a seed set
 # ---------------------------------------------------------------------------
 
@@ -1744,9 +2014,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-ordering is the actual PPJoin/AllPairs move, not a tweak
     dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wp = W.partitionBy("doc_id").orderBy("df", "shingle")
+    # counts joins as a PLAIN shuffle join, never broadcast: it is one
+    # row per DOCUMENT, so broadcasting it ships the whole corpus to
+    # every executor — billions of rows at the 100 TB target (VERDICT
+    # r6 item 3). The row_number window two lines down shuffles on
+    # doc_id anyway, so the sort-merge join co-partitions for free and
+    # the broadcast bought nothing even locally.
     pref = (
         shingled.join(dfreq, "shingle")
-        .join(F.broadcast(counts), "doc_id")
+        .join(counts, "doc_id")
         .select(
             "doc_id",
             "shingle",
@@ -4141,6 +4417,18 @@ FROM comp
     ),
 )
 def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cc_incremental_labels(spark, sf_dir, _CCI_CUTOFF)
+
+
+def cc_incremental_labels(
+    spark: SparkSession, sf_dir: str, cutoff: str
+) -> DataFrame:
+    """The incremental-CC pipeline with a caller-chosen base/delta
+    cutoff — the catalog query pins ``_CCI_CUTOFF``; the property test
+    varies the cutoff (including empty-base and empty-delta splits)
+    and asserts label equality with a one-shot full CC each time,
+    pinning the min-label composition argument at EVERY split, not one
+    (VERDICT r6 item 8)."""
     from ..operators.graph import connected_components
 
     o = load_table(spark, sf_dir, "orders")
@@ -4150,7 +4438,7 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.lit(2) * F.col("o_custkey")).alias("a"),
             (F.lit(2) * F.col("l_suppkey") + 1).alias("b"),
-            (F.col("o_orderdate") < F.lit(_CCI_CUTOFF).cast("timestamp")).alias(
+            (F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")).alias(
                 "is_base"
             ),
         )

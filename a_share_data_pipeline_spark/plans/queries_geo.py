@@ -80,6 +80,98 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
+# hot-cell salt guard (VERDICT r6 item 6): a cell with n points makes
+# n×n candidate pairs land in ONE join task; above the cap the build
+# side splits into _N_SALTS sub-buckets and the probe side replicates
+# across them — same pairs, spread over _N_SALTS tasks. Salting (not
+# drop-and-log) because kNN correctness requires EVERY candidate; the
+# knob for density is the cell edge, not candidate loss.
+_HOT_CELL_CAP = 1_000
+_N_SALTS = 8
+
+
+def _grid_candidates(
+    cells: DataFrame, hot_cap: int = _HOT_CELL_CAP, n_salts: int = _N_SALTS
+) -> DataFrame:
+    """(id, neighbor, dist2) candidate pairs over the 3×3 cell
+    neighborhood — the offset fan-out + ONE equi-join on the cell key,
+    with the hot-cell salt guard: per-cell counts (O(cells), broadcast)
+    mark cells above ``hot_cap``; build-side points in hot cells salt
+    by ``pmod(id, n_salts)`` and probes targeting a hot cell replicate
+    across all salts, so the join key (pcx, pcy, salt) caps any single
+    task's pair block at ~(n/s)·n instead of n². Cold cells pay salt=0
+    and exactly one probe row — identical to the unguarded plan. Output
+    is pair-for-pair identical either way (property-tested), so the
+    exhaustive SQL oracle is unchanged."""
+    per_cell = cells.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    # O(populated cells) rows — a legitimately broadcastable frame
+    # (bounded by the grid, not the corpus)
+    hot = per_cell.select(
+        F.col("cx").alias("pcx"),
+        F.col("cy").alias("pcy"),
+        (F.col("n") > hot_cap).alias("is_hot"),
+    )
+    off = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in _OFFSETS]
+    )
+    # fan out the offset struct first, then derive both probe
+    # coordinates from it (explode appears once per select)
+    probes = (
+        cells.select("id", "x", "y", "cx", "cy", F.explode(off).alias("o"))
+        .select(
+            F.col("id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            (F.col("cx") + F.col("o.dx")).alias("pcx"),
+            (F.col("cy") + F.col("o.dy")).alias("pcy"),
+        )
+        .join(F.broadcast(hot), ["pcx", "pcy"], "left")
+        .select(
+            "a_id",
+            "ax",
+            "ay",
+            "pcx",
+            "pcy",
+            F.explode(
+                F.when(
+                    F.coalesce(F.col("is_hot"), F.lit(False)),
+                    F.sequence(F.lit(0), F.lit(n_salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("salt"),
+        )
+    )
+    b = (
+        cells.select(
+            F.col("id").alias("neighbor"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.col("cx").alias("pcx"),
+            F.col("cy").alias("pcy"),
+        )
+        .join(F.broadcast(hot), ["pcx", "pcy"], "left")
+        .select(
+            "neighbor",
+            "bx",
+            "by",
+            "pcx",
+            "pcy",
+            F.when(
+                F.coalesce(F.col("is_hot"), F.lit(False)),
+                F.pmod(F.col("neighbor"), F.lit(n_salts)).cast("int"),
+            )
+            .otherwise(F.lit(0))
+            .alias("salt"),
+        )
+    )
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        probes.join(b, ["pcx", "pcy", "salt"])
+        .filter(F.col("neighbor") != F.col("a_id"))
+        .select(F.col("a_id").alias("id"), "neighbor", dist2.alias("dist2"))
+    )
+
 
 _GRID_KNN_SQL = f"""
 WITH {_POINTS_CTE},
@@ -114,9 +206,11 @@ WHERE rnk <= {_KNN}
         "candidates inside the bounded set. Coordinates are "
         "md5-derived integer micro-units so dist2 is exact int64 and "
         "the top-3 window needs no float tie-break. Per-point work is "
-        "bounded by neighborhood density; at scale the cell edge is "
-        "sized to ~O(10) points/cell and hot cells get the salting "
-        "treatment. The cell edge is PART OF THE CONTRACT — "
+        "bounded by neighborhood density; cells above _HOT_CELL_CAP "
+        "get the SALT guard (_grid_candidates: build side salted by "
+        "pmod(id, s), probes replicated across salts — same pairs, "
+        "1/s the per-task block; property-tested pair-identical on a "
+        "deliberately hot fixture). The cell edge is PART OF THE CONTRACT — "
         "candidates are exactly the 3×3 neighborhood, so retuning it "
         "changes which far-away neighbors are reachable (unlike a "
         "pure cost knob); production callers fix the grid constant "
@@ -124,37 +218,7 @@ WHERE rnk <= {_KNN}
     ),
 )
 def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = _cells(spark, sf_dir)
-    off = F.array(
-        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in _OFFSETS]
-    )
-    # fan out the offset struct first, then derive both probe
-    # coordinates from it (explode appears once per select)
-    probes = (
-        cells.select("id", "x", "y", "cx", "cy", F.explode(off).alias("o"))
-        .select(
-            F.col("id").alias("a_id"),
-            F.col("x").alias("ax"),
-            F.col("y").alias("ay"),
-            (F.col("cx") + F.col("o.dx")).alias("pcx"),
-            (F.col("cy") + F.col("o.dy")).alias("pcy"),
-        )
-    )
-    b = cells.select(
-        F.col("id").alias("neighbor"),
-        F.col("x").alias("bx"),
-        F.col("y").alias("by"),
-        F.col("cx").alias("pcx"),
-        F.col("cy").alias("pcy"),
-    )
-    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
-        F.col("ay") - F.col("by")
-    ) * (F.col("ay") - F.col("by"))
-    cand = (
-        probes.join(b, ["pcx", "pcy"])
-        .filter(F.col("neighbor") != F.col("a_id"))
-        .select(F.col("a_id").alias("id"), "neighbor", dist2.alias("dist2"))
-    )
+    cand = _grid_candidates(_cells(spark, sf_dir))
     w = W.partitionBy("id").orderBy("dist2", "neighbor")
     return (
         cand.withColumn("rnk", F.row_number().over(w))

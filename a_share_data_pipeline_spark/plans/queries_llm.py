@@ -1804,6 +1804,169 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wave 37: blockhash near-dup over binary payloads — the multimodal
+# half of the dedup story (simhash banding over a content-locality hash)
+# ---------------------------------------------------------------------------
+
+# 64 block bits over a fixed 512-hex-char frame (256 ASCII chars of
+# payload): block k = 8 hex chars, bit = parity of the first hex digit
+# of md5(block) — a crude but honest block-mean-hash stand-in (the
+# blockhash/PDQ family): a local byte edit flips only its block's bit,
+# so near-identical payloads land at small hamming distance. 4 bands ×
+# 16 bits; a band participates only while it overlaps real content
+# (otherwise every short payload would share constant empty-tail bands
+# and the buckets would go quadratic).
+_BH_BLOCKS = 64
+_BH_BLOCK_HEX = 8
+_BH_BANDS = 4
+_BH_BAND_BITS = 16
+_BH_BAND_HEX = _BH_BAND_BITS * _BH_BLOCK_HEX  # 128 hex chars per band
+_BH_MAX_BUCKET = 1000
+_BH_HAMMING_MAX = 16
+
+_BLOCKHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000000, substr(text, 1, greatest(32, (length(text) * 9) // 10))
+  FROM documents WHERE doc_id % 37 = 0
+),
+hx AS MATERIALIZED (
+  SELECT doc_id, hex(encode(text)) AS h FROM base
+),
+bits AS (
+  SELECT doc_id, k,
+         ('0x' || substr(md5(substr(h, k * {_BH_BLOCK_HEX} + 1, {_BH_BLOCK_HEX})), 1, 1))::BIGINT % 2 AS bit
+  FROM hx, generate_series(0, {_BH_BLOCKS - 1}) AS g(k)
+),
+fp AS MATERIALIZED (
+  SELECT doc_id, k // {_BH_BAND_BITS} AS band,
+         SUM(bit * (1::BIGINT << (15 - (k % {_BH_BAND_BITS}))))::BIGINT AS bval
+  FROM bits GROUP BY 1, 2
+),
+nb AS (
+  SELECT doc_id, 1 + least({_BH_BANDS - 1}, (length(h) - 1) // {_BH_BAND_HEX}) AS n_bands
+  FROM hx
+),
+bandrows AS MATERIALIZED (
+  SELECT f.doc_id, f.band, f.bval
+  FROM fp f JOIN nb ON nb.doc_id = f.doc_id
+  WHERE f.band < nb.n_bands
+),
+buckets AS (
+  SELECT band, bval FROM bandrows GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND {_BH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandrows x
+  JOIN bandrows y ON y.band = x.band AND y.bval = x.bval AND x.doc_id < y.doc_id
+  JOIN buckets u ON u.band = x.band AND u.bval = x.bval
+),
+ham AS (
+  SELECT c.a, c.b, CAST(SUM(bit_count(xor(va.bval, vb.bval))) AS INT) AS hamming
+  FROM cand c
+  JOIN fp va ON va.doc_id = c.a
+  JOIN fp vb ON vb.doc_id = c.b AND vb.band = va.band
+  GROUP BY 1, 2
+)
+SELECT a, b, hamming FROM ham WHERE hamming <= {_BH_HAMMING_MAX}
+"""
+
+
+@register(
+    "multimodal_blockhash_dedup",
+    _BLOCKHASH_SQL,
+    doc=(
+        "near-duplicate detection over OPAQUE BINARY payloads — the "
+        "multimodal bridge of the dedup family (perceptual-hash dedup "
+        "for images/audio): a 64-bit blockhash fingerprint (fixed "
+        "512-hex frame, one parity bit per 4-byte block, so a local "
+        "edit flips one bit — the blockhash/pHash locality property, "
+        "computed engine-side as a map-only expression; a real pHash "
+        "swaps in a DCT via the Arrow lane) feeds EXACTLY the simhash "
+        "discipline: 4×16-bit bands bucket candidates (a 16-bit band "
+        "match ≈ 2^-16 random collision), the guarded _bucket_pairs "
+        "expansion caps hot buckets (oracle-mirrored HAVING ≤ 1000), "
+        "and exact hamming ≤ 16 verifies via xor+bit_count on the "
+        "band integers. Bands participate only while they overlap "
+        "real content — otherwise every short payload would share "
+        "constant empty-tail bands and the buckets would go "
+        "quadratic. Truncated-twin fixture rows (doc_id%37, 90% "
+        "prefix) make the near-dup set non-vacuous on the synthetic "
+        "corpus; scale cost is O(corpus) map work + the banded "
+        "bucket join, never all-pairs"
+    ),
+)
+def multimodal_blockhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tw = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(32, (length(text) * 9) div 10))").alias(
+            "text"
+        ),
+    )
+    base = docs.select("doc_id", "text").unionByName(tw)
+    fp = base.select(
+        "doc_id",
+        F.hex(F.col("text").cast("binary")).alias("h"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_BH_BLOCKS - 1}), k -> "
+            f"CAST(conv(substring(md5(substring(h, k * {_BH_BLOCK_HEX} + 1, "
+            f"{_BH_BLOCK_HEX})), 1, 1), 16, 10) AS BIGINT) % 2)"
+        ).alias("bits"),
+        (
+            F.lit(1)
+            + F.least(
+                F.lit(_BH_BANDS - 1),
+                ((F.length("h") - 1) / _BH_BAND_HEX).cast("bigint"),
+            )
+        ).alias("n_bands"),
+    ).select(
+        "doc_id",
+        "n_bands",
+        F.expr(
+            f"transform(sequence(0, {_BH_BANDS - 1}), j -> "
+            f"aggregate(sequence(0, {_BH_BAND_BITS - 1}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc * 2 + element_at(bits, j * {_BH_BAND_BITS} + i + 1)))"
+        ).alias("bands"),
+    ).localCheckpoint(eager=True)  # consumers: band explode + two verify sides
+    bandrows = fp.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, n_bands - 1), j -> "
+                   "struct(j AS band, element_at(bands, CAST(j AS INT) + 1) AS bval))")
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.concat_ws(":", F.col("p.band"), F.col("p.bval")).alias("bucket"),
+    )
+    cands = (
+        D._bucket_pairs(bandrows, "doc_id", max_bucket=_BH_MAX_BUCKET)
+        .select("a", "b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("a"), F.col("bands").alias("ba"))
+    fb = fp.select(F.col("doc_id").alias("b"), F.col("bands").alias("bb"))
+    ham = (
+        cands.join(fa, "a")
+        .join(fb, "b")
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "CAST(aggregate(sequence(1, size(ba)), CAST(0 AS BIGINT), "
+                "(acc, i) -> acc + bit_count(element_at(ba, CAST(i AS INT)) ^ "
+                "element_at(bb, CAST(i AS INT)))) AS INT)"
+            ).alias("hamming"),
+        )
+    )
+    return ham.filter(F.col("hamming") <= _BH_HAMMING_MAX)
+
+
+# ---------------------------------------------------------------------------
 # Relative quality gate: corpus-percentile threshold, two-pass
 # ---------------------------------------------------------------------------
 

@@ -928,6 +928,119 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wave 37: Mann-Kendall trend test — the significance companion of the
+# Theil-Sen slope (same bounded pair fan-out, exact integer S and
+# tie-corrected variance numerator, one float division + sqrt)
+# ---------------------------------------------------------------------------
+
+_MK_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.close_c > a.close_c THEN 1
+              WHEN b.close_c < a.close_c THEN -1 ELSE 0 END AS sg
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day > a.day
+),
+s AS (SELECT event_type, SUM(sg)::BIGINT AS s_stat FROM pairs GROUP BY 1),
+nn AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+  FROM (
+    SELECT event_type, close_c, COUNT(*)::BIGINT AS t
+    FROM daily GROUP BY 1, 2
+  ) g
+  GROUP BY 1
+),
+v AS (
+  SELECT nn.event_type, nn.n, s.s_stat,
+         nn.n * (nn.n - 1) * (2 * nn.n + 5) - COALESCE(tie_term, 0) AS var18
+  FROM nn JOIN s USING (event_type) LEFT JOIN ties USING (event_type)
+)
+SELECT event_type, n AS n_days, s_stat,
+       ROUND(CASE WHEN s_stat > 0
+                  THEN (s_stat - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  WHEN s_stat < 0
+                  THEN (s_stat + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                  ELSE 0.0 END, 6) AS z_score
+FROM v
+"""
+
+
+@register(
+    "stats_mann_kendall",
+    _MK_SQL,
+    doc=(
+        "Mann-Kendall trend test — the nonparametric IS-there-a-trend "
+        "companion to events_theil_sen's HOW-steep slope (the pair in "
+        "every monitoring stack): S = Σ sign(y_j − y_i) over all "
+        "i<j day pairs, the tie-corrected variance "
+        "[n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18, and the continuity-"
+        "corrected z = (S∓1)/√var. The O(days²) pair fan-out runs "
+        "AFTER the daily reduce (the theil_sen discipline — bounded "
+        "by the calendar, never tick volume); S, n, and the ×18 "
+        "variance numerator are exact integers, so both engines "
+        "perform the identical single division + sqrt at the end. "
+        "Ties enter via one extra per-(type, price) count — a "
+        "partial-aggregated O(days) shuffle"
+    ),
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # consumers: both pair sides, n, ties
+    a = daily.select(
+        "event_type", F.col("close_c").alias("ya"), F.col("day").alias("da")
+    )
+    b = daily.select(
+        "event_type", F.col("close_c").alias("yb"), F.col("day").alias("db")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            "event_type",
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+            .alias("sg"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sg").cast("bigint").alias("s_stat"))
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "close_c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ).alias("var18")
+    v = nn.join(s, "event_type").join(ties, "event_type", "left").select(
+        "event_type", "n", "s_stat", var18
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / 18.0)
+    return v.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        "s_stat",
+        dround(
+            F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+            .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Garman-Klass range volatility (wave 36)
 # ---------------------------------------------------------------------------
 

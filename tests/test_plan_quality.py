@@ -789,6 +789,28 @@ def test_skew_report_takes_ordered_top1(spark):
     assert "Sort " not in p or "rangepartitioning" not in p, p
 
 
+def test_jaccard_prefix_never_hints_a_corpus_broadcast(spark):
+    """dedup_jaccard_prefix joins per-DOCUMENT frames (shingle counts,
+    sorted shingle sets) — O(corpus) rows, billions at the 100 TB
+    target — so none of them may carry an explicit broadcast HINT
+    (VERDICT r6: `F.broadcast(counts)` would ship the whole corpus to
+    every executor; the row_number window shuffles on doc_id anyway so
+    the hint bought nothing even locally). With stats-based
+    auto-broadcast disabled, any surviving BroadcastExchange can only
+    come from a hint — assert there is none. (At real SFs Catalyst/AQE
+    still auto-broadcasts the tiny local frames from STATS, which is
+    exactly the size-aware behavior we want to preserve.)"""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = registry()["dedup_jaccard_prefix"].fn(spark, SF)
+        p = executed_plan_str(q)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_winnow_pairs_no_cartesian_single_expansion(spark):
     """dedup_winnow_pairs: candidates meet ONLY through the fingerprint
     posting list (guarded single-aggregation pair expansion) — never an
