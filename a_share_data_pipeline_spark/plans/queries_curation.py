@@ -558,3 +558,186 @@ def curation_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(f"{_CURR_SEED}|"), F.col("doc_id").cast("string"))
         ).alias("curriculum_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 38: URL canonicalization dedup — the web-corpus identity rule
+# ---------------------------------------------------------------------------
+
+# Dirty-URL fixture: the corpus has no URLs, so both engines derive the
+# SAME deterministic dirty URL per document (the fixture-augmentation
+# contract) — 7 case/tracking/slash/param-order/fragment variants per
+# canonical identity (doc_id // 7), exercising every rule below.
+_URL_CANON_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://'
+         || (CASE doc_id % 3
+               WHEN 0 THEN upper('www.src' || CAST((doc_id // 7) % 20 AS VARCHAR) || '.example.com')
+               WHEN 1 THEN lower('www.src' || CAST((doc_id // 7) % 20 AS VARCHAR) || '.example.com')
+               ELSE 'www.Src' || CAST((doc_id // 7) % 20 AS VARCHAR) || '.Example.COM'
+             END)
+         || '/docs/' || CAST(doc_id // 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+         || '?'
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN 'b=2&a=' || CAST(doc_id // 7 AS VARCHAR)
+                  ELSE 'a=' || CAST(doc_id // 7 AS VARCHAR) || '&b=2' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+         AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(split_part(url, '://', 1)) AS scheme,
+         split_part(split_part(url, '#', 1), '://', 2) AS rest
+  FROM dirty
+),
+hp AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(lower(split_part(rest, '/', 1)), '^www\.', '') AS host,
+         CASE WHEN strpos(rest, '/') = 0 THEN ''
+              ELSE substr(rest, strpos(rest, '/')) END AS pathq
+  FROM parts
+),
+pq AS (
+  SELECT doc_id, url, scheme, host,
+         regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path,
+         CASE WHEN strpos(pathq, '?') = 0 THEN ''
+              ELSE split_part(pathq, '?', 2) END AS qs
+  FROM hp
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path
+         || CASE WHEN arr <> '' THEN '?' || arr ELSE '' END AS canonical_url
+  FROM (
+    SELECT doc_id, scheme, host, path,
+           array_to_string(
+             list_sort(list_filter(string_split(qs, '&'),
+                       x -> NOT starts_with(x, 'utm_') AND x <> '')),
+             '&') AS arr
+    FROM pq
+  ) q
+)
+SELECT canonical_url,
+       COUNT(*)::BIGINT AS n_variants,
+       MIN(doc_id) AS kept_doc_id
+FROM canon
+GROUP BY 1
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    _URL_CANON_SQL,
+    doc=(
+        "URL canonicalization dedup — the FIRST dedup pass of every "
+        "web corpus (CommonCrawl-style pipelines drop ~10-20% of "
+        "fetches on URL identity before any content hashing): "
+        "lowercase scheme+host, strip the www. prefix, drop the "
+        "fragment, strip trailing slashes, remove utm_* tracking "
+        "params, and SORT the surviving query params so param order "
+        "cannot split an identity — then one groupBy on the "
+        "canonical form keeps the smallest doc_id. Every rule is a "
+        "codegen string expression (split_part/regexp/array_sort "
+        "lambda — no UDF), so the whole canonicalizer is map-side "
+        "and the only shuffle is the final identity groupBy. The "
+        "corpus has no URLs, so both engines derive the SAME "
+        "deterministic dirty URL per doc (7 case/tracking/slash/"
+        "param-order/fragment variants per canonical identity), "
+        "making every rule's effect visible in the variant counts"
+    ),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = (F.col("doc_id") / 7).cast("bigint")
+    h = F.concat(
+        F.lit("www.src"), (g % 20).cast("string"), F.lit(".example.com")
+    )
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(
+                F.lit("https")
+            ),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 3 == 0, F.upper(h))
+            .when(F.col("doc_id") % 3 == 1, F.lower(h))
+            .otherwise(
+                F.concat(
+                    F.lit("www.Src"), (g % 20).cast("string"), F.lit(".Example.COM")
+                )
+            ),
+            F.lit("/docs/"),
+            g.cast("string"),
+            F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("b=2&a="), g.cast("string")),
+            ).otherwise(F.concat(F.lit("a="), g.cast("string"), F.lit("&b=2"))),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("&utm_source=feed&utm_campaign=x")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("#sec"), (F.col("doc_id") % 7).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    # substring_index count=-1 takes the piece AFTER the delimiter
+    # (count=2 would keep everything before the 2nd occurrence —
+    # DuckDB's split_part(x, d, 2) semantics differ here)
+    rest = F.substring_index(F.substring_index("url", "#", 1), "://", -1)
+    parts = dirty.select(
+        "doc_id",
+        F.lower(F.substring_index("url", "://", 1)).alias("scheme"),
+        rest.alias("rest"),
+    )
+    hp = parts.select(
+        "doc_id",
+        "scheme",
+        F.regexp_replace(
+            F.lower(F.substring_index("rest", "/", 1)), r"^www\.", ""
+        ).alias("host"),
+        F.when(F.instr("rest", "/") == 0, F.lit("")).otherwise(
+            F.expr("substring(rest, instr(rest, '/'))")
+        ).alias("pathq"),
+    )
+    pq = hp.select(
+        "doc_id",
+        "scheme",
+        "host",
+        F.regexp_replace(F.substring_index("pathq", "?", 1), "/+$", "").alias(
+            "path"
+        ),
+        F.when(F.instr("pathq", "?") == 0, F.lit("")).otherwise(
+            F.substring_index("pathq", "?", -1)
+        ).alias("qs"),
+    )
+    arr = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("qs", "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    canon = pq.select(
+        "doc_id",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(arr != "", F.concat(F.lit("?"), arr)).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.min("doc_id").alias("kept_doc_id"),
+    )

@@ -510,7 +510,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _metrics_sql() -> str:
+def _langid_sql_parts() -> tuple[str, str]:
+    """(marker-count select exprs, priority CASE branches) — the ONE
+    SQL rendering of TX.lang_id's rule set, shared by text_metrics and
+    stats_cohens_kappa so the heuristic cannot fork."""
     count_exprs = []
     for lang, markers in TX.LANG_MARKERS.items():
         ors = " OR ".join(f"x = '{m}'" for m in markers)
@@ -525,6 +528,11 @@ def _metrics_sql() -> str:
         conds += [f"{lang}_n > {o}_n" for o in TX.LANG_PRIORITY[:i]]
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     case = "\n            ".join(branches)
+    return counts, case
+
+
+def _metrics_sql() -> str:
+    counts, case = _langid_sql_parts()
     return f"""
 WITH feats AS (
   SELECT doc_id, lang, text,

@@ -2993,3 +2993,124 @@ def agg_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 38: Cohen's kappa — chance-corrected rater agreement (declared
+# lang label vs the rule-based lang-id heuristic)
+# ---------------------------------------------------------------------------
+
+
+def _kappa_sql() -> str:
+    from .queries_llm import _langid_sql_parts
+    from ..operators import text as TX
+
+    counts, case = _langid_sql_parts()
+    return f"""
+WITH feats AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{TX.CJK_PATTERN}')) AS cjk_n,
+         {counts}
+  FROM documents
+),
+pred AS (
+  SELECT lang AS a,
+         CASE WHEN cjk_n > 0 THEN 'zh'
+              {case}
+              ELSE 'und' END AS b
+  FROM feats
+),
+cell AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM pred GROUP BY 1, 2),
+n AS (SELECT SUM(c)::HUGEINT AS n FROM cell),
+agree AS (SELECT COALESCE(SUM(CASE WHEN a = b THEN c END), 0)::HUGEINT AS agree FROM cell),
+ra AS (SELECT a AS k, SUM(c)::HUGEINT AS row_n FROM cell GROUP BY 1),
+rb AS (SELECT b AS k, SUM(c)::HUGEINT AS col_n FROM cell GROUP BY 1),
+pe AS (
+  SELECT COALESCE(SUM(row_n * col_n), 0)::HUGEINT AS sum_rc
+  FROM ra JOIN rb USING (k)
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(agree AS BIGINT) AS n_agree,
+       ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       ROUND(CAST(sum_rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+       ROUND(CAST(n * agree - sum_rc AS DOUBLE)
+             / CAST(n * n - sum_rc AS DOUBLE), 6) AS kappa
+FROM n, agree, pe
+"""
+
+
+@register(
+    "stats_cohens_kappa",
+    _kappa_sql(),
+    doc=(
+        "Cohen's kappa — chance-corrected agreement between two "
+        "labelers, THE number for 'is my cheap auto-labeler actually "
+        "agreeing with ground truth beyond luck' (label-quality "
+        "audits before training on weak labels): rater A = the "
+        "declared lang column, rater B = the rule-based lang-id "
+        "heuristic (ONE shared rendering with text_metrics via "
+        "_langid_sql_parts, so the rule set cannot fork). "
+        "kappa = (n·Σdiag − Σ row_k·col_k)/(n² − Σ row_k·col_k): the "
+        "corpus reduces to the tiny (a, b) confusion frame in one "
+        "partial-aggregated shuffle, marginals and the diagonal are "
+        "exact integer sums over it (decimal/HUGEINT), and exactly "
+        "one double division emits each of po/pe/kappa. At 100 TB "
+        "the contingency frame is |classes|² rows — the scan "
+        "dominates, the algebra is free. Honest corpus caveat: the "
+        "synthetic declared labels are independent of the text, so "
+        "kappa sits at chance (~0) by construction — the witness is "
+        "the exact confusion algebra, replay-tested"
+    ),
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TX.lang_id(docs).select(
+        F.col("lang").alias("a"), F.col("pred_lang").alias("b")
+    )
+    cell = pred.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    cell = cell.localCheckpoint(eager=True)  # consumers: n/agree/marginals
+    d38 = "decimal(38,0)"
+    n_df = cell.agg(F.sum("c").cast(d38).alias("n"))
+    agree_df = cell.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))), F.lit(0)
+        )
+        .cast(d38)
+        .alias("agree")
+    )
+    ra = cell.groupBy("a").agg(F.sum("c").cast("decimal(19,0)").alias("row_n"))
+    rb = cell.groupBy("b").agg(F.sum("c").cast("decimal(19,0)").alias("col_n"))
+    pe_df = (
+        ra.join(rb, ra["a"] == rb["b"])
+        .agg(
+            F.coalesce(
+                F.sum((F.col("row_n") * F.col("col_n")).cast("decimal(26,0)")),
+                F.lit(0),
+            )
+            .cast(d38)
+            .alias("sum_rc")
+        )
+    )
+    return (
+        n_df.crossJoin(F.broadcast(agree_df))
+        .crossJoin(F.broadcast(pe_df))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("agree").cast("bigint").alias("n_agree"),
+            dround(F.col("agree").cast("double") / F.col("n").cast("double"), 6).alias(
+                "po"
+            ),
+            dround(
+                F.col("sum_rc").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double")),
+                6,
+            ).alias("pe"),
+            dround(
+                (F.col("n") * F.col("agree") - F.col("sum_rc")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("sum_rc")).cast("double"),
+                6,
+            ).alias("kappa"),
+        )
+    )

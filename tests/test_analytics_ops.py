@@ -2191,3 +2191,68 @@ def test_blockhash_finds_every_frame_identical_twin(spark):
         bits_a, bits_b = fp(ta), fp(tb)
         replay = sum(x != y for x, y in zip(bits_a, bits_b))
         assert replay == h <= _BH_HAMMING_MAX, (a, b)
+
+
+def test_cohens_kappa_matches_python_replay(spark):
+    """kappa replayed from a pure-Python confusion matrix built with
+    the same marker rules (via the Spark lang_id output itself being
+    deterministic, the replay recomputes po/pe/kappa from raw cells)."""
+    from a_share_data_pipeline_spark.operators.text import lang_id
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r.lang, r.pred_lang)
+        for r in lang_id(load_table(spark, sf, "documents")).select("lang", "pred_lang").collect()
+    ]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    row: dict[str, int] = {}
+    col: dict[str, int] = {}
+    for a, b in pairs:
+        row[a] = row.get(a, 0) + 1
+        col[b] = col.get(b, 0) + 1
+    sum_rc = sum(row[k] * col.get(k, 0) for k in row)
+    kappa = (n * agree - sum_rc) / (n * n - sum_rc)
+    got = registry()["stats_cohens_kappa"].fn(spark, sf).collect()[0]
+    assert got.n_docs == n and got.n_agree == agree
+    assert abs(got.po - agree / n) < 1e-6
+    assert abs(got.pe - sum_rc / (n * n)) < 1e-6
+    assert abs(got.kappa - kappa) < 1e-6
+    # the synthetic corpus's declared lang labels are independent of
+    # the text (the documented fixture property: labels are feature-
+    # independent, classifiers sit at chance), so kappa ~ 0 IS the
+    # honest value here — the witness is the exact algebra above, and
+    # this pin would catch a fixture change that made it meaningful
+    assert abs(got.kappa) < 0.1 and got.po > 0
+
+
+def test_url_canonical_rules_hold_on_every_row(spark):
+    """Every canonical URL obeys all six rules, every identity group
+    collapses its 7 dirty variants, and the survivor is the min id."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["dedup_url_canonical"].fn(spark, sf).collect()
+    n_docs = duckdb.connect().execute(
+        f"SELECT COUNT(*), MAX(doc_id) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()
+    assert sum(r.n_variants for r in rows) == n_docs[0]
+    for r in rows:
+        u = r.canonical_url
+        assert u == u.lower() or "?" in u  # scheme+host+path lowercase…
+        host = u.split("://")[1].split("/")[0]
+        assert host == host.lower() and not host.startswith("www.")
+        assert "#" not in u and "utm_" not in u
+        path = u.split("://")[1].split("?")[0][len(host):]
+        assert not path.endswith("/")
+        if "?" in u:
+            params = u.split("?")[1].split("&")
+            assert params == sorted(params)
+        # full identity groups (7 consecutive ids) collapse completely
+        if r.kept_doc_id + 6 <= n_docs[1] and r.kept_doc_id % 7 == 0:
+            assert r.n_variants == 7, r
+        assert r.kept_doc_id % 7 == 0 or r.kept_doc_id < 7
