@@ -1883,12 +1883,22 @@ def profile_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_r"),
         F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("n_c"),
     )
-    tot = cells.agg(F.sum("n_r").alias("t_r"), F.sum("n_c").alias("t_c"))
+    # cell-count x total-count cross products go through decimal BEFORE
+    # the abs/sum: n_r*t_c reaches ~1e24 at the 100 TB target while
+    # DuckDB's SUM-produced totals are already HUGEINT — Spark's int64
+    # would wrap silently (the feature_pca_power overflow discipline)
+    tot = cells.agg(
+        F.sum(F.col("n_r").cast("decimal(19,0)")).alias("t_r"),
+        F.sum(F.col("n_c").cast("decimal(19,0)")).alias("t_c"),
+    )
     shifts = cells.crossJoin(F.broadcast(tot)).select(
         "bin",
         "n_r",
         "n_c",
-        F.abs(F.col("n_r") * F.col("t_c") - F.col("n_c") * F.col("t_r")).alias("num"),
+        F.abs(
+            (F.col("n_r").cast("decimal(19,0)") * F.col("t_c")).cast("decimal(38,0)")
+            - (F.col("n_c").cast("decimal(19,0)") * F.col("t_r")).cast("decimal(38,0)")
+        ).alias("num"),
         "t_r",
         "t_c",
     )

@@ -1710,9 +1710,18 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy("nation").orderBy("cents", "supp")
     ranked = rev.select("nation", "cents", F.row_number().over(wr).alias("i"))
     n = F.count(F.lit(1))
+    # rank*cents products and the cents total go through decimal BEFORE
+    # summation (the feature_pca_power overflow discipline): at the
+    # 100 TB target i reaches ~1e9 and per-supplier cents ~1e13, so an
+    # int64 accumulator silently wraps while DuckDB's SUM auto-widens
+    # to HUGEINT — the engines would diverge exactly at scale
+    si = F.sum(
+        (F.col("i").cast("decimal(19,0)") * F.col("cents")).cast("decimal(26,0)")
+    )
+    sc = F.sum(F.col("cents").cast("decimal(19,0)"))
     gini = (
-        (2 * F.sum(F.col("i") * F.col("cents"))).cast("double")
-        / (n * F.sum("cents"))
+        (si * 2).cast("double")
+        / (n * sc).cast("double")
         - (n + 1).cast("double") / n
     )
     return ranked.groupBy("nation").agg(

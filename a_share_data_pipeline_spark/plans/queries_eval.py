@@ -326,11 +326,15 @@ def events_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = g.select(
         "n1", "n0", F.coalesce(F.sum("n0").over(w), F.lit(0)).alias("cum0")
     )
+    # per-bucket count products go through decimal BEFORE summation:
+    # wins is bounded by n_pos*n_neg ~ n²/4, past int64 at n ~ 6e9 rows
+    # (DuckDB's SUM auto-widens to HUGEINT; Spark's int64 would wrap)
+    c19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     tot = cum.agg(
-        F.sum("n1").alias("n_pos"),
-        F.sum("n0").alias("n_neg"),
-        F.sum(F.col("n1") * F.col("cum0")).alias("wins"),
-        F.sum(F.col("n1") * F.col("n0")).alias("ties"),
+        F.sum("n1").cast("decimal(19,0)").alias("n_pos"),
+        F.sum("n0").cast("decimal(19,0)").alias("n_neg"),
+        F.sum((c19("n1") * c19("cum0")).cast("decimal(26,0)")).alias("wins"),
+        F.sum((c19("n1") * c19("n0")).cast("decimal(26,0)")).alias("ties"),
     )
     n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
     return tot.select(
