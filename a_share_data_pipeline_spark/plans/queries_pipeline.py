@@ -2486,3 +2486,60 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(wc).cast("bigint").alias("cum_uniques"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 39: partitioned-layout write + pruned read — the Hive-layout
+# contract as a driver-verifiable query
+# ---------------------------------------------------------------------------
+
+_PART_READ_SQL = """
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       COUNT(*)::BIGINT AS n,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT))::BIGINT AS cents
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "source_partitioned_read",
+    _PART_READ_SQL,
+    doc=(
+        "Hive-style partitioned layout, end to end inside one query: "
+        "events write partitioned BY DATE (the layout every 100 TB "
+        "event store uses — one directory per day, so time-scoped "
+        "queries never open out-of-range files), then the read side "
+        "filters one week and aggregates. The date predicate must "
+        "prune at PLANNING time: the scan's PartitionFilters carry "
+        "the BETWEEN (gated by tests/test_plan_quality.py::"
+        "test_partitioned_read_prunes_partitions — listing shows only "
+        "7 of ~60 day directories), versus a post-scan filter that "
+        "reads everything and throws 88% away. The oracle computes "
+        "the same week's aggregate straight off the raw table, so "
+        "the round-trip (write → prune → aggregate) is lossless. "
+        "Idempotent rewrite per call, the bucketed_ma discipline"
+    ),
+)
+def source_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urllib.parse import urlparse
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value", F.col("ts").cast("date").alias("day")
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/events_by_day"
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("day").between("2024-01-08", "2024-01-14")
+    )
+    return back.groupBy(
+        "event_type", F.col("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dround(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

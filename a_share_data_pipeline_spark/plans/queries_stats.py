@@ -595,3 +595,143 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(e, 4).alias("expected_runs"),
         dround((r - e) / F.sqrt(var), 4).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 39: Poisson bootstrap — the single-pass, corpus-scale bootstrap
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds on the 1e8 integer grid (cumulative
+# P(K<=k), floored once): a uniform md5 draw u in [0,1e8) maps to
+# k = #{thresholds <= u}, capped at 5 (P(K>5) ~ 0.06%). Literal ints →
+# bit-identical on both engines.
+_PB_THRESH = (36787944, 73575888, 91969860, 98101184, 99634015)
+_PB_B = 50  # replicates
+_PB_LO = 2  # 2.5% rank among 50 sorted replicate means (ceil(0.025*50)+? fixed rank contract)
+_PB_HI = 49  # 97.5% rank
+
+
+def _pb_k_sql(u: str) -> str:
+    return " + ".join(f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _PB_THRESH)
+
+
+_PB_SQL = f"""
+WITH rows_x AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+),
+draws AS (
+  SELECT b.b,
+         ({_pb_k_sql("('0x' || substr(md5('pb|' || CAST(b.b AS VARCHAR) || '|' || CAST(r.rid AS VARCHAR)), 1, 8))::BIGINT % 100000000")}) AS k,
+         r.cents
+  FROM range({_PB_B}) b(b) CROSS JOIN rows_x r
+),
+reps AS (
+  SELECT b,
+         SUM(CAST(k AS HUGEINT) * cents) AS skx,
+         SUM(CAST(k AS HUGEINT)) AS sk
+  FROM draws GROUP BY b
+),
+means AS (
+  SELECT b, CAST(skx AS DOUBLE) / CAST(sk AS DOUBLE) AS m FROM reps
+),
+ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means),
+pt AS (
+  SELECT SUM(CAST(cents AS HUGEINT) ) AS s, COUNT(*)::HUGEINT AS n FROM rows_x
+)
+SELECT CAST({_PB_B} AS BIGINT) AS n_replicates,
+       ROUND(CAST(pt.s AS DOUBLE) / CAST(pt.n AS DOUBLE) / 100.0, 4) AS mean_price,
+       ROUND(lo.m / 100.0, 4) AS ci_lo,
+       ROUND(hi.m / 100.0, 4) AS ci_hi
+FROM pt
+CROSS JOIN (SELECT m FROM ranked WHERE rn = {_PB_LO}) lo
+CROSS JOIN (SELECT m FROM ranked WHERE rn = {_PB_HI}) hi
+"""
+
+
+@register(
+    "stats_poisson_bootstrap",
+    _PB_SQL,
+    doc=(
+        "Poisson bootstrap — THE bootstrap that survives 100 TB "
+        "(Chamandy et al., Google): classic resampling needs a global "
+        "index and n draws per replicate; the Poisson trick replaces "
+        "it with an INDEPENDENT per-row Poisson(1) weight per "
+        "replicate, so all B replicates compute in ONE pass with "
+        "map-side partial aggregation — the shuffle carries B rows "
+        "per partition, never the corpus (vs stats_bootstrap_ci's "
+        "index-draw form, which is exact but only works because its "
+        "input is the tiny daily frame). Weights are deterministic: "
+        "md5(b|row) uniform on the 1e8 grid → inverse-CDF through 5 "
+        "integer thresholds (floored once, literal on both engines). "
+        "Per-replicate Σk·x and Σk ride HUGEINT/decimal (k ≤ 5, "
+        "cents ~1e7, corpus rows → past int64), one double division "
+        "per replicate mean, fixed-rank 2.5/97.5% picks from the 50 "
+        "sorted means"
+    ),
+)
+def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_x = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        dround(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    bs = F.explode(F.sequence(F.lit(0), F.lit(_PB_B - 1))).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pb|"),
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("rid").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100000000
+    )
+    k = None
+    for t in _PB_THRESH:
+        term = F.when(u >= t, 1).otherwise(0)
+        k = term if k is None else k + term
+    draws = rows_x.select("rid", "cents", bs).select(
+        "b", k.alias("k"), "cents"
+    )
+    reps = draws.groupBy("b").agg(
+        F.sum(
+            (F.col("k").cast("decimal(19,0)") * F.col("cents")).cast("decimal(26,0)")
+        ).alias("skx"),
+        F.sum(F.col("k").cast("decimal(19,0)")).alias("sk"),
+    )
+    means = reps.select(
+        "b", (F.col("skx").cast("double") / F.col("sk").cast("double")).alias("m")
+    )
+    wr = W.orderBy("m", "b")
+    ranked = means.select("m", F.row_number().over(wr).alias("rn"))
+    pt = rows_x.agg(
+        F.sum(F.col("cents").cast("decimal(19,0)")).alias("s"),
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+    )
+    lo = ranked.filter(F.col("rn") == _PB_LO).select(F.col("m").alias("mlo"))
+    hi = ranked.filter(F.col("rn") == _PB_HI).select(F.col("m").alias("mhi"))
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_PB_B).cast("bigint").alias("n_replicates"),
+            dround(
+                F.col("s").cast("double") / F.col("n").cast("double") / 100.0, 4
+            ).alias("mean_price"),
+            dround(F.col("mlo") / 100.0, 4).alias("ci_lo"),
+            dround(F.col("mhi") / 100.0, 4).alias("ci_hi"),
+        )
+    )

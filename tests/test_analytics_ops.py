@@ -2256,3 +2256,43 @@ def test_url_canonical_rules_hold_on_every_row(spark):
         if r.kept_doc_id + 6 <= n_docs[1] and r.kept_doc_id % 7 == 0:
             assert r.n_variants == 7, r
         assert r.kept_doc_id % 7 == 0 or r.kept_doc_id < 7
+
+
+def test_poisson_bootstrap_matches_python_replay(spark):
+    """Full pure-Python replay: md5 draws -> Poisson(1) inverse-CDF
+    weights -> 50 replicate weighted means -> fixed-rank CI picks."""
+    import duckdb
+    import hashlib
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_stats import (
+        _PB_B,
+        _PB_HI,
+        _PB_LO,
+        _PB_THRESH,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"""SELECT l_orderkey * 10 + l_linenumber,
+                   CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+            FROM read_parquet('{sf}/lineitem.parquet')"""
+    ).fetchall()
+    means = []
+    for b in range(_PB_B):
+        skx = sk = 0
+        for rid, cents in rows:
+            u = int(hashlib.md5(f"pb|{b}|{rid}".encode()).hexdigest()[:8], 16) % 10**8
+            k = sum(1 for t in _PB_THRESH if u >= t)
+            skx += k * cents
+            sk += k
+        means.append((skx / sk, b))
+    means.sort()
+    got = registry()["stats_poisson_bootstrap"].fn(spark, sf).collect()[0]
+    assert got.n_replicates == _PB_B
+    assert abs(got.ci_lo - round(means[_PB_LO - 1][0] / 100.0, 4)) < 1e-9
+    assert abs(got.ci_hi - round(means[_PB_HI - 1][0] / 100.0, 4)) < 1e-9
+    point = sum(c for _, c in rows) / len(rows) / 100.0
+    assert abs(got.mean_price - point) < 0.01
+    # the interval brackets the point estimate
+    assert got.ci_lo < got.mean_price < got.ci_hi

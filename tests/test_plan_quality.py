@@ -939,3 +939,26 @@ def test_bucketed_join_has_no_shuffle_before_smj(spark):
     below = p[smj_idx:]
     assert "Exchange hashpartitioning" not in below, below
     assert p.count("SelectedBucketsCount") >= 2, p
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """source_partitioned_read: the day BETWEEN predicate must reach the
+    scan as PartitionFilters (planning-time directory pruning), never a
+    post-scan Filter over all partitions — at 100 TB that's opening 7
+    day-directories instead of thousands."""
+    q = registry()["source_partitioned_read"].fn(spark, SF)
+    p = plan_str(q)
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf, p
+    assert "day" in pf[0] and ("2024-01-08" in pf[0] or "19730" in pf[0]), pf[0]
+
+
+def test_poisson_bootstrap_partial_aggregates_before_shuffle(spark):
+    """stats_poisson_bootstrap: the B-replicate weighted sums must
+    partial-aggregate map-side (HashAggregate twice around the
+    exchange) so the shuffle carries B rows per partition, not the
+    exploded B x corpus frame."""
+    q = registry()["stats_poisson_bootstrap"].fn(spark, SF)
+    p = plan_str(q)
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p, p
