@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators import curation as CU
 from ..operators import text as TX
+from ..functions.rounding import dround
 from ..operators.text import LANG_MARKERS
 from ..sources import load_table
 from .catalog import register
@@ -740,4 +741,82 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.groupBy("canonical_url").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_variants"),
         F.min("doc_id").alias("kept_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 40: temperature-scaled mixture weights — the multilingual-corpus
+# rebalancing rule (alpha = 0.5 so the power is an exact sqrt)
+# ---------------------------------------------------------------------------
+
+_TEMP_SCALE = 100_000_000  # 1e8 integer grid for the sqrt(p) weights
+
+_TEMP_MIX_SQL = f"""
+WITH src AS (
+  SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs)::BIGINT AS n FROM src),
+w AS (
+  SELECT src.lang, src.n_docs, tot.n,
+         CAST(ROUND(sqrt(src.n_docs * 1.0 / tot.n) * {_TEMP_SCALE}, 0) AS BIGINT) AS sp
+  FROM src CROSS JOIN tot
+),
+norm AS (SELECT SUM(sp)::HUGEINT AS z FROM w)
+SELECT w.lang,
+       w.n_docs,
+       ROUND(w.n_docs * 1.0 / w.n, 6) AS p_raw,
+       ROUND(CAST(w.sp AS DOUBLE) / CAST(norm.z AS DOUBLE), 6) AS p_temp,
+       ROUND((CAST(w.sp AS DOUBLE) * w.n) / (CAST(norm.z AS DOUBLE) * w.n_docs), 4)
+         AS boost
+FROM w CROSS JOIN norm
+"""
+
+
+@register(
+    "curation_temperature_mixture",
+    _TEMP_MIX_SQL,
+    doc=(
+        "temperature-scaled mixture weights — the multilingual/"
+        "multi-source rebalancing rule every big pretraining corpus "
+        "uses (XLM-R/mT5: sample source i with p_i^α / Σ p_j^α, "
+        "α < 1 upweights the tail so small sources aren't drowned): "
+        "α is fixed at 1/2 so the power is an exact SQRT — correctly "
+        "rounded IEEE on both engines — and each sqrt lands ONCE on "
+        "the 1e8 integer grid before normalization, so the "
+        "normalizer is an exact integer sum (a float Σ over sources "
+        "would fold in engine-dependent order — the documented "
+        "float-fold ban) and every emitted ratio is a single double "
+        "division. One groupBy to per-source counts (O(sources) "
+        "rows), arithmetic on the reduced frame — free at any scale. "
+        "boost > 1 marks upweighted tail sources, < 1 the downweighted "
+        "head; the lang axis is the non-uniform one in this corpus"
+    ),
+)
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").alias("n"))
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n",
+        dround(
+            F.sqrt(F.col("n_docs") * F.lit(1.0) / F.col("n")) * _TEMP_SCALE, 0
+        )
+        .cast("bigint")
+        .alias("sp"),
+    )
+    norm = w.agg(F.sum(F.col("sp").cast("decimal(19,0)")).alias("z"))
+    return w.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        dround(F.col("n_docs") * F.lit(1.0) / F.col("n"), 6).alias("p_raw"),
+        dround(F.col("sp").cast("double") / F.col("z").cast("double"), 6).alias(
+            "p_temp"
+        ),
+        dround(
+            (F.col("sp").cast("double") * F.col("n"))
+            / (F.col("z").cast("double") * F.col("n_docs")),
+            4,
+        ).alias("boost"),
     )

@@ -288,3 +288,153 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_neighborhood").cast("bigint").alias("n_neighborhood"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 40: point-in-polygon — integer ray casting against a broadcast
+# polygon set (the second half of the spatial-join story: grid kNN is
+# point×point, this is point×region)
+# ---------------------------------------------------------------------------
+
+# Literal polygons on the integer micro-unit plane (closed rings,
+# vertices counter-clockwise); 12 edges total, so the per-point test is
+# a constant map-side fan-out.
+_POLYGONS: dict[int, list[tuple[int, int]]] = {
+    1: [(100_000, 100_000), (400_000, 150_000), (200_000, 450_000)],
+    2: [(500_000, 500_000), (900_000, 500_000), (900_000, 800_000), (500_000, 800_000)],
+    3: [(100_000, 600_000), (300_000, 550_000), (400_000, 700_000),
+        (250_000, 900_000), (50_000, 800_000)],
+}
+
+
+def _poly_edges() -> list[tuple[int, int, int, int, int]]:
+    out = []
+    for pid, ring in _POLYGONS.items():
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            out.append((pid, x1, y1, x2, y2))
+    return out
+
+
+def _poly_area2(pid: int) -> int:
+    ring = _POLYGONS[pid]
+    s = 0
+    for i, (x1, y1) in enumerate(ring):
+        x2, y2 = ring[(i + 1) % len(ring)]
+        s += x1 * y2 - x2 * y1
+    return abs(s)
+
+
+def _pip_sql() -> str:
+    edges = ",\n    ".join(
+        f"({pid}, {x1}, {y1}, {x2}, {y2})" for pid, x1, y1, x2, y2 in _poly_edges()
+    )
+    areas = ",\n    ".join(f"({pid}, {_poly_area2(pid)})" for pid in _POLYGONS)
+    return f"""
+WITH points AS (
+  SELECT c_custkey AS id,
+         {_COORD_SQL.format(tag='gx')} AS x,
+         {_COORD_SQL.format(tag='gy')} AS y
+  FROM customer
+),
+edges(pid, x1, y1, x2, y2) AS (
+  SELECT * FROM (VALUES
+    {edges}
+  ) AS t(pid, x1, y1, x2, y2)
+),
+areas(pid, area2) AS (SELECT * FROM (VALUES {areas}) AS t(pid, area2)),
+crossings AS (
+  SELECT p.id, e.pid,
+         SUM(CASE WHEN ((e.y1 <= p.y AND p.y < e.y2) OR (e.y2 <= p.y AND p.y < e.y1))
+                   AND (
+                     CASE WHEN e.y2 > e.y1
+                          THEN (e.x2 - e.x1) * (p.y - e.y1) - (p.x - e.x1) * (e.y2 - e.y1) > 0
+                          ELSE (e.x2 - e.x1) * (p.y - e.y1) - (p.x - e.x1) * (e.y2 - e.y1) < 0
+                     END)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_cross
+  FROM points p CROSS JOIN edges e
+  GROUP BY 1, 2
+)
+SELECT c.pid AS polygon_id,
+       CAST(a.area2 AS BIGINT) AS area2,
+       COUNT(*) FILTER (WHERE n_cross % 2 = 1)::BIGINT AS n_inside
+FROM crossings c JOIN areas a ON a.pid = c.pid
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "geo_point_in_polygon",
+    _pip_sql(),
+    doc=(
+        "point-in-polygon containment — the point×region half of the "
+        "spatial-join story (geo_grid_knn is point×point): integer "
+        "ray casting, entirely in exact int64 — the half-open edge "
+        "rule (y1 <= py < y2) kills vertex double-counting, and the "
+        "crossing test multiplies through by the edge's Δy so there "
+        "is NO division anywhere (products bounded at 1e12 on the "
+        "1e6 plane; sign-adjusted by Δy's direction). The polygon "
+        "set is a LITERAL broadcast — per point the test is a "
+        "constant 12-edge fan-out, map-side, one partial-aggregated "
+        "count per (point, polygon), then odd-crossings decides "
+        "containment. At scale this is the standard broadcast-side "
+        "spatial join: regions are thousands, points are billions, "
+        "and a per-region bounding-box prefilter (grid cells, the "
+        "geo_grid_knn machinery) gates the exact test. Shoelace 2× "
+        "areas ride along as exact integer literals"
+    ),
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"), _coord("gx").alias("x"), _coord("gy").alias("y")
+    )
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("pid"),
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for pid, x1, y1, x2, y2 in _poly_edges()
+        ]
+    )
+    fan = pts.select("id", "x", "y", F.explode(edges).alias("e")).select(
+        "id",
+        "x",
+        "y",
+        F.col("e.pid").alias("pid"),
+        F.col("e.x1").alias("x1"),
+        F.col("e.y1").alias("y1"),
+        F.col("e.x2").alias("x2"),
+        F.col("e.y2").alias("y2"),
+    )
+    spans = ((F.col("y1") <= F.col("y")) & (F.col("y") < F.col("y2"))) | (
+        (F.col("y2") <= F.col("y")) & (F.col("y") < F.col("y1"))
+    )
+    t = (F.col("x2") - F.col("x1")) * (F.col("y") - F.col("y1")) - (
+        F.col("x") - F.col("x1")
+    ) * (F.col("y2") - F.col("y1"))
+    crossing = spans & F.when(F.col("y2") > F.col("y1"), t > 0).otherwise(t < 0)
+    cr = fan.groupBy("id", "pid").agg(
+        F.sum(F.when(crossing, 1).otherwise(0)).alias("n_cross")
+    )
+    areas = {pid: _poly_area2(pid) for pid in _POLYGONS}
+    area_col = F.create_map(
+        *[F.lit(v) for kv in areas.items() for v in kv]
+    )
+    return (
+        cr.groupBy("pid")
+        .agg(
+            F.sum(F.when(F.col("n_cross") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inside")
+        )
+        .select(
+            F.col("pid").cast("int").alias("polygon_id"),
+            F.element_at(area_col, F.col("pid")).cast("bigint").alias("area2"),
+            "n_inside",
+        )
+    )

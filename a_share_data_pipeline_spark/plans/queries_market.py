@@ -1144,3 +1144,88 @@ def events_volatility_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ann_vol"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 40: dollar bars — information-driven bar resampling (de Prado):
+# bars close on traded VALUE, not wall-clock, so volatile sessions get
+# more bars and quiet ones fewer
+# ---------------------------------------------------------------------------
+
+_DB_THRESHOLD = 80_000  # cents per bar: ~12 bars/series at sf0.001,
+# ~120 at sf0.01 — scale-sensitive row counts at BOTH test SFs (the
+# why-degenerate rule); production tunes this to the instrument
+
+_DOLLAR_BARS_SQL = f"""
+WITH ticks AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         {_ORDKEY_SQL} AS ok
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+cum AS (
+  SELECT event_type, c, ok,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY ok
+                      ROWS UNBOUNDED PRECEDING) - c AS cum_excl
+  FROM ticks
+),
+barred AS (
+  SELECT event_type, c, ok, cum_excl // {_DB_THRESHOLD} AS bar
+  FROM cum
+)
+SELECT event_type, CAST(bar AS BIGINT) AS bar,
+       COUNT(*)::BIGINT AS n_ticks,
+       CAST(SUM(c) AS BIGINT) AS bar_cents,
+       arg_min(c, ok) AS open_c,
+       MAX(c) AS high_c,
+       MIN(c) AS low_c,
+       arg_max(c, ok) AS close_c
+FROM barred
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_dollar_bars",
+    _DOLLAR_BARS_SQL,
+    doc=(
+        "dollar bars — de Prado's information-driven resampling: a bar "
+        "closes every fixed quantum of traded VALUE instead of every "
+        "fixed minute, so volatile sessions emit more bars and quiet "
+        "ones fewer (time bars over/under-sample exactly when it "
+        "matters). bar = exclusive-cumsum(value_cents) // threshold — "
+        "ONE ordered window cumsum over the tick stream (exact int64 "
+        "cents; the exclusive form puts the tick that CROSSES the "
+        "threshold into the bar it completes), then the standard "
+        "arg_min/arg_max OHLC reduce per bar. At 100 TB the cumsum "
+        "partitions per (instrument, day) — the series per key is a "
+        "session, never the corpus; here per event_type, the same "
+        "shape. Threshold is cents-integer so bar boundaries are "
+        "bit-stable across engines"
+    ),
+)
+def events_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ticks = _ticks(spark, sf_dir).select(
+        "event_type", _cents().alias("c"), _ordkey().alias("ok")
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("ok")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    barred = ticks.select(
+        "event_type",
+        "c",
+        "ok",
+        ((F.sum("c").over(wc) - F.col("c")) / _DB_THRESHOLD)
+        .cast("bigint")
+        .alias("bar"),
+    )
+    return barred.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.sum("c").cast("bigint").alias("bar_cents"),
+        F.min_by("c", "ok").alias("open_c"),
+        F.max("c").alias("high_c"),
+        F.min("c").alias("low_c"),
+        F.max_by("c", "ok").alias("close_c"),
+    )

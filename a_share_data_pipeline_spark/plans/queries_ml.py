@@ -913,3 +913,104 @@ def ml_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ^ multi-use across the next round's broadcast — the CC
         # checkpoint discipline keeps each round one small job
     return centers.select(F.col("vec_id").cast("bigint").alias("center_id"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 40: k-NN majority-vote classifier over embeddings
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label FROM e WHERE vec_id % 10 = 0),
+s AS (
+  SELECT q.q_id, c.vec_id AS c_id, c.label,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+  FROM q, e c WHERE c.vec_id % 10 <> 0
+),
+nn AS (
+  SELECT q_id, c_id, label, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+  FROM s
+),
+votes AS (
+  SELECT q_id, label, COUNT(*)::BIGINT AS n_votes
+  FROM nn WHERE rnk <= {_KNN_K}
+  GROUP BY 1, 2
+),
+pick AS (
+  SELECT q_id, label AS pred_label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY n_votes DESC, label) AS vr
+  FROM votes
+)
+SELECT p.q_id, p.pred_label, p.n_votes, q.true_label,
+       (p.pred_label = q.true_label)::INT AS correct
+FROM pick p JOIN q ON q.q_id = p.q_id
+WHERE p.vr = 1
+"""
+
+
+@register(
+    "ml_knn_classifier",
+    _KNN_SQL,
+    doc=(
+        "k-NN majority-vote classification over the embedding table — "
+        "the zero-training baseline every embedding pipeline ships "
+        "first: held-out queries (vec_id %% 10) score against the "
+        "reference set with the brute-force rounded-cosine ranking "
+        "(the sim_cosine_topk discipline: ranking on the ROUNDED "
+        "cosine with c_id tie-break is engine-independent; raw float "
+        "ordering is not), the top-5 vote with a deterministic "
+        "majority (count desc, label asc), and the prediction joins "
+        "back to the true label. Votes and the argmax are exact "
+        "integers. Scale: brute force IS the honest baseline lane "
+        "(queries broadcast, one pass over the reference vectors, "
+        "per-query heap via WindowGroupLimit); the ANN lane "
+        "(sim_ann_ivfpq / index_scan) replaces the scorer at corpus "
+        "scale, the vote is unchanged. Honest corpus caveat: labels "
+        "are feature-independent in the fixture, so accuracy sits at "
+        "chance — the witness is the exact vote/tie-break algebra "
+        "(the stats_cohens_kappa precedent)"
+    ),
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v"), "label"
+    )
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    refs = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "label"
+    )
+    top = SIM.brute_force_topk(
+        refs.select("c_id", "cv"),
+        queries.select("q_id", "qv"),
+        k=_KNN_K,
+    )
+    votes = (
+        top.join(F.broadcast(refs.select("c_id", "label")), "c_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    wv = W.partitionBy("q_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    pick = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    return pick.join(
+        F.broadcast(queries.select("q_id", "true_label")), "q_id"
+    ).select(
+        "q_id",
+        F.col("label").alias("pred_label"),
+        "n_votes",
+        "true_label",
+        (F.col("label") == F.col("true_label")).cast("int").alias("correct"),
+    )

@@ -2296,3 +2296,109 @@ def test_poisson_bootstrap_matches_python_replay(spark):
     assert abs(got.mean_price - point) < 0.01
     # the interval brackets the point estimate
     assert got.ci_lo < got.mean_price < got.ci_hi
+
+
+def test_dollar_bars_match_python_replay(spark):
+    """Bar assignment (exclusive cumsum // threshold) and per-bar OHLC
+    replayed in pure Python over the ordered tick stream."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import _DB_THRESHOLD
+
+    sf = "/root/testdata/sf0.001"
+    ticks = duckdb.connect().execute(
+        f"""SELECT event_type,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+            FROM read_parquet('{sf}/events.parquet')
+            WHERE event_type IN ('view', 'purchase')
+            ORDER BY event_type, ok"""
+    ).fetchall()
+    bars: dict[tuple, dict] = {}
+    cum: dict[str, int] = {}
+    for et, ok, c in ticks:
+        bar = cum.get(et, 0) // _DB_THRESHOLD
+        cum[et] = cum.get(et, 0) + c
+        b = bars.setdefault((et, bar), {"n": 0, "v": 0, "o": c, "h": c, "l": c, "c": c})
+        b["n"] += 1
+        b["v"] += c
+        b["h"] = max(b["h"], c)
+        b["l"] = min(b["l"], c)
+        b["c"] = c
+    got = {
+        (r.event_type, r.bar): (r.n_ticks, r.bar_cents, r.open_c, r.high_c, r.low_c, r.close_c)
+        for r in registry()["events_dollar_bars"].fn(spark, sf).collect()
+    }
+    want = {k: (v["n"], v["v"], v["o"], v["h"], v["l"], v["c"]) for k, v in bars.items()}
+    assert got == want and len(got) > 10
+    # every full bar carries at least the threshold in value
+    for (et, bar), (n, v, *_rest) in got.items():
+        if (et, bar + 1) in got:  # not the trailing partial bar
+            assert v >= _DB_THRESHOLD - 10_000  # crossing tick closes the bar
+
+
+def test_point_in_polygon_matches_python_ray_cast(spark):
+    """Every customer point's containment replayed with the textbook
+    float ray-cast (shapely-free) — integer rule must agree exactly."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_geo import _POLYGONS, _poly_area2
+
+    sf = "/root/testdata/sf0.001"
+    pts = duckdb.connect().execute(
+        f"""SELECT (('0x' || substring(md5('gx|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000),
+                   (('0x' || substring(md5('gy|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 1000000)
+            FROM read_parquet('{sf}/customer.parquet')"""
+    ).fetchall()
+
+    def inside(px, py, ring):
+        n = 0
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            if (y1 <= py < y2) or (y2 <= py < y1):
+                t = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+                if (y2 > y1 and t > 0) or (y2 < y1 and t < 0):
+                    n += 1
+        return n % 2 == 1
+
+    want = {
+        pid: sum(1 for px, py in pts if inside(px, py, ring))
+        for pid, ring in _POLYGONS.items()
+    }
+    got = {
+        r.polygon_id: (r.n_inside, r.area2)
+        for r in registry()["geo_point_in_polygon"].fn(spark, sf).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    assert sum(want.values()) > 0
+    for pid in _POLYGONS:
+        assert got[pid][1] == _poly_area2(pid)
+
+
+def test_temperature_mixture_matches_math_sqrt_replay(spark):
+    """sqrt(p) weights on the 1e8 grid, integer normalizer, replayed
+    with math.sqrt; tail languages must be boosted, the head damped."""
+    import duckdb
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    counts = dict(duckdb.connect().execute(
+        f"SELECT lang, COUNT(*) FROM read_parquet('{sf}/documents.parquet') GROUP BY 1"
+    ).fetchall())
+    n = sum(counts.values())
+    sp = {k: round(m.sqrt(v / n) * 1e8) for k, v in counts.items()}
+    z = sum(sp.values())
+    rows = {r.lang: r for r in registry()["curation_temperature_mixture"].fn(spark, sf).collect()}
+    for k, v in counts.items():
+        r = rows[k]
+        assert r.n_docs == v
+        assert abs(r.p_temp - sp[k] / z) < 1e-6
+        assert abs(r.boost - round(sp[k] * n / (z * v), 4)) < 1e-9
+    head = max(counts, key=lambda k: counts[k])
+    assert rows[head].boost < 1.0
+    assert all(rows[k].boost > 1.0 for k in counts if k != head)
