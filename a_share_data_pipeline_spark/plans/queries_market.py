@@ -1229,3 +1229,119 @@ def events_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("low_c"),
         F.max_by("c", "ok").alias("close_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 41: VPIN — order-flow toxicity over the dollar bars
+# ---------------------------------------------------------------------------
+
+_VPIN_W = 5  # trailing bars per VPIN estimate
+
+_VPIN_SQL = f"""
+WITH ticks AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         {_ORDKEY_SQL} AS ok
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+lagged AS (
+  SELECT event_type, c, ok,
+         CASE WHEN c > lag(c) OVER w THEN 1
+              WHEN c < lag(c) OVER w THEN -1 END AS nz,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY ok
+                      ROWS UNBOUNDED PRECEDING) - c AS cum_excl
+  FROM ticks
+  WINDOW w AS (PARTITION BY event_type ORDER BY ok)
+),
+signed AS (
+  SELECT event_type, c, ok, cum_excl,
+         COALESCE(last_value(nz IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY ok
+                        ROWS UNBOUNDED PRECEDING), 1) AS sgn
+  FROM lagged
+),
+bars AS (
+  SELECT event_type, cum_excl // {_DB_THRESHOLD} AS bar,
+         SUM(CASE WHEN sgn = 1 THEN c ELSE 0 END)::BIGINT AS buy_c,
+         SUM(CASE WHEN sgn = -1 THEN c ELSE 0 END)::BIGINT AS sell_c
+  FROM signed GROUP BY 1, 2
+),
+rolled AS (
+  SELECT event_type, CAST(bar AS BIGINT) AS bar, buy_c, sell_c,
+         SUM(ABS(buy_c - sell_c)) OVER v AS imb_w,
+         SUM(buy_c + sell_c) OVER v AS vol_w,
+         COUNT(*) OVER v AS n_w
+  FROM bars
+  WINDOW v AS (PARTITION BY event_type ORDER BY bar
+               ROWS BETWEEN {_VPIN_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bar, buy_c, sell_c,
+       ROUND(imb_w * 1.0 / vol_w, 6) AS vpin
+FROM rolled WHERE n_w = {_VPIN_W}
+"""
+
+
+@register(
+    "events_vpin",
+    _VPIN_SQL,
+    doc=(
+        "VPIN — volume-synchronized probability of informed trading "
+        "(Easley/López de Prado/O'Hara), the order-flow toxicity "
+        "gauge that flash-crash monitors run: ticks classify buy/sell "
+        "by the tick rule (up-tick → buy, down-tick → sell, "
+        "unchanged carries the last direction — one "
+        "last_value-ignore-nulls window, exact), volume buckets are "
+        "the events_dollar_bars assignment (exclusive int-cents "
+        "cumsum // the SAME threshold constant), and VPIN = "
+        "Σ|buy−sell| / Σvol over a trailing {w}-bar frame — every "
+        "accumulator an exact int64, ONE division per emitted row. "
+        "Both tick-level windows (sign carry + cumsum) share one "
+        "partition/order → one Window node over the tick stream; at "
+        "scale both partition per (instrument, day) like the bars "
+        "themselves".format(w=_VPIN_W)
+    ),
+)
+def events_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ticks = _ticks(spark, sf_dir).select(
+        "event_type", _cents().alias("c"), _ordkey().alias("ok")
+    )
+    wo = W.partitionBy("event_type").orderBy("ok")
+    wc = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = F.col("c") - F.lag("c").over(wo)
+    nz = F.when(d > 0, 1).when(d < 0, -1)
+    signed = ticks.select(
+        "event_type",
+        "c",
+        F.coalesce(F.last(nz, ignorenulls=True).over(wc), F.lit(1)).alias("sgn"),
+        ((F.sum("c").over(wc) - F.col("c")) / _DB_THRESHOLD)
+        .cast("bigint")
+        .alias("bar"),
+    )
+    bars = signed.groupBy("event_type", "bar").agg(
+        F.sum(F.when(F.col("sgn") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("buy_c"),
+        F.sum(F.when(F.col("sgn") == -1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sell_c"),
+    )
+    wv = (
+        W.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(-(_VPIN_W - 1), 0)
+    )
+    rolled = bars.select(
+        "event_type",
+        F.col("bar").cast("bigint").alias("bar"),
+        "buy_c",
+        "sell_c",
+        F.sum(F.abs(F.col("buy_c") - F.col("sell_c"))).over(wv).alias("imb_w"),
+        F.sum(F.col("buy_c") + F.col("sell_c")).over(wv).alias("vol_w"),
+        F.count(F.lit(1)).over(wv).alias("n_w"),
+    )
+    return rolled.filter(F.col("n_w") == _VPIN_W).select(
+        "event_type",
+        "bar",
+        "buy_c",
+        "sell_c",
+        dround(F.col("imb_w") * F.lit(1.0) / F.col("vol_w"), 6).alias("vpin"),
+    )

@@ -2543,3 +2543,81 @@ def source_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 41: temporal referential-integrity audit — facts vs the SCD2
+# dimension's validity timeline
+# ---------------------------------------------------------------------------
+
+_TFK_SQL = """
+WITH dim0 AS (
+  SELECT user_id, MIN(ts) AS first_valid_from
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+facts AS (
+  SELECT user_id, ts FROM events WHERE event_type IN ('view', 'click')
+),
+classified AS (
+  SELECT CASE WHEN d.user_id IS NULL THEN 'orphan'
+              WHEN f.ts < d.first_valid_from THEN 'early'
+              ELSE 'matched' END AS status
+  FROM facts f LEFT JOIN dim0 d ON d.user_id = f.user_id
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM classified)
+SELECT c.status, COUNT(*)::BIGINT AS n_facts,
+       ROUND(COUNT(*) * 1.0 / tot.n, 6) AS frac
+FROM classified c CROSS JOIN tot
+GROUP BY c.status, tot.n
+"""
+
+
+@register(
+    "audit_temporal_fk",
+    _TFK_SQL,
+    doc=(
+        "temporal referential-integrity audit — the time-aware version "
+        "of audit_referential_integrity, and the check every "
+        "join_pit_scd2 consumer runs FIRST: a fact row is only "
+        "enrichable if SOME dimension version was valid at the fact's "
+        "own timestamp. Because scd2_dim_history's intervals are "
+        "gapless-to-infinity after the first change (lead() "
+        "construction), temporal coverage collapses to one exact "
+        "rule — matched ⟺ fact_ts ≥ the key's first valid_from — so "
+        "the dim reduces to an O(keys) first-version frame (one "
+        "partial-aggregated MIN), joins back co-keyed, and the facts "
+        "classify map-side into matched / early (fact predates the "
+        "key's first version — the silent-NULL enrichment class) / "
+        "orphan (key never dimensioned). Counts exact, one division "
+        "per emitted fraction. At 100 TB: the dim frame is keys-sized "
+        "(broadcastable when dims are dims), the fact side never "
+        "shuffles except the final 3-row aggregate"
+    ),
+)
+def audit_temporal_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim0 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_valid_from"))
+    )
+    facts = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts"
+    )
+    classified = facts.join(F.broadcast(dim0), "user_id", "left").select(
+        F.when(F.col("first_valid_from").isNull(), F.lit("orphan"))
+        .when(F.col("ts") < F.col("first_valid_from"), F.lit("early"))
+        .otherwise(F.lit("matched"))
+        .alias("status")
+    )
+    tot = classified.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        classified.groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_facts"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            "n_facts",
+            dround(F.col("n_facts") * F.lit(1.0) / F.col("n"), 6).alias("frac"),
+        )
+    )

@@ -2402,3 +2402,57 @@ def test_temperature_mixture_matches_math_sqrt_replay(spark):
     head = max(counts, key=lambda k: counts[k])
     assert rows[head].boost < 1.0
     assert all(rows[k].boost > 1.0 for k in counts if k != head)
+
+
+def test_vpin_matches_python_replay(spark):
+    """Tick-rule sign carry, bar bucketing, and the trailing-5-bar
+    VPIN ratio replayed in pure Python."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import (
+        _DB_THRESHOLD,
+        _VPIN_W,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ticks = duckdb.connect().execute(
+        f"""SELECT event_type,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+            FROM read_parquet('{sf}/events.parquet')
+            WHERE event_type IN ('view', 'purchase')
+            ORDER BY event_type, ok"""
+    ).fetchall()
+    bars: dict[tuple, list] = {}
+    state: dict[str, tuple] = {}
+    for et, ok, c in ticks:
+        cum, prev, sgn = state.get(et, (0, None, 1))
+        if prev is not None and c > prev:
+            sgn = 1
+        elif prev is not None and c < prev:
+            sgn = -1
+        bar = cum // _DB_THRESHOLD
+        b = bars.setdefault((et, bar), [0, 0])
+        b[0 if sgn == 1 else 1] += c
+        state[et] = (cum + c, c, sgn)
+    want = {}
+    for et in {k[0] for k in bars}:
+        seq = sorted(k[1] for k in bars if k[0] == et)
+        for i, bar in enumerate(seq):
+            if i >= _VPIN_W - 1:
+                win = seq[i - _VPIN_W + 1 : i + 1]
+                imb = sum(abs(bars[(et, b)][0] - bars[(et, b)][1]) for b in win)
+                vol = sum(bars[(et, b)][0] + bars[(et, b)][1] for b in win)
+                want[(et, bar)] = (
+                    bars[(et, bar)][0],
+                    bars[(et, bar)][1],
+                    round(imb / vol, 6),
+                )
+    got = {
+        (r.event_type, r.bar): (r.buy_c, r.sell_c, r.vpin)
+        for r in registry()["events_vpin"].fn(spark, sf).collect()
+    }
+    assert got == want and len(got) > 10
+    assert all(0.0 <= v[2] <= 1.0 for v in got.values())
