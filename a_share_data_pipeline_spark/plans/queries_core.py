@@ -1727,3 +1727,141 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("nation").agg(
         n.cast("bigint").alias("n_suppliers"), dround(gini, 6).alias("gini")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 42: mergeable higher moments — re-aggregatable mean / variance /
+# skewness / kurtosis from per-shard integer power sums
+# ---------------------------------------------------------------------------
+
+_MOM_SQL = """
+WITH shards AS (
+  SELECT l_returnflag AS shard,
+         COUNT(*)::HUGEINT AS n,
+         SUM(CAST(ROUND(l_extendedprice, 0) AS HUGEINT)) AS s1,
+         SUM(CAST(ROUND(l_extendedprice, 0) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice, 0) AS BIGINT)) AS s2,
+         SUM(CAST(ROUND(l_extendedprice, 0) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice, 0) AS BIGINT)
+             * CAST(ROUND(l_extendedprice, 0) AS BIGINT)) AS s3,
+         SUM(CAST(ROUND(l_extendedprice, 0) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice, 0) AS BIGINT)
+             * CAST(ROUND(l_extendedprice, 0) AS BIGINT)
+             * CAST(ROUND(l_extendedprice, 0) AS BIGINT)) AS s4
+  FROM lineitem GROUP BY 1
+),
+merged AS (
+  SELECT COUNT(*)::BIGINT AS n_shards,
+         SUM(n) AS n, SUM(s1) AS s1, SUM(s2) AS s2,
+         SUM(s3) AS s3, SUM(s4) AS s4
+  FROM shards
+),
+d AS (
+  SELECT n_shards,
+         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+         CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+         CAST(s4 AS DOUBLE) AS d4, CAST(n AS BIGINT) AS n
+  FROM merged
+),
+mom AS (
+  SELECT n_shards, n,
+         d1 / nd AS mean,
+         d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+         d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)
+           + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+         d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)
+           + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+           - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+  FROM d
+)
+SELECT n_shards, n,
+       ROUND(mean, 6) AS mean,
+       ROUND(m2, 6) AS variance_pop,
+       ROUND(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+FROM mom
+"""
+
+
+@register(
+    "agg_moments_merge",
+    _MOM_SQL,
+    doc=(
+        "mergeable higher moments — the ALGEBRAIC sibling of "
+        "agg_sketch_merge's HLL shards: each shard keeps only "
+        "(n, Σx, Σx², Σx³, Σx⁴) as EXACT integers (whole-dollar grid "
+        "so x⁴ ≤ ~1e20/row and the 128-bit shard sums never "
+        "overflow at corpus scale — the overflow-audit discipline; "
+        "oracle HUGEINT, Spark decimal(38)), and ANY union of shards "
+        "merges by plain addition — the property that lets a 100 TB "
+        "profile compute per-partition and re-aggregate at any "
+        "granularity, where Welford-style running moments would need "
+        "order. Skewness / excess kurtosis derive from the merged "
+        "sums through ONE fixed IEEE chain (identical operation "
+        "order both engines — every term built from (d1/nd) "
+        "products, no pow()), so the doubles cannot drift. Shards "
+        "here = l_returnflag groups; n_shards in the output proves "
+        "the merge happened"
+    ),
+)
+def agg_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dround(F.col("l_extendedprice"), 0).cast("bigint")
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    shards = li.select(F.col("l_returnflag").alias("shard"), x.alias("x")).groupBy(
+        "shard"
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d19(F.col("x"))).cast("decimal(38,0)").alias("s1"),
+        F.sum((d19(F.col("x")) * F.col("x")).cast("decimal(26,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            ((d19(F.col("x")) * F.col("x")).cast("decimal(26,0)") * F.col("x")).cast(
+                "decimal(32,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(
+            (
+                ((d19(F.col("x")) * F.col("x")).cast("decimal(26,0)") * F.col("x")).cast(
+                    "decimal(32,0)"
+                )
+                * F.col("x")
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    merged = shards.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    d1, d2, d3, d4 = (F.col(c).cast("double") for c in ("s1", "s2", "s3", "s4"))
+    mean = d1 / nd
+    m2 = d2 / nd - (d1 / nd) * (d1 / nd)
+    m3 = (
+        d3 / nd
+        - F.lit(3.0) * (d1 / nd) * (d2 / nd)
+        + F.lit(2.0) * (d1 / nd) * (d1 / nd) * (d1 / nd)
+    )
+    m4 = (
+        d4 / nd
+        - F.lit(4.0) * (d1 / nd) * (d3 / nd)
+        + F.lit(6.0) * (d1 / nd) * (d1 / nd) * (d2 / nd)
+        - F.lit(3.0) * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd)
+    )
+    return merged.select(
+        "n_shards",
+        F.col("n").cast("bigint").alias("n"),
+        dround(mean, 6).alias("mean"),
+        dround(m2, 6).alias("variance_pop"),
+        dround(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias("skewness"),
+        dround(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    )

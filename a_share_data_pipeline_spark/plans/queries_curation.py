@@ -820,3 +820,102 @@ def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 42: model-based quality filter apply — hashed-feature linear
+# scorer with literal integer weights (the fasttext/DCLM-style lane)
+# ---------------------------------------------------------------------------
+
+_MF_BUCKETS = 64
+# Deterministic literal weight table in integer micro-units: the
+# "trained model" is a fixture (no trainable signal in the synthetic
+# corpus — the honest-stub rule); the APPLY machinery is the operator.
+_MF_WEIGHTS = [((i * 2654435761) % 2001) - 1000 for i in range(_MF_BUCKETS)]
+_MF_BIAS = 50_000  # micro-units
+_MF_THRESHOLD = 50_000  # keep iff score_micro >= bias — i.e. the
+# normalized dot is non-negative; splits the corpus near the median
+# (measured ~50% at both SFs), so the flag actually filters
+
+
+def _model_filter_sql() -> str:
+    weights = ", ".join(str(w) for w in _MF_WEIGHTS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_MF_BUCKETS} AS bucket,
+         COUNT(*)::BIGINT AS tf
+  FROM toks GROUP BY 1, 2
+),
+w(bucket, wgt) AS (
+  SELECT i - 1, ([{weights}])[i] FROM generate_series(1, {_MF_BUCKETS}) AS g(i)
+),
+scored AS (
+  SELECT f.doc_id,
+         SUM(f.tf * w.wgt)::BIGINT AS dot_micro,
+         SUM(f.tf)::BIGINT AS n_tokens
+  FROM feats f JOIN w ON w.bucket = f.bucket
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       CAST({_MF_BIAS} + dot_micro // n_tokens AS BIGINT) AS score_micro,
+       ({_MF_BIAS} + dot_micro // n_tokens >= {_MF_THRESHOLD}) AS keep
+FROM scored
+"""
+
+
+@register(
+    "curation_model_filter",
+    _model_filter_sql(),
+    doc=(
+        "model-based quality filter APPLY — the learned lane beside "
+        "the heuristic gates (DCLM / FineWeb-Edu style: a cheap "
+        "linear classifier scores every document and the corpus keeps "
+        "the top band): tokens hash into 64 buckets (md5 % buckets — "
+        "the hashing-trick feature map, collision-tolerant by "
+        "design), per-doc tf aggregates once, and the score is the "
+        "dot product against a LITERAL integer-micro-unit weight "
+        "table + bias with an integer-division length normalization "
+        "— every accumulator exact, zero floats anywhere. The weight "
+        "table is a deterministic fixture (the synthetic corpus has "
+        "no trainable signal — honest-stub rule; a real deployment "
+        "drops in fasttext/regression weights unchanged), but the "
+        "SHAPE is the production one: weights broadcast "
+        "(O(buckets)), scoring is one gram shuffle + one per-doc "
+        "reduce, and the filter is a map-side compare. At 100 TB "
+        "this is the cheapest learned filter that exists"
+    ),
+)
+def curation_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    feats = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % _MF_BUCKETS
+        ).alias("bucket"),
+    ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    w = F.array(*[F.lit(x) for x in _MF_WEIGHTS])
+    scored = feats.select(
+        "doc_id",
+        "tf",
+        F.element_at(w, F.col("bucket").cast("int") + 1).alias("wgt"),
+    ).groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("wgt")).cast("bigint").alias("dot_micro"),
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+    )
+    # DuckDB's // on BIGINTs TRUNCATES toward zero on negative
+    # numerators (measured: -3657//23 = -158, not -159) — Spark's `div`
+    # has the same truncation semantics, F.floor(a/b) does NOT
+    fdiv = F.expr("dot_micro div n_tokens")
+    score = (F.lit(_MF_BIAS) + fdiv).alias("score_micro")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        score,
+        ((F.lit(_MF_BIAS) + fdiv) >= _MF_THRESHOLD).alias("keep"),
+    )

@@ -2456,3 +2456,69 @@ def test_vpin_matches_python_replay(spark):
     }
     assert got == want and len(got) > 10
     assert all(0.0 <= v[2] <= 1.0 for v in got.values())
+
+
+def test_moments_merge_matches_numpy(spark):
+    """Merged-power-sum skewness/kurtosis must equal numpy's direct
+    population moments over the same dollar-grid values — and equal a
+    shard-merge replay (additivity)."""
+    import duckdb
+    import numpy as np
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    vals = [
+        r[0]
+        for r in duckdb.connect().execute(
+            f"SELECT CAST(ROUND(l_extendedprice, 0) AS BIGINT) FROM read_parquet('{sf}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    a = np.array(vals, dtype=float)
+    m2 = ((a - a.mean()) ** 2).mean()
+    m3 = ((a - a.mean()) ** 3).mean()
+    m4 = ((a - a.mean()) ** 4).mean()
+    got = registry()["agg_moments_merge"].fn(spark, sf).collect()[0]
+    assert got.n == len(vals) and got.n_shards == 3
+    assert abs(got.mean - a.mean()) < 1e-4
+    assert abs(got.variance_pop - m2) < max(1e-3, m2 * 1e-9)
+    assert abs(got.skewness - m3 / m2**1.5) < 1e-6
+    assert abs(got.excess_kurtosis - (m4 / m2**2 - 3)) < 1e-6
+
+
+def test_model_filter_matches_hashlib_replay(spark):
+    """Hashed-feature linear score replayed per doc with hashlib md5 and
+    the literal weight table; the keep flag splits the corpus."""
+    import duckdb
+    import hashlib
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_curation import (
+        _MF_BIAS,
+        _MF_BUCKETS,
+        _MF_THRESHOLD,
+        _MF_WEIGHTS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = dict(duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall())
+    got = {
+        r.doc_id: (r.n_tokens, r.score_micro, r.keep)
+        for r in registry()["curation_model_filter"].fn(spark, sf).collect()
+    }
+    n_keep = 0
+    for doc_id, text in texts.items():
+        dot = n = 0
+        for tok in text.split(" "):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _MF_BUCKETS
+            dot += _MF_WEIGHTS[b]
+            n += 1
+        # truncation toward zero, matching SQL `div` / DuckDB `//`
+        q = abs(dot) // n
+        score = _MF_BIAS + (q if dot >= 0 else -q)
+        want = (n, score, score >= _MF_THRESHOLD)
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+        n_keep += want[2]
+    assert 0 < n_keep < len(texts)
