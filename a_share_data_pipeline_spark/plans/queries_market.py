@@ -1345,3 +1345,87 @@ def events_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sell_c",
         dround(F.col("imb_w") * F.lit(1.0) / F.col("vol_w"), 6).alias("vpin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 43: Hodges-Lehmann pseudo-median — the robust location estimator
+# (companion of theil_sen's robust slope and mann_kendall's trend test)
+# ---------------------------------------------------------------------------
+
+_HL_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+walsh AS (
+  SELECT a.event_type, a.close_c + b.close_c AS w2
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type
+   AND (b.day > a.day OR (b.day = a.day))
+),
+ranked AS (
+  SELECT event_type, w2,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY w2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM walsh
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_walsh,
+       ROUND(MIN(CASE WHEN 2 * rn >= n + 1 THEN w2 END) / 200.0, 6)
+         AS hl_estimate
+FROM ranked
+GROUP BY event_type, n
+"""
+
+
+@register(
+    "stats_hodges_lehmann",
+    _HL_SQL,
+    doc=(
+        "Hodges-Lehmann pseudo-median — the robust location estimator "
+        "associated with the Wilcoxon signed-rank test (29% breakdown, "
+        "~95% Gaussian efficiency vs the mean's 0% breakdown and the "
+        "median's 64%): the median of all Walsh averages "
+        "(x_i + x_j)/2 over i ≤ j day pairs. Same scale shape as "
+        "events_theil_sen: the O(days²) pair fan-out runs AFTER the "
+        "daily reduce (calendar-bounded), each Walsh average stays "
+        "the exact INTEGER x_i + x_j (the /2 deferred to the single "
+        "emit division — ranking integers needs no float at all), "
+        "and the median is the lower-median integer rank pick "
+        "2·rn ≥ n+1. i ≤ j includes self-pairs, the one-sample HL "
+        "convention"
+    ),
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).localCheckpoint(eager=True)
+    a = daily.select(
+        "event_type", F.col("close_c").alias("ya"), F.col("day").alias("da")
+    )
+    b = daily.select(
+        "event_type", F.col("close_c").alias("yb"), F.col("day").alias("db")
+    )
+    walsh = (
+        a.join(b, "event_type")
+        .filter(F.col("db") >= F.col("da"))
+        .select("event_type", (F.col("ya") + F.col("yb")).alias("w2"))
+    )
+    wr = W.partitionBy("event_type").orderBy("w2")
+    wn = W.partitionBy("event_type")
+    ranked = walsh.select(
+        "event_type",
+        "w2",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type", "n")
+        .agg(
+            dround(
+                F.min(F.when(2 * F.col("rn") >= F.col("n") + 1, F.col("w2")))
+                / 200.0,
+                6,
+            ).alias("hl_estimate")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_walsh"),
+            "hl_estimate",
+        )
+    )

@@ -337,3 +337,99 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "safe_sqrt"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 43: Zipf-law fit — the rank-frequency power-law exponent of the
+# corpus vocabulary (log-log OLS over the top-K tokens)
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 100
+_ZIPF_SCALE = 100_000_000  # 1e-8 integer-ln grid (the iln device)
+
+_ZIPF_SQL = f"""
+WITH tf AS (
+  SELECT tok, COUNT(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+  FROM tf
+),
+pts AS (
+  SELECT CAST(ROUND(LN(rnk) * {_ZIPF_SCALE}, 0) AS BIGINT) AS x,
+         CAST(ROUND(LN(freq) * {_ZIPF_SCALE}, 0) AS BIGINT) AS y
+  FROM ranked WHERE rnk <= {_ZIPF_K}
+),
+s AS (
+  SELECT COUNT(*)::HUGEINT AS k,
+         SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS k_top,
+       ROUND(-(CAST(k * sxy - sx * sy AS DOUBLE)
+               / CAST(k * sxx - sx * sx AS DOUBLE)), 6) AS zipf_exponent,
+       ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+             * CAST(k * sxy - sx * sy AS DOUBLE)
+             / (CAST(k * sxx - sx * sx AS DOUBLE)
+                * CAST(k * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM s
+"""
+
+
+@register(
+    "text_zipf_fit",
+    _ZIPF_SQL,
+    doc=(
+        "Zipf-law fit — the rank-frequency power-law exponent of the "
+        "corpus vocabulary (natural corpora sit near 1.0; a corpus "
+        "whose exponent drifts is contaminated with boilerplate or "
+        "templated text, so this is a one-number corpus-health "
+        "monitor beside the drift/quality profiles): one gram "
+        "shuffle to the term-frequency frame, the top-{k} ranks "
+        "(TakeOrdered-sized), then a closed-form log-log OLS where "
+        "each ln lands ONCE on the 1e-8 integer grid (the "
+        "once-rounded integer-ln device — the five regression "
+        "moments are then exact 128-bit integers) and the slope and "
+        "r² are fixed single-division chains. Honest corpus caveat: "
+        "the synthetic vocabulary is near-uniform, so the exponent "
+        "sits far below 1 — the witness is the exact fit machinery; "
+        "the replay pins it against numpy.polyfit"
+    ).format(k=_ZIPF_K),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = tf.select("freq", F.row_number().over(wr).alias("rnk")).filter(
+        F.col("rnk") <= _ZIPF_K
+    )
+    iln = lambda c: dround(F.log(c) * _ZIPF_SCALE, 0).cast("bigint")  # noqa: E731
+    pts = ranked.select(iln(F.col("rnk")).alias("x"), iln(F.col("freq")).alias("y"))
+    c19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum((c19("x") * c19("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum((c19("x") * c19("x")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxx"),
+        F.sum((c19("y") * c19("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("k").cast("bigint").alias("k_top"),
+        dround(-(num / den), 6).alias("zipf_exponent"),
+        dround(num * num / (den * deny), 6).alias("r2"),
+    )

@@ -2522,3 +2522,50 @@ def test_model_filter_matches_hashlib_replay(spark):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
         n_keep += want[2]
     assert 0 < n_keep < len(texts)
+
+
+def test_hodges_lehmann_matches_python_replay(spark):
+    """Median of Walsh averages (i <= j, lower-median pick) replayed in
+    pure Python over the replayed daily closes."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    rows = registry()["stats_hodges_lehmann"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in rows:
+        ys = sorted(v for (t, _), v in closes.items() if t == r.event_type)
+        walsh = sorted(
+            ys[i] + ys[j] for i in range(len(ys)) for j in range(i, len(ys))
+        )
+        assert r.n_walsh == len(walsh)
+        lower_med = walsh[(len(walsh) + 1) // 2 - 1]
+        assert abs(r.hl_estimate - round(lower_med / 200.0, 6)) < 1e-9
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    """The integer-grid log-log OLS must agree with numpy.polyfit over
+    the same (rounded-ln) points."""
+    import duckdb
+    import math as m
+    import numpy as np
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_text2 import _ZIPF_K, _ZIPF_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    freqs = duckdb.connect().execute(
+        f"""SELECT freq FROM (
+              SELECT tok, COUNT(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM read_parquet('{sf}/documents.parquet')) GROUP BY 1)
+            ORDER BY freq DESC, tok LIMIT {_ZIPF_K}"""
+    ).fetchall()
+    xs = np.array([round(m.log(i + 1) * _ZIPF_SCALE) for i in range(len(freqs))])
+    ys = np.array([round(m.log(f[0]) * _ZIPF_SCALE) for f in freqs])
+    slope, _ = np.polyfit(xs.astype(float), ys.astype(float), 1)
+    got = registry()["text_zipf_fit"].fn(spark, sf).collect()[0]
+    # the synthetic vocabulary is smaller than K — the fit adapts
+    assert got.k_top == len(freqs) <= _ZIPF_K
+    assert abs(got.zipf_exponent - (-slope)) < 1e-6
+    assert 0.0 <= got.r2 <= 1.0
