@@ -216,9 +216,28 @@ _REGISTRY: dict[str, Query] = {}
 # events_window_funnel (per-occurrence funnel), stats_ks_test
 # (two-sample KS), feature_pca_power (iterative integer-grid PCA),
 # rec_user_topn (two-stage item-CF), geo_grid_knn (grid-blocked
-# spatial kNN), rollup_retractions (delete-side IVM), cdc_time_travel
-# (multi-version AS OF), table_diff (row-hash snapshot diff),
-# er_resolve (record-linkage capstone).
+# spatial kNN, now salt-guarded), rollup_retractions (delete-side
+# IVM), cdc_time_travel (multi-version AS OF), table_diff (row-hash
+# snapshot diff), er_resolve (record-linkage capstone). The round-7
+# waves 37-44 add a further tier of candidates (strongest first):
+# stats_poisson_bootstrap (the corpus-scale bootstrap — one-pass
+# per-row Poisson weights), curation_model_filter (the learned
+# quality-filter APPLY lane), multimodal_blockhash_dedup (binary
+# perceptual-hash dedup — the multimodal half of the dedup story),
+# dedup_url_canonical (the web-corpus first dedup pass),
+# agg_moments_merge (re-aggregatable algebraic moments),
+# source_partitioned_read (Hive partition layout + planning-time
+# pruning), events_dollar_bars / events_vpin (information-driven bars
+# + order-flow toxicity), graph_assortativity / graph_modularity
+# (whole-graph structure metrics), stats_mann_kendall /
+# stats_hodges_lehmann (the robust-inference trio's missing rows),
+# geo_point_in_polygon (point×region spatial join),
+# audit_temporal_fk (time-aware referential integrity),
+# stats_cohens_kappa (label-quality agreement), text_zipf_fit
+# (corpus power-law health), curation_temperature_mixture
+# (multilingual rebalancing), ml_knn_classifier (embedding-label
+# vote), events_pairs_spread_zscore / events_roll_spread
+# (mean-reversion monitor + implied spread).
 # Round-6 rotation (VERDICT r5 item 1): five never-driver-verified
 # operator FAMILIES enter the window — graph_pagerank (the only
 # iterative family besides CC; unrolled-CTE oracle), cdc_apply

@@ -1429,3 +1429,478 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hl_estimate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 44: Roll implied spread + pairs-trading spread z-score — the
+# microstructure pair completing VPIN (toxicity), GK (volatility)
+# ---------------------------------------------------------------------------
+
+_ROLL_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+delta AS (
+  SELECT event_type, day, close_c - lag(close_c) OVER w AS d
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+paired AS (
+  SELECT event_type, d, lag(d) OVER (PARTITION BY event_type ORDER BY day) AS d_prev
+  FROM delta
+),
+pairs AS (
+  SELECT event_type, d, d_prev FROM paired WHERE d_prev IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         COUNT(*)::HUGEINT AS m,
+         SUM(d)::HUGEINT AS sx, SUM(d_prev)::HUGEINT AS sy,
+         SUM(CAST(d AS HUGEINT) * d_prev) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_pairs,
+       ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+             / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) / 10000.0, 6)
+         AS autocov_dollars2,
+       CASE WHEN m * sxy - sx * sy < 0
+            THEN ROUND(2.0 * sqrt(-(CAST(m * sxy - sx * sy AS DOUBLE)
+                                    / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))))
+                       / 100.0, 6)
+       END AS roll_spread
+FROM s
+"""
+
+
+@register(
+    "events_roll_spread",
+    _ROLL_SQL,
+    doc=(
+        "Roll's implied bid-ask spread (Roll 1984) — the spread you "
+        "can estimate WITHOUT quote data: bid-ask bounce makes "
+        "consecutive price changes negatively autocorrelated, and "
+        "spread = 2·√(−cov(Δp_t, Δp_{{t−1}})). Serial covariance "
+        "over the daily close changes: two stacked lag windows build "
+        "the (Δ, Δ_prev) pairs on the reduced daily frame, the three "
+        "covariance moments are exact 128-bit integer sums, and the "
+        "population covariance + spread are fixed IEEE chains with "
+        "the sign guard (positive autocovariance → NULL spread, the "
+        "estimator's documented undefined region — no NaN lanes). "
+        "Companion of events_vpin (toxicity) and events_volatility_gk "
+        "(volatility) in the microstructure family"
+    ),
+)
+def events_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    wo = W.partitionBy("event_type").orderBy("day")
+    d = (F.col("close_c") - F.lag("close_c").over(wo)).alias("d")
+    delta = daily.select("event_type", "day", d)
+    pairs = delta.select(
+        "event_type", "d", F.lag("d").over(wo.orderBy("day")).alias("d_prev")
+    ).filter(F.col("d_prev").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("d").cast("decimal(38,0)").alias("sx"),
+        F.sum("d_prev").cast("decimal(38,0)").alias("sy"),
+        F.sum((F.col("d").cast("decimal(19,0)") * F.col("d_prev")).cast("decimal(26,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    md = F.col("m").cast("double")
+    cov = num.cast("double") / (md * md)
+    return s.select(
+        "event_type",
+        F.col("m").cast("bigint").alias("n_pairs"),
+        dround(cov / 10000.0, 6).alias("autocov_dollars2"),
+        F.when(num < 0, dround(F.lit(2.0) * F.sqrt(-cov) / 100.0, 6)).alias(
+            "roll_spread"
+        ),
+    )
+
+
+_PAIRS_Z_W = 7  # trailing days per z-score frame
+
+_PAIRS_Z_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+aligned AS (
+  SELECT v.day, v.close_c - p.close_c AS spread_c
+  FROM (SELECT day, close_c FROM daily WHERE event_type = 'view') v
+  JOIN (SELECT day, close_c FROM daily WHERE event_type = 'purchase') p
+    ON p.day = v.day
+),
+framed AS (
+  SELECT day, spread_c,
+         COUNT(*) OVER v AS n,
+         SUM(spread_c) OVER v AS s1,
+         SUM(CAST(spread_c AS HUGEINT) * spread_c) OVER v AS s2
+  FROM aligned
+  WINDOW v AS (ORDER BY day ROWS BETWEEN {_PAIRS_Z_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(spread_c AS BIGINT) AS spread_c,
+       ROUND((n * spread_c - s1)
+             / sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)), 6) AS zscore
+FROM framed
+WHERE n = {_PAIRS_Z_W} AND n * s2 - CAST(s1 AS HUGEINT) * s1 > 0
+"""
+
+
+@register(
+    "events_pairs_spread_zscore",
+    _PAIRS_Z_SQL,
+    doc=(
+        "pairs-trading spread monitor — the mean-reversion signal "
+        "behind statistical arbitrage: the view/purchase close spread "
+        "(two series aligned on day by ONE equi-join of the reduced "
+        "daily frames), then a trailing-{w}-day z-score computed "
+        "WITHOUT any running float: the algebraic identity "
+        "z = (n·s − Σs) / √(n·Σs² − (Σs)²) turns the rolling "
+        "mean/std into three exact integer window sums (one shared "
+        "rows-frame) and a single division-by-sqrt per row. "
+        "Zero-variance frames drop via the integer radicand guard — "
+        "no NaN lanes. At scale: per-pair partitioning, the window "
+        "over the reduced daily frame"
+    ).format(w=_PAIRS_Z_W),
+)
+def events_pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).localCheckpoint(eager=True)
+    v = daily.filter(F.col("event_type") == "view").select(
+        "day", F.col("close_c").alias("vc")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("close_c").alias("pc")
+    )
+    aligned = v.join(p, "day").select(
+        "day", (F.col("vc") - F.col("pc")).alias("spread_c")
+    )
+    wv = W.orderBy("day").rowsBetween(-(_PAIRS_Z_W - 1), 0)
+    framed = aligned.select(
+        "day",
+        "spread_c",
+        F.count(F.lit(1)).over(wv).alias("n"),
+        F.sum("spread_c").over(wv).alias("s1"),
+        F.sum(
+            (F.col("spread_c").cast("decimal(19,0)") * F.col("spread_c")).cast(
+                "decimal(26,0)"
+            )
+        )
+        .over(wv)
+        .alias("s2"),
+    )
+    rad = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    )
+    return framed.filter(
+        (F.col("n") == _PAIRS_Z_W) & (rad > 0)
+    ).select(
+        "day",
+        F.col("spread_c").cast("bigint").alias("spread_c"),
+        dround(
+            (F.col("n") * F.col("spread_c") - F.col("s1"))
+            / F.sqrt(rad.cast("double")),
+            6,
+        ).alias("zscore"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 45: variance-ratio random-walk test + Hurst exponent (R/S) — the
+# long-memory pair: is the close series a random walk, and how rough?
+# ---------------------------------------------------------------------------
+
+_VR_K = 5  # aggregation horizon (days) for the variance ratio
+# homoskedastic asymptotic variance coefficient 2(2k-1)(k-1)/(3k)
+_VR_COEF = 2.0 * (2 * _VR_K - 1) * (_VR_K - 1) / (3.0 * _VR_K)
+
+_ILN_SQL = "CAST(ROUND(ln(close_c) * 100000000, 0) AS BIGINT)"
+
+_VR_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+ret AS (
+  SELECT event_type, day,
+         {_ILN_SQL} - lag({_ILN_SQL}) OVER w AS r
+  FROM daily WHERE close_c > 0
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+r1 AS (SELECT event_type, day, r FROM ret WHERE r IS NOT NULL),
+rk AS (
+  SELECT event_type, r,
+         SUM(r) OVER v AS rks, COUNT(*) OVER v AS m
+  FROM r1
+  WINDOW v AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_VR_K - 1} PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type,
+         COUNT(*)::HUGEINT AS n1, SUM(r)::HUGEINT AS s1,
+         SUM(CAST(r AS HUGEINT) * r) AS q1,
+         COUNT(*) FILTER (WHERE m = {_VR_K})::HUGEINT AS nk,
+         SUM(rks) FILTER (WHERE m = {_VR_K})::HUGEINT AS sk,
+         SUM(CAST(rks AS HUGEINT) * rks) FILTER (WHERE m = {_VR_K}) AS qk
+  FROM rk GROUP BY 1
+),
+v AS (
+  SELECT event_type, n1,
+         (CAST(nk * qk - sk * sk AS DOUBLE)
+          / (CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE)))
+         / ({_VR_K}.0 * (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                         / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))) AS vr_raw
+  FROM s WHERE n1 * q1 - s1 * s1 > 0 AND nk > 0
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n_ret,
+       ROUND(vr_raw, 6) AS vr,
+       ROUND((vr_raw - 1.0) / sqrt({_VR_COEF!r} / CAST(n1 AS DOUBLE)), 6) AS z_homo
+FROM v
+"""
+
+
+@register(
+    "events_variance_ratio",
+    _VR_SQL,
+    doc=(
+        "Lo-MacKinlay variance-ratio test — the classic random-walk "
+        "diagnostic: under a random walk, the variance of k-day "
+        "log returns is exactly k x the 1-day variance, so "
+        "VR(k) = Var(r_k)/(k Var(r_1)) departs from 1 under "
+        "mean-reversion (<1) or momentum (>1). Daily log returns on "
+        "the once-rounded 1e-8 integer-ln grid (iln(close_t) - "
+        "iln(close_t-1), exact int), overlapping k-sums from ONE "
+        "rows-frame window, and all five moments (n,S,Q x 1-day and "
+        "k-day) as exact 128-bit integer sums; VR and the "
+        "homoskedastic z-statistic are a single fixed IEEE chain at "
+        "emit. Zero-variance series drop via the integer radicand "
+        "guard. At scale: per-instrument partitioning, every window "
+        "over the O(days) reduced frame"
+    ),
+)
+def events_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).filter(F.col("close_c") > 0)
+    wo = W.partitionBy("event_type").orderBy("day")
+    iln = dround(F.log("close_c") * 100000000, 0).cast("bigint")
+    ret = daily.select(
+        "event_type", "day", (iln - F.lag(iln).over(wo)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    wv = wo.rowsBetween(-(_VR_K - 1), 0)
+    rk = ret.select(
+        "event_type",
+        "r",
+        F.sum("r").over(wv).alias("rks"),
+        F.count(F.lit(1)).over(wv).alias("m"),
+    )
+    full = F.col("m") == _VR_K
+    s = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n1"),
+        F.sum("r").cast("decimal(38,0)").alias("s1"),
+        F.sum((F.col("r").cast("decimal(19,0)") * F.col("r")).cast("decimal(26,0)"))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.count(F.when(full, F.lit(1))).cast("decimal(38,0)").alias("nk"),
+        F.sum(F.when(full, F.col("rks"))).cast("decimal(38,0)").alias("sk"),
+        F.sum(
+            F.when(
+                full,
+                (F.col("rks").cast("decimal(19,0)") * F.col("rks")).cast(
+                    "decimal(26,0)"
+                ),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("qk"),
+    )
+    n1d = F.col("n1").cast("double")
+    nkd = F.col("nk").cast("double")
+    rad1 = F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")
+    radk = F.col("nk") * F.col("qk") - F.col("sk") * F.col("sk")
+    vr_raw = (radk.cast("double") / (nkd * nkd)) / (
+        F.lit(float(_VR_K)) * (rad1.cast("double") / (n1d * n1d))
+    )
+    return s.filter((rad1 > 0) & (F.col("nk") > 0)).select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_ret"),
+        dround(vr_raw, 6).alias("vr"),
+        dround((vr_raw - F.lit(1.0)) / F.sqrt(F.lit(_VR_COEF) / n1d), 6).alias(
+            "z_homo"
+        ),
+    )
+
+
+_HURST_NS = (7, 14, 28)  # ln-2-spaced block sizes (29 returns at any SF)
+_HURST_DEN = 2.0 * math.log(2.0) * 100000000.0  # (y_28 - y_7) / this
+
+_HURST_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+ret AS (
+  SELECT event_type, day,
+         {_ILN_SQL} - lag({_ILN_SQL}) OVER w AS r,
+         row_number() OVER w AS rn
+  FROM daily WHERE close_c > 0
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+r1 AS (
+  SELECT event_type, r, rn - 1 AS rn FROM ret WHERE r IS NOT NULL
+),
+blocked AS (
+  SELECT event_type, ns.n, r, rn,
+         (rn - 1) // ns.n AS blk,
+         rn - ((rn - 1) // ns.n) * ns.n AS t
+  FROM r1 CROSS JOIN (VALUES (7), (14), (28)) AS ns(n)
+),
+cumdev AS (
+  SELECT event_type, n, blk,
+         COUNT(*) OVER b AS sz,
+         CAST(n AS HUGEINT) * SUM(r) OVER (b ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - CAST(t AS HUGEINT) * SUM(r) OVER b AS dev,
+         SUM(r) OVER b AS sb,
+         SUM(CAST(r AS HUGEINT) * r) OVER b AS qb
+  FROM blocked
+  WINDOW b AS (PARTITION BY event_type, n, blk)
+),
+per_block AS (
+  SELECT event_type, n,
+         CAST(FLOOR(CAST(MAX(dev) - MIN(dev) AS DOUBLE)
+                    / sqrt(CAST(n::HUGEINT * ANY_VALUE(qb)
+                                - ANY_VALUE(sb) * ANY_VALUE(sb) AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS rs_u
+  FROM cumdev
+  WHERE sz = n
+  GROUP BY event_type, n, blk
+  HAVING n::HUGEINT * ANY_VALUE(qb) - ANY_VALUE(sb) * ANY_VALUE(sb) > 0
+),
+per_n AS (
+  SELECT event_type, n,
+         CAST(COUNT(*) AS BIGINT) AS b,
+         SUM(rs_u) * 1.0 / COUNT(*) / 1000000.0 AS rs_avg
+  FROM per_block GROUP BY 1, 2
+),
+pivoted AS (
+  SELECT event_type,
+         MAX(CASE WHEN n = 7 THEN rs_avg END) AS rs7,
+         MAX(CASE WHEN n = 14 THEN rs_avg END) AS rs14,
+         MAX(CASE WHEN n = 28 THEN rs_avg END) AS rs28,
+         CAST(SUM(b) AS BIGINT) AS n_blocks
+  FROM per_n GROUP BY 1
+)
+SELECT event_type, n_blocks,
+       ROUND(rs7, 6) AS rs7, ROUND(rs14, 6) AS rs14, ROUND(rs28, 6) AS rs28,
+       ROUND(CAST(CAST(ROUND(ln(rs28) * 100000000, 0) AS BIGINT)
+                  - CAST(ROUND(ln(rs7) * 100000000, 0) AS BIGINT) AS DOUBLE)
+             / {_HURST_DEN!r}, 6) AS hurst
+FROM pivoted WHERE rs7 > 0 AND rs28 > 0
+"""
+
+@register(
+    "events_hurst_exponent",
+    _HURST_SQL,
+    doc=(
+        "Hurst exponent via rescaled-range (R/S) analysis — the "
+        "long-memory profile of the close series (H=0.5 random walk, "
+        ">0.5 trending, <0.5 mean-reverting), the fractal complement "
+        "of events_variance_ratio's point test. Daily log returns on "
+        "the 1e-8 integer-ln grid fan out x3 against the ln-2-spaced "
+        "literal block sizes (7,14,28); within each full block the "
+        "mean-adjusted cumulative deviation rides an ALL-INTEGER "
+        "device (n*cum_t - t*S_blk, exact), so R/S per block is one "
+        "division by one sqrt of an integer radicand, FLOORED onto a "
+        "1e-6 grid before the cross-block average (exact integer "
+        "fold, no float summation order). H = (ln RS(28) - ln RS(7)) "
+        "/ (2 ln 2) on the integer-ln grid — the two-point slope the "
+        "ln-2 spacing makes exact. At scale: constant 3x fan-out, "
+        "every window partitioned (instrument, n, block) over the "
+        "O(days) reduced frame"
+    ),
+)
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).filter(F.col("close_c") > 0)
+    wo = W.partitionBy("event_type").orderBy("day")
+    iln = dround(F.log("close_c") * 100000000, 0).cast("bigint")
+    ret = (
+        daily.select(
+            "event_type",
+            "day",
+            (iln - F.lag(iln).over(wo)).alias("r"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .filter(F.col("r").isNotNull())
+        .select("event_type", "r", (F.col("rn") - 1).alias("rn"))
+    )
+    ns = spark.createDataFrame([(n,) for n in _HURST_NS], "n int")
+    blk = F.floor((F.col("rn") - 1) / F.col("n"))
+    blocked = ret.crossJoin(F.broadcast(ns)).select(
+        "event_type",
+        "n",
+        "r",
+        "rn",
+        blk.alias("blk"),
+        (F.col("rn") - blk * F.col("n")).alias("t"),
+    )
+    wb = W.partitionBy("event_type", "n", "blk")
+    wcum = wb.orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
+    cumdev = blocked.select(
+        "event_type",
+        "n",
+        "blk",
+        F.count(F.lit(1)).over(wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("sz"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.sum("r").over(wcum).cast("decimal(19,0)")
+            - F.col("t").cast("decimal(38,0)") * F.sum("r").over(wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).cast("decimal(19,0)")
+        ).alias("dev"),
+        F.sum("r").over(wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("sb"),
+        F.sum(
+            (F.col("r").cast("decimal(19,0)") * F.col("r")).cast("decimal(26,0)")
+        )
+        .over(wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("qb"),
+    )
+    per_block = (
+        cumdev.filter(F.col("sz") == F.col("n"))
+        .groupBy("event_type", "n", "blk")
+        .agg(
+            F.floor(
+                (F.max("dev") - F.min("dev")).cast("double")
+                / F.sqrt(
+                    (
+                        F.first("n").cast("decimal(38,0)")
+                        * F.first("qb").cast("decimal(38,0)")
+                        - F.first("sb").cast("decimal(38,0)")
+                        * F.first("sb").cast("decimal(38,0)")
+                    ).cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("rs_u"),
+            (
+                F.first("n").cast("decimal(38,0)")
+                * F.first("qb").cast("decimal(38,0)")
+                - F.first("sb").cast("decimal(38,0)")
+                * F.first("sb").cast("decimal(38,0)")
+            ).alias("rad"),
+        )
+        .filter(F.col("rad") > 0)
+    )
+    per_n = per_block.groupBy("event_type", "n").agg(
+        F.count(F.lit(1)).alias("b"),
+        (F.sum("rs_u") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000.0)).alias(
+            "rs_avg"
+        ),
+    )
+    pivoted = per_n.groupBy("event_type").agg(
+        F.max(F.when(F.col("n") == 7, F.col("rs_avg"))).alias("rs7_raw"),
+        F.max(F.when(F.col("n") == 14, F.col("rs_avg"))).alias("rs14_raw"),
+        F.max(F.when(F.col("n") == 28, F.col("rs_avg"))).alias("rs28_raw"),
+        F.sum("b").cast("bigint").alias("n_blocks"),
+    )
+    y = lambda c: dround(F.log(c) * 100000000, 0).cast("bigint")  # noqa: E731
+    return pivoted.filter((F.col("rs7_raw") > 0) & (F.col("rs28_raw") > 0)).select(
+        "event_type",
+        "n_blocks",
+        dround(F.col("rs7_raw"), 6).alias("rs7"),
+        dround(F.col("rs14_raw"), 6).alias("rs14"),
+        dround(F.col("rs28_raw"), 6).alias("rs28"),
+        dround(
+            (y(F.col("rs28_raw")) - y(F.col("rs7_raw"))).cast("double")
+            / F.lit(_HURST_DEN),
+            6,
+        ).alias("hurst"),
+    )

@@ -2569,3 +2569,168 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     assert got.k_top == len(freqs) <= _ZIPF_K
     assert abs(got.zipf_exponent - (-slope)) < 1e-6
     assert 0.0 <= got.r2 <= 1.0
+
+
+def test_roll_spread_matches_python_replay(spark):
+    """Roll's 2·sqrt(-cov) implied spread replayed in pure Python over
+    the replayed daily closes (population covariance of consecutive
+    price changes, sign guard for the undefined region)."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    got = {
+        r.event_type: (r.n_pairs, r.autocov_dollars2, r.roll_spread)
+        for r in registry()["events_roll_spread"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        deltas = [
+            closes[(et, days[i])] - closes[(et, days[i - 1])]
+            for i in range(1, len(days))
+        ]
+        pairs = list(zip(deltas[1:], deltas[:-1]))
+        n = len(pairs)
+        sx = sum(d for d, _ in pairs)
+        sy = sum(p for _, p in pairs)
+        sxy = sum(d * p for d, p in pairs)
+        num = n * sxy - sx * sy
+        cov = num / (float(n) * float(n))
+        want_spread = (
+            round(2.0 * m.sqrt(-cov) / 100.0, 6) if num < 0 else None
+        )
+        assert got[et][0] == n
+        assert abs(got[et][1] - round(cov / 10000.0, 6)) < 1e-9
+        if want_spread is None:
+            assert got[et][2] is None
+        else:
+            assert abs(got[et][2] - want_spread) < 1e-9
+
+
+def test_pairs_spread_zscore_matches_python_replay(spark):
+    """Trailing-window z-score of the view/purchase close spread
+    replayed in pure Python via the same integer-moment identity."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import _PAIRS_Z_W
+
+    closes = _daily_closes_py()
+    days = sorted(
+        d for (t, d) in closes if t == "view" and ("purchase", d) in closes
+    )
+    spreads = [closes[("view", d)] - closes[("purchase", d)] for d in days]
+    got = {
+        r.day: (r.spread_c, r.zscore)
+        for r in registry()["events_pairs_spread_zscore"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    n_expected = 0
+    for i, d in enumerate(days):
+        if i + 1 < _PAIRS_Z_W:
+            assert d not in got
+            continue
+        win = spreads[i - _PAIRS_Z_W + 1 : i + 1]
+        n = len(win)
+        s1 = sum(win)
+        s2 = sum(v * v for v in win)
+        rad = n * s2 - s1 * s1
+        if rad <= 0:
+            assert d not in got
+            continue
+        n_expected += 1
+        want = round((n * win[-1] - s1) / m.sqrt(float(rad)), 6)
+        assert got[d][0] == win[-1]
+        assert abs(got[d][1] - want) < 1e-9
+    assert len(got) == n_expected > 0
+
+
+def test_variance_ratio_matches_python_replay(spark):
+    """Lo-MacKinlay VR(5) + homoskedastic z replayed in pure Python
+    over the replayed daily closes (integer-ln-grid returns)."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import _VR_COEF, _VR_K
+
+    closes = _daily_closes_py()
+    got = {
+        r.event_type: (r.n_ret, r.vr, r.z_homo)
+        for r in registry()["events_variance_ratio"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        ilns = [round(m.log(closes[(et, d)]) * 1e8) for d in days]
+        r = [ilns[i] - ilns[i - 1] for i in range(1, len(ilns))]
+        n1 = len(r)
+        rk = [sum(r[i : i + _VR_K]) for i in range(n1 - _VR_K + 1)]
+        nk = len(rk)
+        var1 = (n1 * sum(v * v for v in r) - sum(r) ** 2) / (float(n1) * float(n1))
+        vark = (nk * sum(v * v for v in rk) - sum(rk) ** 2) / (
+            float(nk) * float(nk)
+        )
+        vr = vark / (_VR_K * var1)
+        z = (vr - 1.0) / m.sqrt(_VR_COEF / float(n1))
+        assert got[et][0] == n1
+        assert abs(got[et][1] - round(vr, 6)) < 1e-9
+        assert abs(got[et][2] - round(z, 6)) < 1e-9
+
+
+def test_hurst_exponent_matches_python_replay(spark):
+    """R/S analysis replayed in pure Python: per-block rescaled range
+    on the integer device, 1e-6-floored, cross-block averaged, then the
+    two-point ln-2 slope."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import (
+        _HURST_DEN,
+        _HURST_NS,
+    )
+
+    closes = _daily_closes_py()
+    got = {
+        r.event_type: r
+        for r in registry()["events_hurst_exponent"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        ilns = [round(m.log(closes[(et, d)]) * 1e8) for d in days]
+        r = [ilns[i] - ilns[i - 1] for i in range(1, len(ilns))]
+        rs_avg = {}
+        n_blocks = 0
+        for n in _HURST_NS:
+            rs_us = []
+            for b in range(len(r) // n):
+                blk = r[b * n : (b + 1) * n]
+                sb, qb = sum(blk), sum(v * v for v in blk)
+                rad = n * qb - sb * sb
+                if rad <= 0:
+                    continue
+                cum = 0
+                devs = []
+                for t, v in enumerate(blk, start=1):
+                    cum += v
+                    devs.append(n * cum - t * sb)
+                rs_us.append(
+                    m.floor((max(devs) - min(devs)) / m.sqrt(float(rad)) * 1e6)
+                )
+            if rs_us:
+                rs_avg[n] = sum(rs_us) * 1.0 / len(rs_us) / 1e6
+                n_blocks += len(rs_us)
+        want_h = (
+            round(m.log(rs_avg[28]) * 1e8) - round(m.log(rs_avg[7]) * 1e8)
+        ) / _HURST_DEN
+        g = got[et]
+        assert g.n_blocks == n_blocks
+        for n, col in ((7, g.rs7), (14, g.rs14), (28, g.rs28)):
+            assert abs(col - round(rs_avg[n], 6)) < 1e-9
+        assert abs(g.hurst - round(want_h, 6)) < 1e-9
