@@ -760,3 +760,127 @@ def events_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 48: mean average precision — the ranking-eval row beside NDCG/AUC
+# ---------------------------------------------------------------------------
+
+_AP_SCALE = 1000000000  # 1e-9 precision grid per ranked hit
+
+_MAP_SQL = f"""
+WITH units AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, isodow(CAST(ts AS DATE)) AS dow,
+         SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT dow, label,
+         row_number() OVER (PARTITION BY dow
+                            ORDER BY score DESC, user_id, day) AS k,
+         SUM(label) OVER (PARTITION BY dow
+                          ORDER BY score DESC, user_id, day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_pos
+  FROM units
+),
+per_dow AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN label = 1
+                       THEN (cum_pos * {_AP_SCALE}) // k ELSE 0 END)
+              AS BIGINT) AS ap_u
+  FROM ranked GROUP BY dow
+),
+mapped AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         SUM(ap_u // n_pos) AS map_u
+  FROM per_dow WHERE n_pos > 0
+)
+SELECT p.dow, p.n_units, p.n_pos,
+       ROUND(p.ap_u * 1.0 / p.n_pos / {_AP_SCALE}.0, 6) AS ap,
+       m.n_groups,
+       ROUND(m.map_u * 1.0 / m.n_groups / {_AP_SCALE}.0, 6) AS mean_ap
+FROM per_dow p CROSS JOIN mapped m
+WHERE p.n_pos > 0
+"""
+
+
+@register(
+    "ml_average_precision",
+    _MAP_SQL,
+    doc=(
+        "mean average precision — the ranking-evaluation row beside "
+        "events_auc_roc (threshold-free order quality) and "
+        "search_ndcg_eval (graded relevance): user-day units score "
+        "by non-purchase activity, rank per iso-weekday segment "
+        "under a fully deterministic total order (score DESC, "
+        "user_id, day — ties never float), and "
+        "AP = (1/n_pos) * sum precision@hit rides an ALL-INTEGER "
+        "lane: each hit's precision floors onto the 1e-9 grid as "
+        "(cum_pos*1e9) DIV k, per-segment sums and the cross-segment "
+        "MAP fold are exact integer adds, one double division per "
+        "emitted value. The ranking window partitions by segment "
+        "(the production shape: per query / per day), never a "
+        "global sort. O(segments) output"
+    ),
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        (F.expr("weekday(CAST(ts AS DATE))") + 1).alias("dow"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).alias(
+            "score"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "label"
+        ),
+    )
+    wo = W.partitionBy("dow").orderBy(
+        F.col("score").desc(), F.col("user_id"), F.col("day")
+    )
+    ranked = units.select(
+        "dow",
+        "label",
+        F.row_number().over(wo).alias("k"),
+        F.sum("label").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "cum_pos"
+        ),
+    )
+    per_dow = (
+        ranked.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_units"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+            F.sum(
+                F.when(
+                    F.col("label") == 1,
+                    F.expr(f"(cum_pos * {_AP_SCALE}) div k"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("ap_u"),
+        )
+        .filter(F.col("n_pos") > 0)
+    )
+    mapped = per_dow.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.expr("ap_u div n_pos")).alias("map_u"),
+    )
+    return per_dow.crossJoin(F.broadcast(mapped)).select(
+        "dow",
+        "n_units",
+        "n_pos",
+        dround(F.col("ap_u") * F.lit(1.0) / F.col("n_pos") / F.lit(float(_AP_SCALE)), 6).alias("ap"),
+        "n_groups",
+        dround(
+            F.col("map_u") * F.lit(1.0) / F.col("n_groups") / F.lit(float(_AP_SCALE)),
+            6,
+        ).alias("mean_ap"),
+    )

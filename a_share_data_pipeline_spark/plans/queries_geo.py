@@ -438,3 +438,148 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inside",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 50: grid-blocked DBSCAN — density-based spatial clustering, the
+# geo capstone composing the cell grid with connected components
+# ---------------------------------------------------------------------------
+
+_DB_EPS = _CELL  # eps = one cell edge, so the 3x3 neighborhood is complete
+_DB_EPS2 = _DB_EPS * _DB_EPS
+_DB_MINPTS = 3  # core <=> at least (minPts - 1) eps-neighbors besides self
+_DB_TOP = 20
+
+_DBSCAN_SQL = f"""
+WITH RECURSIVE {_POINTS_CTE},
+cand AS (
+  SELECT a.id AS id, b.id AS neighbor
+  FROM cells a
+  CROSS JOIN offsets o
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy AND b.id <> a.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_DB_EPS2}
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM cand GROUP BY id),
+core AS (SELECT id FROM cnt WHERE n >= {_DB_MINPTS - 1}),
+cedge AS (
+  SELECT c.id AS src, c.neighbor AS dst
+  FROM cand c
+  JOIN core a ON a.id = c.id
+  JOIN core b ON b.id = c.neighbor
+),
+reach(node, label) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN cedge e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+border AS (
+  SELECT c.id, MIN(p.cluster) AS cluster
+  FROM cand c
+  JOIN comp p ON p.node = c.neighbor
+  WHERE c.id NOT IN (SELECT id FROM core)
+  GROUP BY c.id
+),
+assigned AS (
+  SELECT node AS id, cluster, TRUE AS is_core FROM comp
+  UNION ALL
+  SELECT id, cluster, FALSE AS is_core FROM border
+),
+summary AS (
+  SELECT cluster,
+         COUNT(*) FILTER (WHERE is_core)::BIGINT AS n_core,
+         COUNT(*) FILTER (WHERE NOT is_core)::BIGINT AS n_border,
+         COUNT(*)::BIGINT AS n_total
+  FROM assigned GROUP BY cluster
+),
+gstat AS (
+  SELECT COUNT(*)::BIGINT AS n_clusters,
+         (SELECT COUNT(*) FROM points)::BIGINT
+           - (SELECT COUNT(*) FROM assigned)::BIGINT AS n_noise
+  FROM summary
+)
+SELECT s.cluster, s.n_core, s.n_border, s.n_total, g.n_clusters, g.n_noise
+FROM summary s CROSS JOIN gstat g
+ORDER BY s.n_total DESC, s.cluster LIMIT {_DB_TOP}
+"""
+
+
+@register(
+    "geo_dbscan_grid",
+    _DBSCAN_SQL,
+    doc=(
+        "grid-blocked DBSCAN — density-based spatial clustering "
+        "composed entirely from machinery the repo already trusts: "
+        "eps-neighbor candidate pairs come from the 3x3 cell "
+        "fan-out + ONE equi-join (_grid_candidates, salt-guarded; "
+        "eps = the cell edge, so the neighborhood is provably "
+        "complete), core points are a count filter (>= minPts-1 "
+        "neighbors), clusters are connected_components over the "
+        "core-core eps-graph (min-label loop, per-round "
+        "localCheckpoint), and border points attach "
+        "DETERMINISTICALLY to the minimum cluster label among their "
+        "core neighbors (classic DBSCAN is visit-order-dependent "
+        "here — the min rule makes both engines agree). Noise = "
+        "unassigned. The oracle replays the identical pipeline with "
+        "a recursive reachability CTE (the er_resolve precedent). "
+        "Output bounded: top-{top} clusters + global "
+        "(n_clusters, n_noise). At scale: candidate stage is the "
+        "geo_grid_knn plan, CC rounds are delta-sized, everything "
+        "else is one count/one join per step"
+    ).format(top=_DB_TOP),
+)
+def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    cells = _cells(spark, sf_dir)
+    neigh = (
+        _grid_candidates(cells)
+        .filter(F.col("dist2") <= _DB_EPS2)
+        .select("id", "neighbor")
+        .localCheckpoint(eager=True)  # counts + core-edge + border consumers
+    )
+    cnt = neigh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    core = cnt.filter(F.col("n") >= _DB_MINPTS - 1).select("id")
+    cedge = (
+        neigh.join(core.withColumnRenamed("id", "id"), "id")
+        .join(core.withColumnRenamed("id", "neighbor"), "neighbor")
+        .select(F.col("id").alias("a"), F.col("neighbor").alias("b"))
+    )
+    # fold_edges: a spatial percolation cluster spans the whole grid, so
+    # the plain min-label loop needs O(diameter) ~ O(grid width) rounds
+    # and would hit max_iters; edge contraction converges in O(log d)
+    comp = connected_components(core, cedge, id_col="id", fold_edges=True).select(
+        F.col("id").alias("node"), F.col("component").alias("cluster")
+    )
+    border = (
+        neigh.join(core, "id", "left_anti")
+        .join(comp.withColumnRenamed("node", "neighbor"), "neighbor")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    assigned = comp.select(
+        F.col("node").alias("id"), "cluster", F.lit(True).alias("is_core")
+    ).unionByName(border.select("id", "cluster", F.lit(False).alias("is_core")))
+    summary = assigned.groupBy("cluster").agg(
+        F.count(F.when(F.col("is_core"), F.lit(1))).cast("bigint").alias("n_core"),
+        F.count(F.when(~F.col("is_core"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_border"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    n_points = cells.agg(F.count(F.lit(1)).alias("np"))
+    glob = summary.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_total").alias("n_assigned"),
+    ).crossJoin(F.broadcast(n_points)).select(
+        "n_clusters",
+        (F.col("np") - F.coalesce(F.col("n_assigned"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_noise"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(glob))
+        .select("cluster", "n_core", "n_border", "n_total", "n_clusters", "n_noise")
+        .orderBy(F.col("n_total").desc(), "cluster")
+        .limit(_DB_TOP)
+    )

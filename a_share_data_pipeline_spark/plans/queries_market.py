@@ -1904,3 +1904,529 @@ def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 47: EWMA volatility (RiskMetrics) + permutation entropy — the
+# smoothed-risk and complexity rows of the daily-series family
+# ---------------------------------------------------------------------------
+
+_EWMA_LAMBDA = 0.94  # RiskMetrics decay
+_EWMA_LAGS = 15  # truncation; adjust-form normalization makes it exact
+
+
+def _ewma_terms() -> tuple[str, str]:
+    ws = [(_EWMA_LAMBDA) ** i for i in range(_EWMA_LAGS)]
+    num = " + ".join(
+        f"COALESCE(CAST(lag(r2, {i}) OVER w AS DOUBLE), 0.0) * {w!r}"
+        for i, w in enumerate(ws)
+    )
+    # CAST the weight literal to DOUBLE: DuckDB parses bare decimal
+    # literals as DECIMAL, and 15 scale-16 decimal adds overflow
+    # DECIMAL(18) — the double chain is also what Spark computes
+    den = " + ".join(
+        f"(CASE WHEN lag(r2, {i}) OVER w IS NOT NULL"
+        f" THEN CAST({w!r} AS DOUBLE) ELSE 0.0 END)"
+        for i, w in enumerate(ws)
+    )
+    return num, den
+
+
+_EWMA_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+ret AS (
+  SELECT event_type, day,
+         {_ILN_SQL} - lag({_ILN_SQL}) OVER v AS r
+  FROM daily WHERE close_c > 0
+  WINDOW v AS (PARTITION BY event_type ORDER BY day)
+),
+r2s AS (
+  SELECT event_type, day, CAST(r AS HUGEINT) * r AS r2
+  FROM ret WHERE r IS NOT NULL
+)
+SELECT event_type, day,
+       ROUND(sqrt(({_ewma_terms()[0]}) / ({_ewma_terms()[1]}))
+             / 100000000.0, 10) AS ewma_vol,
+       ROUND(sqrt(({_ewma_terms()[0]}) / ({_ewma_terms()[1]})
+                  * 252.0) / 100000000.0, 10) AS ann_vol
+FROM r2s
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@register(
+    "events_ewma_volatility",
+    _EWMA_SQL,
+    doc=(
+        "EWMA volatility (RiskMetrics lambda=0.94) — the industry-"
+        "standard smoothed risk estimate between the rolling-window "
+        "stddev and GARCH: sigma2_t = sum w_i r2_(t-i) / sum w_i over "
+        "the lags that exist (adjust form — truncation tail and "
+        "series head are handled by the SAME normalization, the "
+        "events_ema device pointed at squared returns). Returns ride "
+        "the 1e-8 integer-ln grid, each r2 is an exact 128-bit "
+        "integer, the 15 lag weights are Python-float literals "
+        "injected into BOTH engines, and the two weighted sums chain "
+        "left-associatively in lag order — bit-identical doubles. "
+        "One window exchange over the O(days*types) reduced frame; "
+        "the 15 lags share a single frame"
+    ),
+)
+def events_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).filter(F.col("close_c") > 0)
+    wo = W.partitionBy("event_type").orderBy("day")
+    iln = dround(F.log("close_c") * 100000000, 0).cast("bigint")
+    r2s = (
+        daily.select(
+            "event_type", "day", (iln - F.lag(iln).over(wo)).alias("r")
+        )
+        .filter(F.col("r").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            (F.col("r").cast("decimal(19,0)") * F.col("r"))
+            .cast("decimal(38,0)")
+            .alias("r2"),
+        )
+    )
+    ws = [(_EWMA_LAMBDA) ** i for i in range(_EWMA_LAGS)]
+    num = None
+    den = None
+    for i, w in enumerate(ws):
+        lagged = F.lag("r2", i).over(wo)
+        term_n = F.coalesce(lagged.cast("double"), F.lit(0.0)) * F.lit(w)
+        term_d = F.when(lagged.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
+        num = term_n if num is None else num + term_n
+        den = term_d if den is None else den + term_d
+    var_u = num / den
+    return r2s.select(
+        "event_type",
+        "day",
+        dround(F.sqrt(var_u) / F.lit(100000000.0), 10).alias("ewma_vol"),
+        dround(F.sqrt(var_u * F.lit(252.0)) / F.lit(100000000.0), 10).alias(
+            "ann_vol"
+        ),
+    )
+
+
+# ordinal-pattern code for the triple (x0, x1, x2): three pairwise
+# comparisons (ties resolve toward time order — the stable-argsort rule)
+_PE_NORM = math.log(6.0)  # 6 feasible patterns of m=3
+
+_PE_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+tri AS (
+  SELECT event_type,
+         lag(close_c, 2) OVER w AS x0,
+         lag(close_c, 1) OVER w AS x1,
+         close_c AS x2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+coded AS (
+  SELECT event_type,
+         4 * (CASE WHEN x1 < x0 THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN x2 < x0 THEN 1 ELSE 0 END)
+         + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS code
+  FROM tri WHERE x0 IS NOT NULL
+),
+counts AS (
+  SELECT event_type,
+         COUNT(*)::BIGINT AS n,
+         COUNT(*) FILTER (WHERE code = 0)::BIGINT AS c0,
+         COUNT(*) FILTER (WHERE code = 1)::BIGINT AS c1,
+         COUNT(*) FILTER (WHERE code = 2)::BIGINT AS c2,
+         COUNT(*) FILTER (WHERE code = 3)::BIGINT AS c3,
+         COUNT(*) FILTER (WHERE code = 4)::BIGINT AS c4,
+         COUNT(*) FILTER (WHERE code = 6)::BIGINT AS c6,
+         COUNT(*) FILTER (WHERE code = 7)::BIGINT AS c7
+  FROM coded GROUP BY 1
+)
+SELECT event_type, n, c0, c1, c2, c3, c4, c6, c7,
+       ROUND(-(
+         (CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE) / n * ln(CAST(c0 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) / n * ln(CAST(c1 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c2 > 0 THEN CAST(c2 AS DOUBLE) / n * ln(CAST(c2 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c3 > 0 THEN CAST(c3 AS DOUBLE) / n * ln(CAST(c3 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c4 > 0 THEN CAST(c4 AS DOUBLE) / n * ln(CAST(c4 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c6 > 0 THEN CAST(c6 AS DOUBLE) / n * ln(CAST(c6 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c7 > 0 THEN CAST(c7 AS DOUBLE) / n * ln(CAST(c7 AS DOUBLE) / n) ELSE 0.0 END)
+       ), 6) AS entropy,
+       ROUND(-(
+         (CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE) / n * ln(CAST(c0 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) / n * ln(CAST(c1 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c2 > 0 THEN CAST(c2 AS DOUBLE) / n * ln(CAST(c2 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c3 > 0 THEN CAST(c3 AS DOUBLE) / n * ln(CAST(c3 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c4 > 0 THEN CAST(c4 AS DOUBLE) / n * ln(CAST(c4 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c6 > 0 THEN CAST(c6 AS DOUBLE) / n * ln(CAST(c6 AS DOUBLE) / n) ELSE 0.0 END)
+         + (CASE WHEN c7 > 0 THEN CAST(c7 AS DOUBLE) / n * ln(CAST(c7 AS DOUBLE) / n) ELSE 0.0 END)
+       ) / {_PE_NORM!r}, 6) AS pe_normalized
+FROM counts
+"""
+
+
+@register(
+    "events_permutation_entropy",
+    _PE_SQL,
+    doc=(
+        "permutation entropy (Bandt-Pompe, m=3) — the ordinal-pattern "
+        "complexity measure: each consecutive close triple maps to "
+        "one of 6 feasible order patterns via THREE integer "
+        "comparisons (ties resolve toward time order — the stable-"
+        "argsort rule; the transitivity-violating codes 2 and 5 "
+        "cannot occur — c2 stays as an always-zero honesty column), "
+        "counts pivot into COLUMNS so the Shannon entropy is "
+        "ONE fixed left-associative IEEE chain over literal terms — "
+        "never a float fold over rows. Normalized by ln(6). "
+        "O(types) output; one window + one partial-aggregated "
+        "count shuffle over the reduced daily frame"
+    ),
+)
+def events_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    wo = W.partitionBy("event_type").orderBy("day")
+    tri = daily.select(
+        "event_type",
+        F.lag("close_c", 2).over(wo).alias("x0"),
+        F.lag("close_c", 1).over(wo).alias("x1"),
+        F.col("close_c").alias("x2"),
+    ).filter(F.col("x0").isNotNull())
+    b = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    coded = tri.select(
+        "event_type",
+        (
+            F.lit(4) * b(F.col("x1") < F.col("x0"))
+            + F.lit(2) * b(F.col("x2") < F.col("x0"))
+            + b(F.col("x2") < F.col("x1"))
+        ).alias("code"),
+    )
+    cnt = lambda k: F.count(F.when(F.col("code") == k, F.lit(1))).cast(  # noqa: E731
+        "bigint"
+    ).alias(f"c{k}")
+    counts = coded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        cnt(0), cnt(1), cnt(2), cnt(3), cnt(4), cnt(6), cnt(7),
+    )
+    nd = F.col("n").cast("double")
+
+    def term(k: int) -> F.Column:
+        c = F.col(f"c{k}").cast("double")
+        return F.when(
+            F.col(f"c{k}") > 0, c / nd * F.log(c / nd)
+        ).otherwise(F.lit(0.0))
+
+    h = -(
+        term(0) + term(1) + term(2) + term(3) + term(4) + term(6) + term(7)
+    )
+    return counts.select(
+        "event_type", "n", "c0", "c1", "c2", "c3", "c4", "c6", "c7",
+        dround(h, 6).alias("entropy"),
+        dround(h / F.lit(_PE_NORM), 6).alias("pe_normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 49: Amihud illiquidity — price impact per traded dollar, the
+# liquidity row completing the microstructure family
+# ---------------------------------------------------------------------------
+
+_AMIHUD_SCALE = 1000000000000  # |r|*1e12 // dv_c ~= ratio * 1e18 grid
+
+_AMIHUD_SQL = f"""
+WITH daily2 AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         arg_max(CAST(ROUND(value * 100, 0) AS BIGINT), {_ORDKEY_SQL}) AS close_c,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS dv_c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+ret AS (
+  SELECT event_type, day, dv_c,
+         CAST(ROUND(ln(close_c) * 100000000, 0) AS BIGINT)
+           - lag(CAST(ROUND(ln(close_c) * 100000000, 0) AS BIGINT)) OVER w AS r
+  FROM daily2 WHERE close_c > 0
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+ratio AS (
+  SELECT event_type,
+         (CAST(ABS(r) AS HUGEINT) * {_AMIHUD_SCALE}) // dv_c AS ratio_u
+  FROM ret WHERE r IS NOT NULL AND dv_c > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ratio_u) AS BIGINT) AS illiq_u,
+       ROUND(SUM(ratio_u) * 1.0 / COUNT(*) / 1000000000000.0, 8) AS illiq_x1e6
+FROM ratio GROUP BY event_type
+"""
+
+
+@register(
+    "events_amihud_illiquidity",
+    _AMIHUD_SQL,
+    doc=(
+        "Amihud (2002) illiquidity — average |daily return| per "
+        "traded dollar, THE standard price-impact proxy and the "
+        "liquidity row beside events_vpin (toxicity), "
+        "events_roll_spread (spread) and events_volatility_gk "
+        "(risk): one partial-aggregated daily reduce carries BOTH "
+        "the close (arg_max by the shared ordkey) and the dollar "
+        "volume, returns ride the 1e-8 integer-ln grid, and each "
+        "day's ratio floors onto an integer grid via 128-bit "
+        "(|r|*1e12) DIV dv — so the cross-day average is an exact "
+        "integer fold with ONE division at emit (reported x1e6, the "
+        "conventional Amihud scaling). Zero-volume days drop "
+        "explicitly. O(types) output; per-instrument partitioning "
+        "at scale"
+    ),
+)
+def events_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily2 = (
+        _ticks(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            _cents().alias("cent"),
+            _ordkey().alias("ordkey"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max_by("cent", "ordkey").alias("close_c"),
+            F.sum("cent").alias("dv_c"),
+        )
+        .filter(F.col("close_c") > 0)
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    iln = dround(F.log("close_c") * 100000000, 0).cast("bigint")
+    ret = daily2.select(
+        "event_type", "dv_c", (iln - F.lag(iln).over(wo)).alias("r")
+    ).filter(F.col("r").isNotNull() & (F.col("dv_c") > 0))
+    ratio = ret.select(
+        "event_type",
+        F.expr(
+            f"(CAST(ABS(r) AS DECIMAL(38,0)) * {_AMIHUD_SCALE}) div dv_c"
+        ).alias("ratio_u"),
+    )
+    return ratio.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("ratio_u").cast("bigint").alias("illiq_u"),
+        dround(
+            F.sum("ratio_u") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1.0e12), 8
+        ).alias("illiq_x1e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 51: fractional differentiation + Kyle's lambda — the de Prado
+# stationarity transform and the linear price-impact coefficient
+# ---------------------------------------------------------------------------
+
+_FD_D = 0.5  # differencing order
+_FD_LAGS = 10  # fixed-width truncated window
+
+
+def _fd_weights() -> list[float]:
+    ws = [1.0]
+    for k in range(1, _FD_LAGS):
+        ws.append(-ws[-1] * (_FD_D - k + 1) / k)
+    return ws
+
+
+def _fd_sql_expr() -> str:
+    return " + ".join(
+        f"CAST(lag(x, {k}) OVER w AS DOUBLE) * CAST({wk!r} AS DOUBLE)"
+        for k, wk in enumerate(_fd_weights())
+    )
+
+
+_FD_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+lns AS (
+  SELECT event_type, day, {_ILN_SQL} AS x
+  FROM daily WHERE close_c > 0
+),
+fd AS (
+  SELECT event_type, day,
+         lag(x, {_FD_LAGS - 1}) OVER w AS oldest,
+         {_fd_sql_expr()} AS fd_u
+  FROM lns
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day,
+       ROUND(fd_u / 100000000.0, 8) AS frac_diff
+FROM fd WHERE oldest IS NOT NULL
+"""
+
+
+@register(
+    "events_frac_diff",
+    _FD_SQL,
+    doc=(
+        "fractional differentiation (de Prado FFD, d=0.5) — the "
+        "stationarity transform that keeps memory integer "
+        "differencing destroys: (1-B)^d applied to the log-price "
+        "series with the binomial weights w_k = -w_(k-1)(d-k+1)/k "
+        "truncated to a fixed {lags}-lag window (the fixed-width "
+        "method, so every output is a comparable same-support dot "
+        "product; head rows without full support drop). Log prices "
+        "ride the 1e-8 integer-ln grid, the weights are Python-float "
+        "literals injected into BOTH engines, and the dot product "
+        "chains left-associatively in lag order — bit-identical. One "
+        "window over the O(days*types) reduced frame; the events_ema "
+        "device family's third member (EMA smoothing, EWMA risk, FFD "
+        "stationarity)"
+    ).format(lags=_FD_LAGS),
+)
+def events_frac_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).filter(F.col("close_c") > 0)
+    wo = W.partitionBy("event_type").orderBy("day")
+    iln = dround(F.log("close_c") * 100000000, 0).cast("bigint")
+    lns = daily.select("event_type", "day", iln.alias("x"))
+    fd = None
+    for k, wk in enumerate(_fd_weights()):
+        term = F.lag("x", k).over(wo).cast("double") * F.lit(wk)
+        fd = term if fd is None else fd + term
+    return (
+        lns.select(
+            "event_type",
+            "day",
+            F.lag("x", _FD_LAGS - 1).over(wo).alias("oldest"),
+            fd.alias("fd_u"),
+        )
+        .filter(F.col("oldest").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            dround(F.col("fd_u") / F.lit(100000000.0), 8).alias("frac_diff"),
+        )
+    )
+
+
+
+_KYLE_SQL = f"""
+WITH ticks AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         date_trunc('day', ts) AS day, {_ORDKEY_SQL} AS ok
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+lagged AS (
+  SELECT event_type, c, day, ok,
+         CASE WHEN c > lag(c) OVER w THEN 1
+              WHEN c < lag(c) OVER w THEN -1 END AS nz
+  FROM ticks
+  WINDOW w AS (PARTITION BY event_type ORDER BY ok)
+),
+signed AS (
+  SELECT event_type, c, day, ok,
+         COALESCE(last_value(nz IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY ok
+                        ROWS UNBOUNDED PRECEDING), 1) AS sgn
+  FROM lagged
+),
+daily2 AS (
+  SELECT event_type, day,
+         SUM(sgn * c)::HUGEINT AS q,
+         arg_max(c, ok) AS close_c
+  FROM signed GROUP BY 1, 2
+),
+ret AS (
+  SELECT event_type, q,
+         CAST(ROUND(ln(close_c) * 100000000, 0) AS BIGINT)
+           - lag(CAST(ROUND(ln(close_c) * 100000000, 0) AS BIGINT)) OVER w AS r
+  FROM daily2 WHERE close_c > 0
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+s AS (
+  SELECT event_type,
+         COUNT(*)::HUGEINT AS n, SUM(q)::HUGEINT AS sq, SUM(r)::HUGEINT AS sr,
+         SUM(q * CAST(r AS HUGEINT)) AS sqr,
+         SUM(q * q) AS sqq, SUM(CAST(r AS HUGEINT) * r) AS srr
+  FROM ret WHERE r IS NOT NULL GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(CAST(n * sqr - sq * sr AS DOUBLE)
+             / CAST(n * sqq - sq * sq AS DOUBLE), 6) AS kyle_lambda,
+       ROUND(CAST(n * sqr - sq * sr AS DOUBLE)
+             / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                    * CAST(n * srr - sr * sr AS DOUBLE)), 6) AS flow_ret_corr
+FROM s
+WHERE n * sqq - sq * sq > 0 AND n * srr - sr * sr > 0
+"""
+
+
+@register(
+    "events_kyle_lambda",
+    _KYLE_SQL,
+    doc=(
+        "Kyle's lambda — the linear price-impact coefficient closing "
+        "the microstructure suite (VPIN toxicity, Roll spread, "
+        "Amihud impact-per-dollar; lambda is impact per signed "
+        "dollar): tick-rule signed flow with last-direction carry "
+        "(the events_vpin device) reduces per day alongside the "
+        "ordkey close, daily returns ride the integer-ln grid, and "
+        "lambda = slope of r on q comes from five exact 128-bit "
+        "moments in ONE fixed IEEE chain, reported in natural grid "
+        "units (1e-8 ln per cent; scaling past the dround 2^52 bound "
+        "saturates Spark floor — caught at sf0.001) (plus the flow-return "
+        "correlation from the same moments). Integer radicand "
+        "guards; O(types) output; the tick window partitions per "
+        "instrument at scale"
+    ),
+)
+def events_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ticks = _ticks(spark, sf_dir).select(
+        "event_type",
+        _cents().alias("c"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        _ordkey().alias("ok"),
+    )
+    wo = W.partitionBy("event_type").orderBy("ok")
+    nz = (
+        F.when(F.col("c") > F.lag("c").over(wo), 1)
+        .when(F.col("c") < F.lag("c").over(wo), -1)
+    )
+    lagged = ticks.select("event_type", "c", "day", "ok", nz.alias("nz"))
+    sgn = F.coalesce(
+        F.last("nz", ignorenulls=True).over(
+            wo.rowsBetween(W.unboundedPreceding, 0)
+        ),
+        F.lit(1),
+    )
+    signed = lagged.select("event_type", "c", "day", "ok", sgn.alias("sgn"))
+    daily2 = (
+        signed.groupBy("event_type", "day")
+        .agg(
+            F.sum(F.col("sgn").cast("decimal(19,0)") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("q"),
+            F.max_by("c", "ok").alias("close_c"),
+        )
+        .filter(F.col("close_c") > 0)
+    )
+    wd = W.partitionBy("event_type").orderBy("day")
+    iln = dround(F.log("close_c") * 100000000, 0).cast("bigint")
+    ret = daily2.select(
+        "event_type", "q", (iln - F.lag(iln).over(wd)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    d38 = "decimal(38,0)"
+    s = ret.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("q").cast(d38).alias("sq"),
+        F.sum("r").cast(d38).alias("sr"),
+        F.sum(F.col("q") * F.col("r").cast("decimal(19,0)")).cast(d38).alias("sqr"),
+        F.sum(F.col("q") * F.col("q")).cast(d38).alias("sqq"),
+        F.sum((F.col("r").cast("decimal(19,0)") * F.col("r")).cast("decimal(26,0)"))
+        .cast(d38)
+        .alias("srr"),
+    )
+    n, sq, sr = F.col("n"), F.col("sq"), F.col("sr")
+    num = n * F.col("sqr") - sq * sr
+    dq = n * F.col("sqq") - sq * sq
+    dr = n * F.col("srr") - sr * sr
+    return s.filter((dq > 0) & (dr > 0)).select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        dround(num.cast("double") / dq.cast("double"), 6).alias("kyle_lambda"),
+        dround(
+            num.cast("double") / F.sqrt(dq.cast("double") * dr.cast("double")), 6
+        ).alias("flow_ret_corr"),
+    )

@@ -1425,3 +1425,167 @@ def profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.pow(F.col("o") - exp, 2) / exp, 6).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 46: local clustering coefficient — the per-node cohesion ratio
+# built on graph_triangles' capped similarity graph
+# ---------------------------------------------------------------------------
+
+_CC_TOP = 20
+
+_CC_SQL = f"""
+WITH keyed AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] || '|' ||
+           CAST(CAST(FLOOR(length(p_name) / 4.0) AS BIGINT) AS VARCHAR) AS blk
+  FROM part
+),
+rawpairs AS (
+  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+deg0 AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT ka AS node FROM rawpairs UNION ALL SELECT kb FROM rawpairs
+  ) GROUP BY node
+),
+ok AS (SELECT node FROM deg0 WHERE d <= {_TRI_MAX_DEGREE}),
+pairs AS (
+  SELECT ka, kb FROM rawpairs
+  JOIN ok oa ON oa.node = rawpairs.ka
+  JOIN ok ob ON ob.node = rawpairs.kb
+),
+deg AS (
+  SELECT node, COUNT(*)::BIGINT AS d FROM (
+    SELECT ka AS node FROM pairs UNION ALL SELECT kb FROM pairs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.ka AS a, e1.kb AS b, e2.kb AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.ka = e1.kb
+  JOIN pairs e3 ON e3.ka = e1.ka AND e3.kb = e2.kb
+),
+per_node AS (
+  SELECT node, COUNT(*)::BIGINT AS tri_cnt FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+cc AS (
+  SELECT deg.node, deg.d, COALESCE(p.tri_cnt, 0) AS tri_cnt,
+         (2 * COALESCE(p.tri_cnt, 0) * 1000000000)
+           // (deg.d * (deg.d - 1)) AS cc_u
+  FROM deg LEFT JOIN per_node p ON p.node = deg.node
+  WHERE deg.d >= 2
+),
+avg_cc AS (
+  SELECT COUNT(*)::BIGINT AS n_nodes,
+         SUM(cc_u) * 1.0 / COUNT(*) / 1000000000.0 AS global_avg
+  FROM cc
+)
+SELECT cc.node, cc.d AS degree, cc.tri_cnt,
+       ROUND(cc_u / 1000000000.0, 6) AS local_cc,
+       cc.cc_u, a.n_nodes,
+       ROUND(a.global_avg, 6) AS avg_clustering
+FROM cc CROSS JOIN avg_cc a
+ORDER BY cc.cc_u DESC, cc.node LIMIT {_CC_TOP}
+"""
+
+
+@register(
+    "graph_clustering_coeff",
+    _CC_SQL,
+    doc=(
+        "local clustering coefficient (Watts-Strogatz) — per-node "
+        "cohesion cc(v) = 2*tri(v) / (d(v)*(d(v)-1)) over "
+        "graph_triangles' degree-capped part-similarity graph, plus "
+        "the global average: the small-world diagnostic that turns "
+        "raw triangle counts into a comparable [0,1] ratio. The "
+        "whole ratio lane is INTEGER: cc_u = (2*tri*1e9) DIV "
+        "(d*(d-1)) is exact integer division (no float ever "
+        "materializes per node), the cross-node average is an exact "
+        "integer fold divided ONCE at emit, and the top-k orders by "
+        "the integer cc_u (deterministic; node id tie-break). Wedge "
+        "join + closing-edge probe count each triangle once "
+        "(low->high orientation); the d<=200 hot-node cap bounds any "
+        "task at O(cap^2) — the _bucket_pairs discipline. Zero-"
+        "triangle nodes stay via the left join (cc=0 is signal). "
+        "Output bounded: top-{top} + the global scalar"
+    ).format(top=_CC_TOP),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs_raw = join_fuzzy_blocked(spark, sf_dir).select(
+        F.col("key_a").alias("ka"), F.col("key_b").alias("kb")
+    )
+    deg0 = (
+        pairs_raw.select(F.col("ka").alias("node"))
+        .unionByName(pairs_raw.select(F.col("kb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ok = deg0.filter(F.col("d") <= _TRI_MAX_DEGREE).select("node")
+    pairs = (
+        pairs_raw.join(ok.withColumnRenamed("node", "ka"), "ka")
+        .join(ok.withColumnRenamed("node", "kb"), "kb")
+        .select("ka", "kb")
+        .localCheckpoint(eager=True)  # degree + three wedge consumers
+    )
+    deg = (
+        pairs.select(F.col("ka").alias("node"))
+        .unionByName(pairs.select(F.col("kb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e1 = pairs.select(F.col("ka").alias("a"), F.col("kb").alias("b"))
+    e2 = pairs.select(F.col("ka").alias("b"), F.col("kb").alias("c"))
+    e3 = pairs.select(F.col("ka").alias("a"), F.col("kb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
+    )
+    # integer ratio lane: Spark's "/" on ints yields double, so the exact
+    # 1e-9-grid coefficient uses SQL `div` (truncating integer division,
+    # matching DuckDB `//` on the non-negative operands here)
+    cc = (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("tri_cnt"), F.lit(0)).alias("tri_cnt"),
+        )
+        .select(
+            "node",
+            "d",
+            "tri_cnt",
+            F.expr("(2 * tri_cnt * 1000000000) div (d * (d - 1))").alias("cc_u"),
+        )
+    )
+    avg_cc = cc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("cc_u") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000000.0)).alias(
+            "global_avg"
+        ),
+    )
+    return (
+        cc.crossJoin(F.broadcast(avg_cc))
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            "tri_cnt",
+            dround(F.col("cc_u") / F.lit(1000000000.0), 6).alias("local_cc"),
+            "cc_u",
+            "n_nodes",
+            dround(F.col("global_avg"), 6).alias("avg_clustering"),
+        )
+        .orderBy(F.col("cc_u").desc(), "node")
+        .limit(_CC_TOP)
+    )

@@ -735,3 +735,442 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("mhi") / 100.0, 4).alias("ci_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 46: Benjamini-Hochberg FDR — multiple-testing control over the
+# (event_type x iso-dow) z-test family
+# ---------------------------------------------------------------------------
+
+_BH_Q = 0.10
+# Abramowitz-Stegun 7.1.26 erfc polynomial — identical literals on both
+# engines, so the p-value is ONE fixed IEEE chain from the integer moments
+_BH_INV_SQRT2 = 0.7071067811865476
+
+_BH_SQL = f"""
+WITH cents AS (
+  SELECT event_type, isodow(ts) AS dow,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+grp AS (
+  SELECT event_type, dow, COUNT(*)::HUGEINT AS na,
+         SUM(c)::HUGEINT AS sa, SUM(CAST(c AS HUGEINT) * c) AS qa
+  FROM cents GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(na) AS nt, SUM(sa) AS st, SUM(qa) AS qt
+  FROM grp GROUP BY 1
+),
+z AS (
+  SELECT g.event_type, g.dow, g.na, t.nt - g.na AS nb,
+         g.sa, t.st - g.sa AS sb, g.qa, t.qt - g.qa AS qb
+  FROM grp g JOIN tot t USING (event_type)
+),
+stat AS (
+  SELECT event_type, dow, CAST(na AS BIGINT) AS n_dow,
+         (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+         / sqrt((CAST(na * qa - sa * sa AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)))
+                  / CAST(na AS DOUBLE)
+                + (CAST(nb * qb - sb * sb AS DOUBLE)
+                   / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+                  / CAST(nb AS DOUBLE)) AS zv
+  FROM z
+  WHERE na > 1 AND nb > 1 AND (na * qa - sa * sa > 0 OR nb * qb - sb * sb > 0)
+),
+pv AS (
+  SELECT event_type, dow, n_dow, zv,
+         ROUND((((({1.061405429!r} * (1.0 / (1.0 + {0.3275911!r} * (ABS(zv) * {_BH_INV_SQRT2!r})))
+                    - {1.453152027!r}) * (1.0 / (1.0 + {0.3275911!r} * (ABS(zv) * {_BH_INV_SQRT2!r})))
+                   + {1.421413741!r}) * (1.0 / (1.0 + {0.3275911!r} * (ABS(zv) * {_BH_INV_SQRT2!r})))
+                  - {0.284496736!r}) * (1.0 / (1.0 + {0.3275911!r} * (ABS(zv) * {_BH_INV_SQRT2!r})))
+                 + {0.254829592!r}) * (1.0 / (1.0 + {0.3275911!r} * (ABS(zv) * {_BH_INV_SQRT2!r})))
+               * exp(-((ABS(zv) * {_BH_INV_SQRT2!r}) * (ABS(zv) * {_BH_INV_SQRT2!r}))), 10) AS p
+  FROM stat
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p, event_type, dow) AS i,
+         COUNT(*) OVER () AS m
+  FROM pv
+),
+adj AS (
+  SELECT *, LEAST(MIN(p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE))
+                    OVER (ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                  1.0) AS p_adj
+  FROM ranked
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, n_dow,
+       ROUND(zv, 6) AS z, p AS p_raw,
+       ROUND(p_adj, 10) AS p_adj, p_adj <= {_BH_Q!r} AS reject
+FROM adj
+"""
+
+
+@register(
+    "stats_benjamini_hochberg",
+    _BH_SQL,
+    doc=(
+        "Benjamini-Hochberg FDR control — the multiple-testing "
+        "correction every metrics platform needs once it tests many "
+        "segments at once: 35 hypotheses (event_type x iso-weekday "
+        "mean shift vs the type's remaining days), each a Welch z "
+        "from exact 128-bit integer moments (group vs complement by "
+        "subtraction from the per-type totals — one shuffle, no "
+        "second scan), p = erfc(|z|/sqrt2) via the Abramowitz-Stegun "
+        "polynomial as ONE fixed IEEE chain ROUNDED onto a 1e-10 "
+        "p-grid before any cross-row use (the once-rounded device, "
+        "pointed at p-values), then the step-up: rank by p, "
+        "p_adj = cummin_{{j>=i}}(p_j*m/j) via one "
+        "current-to-unbounded-following window. The BH frame is "
+        "O(hypotheses) — 35 rows — so the global window is free; at "
+        "scale the family axis partitions (per metric, per day) and "
+        "the moments pass stays one partial-aggregated shuffle. "
+        "Integer radicand guards drop degenerate cells; reject at "
+        "q=0.10"
+    ),
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cents = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).alias("dow"),
+        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    d38 = "decimal(38,0)"
+    grp = cents.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast(d38).alias("na"),
+        F.sum("c").cast(d38).alias("sa"),
+        F.sum((F.col("c").cast("decimal(19,0)") * F.col("c")).cast("decimal(26,0)"))
+        .cast(d38)
+        .alias("qa"),
+    )
+    tot = grp.groupBy("event_type").agg(
+        F.sum("na").cast(d38).alias("nt"),
+        F.sum("sa").cast(d38).alias("st"),
+        F.sum("qa").cast(d38).alias("qt"),
+    )
+    z = grp.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "na",
+        (F.col("nt") - F.col("na")).alias("nb"),
+        "sa",
+        (F.col("st") - F.col("sa")).alias("sb"),
+        "qa",
+        (F.col("qt") - F.col("qa")).alias("qb"),
+    )
+    na, nb, sa, sb, qa, qb = (F.col(c) for c in ("na", "nb", "sa", "sb", "qa", "qb"))
+    rada = na * qa - sa * sa
+    radb = nb * qb - sb * sb
+    nad, nbd = na.cast("double"), nb.cast("double")
+    zv = (sa.cast("double") / nad - sb.cast("double") / nbd) / F.sqrt(
+        (rada.cast("double") / (nad * nad)) / nad
+        + (radb.cast("double") / (nbd * nbd)) / nbd
+    )
+    stat = z.filter((na > 1) & (nb > 1) & ((rada > 0) | (radb > 0))).select(
+        "event_type", "dow", na.cast("bigint").alias("n_dow"), zv.alias("zv")
+    )
+    x = F.abs(F.col("zv")) * F.lit(_BH_INV_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            - F.lit(0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    pv = stat.select(
+        "event_type",
+        "dow",
+        "n_dow",
+        "zv",
+        dround(poly * F.exp(-(x * x)), 10).alias("p"),
+    )
+    wr = W.orderBy("p", "event_type", "dow")
+    ranked = pv.select(
+        "*",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1))
+        .over(W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("m"),
+    )
+    wmin = W.orderBy("i").rowsBetween(0, W.unboundedFollowing)
+    adj = ranked.select(
+        "*",
+        F.least(
+            F.min(
+                F.col("p") * F.col("m").cast("double") / F.col("i").cast("double")
+            ).over(wmin),
+            F.lit(1.0),
+        ).alias("p_adj"),
+    )
+    return adj.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "n_dow",
+        dround(F.col("zv"), 6).alias("z"),
+        F.col("p").alias("p_raw"),
+        dround(F.col("p_adj"), 10).alias("p_adj"),
+        (F.col("p_adj") <= F.lit(_BH_Q)).alias("reject"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 48: Brown-Forsythe variance-homogeneity test — ANOVA's machinery
+# pointed at |x - median_g| (the robust Levene variant)
+# ---------------------------------------------------------------------------
+
+_BF_PIV = ",\n         ".join(
+    f"MAX(CASE WHEN g = '{t}' THEN n END) AS n_{t},\n"
+    f"         MAX(CASE WHEN g = '{t}' THEN CAST(s AS DOUBLE) END) AS s_{t},\n"
+    f"         MAX(CASE WHEN g = '{t}' THEN CAST(q AS DOUBLE) END) AS q_{t}"
+    for t in _TYPES
+)
+_BF_N = " + ".join(f"n_{t}" for t in _TYPES)
+_BF_S = " + ".join(f"s_{t}" for t in _TYPES)
+_BF_Q = " + ".join(f"q_{t}" for t in _TYPES)
+_BF_SSB = " + ".join(f"s_{t} * s_{t} / n_{t}" for t in _TYPES)
+
+_BF_SQL = f"""
+WITH cents AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+med AS (
+  SELECT g, c AS med FROM (
+    SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS cnt
+    FROM cents
+  ) WHERE rn = (cnt + 1) // 2
+),
+zdev AS (
+  SELECT cents.g, ABS(c - med) AS z FROM cents JOIN med USING (g)
+),
+m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z) AS HUGEINT) AS s,
+         SUM(CAST(z AS HUGEINT) * z) AS q
+  FROM zdev GROUP BY g
+),
+piv AS (
+  SELECT {_BF_PIV}
+  FROM m
+),
+tot AS (
+  SELECT {len(_TYPES)} AS k, ({_BF_N}) AS n_total,
+         (({_BF_SSB}) - ({_BF_S}) * ({_BF_S}) / ({_BF_N})) / 10000.0 AS ssb,
+         (({_BF_Q}) - ({_BF_SSB})) / 10000.0 AS ssw
+  FROM piv
+)
+SELECT CAST(k AS INT) AS k, CAST(n_total AS BIGINT) AS n_total,
+       ROUND(ssb, 4) AS ssb_z,
+       ROUND(ssw, 4) AS ssw_z,
+       ROUND((ssb / (k - 1)) / (ssw / (n_total - k)), 4) AS bf_stat
+FROM tot
+"""
+
+
+@register(
+    "stats_brown_forsythe",
+    _BF_SQL,
+    doc=(
+        "Brown-Forsythe variance-homogeneity test — the robust Levene "
+        "variant every ANOVA should be preceded by: one-way ANOVA's "
+        "exact machinery pointed at z = |x - median_g|. Per-group "
+        "medians are the LOWER-median element picked by position "
+        "(row_number = (n+1) div 2 — an integer cents value, "
+        "tie-order-immune), deviations are exact integers, and the "
+        "(n, sum z, sum z^2) moments pivot into per-group COLUMNS so "
+        "every cross-group sum chains left-associatively in the "
+        "fixed _TYPES order (the stats_anova_oneway device). W "
+        "follows as one fixed IEEE chain. At scale the exact median "
+        "is the contract (per-group sort-shuffle); swap in "
+        "approx_percentile for the billions-of-rows lane and the "
+        "rest of the plan is unchanged"
+    ),
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = dround(F.col("value") * 100, 0).cast("bigint")
+    cents = ev.select(F.col("event_type").alias("g"), c.alias("c"))
+    wg = W.partitionBy("g").orderBy("c")
+    wc = W.partitionBy("g")
+    # (cnt+1)/2 on bigints yields double in Spark; use floor-div expr
+    med = (
+        cents.select(
+            "g",
+            "c",
+            F.row_number().over(wg).alias("rn"),
+            F.count(F.lit(1))
+            .over(wc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("g", F.col("c").alias("med"))
+    )
+    zdev = cents.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("c") - F.col("med")).alias("z")
+    )
+    zd = F.col("z").cast("decimal(18,0)")
+    m = (
+        zdev.select("g", "z", (zd * zd).alias("z2"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("z").cast("decimal(38,0)").alias("s"),
+            F.sum("z2").alias("q"),
+        )
+    )
+    g = F.col("g")
+    aggs = []
+    for t in _TYPES:
+        aggs.append(F.max(F.when(g == t, F.col("n"))).alias(f"n_{t}"))
+        aggs.append(F.max(F.when(g == t, F.col("s").cast("double"))).alias(f"s_{t}"))
+        aggs.append(F.max(F.when(g == t, F.col("q").cast("double"))).alias(f"q_{t}"))
+    piv = m.agg(*aggs)
+
+    def chain(cols):
+        out = cols[0]
+        for x in cols[1:]:
+            out = out + x
+        return out
+
+    n_total = chain([F.col(f"n_{t}") for t in _TYPES])
+    s_total = chain([F.col(f"s_{t}") for t in _TYPES])
+    q_total = chain([F.col(f"q_{t}") for t in _TYPES])
+    ssb_terms = chain(
+        [F.col(f"s_{t}") * F.col(f"s_{t}") / F.col(f"n_{t}") for t in _TYPES]
+    )
+    tot = piv.select(
+        F.lit(len(_TYPES)).alias("k"),
+        n_total.alias("n_total"),
+        ((ssb_terms - s_total * s_total / n_total) / F.lit(10000.0)).alias("ssb"),
+        ((q_total - ssb_terms) / F.lit(10000.0)).alias("ssw"),
+    )
+    k, nt = F.col("k"), F.col("n_total")
+    return tot.select(
+        k.cast("int").alias("k"),
+        nt.cast("bigint").alias("n_total"),
+        dround(F.col("ssb"), 4).alias("ssb_z"),
+        dround(F.col("ssw"), 4).alias("ssw_z"),
+        dround((F.col("ssb") / (k - 1)) / (F.col("ssw") / (nt - k)), 4).alias(
+            "bf_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 49: Grubbs outlier statistic — the single-most-extreme-point
+# test, per event-type group
+# ---------------------------------------------------------------------------
+
+_GRUBBS_SQL = """
+WITH cents AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS s,
+         SUM(CAST(c AS HUGEINT) * c) AS q
+  FROM cents GROUP BY g
+),
+dev AS (
+  SELECT cents.g, c,
+         ABS(CAST(n AS HUGEINT) * c - s) AS absdev_n, n, s, q
+  FROM cents JOIN m ON m.g = cents.g
+),
+suspect AS (
+  SELECT g, c AS suspect_c, absdev_n, n, s, q FROM (
+    SELECT *, row_number() OVER (PARTITION BY g
+                                 ORDER BY absdev_n DESC, c DESC) AS rn
+    FROM dev
+  ) WHERE rn = 1
+)
+SELECT g AS event_type, n,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_val,
+       ROUND(CAST(suspect_c AS DOUBLE) / 100.0, 2) AS suspect_val,
+       ROUND((CAST(absdev_n AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(n * q - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) AS g_stat
+FROM suspect
+WHERE n > 2 AND n * q - s * s > 0
+"""
+
+
+@register(
+    "stats_grubbs_outlier",
+    _GRUBBS_SQL,
+    doc=(
+        "Grubbs outlier statistic — G = max|x - mean| / s per group, "
+        "the classical single-outlier screen beside the MAD/SPC "
+        "anomaly rows: the argmax deviation rides an ALL-INTEGER "
+        "device (|n*x - s| — mean comparison without division, the "
+        "golden-cross cross-multiply trick), the suspect point is "
+        "deterministic (ties break toward the larger value), and G "
+        "is one fixed IEEE chain over the exact (n, S, Q, absdev) "
+        "integers with the sample-variance radicand guard. Compare "
+        "against the t-based critical value downstream (a literal "
+        "table lookup — no quantile machinery in the scan path). "
+        "One moments shuffle + one window over the group; O(types) "
+        "output"
+    ),
+)
+def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = dround(F.col("value") * 100, 0).cast("bigint")
+    cents = ev.select(F.col("event_type").alias("g"), c.alias("c"))
+    cd = F.col("c").cast("decimal(18,0)")
+    m = (
+        cents.select("g", "c", (cd * cd).alias("c2"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("decimal(38,0)").alias("s"),
+            F.sum("c2").cast("decimal(38,0)").alias("q"),
+        )
+    )
+    dev = cents.join(F.broadcast(m), "g").select(
+        "g",
+        "c",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("c").cast("decimal(19,0)")
+            - F.col("s")
+        ).alias("absdev_n"),
+        "n",
+        "s",
+        "q",
+    )
+    wr = W.partitionBy("g").orderBy(F.col("absdev_n").desc(), F.col("c").desc())
+    suspect = (
+        dev.select("*", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    rad = n.cast("decimal(38,0)") * q - s * s
+    nd = n.cast("double")
+    return suspect.filter((n > 2) & (rad > 0)).select(
+        F.col("g").alias("event_type"),
+        "n",
+        dround(s.cast("double") / nd / F.lit(100.0), 6).alias("mean_val"),
+        dround(F.col("c").cast("double") / F.lit(100.0), 2).alias("suspect_val"),
+        dround(
+            (F.col("absdev_n").cast("double") / nd)
+            / F.sqrt(rad.cast("double") / (nd * (n - 1).cast("double"))),
+            6,
+        ).alias("g_stat"),
+    )

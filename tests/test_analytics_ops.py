@@ -2734,3 +2734,564 @@ def test_hurst_exponent_matches_python_replay(spark):
         for n, col in ((7, g.rs7), (14, g.rs14), (28, g.rs28)):
             assert abs(col - round(rs_avg[n], 6)) < 1e-9
         assert abs(g.hurst - round(want_h, 6)) < 1e-9
+
+
+def test_benjamini_hochberg_matches_python_replay(spark):
+    """The full BH chain — integer-moment Welch z, A&S erfc p on the
+    1e-10 grid, step-up adjusted p — replayed in pure Python."""
+    import duckdb
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_stats import (
+        _BH_INV_SQRT2,
+        _BH_Q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT event_type, isodow(ts), CAST(ROUND(value*100,0) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    grp, tot = {}, {}
+    for et, dow, c in rows:
+        n, s, q = grp.get((et, dow), (0, 0, 0))
+        grp[(et, dow)] = (n + 1, s + c, q + c * c)
+        n, s, q = tot.get(et, (0, 0, 0))
+        tot[et] = (n + 1, s + c, q + c * c)
+    def dr(x, n):  # DuckDB binary ROUND (dround twin) for x >= 0
+        return m.floor(x * 10**n + 0.5) / 10**n
+
+    hyps = []
+    for (et, dow), (na, sa, qa) in sorted(grp.items()):
+        nt, st, qt = tot[et]
+        nb, sb, qb = nt - na, st - sa, qt - qa
+        rada, radb = na * qa - sa * sa, nb * qb - sb * sb
+        if not (na > 1 and nb > 1 and (rada > 0 or radb > 0)):
+            continue
+        z = (sa / na - sb / nb) / m.sqrt(
+            (rada / (float(na) * na)) / na + (radb / (float(nb) * nb)) / nb
+        )
+        x = abs(z) * _BH_INV_SQRT2
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736)
+            * t
+            + 0.254829592
+        ) * t
+        p = dr(poly * m.exp(-(x * x)), 10)
+        hyps.append((p, et, dow, na, z))
+    hyps.sort()
+    mm = len(hyps)
+    padj = [None] * mm
+    cur = 1.0
+    for i in range(mm - 1, -1, -1):
+        cur = min(cur, hyps[i][0] * mm / (i + 1))
+        padj[i] = min(cur, 1.0)
+    got = {
+        (r.event_type, r.dow): r
+        for r in registry()["stats_benjamini_hochberg"].fn(spark, sf).collect()
+    }
+    assert len(got) == mm
+    for i, (p, et, dow, na, z) in enumerate(hyps):
+        g = got[(et, dow)]
+        assert g.n_dow == na
+        assert abs(g.z - round(z, 6)) < 1e-9
+        assert abs(g.p_raw - p) < 1e-12
+        assert abs(g.p_adj - dr(padj[i], 10)) < 1e-12
+        assert g.reject == (padj[i] <= _BH_Q)
+
+
+def test_clustering_coeff_matches_python_replay(spark):
+    """Local clustering over the capped similarity graph replayed in
+    pure Python (blocking, DP edit distance, triangle sets, exact
+    integer cc lane)."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_profile import (
+        _CC_TOP,
+        _TRI_MAX_DEGREE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    parts = duckdb.connect().execute(
+        f"SELECT p_partkey, p_name FROM read_parquet('{sf}/part.parquet')"
+    ).fetchall()
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    blocks = {}
+    for k, name in parts:
+        blk = (name.split(" ")[0], len(name) // 4)
+        blocks.setdefault(blk, []).append((k, name))
+    raw = set()
+    for members in blocks.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if lev(members[i][1], members[j][1]) <= 3:
+                    raw.add((members[i][0], members[j][0]))
+    deg0 = {}
+    for a, b in raw:
+        deg0[a] = deg0.get(a, 0) + 1
+        deg0[b] = deg0.get(b, 0) + 1
+    ok = {n for n, d in deg0.items() if d <= _TRI_MAX_DEGREE}
+    pairs = {(a, b) for a, b in raw if a in ok and b in ok}
+    adj = {}
+    deg = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tri = {}
+    for a, b in pairs:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: count once per node of each triangle
+                for v in (a, b, c):
+                    tri[v] = tri.get(v, 0) + 1
+    want = []
+    for v, d in deg.items():
+        if d < 2:
+            continue
+        cc_u = (2 * tri.get(v, 0) * 10**9) // (d * (d - 1))
+        want.append((v, d, tri.get(v, 0), cc_u))
+    n_nodes = len(want)
+    avg = sum(w[3] for w in want) * 1.0 / n_nodes / 1e9
+    want.sort(key=lambda w: (-w[3], w[0]))
+    got = registry()["graph_clustering_coeff"].fn(spark, sf).collect()
+    assert len(got) == min(_CC_TOP, n_nodes)
+    for g, (v, d, t, cc_u) in zip(got, want[: len(got)]):
+        assert (g.node, g.degree, g.tri_cnt, g.cc_u) == (v, d, t, cc_u)
+        assert abs(g.local_cc - round(cc_u / 1e9, 6)) < 1e-9
+        assert g.n_nodes == n_nodes
+        assert abs(g.avg_clustering - round(avg, 6)) < 1e-9
+
+
+def test_ewma_volatility_matches_python_replay(spark):
+    """RiskMetrics adjust-form EWMA variance replayed in pure Python
+    with the identical left-associative weight chain."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import (
+        _EWMA_LAGS,
+        _EWMA_LAMBDA,
+    )
+
+    closes = _daily_closes_py()
+    got = {
+        (r.event_type, r.day): (r.ewma_vol, r.ann_vol)
+        for r in registry()["events_ewma_volatility"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ws = [_EWMA_LAMBDA**i for i in range(_EWMA_LAGS)]
+    n_checked = 0
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        ilns = [round(m.log(closes[(et, d)]) * 1e8) for d in days]
+        r2 = [(ilns[i] - ilns[i - 1]) ** 2 for i in range(1, len(ilns))]
+        for t_i in range(len(r2)):
+            num = den = 0.0
+            for i, w in enumerate(ws):
+                if t_i - i >= 0:
+                    num = num + float(r2[t_i - i]) * w
+                    den = den + w
+            vol = m.floor(m.sqrt(num / den) / 1e8 * 1e10 + 0.5) / 1e10
+            ann = m.floor(m.sqrt(num / den * 252.0) / 1e8 * 1e10 + 0.5) / 1e10
+            g = got[(et, days[t_i + 1])]
+            assert abs(g[0] - vol) < 1e-12 and abs(g[1] - ann) < 1e-12
+            n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_permutation_entropy_matches_python_replay(spark):
+    """Ordinal-pattern entropy replayed in pure Python; the infeasible
+    code-2 column must be zero and counts must sum to n."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import _PE_NORM
+
+    closes = _daily_closes_py()
+    got = {
+        r.event_type: r
+        for r in registry()["events_permutation_entropy"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        xs = [closes[(et, d)] for d in days]
+        counts = {}
+        for i in range(2, len(xs)):
+            x0, x1, x2 = xs[i - 2], xs[i - 1], xs[i]
+            code = 4 * (x1 < x0) + 2 * (x2 < x0) + (x2 < x1)
+            counts[code] = counts.get(code, 0) + 1
+        n = len(xs) - 2
+        h = -sum(
+            counts[k] / n * m.log(counts[k] / n)
+            for k in sorted(counts)
+            if counts[k] > 0
+        )
+        g = got[et]
+        assert g.n == n
+        assert g.c2 == 0 and counts.get(2, 0) == 0 and counts.get(5, 0) == 0
+        assert (
+            g.c0 + g.c1 + g.c2 + g.c3 + g.c4 + g.c6 + g.c7 == n
+        )
+        assert abs(g.entropy - round(h, 6)) < 1e-6
+        assert abs(g.pe_normalized - round(h / _PE_NORM, 6)) < 1e-6
+
+
+def test_brown_forsythe_matches_python_replay(spark):
+    """BF = one-way ANOVA on |x - lower-median_g|, replayed in pure
+    Python with the identical fixed-order group chain."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_stats import _TYPES
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(ROUND(value*100,0) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    groups = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    piv = {}
+    for g, xs in groups.items():
+        xs.sort()
+        med = xs[(len(xs) + 1) // 2 - 1]
+        zs = [abs(x - med) for x in xs]
+        piv[g] = (len(zs), float(sum(zs)), float(sum(z * z for z in zs)))
+    n_total = s_total = q_total = ssb_terms = None
+    for t in _TYPES:
+        n, s, q = piv[t]
+        n_total = n if n_total is None else n_total + n
+        s_total = s if s_total is None else s_total + s
+        q_total = q if q_total is None else q_total + q
+        term = s * s / n
+        ssb_terms = term if ssb_terms is None else ssb_terms + term
+    ssb = (ssb_terms - s_total * s_total / n_total) / 10000.0
+    ssw = (q_total - ssb_terms) / 10000.0
+    k = len(_TYPES)
+    w = (ssb / (k - 1)) / (ssw / (n_total - k))
+    got = registry()["stats_brown_forsythe"].fn(spark, sf).collect()[0]
+    assert got.k == k and got.n_total == n_total
+    assert abs(got.ssb_z - round(ssb, 4)) < 1e-6
+    assert abs(got.ssw_z - round(ssw, 4)) < 1e-6
+    assert abs(got.bf_stat - round(w, 4)) < 1e-6
+
+
+def test_average_precision_matches_python_replay(spark):
+    """Grouped AP on the integer precision grid + the exact MAP fold,
+    replayed in pure Python."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_eval import _AP_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    units = duckdb.connect().execute(
+        "SELECT isodow(CAST(ts AS DATE)), user_id, CAST(ts AS DATE), "
+        " SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END), "
+        " MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2, 3"
+    ).fetchall()
+    per_dow = {}
+    for dow, uid, day, score, label in units:
+        per_dow.setdefault(dow, []).append((-score, uid, day, label))
+    want = {}
+    map_u = 0
+    n_groups = 0
+    for dow, rows in per_dow.items():
+        rows.sort()
+        cum = 0
+        ap_u = 0
+        for k, (_, _, _, label) in enumerate(rows, start=1):
+            cum += label
+            if label == 1:
+                ap_u += (cum * _AP_SCALE) // k
+        n_pos = cum
+        if n_pos == 0:
+            continue
+        n_groups += 1
+        map_u += ap_u // n_pos
+        want[dow] = (len(rows), n_pos, round(ap_u * 1.0 / n_pos / _AP_SCALE, 6))
+    got = {
+        r.dow: r
+        for r in registry()["ml_average_precision"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for dow, (n_units, n_pos, ap) in want.items():
+        g = got[dow]
+        assert (g.n_units, g.n_pos) == (n_units, n_pos)
+        assert abs(g.ap - ap) < 1e-9
+        assert g.n_groups == n_groups
+        assert abs(g.mean_ap - round(map_u * 1.0 / n_groups / _AP_SCALE, 6)) < 1e-9
+
+
+def test_amihud_matches_python_replay(spark):
+    """Amihud illiquidity replayed in pure Python over per-day
+    (close, dollar-volume) reduces on the integer ratio grid."""
+    import duckdb
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import _AMIHUD_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE), "
+        "CAST(ROUND(value*100,0) AS BIGINT), epoch_us(ts), event_id "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        "WHERE event_type IN ('view','purchase')"
+    ).fetchall()
+    daily = {}
+    for et, day, c, us, eid in rows:
+        k = (et, day)
+        close, best, dv = daily.get(k, (None, None, 0))
+        ok = (us, eid)
+        if best is None or ok > best:
+            close, best = c, ok
+        daily[k] = (close, best, dv + c)
+    got = {
+        r.event_type: (r.n_days, r.illiq_u, r.illiq_x1e6)
+        for r in registry()["events_amihud_illiquidity"].fn(spark, sf).collect()
+    }
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in daily if t == et)
+        ilns = {d: round(m.log(daily[(et, d)][0]) * 1e8) for d in days}
+        us = []
+        for i in range(1, len(days)):
+            dv = daily[(et, days[i])][2]
+            if dv > 0:
+                us.append(abs(ilns[days[i]] - ilns[days[i - 1]]) * _AMIHUD_SCALE // dv)
+        n, tot = len(us), sum(us)
+        assert got[et][0] == n and got[et][1] == tot
+        assert abs(got[et][2] - round(tot * 1.0 / n / 1e12, 8)) < 1e-12
+
+
+def test_grubbs_matches_python_replay(spark):
+    """Grubbs G and the deterministic suspect point replayed in pure
+    Python via the integer |n*x - s| argmax device."""
+    import duckdb
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(ROUND(value*100,0) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    groups = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    got = {
+        r.event_type: r
+        for r in registry()["stats_grubbs_outlier"].fn(spark, sf).collect()
+    }
+    for g, xs in groups.items():
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        rad = n * q - s * s
+        if not (n > 2 and rad > 0):
+            assert g not in got
+            continue
+        suspect = max(xs, key=lambda x: (abs(n * x - s), x))
+        gstat = (abs(n * suspect - s) / n) / m.sqrt(rad / (n * float(n - 1)))
+        r = got[g]
+        assert r.n == n
+        assert abs(r.mean_val - m.floor(s / n / 100.0 * 1e6 + 0.5) / 1e6) < 1e-12
+        assert abs(r.suspect_val - suspect / 100.0) < 1e-9
+        assert abs(r.g_stat - round(gstat, 6)) < 1e-6
+
+
+def test_dbscan_matches_python_replay(spark):
+    """Grid-blocked DBSCAN replayed in pure Python: md5 coords,
+    exact eps-neighborhoods, union-find clusters over core-core
+    edges, min-label border attachment."""
+    import duckdb
+    import hashlib
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_geo import (
+        _DB_EPS2,
+        _DB_MINPTS,
+        _DB_TOP,
+        _PLANE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    keys = [
+        r[0]
+        for r in duckdb.connect().execute(
+            f"SELECT c_custkey FROM read_parquet('{sf}/customer.parquet')"
+        ).fetchall()
+    ]
+
+    def coord(tag, k):
+        return int(hashlib.md5(f"{tag}|{k}".encode()).hexdigest()[:8], 16) % _PLANE
+
+    pts = {k: (coord("gx", k), coord("gy", k)) for k in keys}
+    neigh = {k: set() for k in keys}
+    ks = sorted(keys)
+    for i, a in enumerate(ks):
+        ax, ay = pts[a]
+        for b in ks[i + 1 :]:
+            bx, by = pts[b]
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= _DB_EPS2:
+                neigh[a].add(b)
+                neigh[b].add(a)
+    core = {k for k in ks if len(neigh[k]) >= _DB_MINPTS - 1}
+    parent = {k: k for k in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in neigh[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {k: find(k) for k in core}
+    # canonical min-id labels
+    lab = {}
+    for k, r in comp.items():
+        lab.setdefault(r, min(k2 for k2, r2 in comp.items() if r2 == r))
+    cluster = {k: lab[r] for k, r in comp.items()}
+    border = {}
+    for k in ks:
+        if k in core:
+            continue
+        cand = [cluster[b] for b in neigh[k] if b in core]
+        if cand:
+            border[k] = min(cand)
+    summary = {}
+    for k, c in cluster.items():
+        nc, nb = summary.get(c, (0, 0))
+        summary[c] = (nc + 1, nb)
+    for k, c in border.items():
+        nc, nb = summary.get(c, (0, 0))
+        summary[c] = (nc, nb + 1)
+    n_noise = len(ks) - len(cluster) - len(border)
+    n_clusters = len(summary)
+    want = sorted(
+        ((c, nc, nb, nc + nb) for c, (nc, nb) in summary.items()),
+        key=lambda r: (-r[3], r[0]),
+    )[:_DB_TOP]
+    got = registry()["geo_dbscan_grid"].fn(spark, sf).collect()
+    assert len(got) == len(want)
+    for g, (c, nc, nb, nt) in zip(got, want):
+        assert (g.cluster, g.n_core, g.n_border, g.n_total) == (c, nc, nb, nt)
+        assert g.n_clusters == n_clusters and g.n_noise == n_noise
+    assert n_clusters > 1 and n_noise > 0  # the fixture is non-degenerate
+
+
+def test_frac_diff_matches_python_replay(spark):
+    """FFD(d=0.5) fixed-width dot product replayed in pure Python with
+    the identical binomial-weight chain."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import (
+        _FD_LAGS,
+        _fd_weights,
+    )
+
+    closes = _daily_closes_py()
+    ws = _fd_weights()
+    got = {
+        (r.event_type, r.day): r.frac_diff
+        for r in registry()["events_frac_diff"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    n_checked = 0
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        xs = [round(m.log(closes[(et, d)]) * 1e8) for d in days]
+        for t_i in range(_FD_LAGS - 1, len(xs)):
+            fd = None
+            for k, wk in enumerate(ws):
+                term = float(xs[t_i - k]) * wk
+                fd = term if fd is None else fd + term
+            want = (
+                m.floor(fd / 1e8 * 1e8 + 0.5) / 1e8
+                if fd >= 0
+                else -(m.floor(-(fd / 1e8) * 1e8 + 0.5) / 1e8)
+            )
+            assert abs(got[(et, days[t_i])] - want) < 1e-12
+            n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_kyle_lambda_matches_python_replay(spark):
+    """Tick-rule signed daily flow + integer-moment regression slope
+    replayed in pure Python."""
+    import duckdb
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(ROUND(value*100,0) AS BIGINT), "
+        "CAST(date_trunc('day', ts) AS DATE), epoch_us(ts), event_id "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        "WHERE event_type IN ('view','purchase')"
+    ).fetchall()
+    got = {
+        r.event_type: r
+        for r in registry()["events_kyle_lambda"].fn(spark, sf).collect()
+    }
+    for et in ("view", "purchase"):
+        ticks = sorted(
+            ((us, eid), c, day) for t, c, day, us, eid in rows if t == et
+        )
+        q = {}
+        close = {}
+        sgn = 1
+        prev = None
+        for ok, c, day in ticks:
+            if prev is not None and c != prev:
+                sgn = 1 if c > prev else -1
+            prev = c
+            q[day] = q.get(day, 0) + sgn * c
+            close[day] = c  # ticks sorted by ordkey: last write wins
+        days = sorted(q)
+        ilns = {d: round(m.log(close[d]) * 1e8) for d in days}
+        pts = [
+            (q[days[i]], ilns[days[i]] - ilns[days[i - 1]])
+            for i in range(1, len(days))
+        ]
+        n = len(pts)
+        sq = sum(p[0] for p in pts)
+        sr = sum(p[1] for p in pts)
+        sqr = sum(p[0] * p[1] for p in pts)
+        sqq = sum(p[0] * p[0] for p in pts)
+        srr = sum(p[1] * p[1] for p in pts)
+        num, dq, dr = n * sqr - sq * sr, n * sqq - sq * sq, n * srr - sr * sr
+        g = got[et]
+        assert g.n_days == n
+        assert abs(g.kyle_lambda - round(num / dq, 6)) < 1e-6
+        assert abs(g.flow_ret_corr - round(num / m.sqrt(dq * float(dr)), 6)) < 1e-9
