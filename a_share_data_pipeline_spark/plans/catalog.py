@@ -238,6 +238,26 @@ _REGISTRY: dict[str, Query] = {}
 # (multilingual rebalancing), ml_knn_classifier (embedding-label
 # vote), events_pairs_spread_zscore / events_roll_spread
 # (mean-reversion monitor + implied spread).
+#
+# CONCRETE r8 rotation plan (apply FIRST THING in round 8, before the
+# driver's r8 correctness run — never mid-round, or the r7 newcomers
+# lose their driver-green chance). IN (never-driver-verified
+# families): stats_benjamini_hochberg (the inference family's first
+# window row — multiple-testing control, A&S erfc device),
+# geo_dbscan_grid (the geo family's first window row — grid join +
+# fold_edges CC capstone), cdc_time_travel (multi-version AS OF —
+# the CDC family's unverified half), curation_model_filter (the
+# learned quality-filter APPLY lane), agg_moments_merge
+# (re-aggregatable algebraic moments — the sketch-algebra row beyond
+# HLL). OUT (subsumable, driver-green r1-r7 history stands):
+# dedup_keep_canonical (canonical-survivor pick ⊂ dedup_components'
+# min-label + one argmin window), sim_cosine_topk (exact-verify
+# top-k is composed INSIDE sim_ann_ivfpq's rerank stage),
+# dedup_incremental (new-vs-corpus restriction now witnessed by
+# stream_incremental_dedup IN the window), curation_pii_redact
+# (map-only regex gate ⊂ curation_pipeline's driver-green gates),
+# json_extract (JSON path family ⊂ scalar_string's codegen lane +
+# local json_variant/scalar_* oracles; 6 rounds of history stand).
 # Round-6 rotation (VERDICT r5 item 1): five never-driver-verified
 # operator FAMILIES enter the window — graph_pagerank (the only
 # iterative family besides CC; unrolled-CTE oracle), cdc_apply

@@ -1865,3 +1865,102 @@ def agg_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias("skewness"),
         dround(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 55: trimmed mean — the classical robust location aggregate
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT_NUM = 1  # trim floor(n/10) from each tail (10%)
+_TRIM_PCT_DEN = 10
+
+_TRIM_SQL = f"""
+WITH cents AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+ranked AS (
+  SELECT g, c,
+         row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM cents
+),
+kept AS (
+  SELECT g, c, n, (n * {_TRIM_PCT_NUM}) // {_TRIM_PCT_DEN} AS k
+  FROM ranked
+  WHERE rn > (n * {_TRIM_PCT_NUM}) // {_TRIM_PCT_DEN}
+    AND rn <= n - (n * {_TRIM_PCT_NUM}) // {_TRIM_PCT_DEN}
+)
+SELECT g AS event_type,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n,
+       CAST(ANY_VALUE(k) AS BIGINT) AS n_trimmed_each,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(c)::HUGEINT AS DOUBLE) / COUNT(*) / 100.0, 6)
+         AS trimmed_mean,
+       ROUND(CAST(SUM(c)::HUGEINT AS DOUBLE) / COUNT(*) / 100.0
+             - (SELECT CAST(SUM(c)::HUGEINT AS DOUBLE) / COUNT(*) / 100.0
+                FROM cents c2 WHERE c2.g = kept.g), 6) AS shift_vs_mean
+FROM kept GROUP BY g
+"""
+
+
+@register(
+    "agg_trimmed_mean",
+    _TRIM_SQL,
+    doc=(
+        "10% trimmed mean per group — the classical robust location "
+        "aggregate between mean (efficient, fragile) and median "
+        "(robust, wasteful): rank per group, drop exactly "
+        "floor(n/10) rows from EACH tail by integer position (no "
+        "percentile interpolation, no float boundary), exact integer "
+        "sum over the kept middle with one division at emit, plus "
+        "the shift against the untrimmed mean (the outlier-impact "
+        "diagnostic, a correlated-subquery oracle exercising that "
+        "SQL shape too). At scale the per-group sort-shuffle is the "
+        "exactness contract, same as the median rows; O(types) "
+        "output"
+    ),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.col("event_type").alias("g"),
+        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    wg = W.partitionBy("g").orderBy("c")
+    wc = W.partitionBy("g").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = cents.select(
+        "g",
+        "c",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    k = F.expr(f"(n * {_TRIM_PCT_NUM}) div {_TRIM_PCT_DEN}")
+    kept = ranked.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)).select(
+        "g", "c", "n", k.alias("k")
+    )
+    full_mean = cents.groupBy("g").agg(
+        (F.sum("c").cast("decimal(38,0)").cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias(
+            "full_mean"
+        )
+    )
+    agg = kept.groupBy("g").agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.first("k").cast("bigint").alias("n_trimmed_each"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (
+            F.sum("c").cast("decimal(38,0)").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        ).alias("tm"),
+    )
+    return agg.join(F.broadcast(full_mean), "g").select(
+        F.col("g").alias("event_type"),
+        "n",
+        "n_trimmed_each",
+        "n_kept",
+        dround(F.col("tm"), 6).alias("trimmed_mean"),
+        dround(F.col("tm") - F.col("full_mean"), 6).alias("shift_vs_mean"),
+    )

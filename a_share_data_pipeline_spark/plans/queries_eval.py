@@ -884,3 +884,113 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_ap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 52: decile lift & gains table — the campaign-targeting eval row
+# ---------------------------------------------------------------------------
+
+_LIFT_BUCKETS = 10
+
+_LIFT_SQL = f"""
+WITH units AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT label,
+         ntile({_LIFT_BUCKETS}) OVER (ORDER BY score DESC, user_id, day)
+           AS decile
+  FROM units
+),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM ranked GROUP BY decile
+),
+tot AS (
+  SELECT SUM(n)::BIGINT AS n_total, SUM(n_pos)::BIGINT AS pos_total FROM per
+),
+cum AS (
+  SELECT decile, n, n_pos,
+         SUM(n_pos) OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_pos
+  FROM per
+)
+SELECT c.decile, c.n, c.n_pos,
+       ROUND(CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS response_rate,
+       ROUND(CAST(c.n_pos * t.n_total AS DOUBLE)
+             / CAST(c.n * t.pos_total AS DOUBLE), 6) AS lift,
+       ROUND(CAST(c.cum_pos AS DOUBLE) / CAST(t.pos_total AS DOUBLE), 6)
+         AS cum_gain
+FROM cum c CROSS JOIN tot t
+WHERE t.pos_total > 0
+"""
+
+
+@register(
+    "ml_lift_gains",
+    _LIFT_SQL,
+    doc=(
+        "decile lift & cumulative gains — the campaign-targeting "
+        "evaluation every scored audience gets (does the top decile "
+        "capture more converters than random?): the AUC/MAP scoring "
+        "frame ranks under the same deterministic total order, "
+        "ntile({b}) buckets it (both engines give earlier tiles the "
+        "remainder rows — same semantics), per-decile (n, n_pos) are "
+        "exact integer counts, and lift = (pos_d * N) / (n_d * P) is "
+        "an integer cross-multiply with ONE division at emit (gains "
+        "likewise from the cumulative integer sum over the 10-row "
+        "frame). At scale the rank partitions by campaign/segment; "
+        "the decile aggregate is O(buckets). Output: {b} rows"
+    ).format(b=_LIFT_BUCKETS),
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).alias(
+            "score"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "label"
+        ),
+    )
+    wo = W.orderBy(F.col("score").desc(), F.col("user_id"), F.col("day"))
+    ranked = units.select(
+        "label", F.ntile(_LIFT_BUCKETS).over(wo).alias("decile")
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("n_pos").cast("bigint").alias("pos_total"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = per.select("decile", "n", "n_pos", F.sum("n_pos").over(wc).alias("cum_pos"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("pos_total") > 0)
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            dround(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6).alias(
+                "response_rate"
+            ),
+            dround(
+                (F.col("n_pos") * F.col("n_total")).cast("double")
+                / (F.col("n") * F.col("pos_total")).cast("double"),
+                6,
+            ).alias("lift"),
+            dround(
+                F.col("cum_pos").cast("double") / F.col("pos_total").cast("double"), 6
+            ).alias("cum_gain"),
+        )
+    )

@@ -2430,3 +2430,195 @@ def events_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / F.sqrt(dq.cast("double") * dr.cast("double")), 6
         ).alias("flow_ret_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 53: lead-lag cross-correlation — which series moves first?
+# ---------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 3
+
+_CCF_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+ret AS (
+  SELECT event_type, day,
+         {_ILN_SQL} - lag({_ILN_SQL}) OVER w AS r
+  FROM daily WHERE close_c > 0
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+aligned AS (
+  SELECT v.day, v.r AS rv, p.r AS rp,
+         row_number() OVER (ORDER BY v.day) AS t
+  FROM (SELECT day, r FROM ret WHERE event_type = 'view' AND r IS NOT NULL) v
+  JOIN (SELECT day, r FROM ret WHERE event_type = 'purchase' AND r IS NOT NULL) p
+    ON p.day = v.day
+),
+lags AS (SELECT lg FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS t(lg)),
+pairs AS (
+  SELECT l.lg, a.rv AS x, b.rp AS y
+  FROM aligned a
+  CROSS JOIN lags l
+  JOIN aligned b ON b.t = a.t + l.lg
+),
+s AS (
+  SELECT lg, COUNT(*)::HUGEINT AS n,
+         SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY lg
+)
+SELECT CAST(lg AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf
+FROM s
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+@register(
+    "events_cross_correlation",
+    _CCF_SQL,
+    doc=(
+        "lead-lag cross-correlation — does the view series move "
+        "before the purchase series? ccf(L) = corr(rv_t, rp_(t+L)) "
+        "for L in -{ml}..+{ml}: integer-ln-grid returns align on day "
+        "via ONE equi-join, the 7 lags are a literal fan-out joined "
+        "on the dense row index (an equi-join again — never a "
+        "windowed self-scan per lag), and each lag's correlation "
+        "comes from five exact 128-bit moments in one fixed IEEE "
+        "chain with integer radicand guards. O(lags) output; at "
+        "scale the pair axis partitions per instrument-pair and the "
+        "join runs on the O(days) reduced frame"
+    ).format(ml=_CCF_MAX_LAG),
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).filter(F.col("close_c") > 0)
+    wo = W.partitionBy("event_type").orderBy("day")
+    iln = dround(F.log("close_c") * 100000000, 0).cast("bigint")
+    ret = daily.select(
+        "event_type", "day", (iln - F.lag(iln).over(wo)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    v = ret.filter(F.col("event_type") == "view").select("day", F.col("r").alias("rv"))
+    p = ret.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("r").alias("rp")
+    )
+    aligned = (
+        v.join(p, "day")
+        .select("day", "rv", "rp", F.row_number().over(W.orderBy("day")).alias("t"))
+        .localCheckpoint(eager=True)  # both sides of the lag join
+    )
+    lags = spark.createDataFrame(
+        [(lg,) for lg in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1)], "lg int"
+    )
+    a = aligned.crossJoin(F.broadcast(lags)).select(
+        "lg", F.col("rv").alias("x"), (F.col("t") + F.col("lg")).alias("bt")
+    )
+    b = aligned.select(F.col("t").alias("bt"), F.col("rp").alias("y"))
+    pairs = a.join(b, "bt")
+    d38 = "decimal(38,0)"
+    s = pairs.groupBy("lg").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("y")).cast("decimal(26,0)"))
+        .cast(d38)
+        .alias("sxy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x")).cast("decimal(26,0)"))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum((F.col("y").cast("decimal(19,0)") * F.col("y")).cast("decimal(26,0)"))
+        .cast(d38)
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    dx = n * F.col("sxx") - sx * sx
+    dy = n * F.col("syy") - sy * sy
+    return s.filter((dx > 0) & (dy > 0)).select(
+        F.col("lg").cast("int").alias("lag"),
+        n.cast("bigint").alias("n_pairs"),
+        dround(
+            num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")), 6
+        ).alias("ccf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 54: ulcer index — drawdown-depth risk (the stress complement of
+# volatility: how deep and how long underwater, not how wiggly)
+# ---------------------------------------------------------------------------
+
+_ULCER_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+runmax AS (
+  SELECT event_type, day, close_c,
+         MAX(close_c) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS peak_c
+  FROM daily
+),
+dd AS (
+  SELECT event_type,
+         ((peak_c - close_c) * 1000000) // peak_c AS dd_u
+  FROM runmax WHERE peak_c > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(dd_u) AS BIGINT) AS max_dd_u,
+       ROUND(MAX(dd_u) / 10000.0, 4) AS max_drawdown_pct,
+       ROUND(sqrt(CAST(SUM(CAST(dd_u AS HUGEINT) * dd_u) AS DOUBLE)
+                  / COUNT(*)) / 10000.0, 6) AS ulcer_pct
+FROM dd GROUP BY event_type
+"""
+
+
+@register(
+    "events_ulcer_index",
+    _ULCER_SQL,
+    doc=(
+        "ulcer index — the drawdown-depth risk measure (Martin 1987): "
+        "UI = sqrt(mean squared percent-below-peak), punishing deep "
+        "and LONG drawdowns where stddev treats up and down wiggle "
+        "alike; the stress complement of events_volatility_gk / "
+        "events_ewma_volatility and the depth-weighted sibling of "
+        "events_max_drawdown. The running peak is an integer window "
+        "max, each day's drawdown floors onto a 1e-6 fraction grid "
+        "via pure integer division ((peak-c)*1e6 DIV peak), and the "
+        "mean-of-squares is an exact 128-bit integer fold with ONE "
+        "sqrt+division chain at emit. O(types) output; one window "
+        "over the reduced daily frame"
+    ),
+)
+def events_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    wo = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    runmax = daily.select(
+        "event_type",
+        "close_c",
+        F.max("close_c").over(wo).alias("peak_c"),
+    ).filter(F.col("peak_c") > 0)
+    dd = runmax.select(
+        "event_type",
+        F.expr("((peak_c - close_c) * 1000000) div peak_c").alias("dd_u"),
+    )
+    return dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("dd_u").cast("bigint").alias("max_dd_u"),
+        dround(F.max("dd_u") / F.lit(10000.0), 4).alias("max_drawdown_pct"),
+        dround(
+            F.sqrt(
+                F.sum(
+                    (F.col("dd_u").cast("decimal(19,0)") * F.col("dd_u")).cast(
+                        "decimal(26,0)"
+                    )
+                )
+                .cast("double")
+                / F.count(F.lit(1)),
+            )
+            / F.lit(10000.0),
+            6,
+        ).alias("ulcer_pct"),
+    )

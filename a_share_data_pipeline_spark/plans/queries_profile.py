@@ -1589,3 +1589,141 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cc_u").desc(), "node")
         .limit(_CC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 54: two-hop reach — friends-of-friends audience size on the
+# capped similarity graph
+# ---------------------------------------------------------------------------
+
+_REACH_TOP = 20
+
+_REACH_SQL = f"""
+WITH keyed AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] || '|' ||
+           CAST(CAST(FLOOR(length(p_name) / 4.0) AS BIGINT) AS VARCHAR) AS blk
+  FROM part
+),
+rawpairs AS (
+  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+deg0 AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT ka AS node FROM rawpairs UNION ALL SELECT kb FROM rawpairs
+  ) GROUP BY node
+),
+ok AS (SELECT node FROM deg0 WHERE d <= {_TRI_MAX_DEGREE}),
+pairs AS (
+  SELECT ka, kb FROM rawpairs
+  JOIN ok oa ON oa.node = rawpairs.ka
+  JOIN ok ob ON ob.node = rawpairs.kb
+),
+adj AS (
+  SELECT ka AS src, kb AS dst FROM pairs
+  UNION ALL SELECT kb, ka FROM pairs
+),
+onehop AS (SELECT DISTINCT src, dst FROM adj),
+twohop AS (
+  SELECT DISTINCT a.src, b.dst
+  FROM onehop a JOIN onehop b ON b.src = a.dst
+  WHERE b.dst <> a.src
+),
+fresh AS (
+  SELECT t.src, t.dst FROM twohop t
+  LEFT JOIN onehop o ON o.src = t.src AND o.dst = t.dst
+  WHERE o.dst IS NULL
+),
+counts AS (
+  SELECT o.src AS node,
+         COUNT(DISTINCT o.dst)::BIGINT AS n_1hop,
+         COALESCE(ANY_VALUE(f.n2), 0)::BIGINT AS n_2hop
+  FROM onehop o
+  LEFT JOIN (SELECT src, COUNT(*) AS n2 FROM fresh GROUP BY src) f
+    ON f.src = o.src
+  GROUP BY o.src
+)
+SELECT node, n_1hop, n_2hop,
+       ROUND(CAST(n_2hop AS DOUBLE) / CAST(n_1hop AS DOUBLE), 6)
+         AS amplification
+FROM counts
+ORDER BY n_2hop DESC, node LIMIT {_REACH_TOP}
+"""
+
+
+@register(
+    "graph_two_hop_reach",
+    _REACH_SQL,
+    doc=(
+        "two-hop reach — the friends-of-friends audience size "
+        "(|N(N(v)) minus N(v) minus v|) that sizes influence/spam "
+        "blast radius, beside clustering (cohesion) and kcore "
+        "(embeddedness): ONE self-equi-join of the deduped adjacency "
+        "closes the wedges, an anti-join subtracts already-1-hop "
+        "pairs, the self row drops by predicate, and both hop counts "
+        "are exact integer DISTINCT aggregates. The degree cap "
+        "bounds the wedge join at O(cap^2) per node (_bucket_pairs "
+        "discipline); amplification = 2hop/1hop is the single "
+        "division at emit. Output bounded: top-{top} by fresh reach"
+    ).format(top=_REACH_TOP),
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs_raw = join_fuzzy_blocked(spark, sf_dir).select(
+        F.col("key_a").alias("ka"), F.col("key_b").alias("kb")
+    )
+    deg0 = (
+        pairs_raw.select(F.col("ka").alias("node"))
+        .unionByName(pairs_raw.select(F.col("kb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ok = deg0.filter(F.col("d") <= _TRI_MAX_DEGREE).select("node")
+    pairs = (
+        pairs_raw.join(ok.withColumnRenamed("node", "ka"), "ka")
+        .join(ok.withColumnRenamed("node", "kb"), "kb")
+        .select("ka", "kb")
+    )
+    onehop = (
+        pairs.select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+        .unionByName(pairs.select(F.col("kb").alias("src"), F.col("ka").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # wedge join + anti-join + counts
+    )
+    twohop = (
+        onehop.alias("a")
+        .join(
+            onehop.select(
+                F.col("src").alias("dst"), F.col("dst").alias("dst2")
+            ).alias("b"),
+            "dst",
+        )
+        .select(F.col("src"), F.col("dst2").alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+    fresh = twohop.join(onehop, ["src", "dst"], "left_anti")
+    f2 = fresh.groupBy("src").agg(F.count(F.lit(1)).alias("n2"))
+    counts = (
+        onehop.groupBy("src")
+        .agg(F.count_distinct("dst").cast("bigint").alias("n_1hop"))
+        .join(f2, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "n_1hop",
+            F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n_2hop"),
+        )
+    )
+    return (
+        counts.select(
+            "node",
+            "n_1hop",
+            "n_2hop",
+            dround(
+                F.col("n_2hop").cast("double") / F.col("n_1hop").cast("double"), 6
+            ).alias("amplification"),
+        )
+        .orderBy(F.col("n_2hop").desc(), "node")
+        .limit(_REACH_TOP)
+    )

@@ -1174,3 +1174,266 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("g_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 52: Jarque-Bera normality test — skewness/kurtosis from exact
+# power sums (the agg_moments_merge device pointed at inference)
+# ---------------------------------------------------------------------------
+
+_JB_SQL = """
+WITH vals AS (
+  SELECT event_type AS g, CAST(ROUND(value, 0) AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS HUGEINT) AS s1,
+         SUM(CAST(v AS HUGEINT) * v) AS s2,
+         SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+         SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+  FROM vals GROUP BY g
+),
+c AS (
+  SELECT g, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM m
+),
+mom AS (
+  SELECT g, n,
+         r2 - mu * mu AS m2,
+         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4
+  FROM c
+),
+sk AS (
+  SELECT g, n, m3 / sqrt(m2 * m2 * m2) AS skew, m4 / (m2 * m2) AS kurt
+  FROM mom WHERE m2 > 0
+)
+SELECT g AS event_type, n,
+       ROUND(skew, 6) AS skewness,
+       ROUND(kurt, 6) AS kurtosis,
+       ROUND(n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 4)
+         AS jb_stat
+FROM sk
+"""
+
+
+@register(
+    "stats_jarque_bera",
+    _JB_SQL,
+    doc=(
+        "Jarque-Bera normality test — the moment-based screen "
+        "(JB = n/6*(S^2 + (K-3)^2/4)) that decides whether the "
+        "t/ANOVA rows upstream are even applicable: per-group exact "
+        "128-bit power sums (n, sum v..v^4) on the whole-unit grid "
+        "(the agg_moments_merge bound: v^4 stays in HUGEINT at any "
+        "SF) collected in ONE partial-aggregated shuffle, central "
+        "moments and the statistic as one fixed IEEE chain per "
+        "group — no cross-group folds at all, so no pivot needed. "
+        "Zero-variance guard; O(types) output. The power sums are "
+        "merge-by-addition, so per-shard JB at 100 TB is the same "
+        "two-level aggregate as the moments row"
+    ),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = dround(F.col("value"), 0).cast("bigint")
+    d38 = "decimal(38,0)"
+    vd = F.col("v").cast("decimal(19,0)")
+    m = (
+        ev.select(F.col("event_type").alias("g"), v.alias("v"))
+        .select(
+            "g",
+            "v",
+            (vd * vd).cast("decimal(26,0)").alias("v2"),
+            (vd * vd * vd).cast("decimal(30,0)").alias("v3"),
+            (vd * vd * vd * vd).cast("decimal(34,0)").alias("v4"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast(d38).alias("s1"),
+            F.sum("v2").cast(d38).alias("s2"),
+            F.sum("v3").cast(d38).alias("s3"),
+            F.sum("v4").cast(d38).alias("s4"),
+        )
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    c = m.select("g", "n", mu.alias("mu"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    mu, r2, r3, r4 = F.col("mu"), F.col("r2"), F.col("r3"), F.col("r4")
+    mom = c.select(
+        "g",
+        "n",
+        (r2 - mu * mu).alias("m2"),
+        (r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu).alias("m3"),
+        (
+            r4
+            - F.lit(4.0) * mu * r3
+            + F.lit(6.0) * mu * mu * r2
+            - F.lit(3.0) * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    sk = mom.filter(m2 > 0).select(
+        "g",
+        "n",
+        (m3 / F.sqrt(m2 * m2 * m2)).alias("skew"),
+        (m4 / (m2 * m2)).alias("kurt"),
+    )
+    skew, kurt = F.col("skew"), F.col("kurt")
+    return sk.select(
+        F.col("g").alias("event_type"),
+        "n",
+        dround(skew, 6).alias("skewness"),
+        dround(kurt, 6).alias("kurtosis"),
+        dround(
+            F.col("n") / F.lit(6.0)
+            * (skew * skew + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)),
+            4,
+        ).alias("jb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 55: Wilcoxon signed-rank — the PAIRED robust test (view close vs
+# purchase close per day), completing mann_whitney's unpaired row
+# ---------------------------------------------------------------------------
+
+_WSR_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         arg_max(CAST(ROUND(value * 100, 0) AS BIGINT),
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT v.close_c - p.close_c AS d
+  FROM (SELECT day, close_c FROM daily WHERE event_type = 'view') v
+  JOIN (SELECT day, close_c FROM daily WHERE event_type = 'purchase') p
+    ON p.day = v.day
+  WHERE v.close_c <> p.close_c
+),
+ranked AS (
+  SELECT d, ABS(d) AS ad,
+         COUNT(*) OVER (PARTITION BY ABS(d)) AS t,
+         2 * (RANK() OVER (ORDER BY ABS(d))) - 1
+           + COUNT(*) OVER (PARTITION BY ABS(d)) AS r2
+  FROM paired
+),
+s AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END)::HUGEINT AS w2_plus,
+         SUM(CASE WHEN d < 0 THEN r2 ELSE 0 END)::HUGEINT AS w2_minus,
+         SUM(CASE WHEN t > 1 THEN 1 ELSE 0 END)::BIGINT AS n_tied
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CAST(w2_plus AS DOUBLE) / 2.0, 1) AS w_plus,
+       ROUND(CAST(w2_minus AS DOUBLE) / 2.0, 1) AS w_minus,
+       n_tied,
+       ROUND((CAST(w2_plus AS DOUBLE) / 2.0
+              - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+             / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                    * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0), 6) AS z_approx
+FROM s WHERE n > 0
+"""
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    _WSR_SQL,
+    doc=(
+        "Wilcoxon signed-rank test — the PAIRED robust location test "
+        "(is the view-close minus purchase-close spread centered at "
+        "zero?) completing stats_mann_whitney's unpaired row: zero "
+        "differences drop (the classic rule), |d| ranks ride an "
+        "ALL-INTEGER device — the tie-averaged rank a of a group "
+        "starting at RANK r with t members is (2r-1+t)/2, so 2a = "
+        "2r-1+t is exact integer and W+ accumulates DOUBLED with the "
+        "/2 deferred to emit (the hodges-lehmann deferral). The "
+        "normal z uses the standard n(n+1)(2n+1)/24 variance in one "
+        "fixed chain. One day-reduce + one rank window over the "
+        "O(days) paired frame; O(1) output"
+    ),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+            ordkey.alias("ok"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.max_by("c", "ok").alias("close_c"))
+    )
+    v = daily.filter(F.col("event_type") == "view").select(
+        "day", F.col("close_c").alias("vc")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("close_c").alias("pc")
+    )
+    paired = (
+        v.join(p, "day")
+        .select((F.col("vc") - F.col("pc")).alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    wr = W.orderBy(F.abs(F.col("d")))
+    wt = W.partitionBy(F.abs(F.col("d")))
+    ranked = paired.select(
+        "d",
+        F.count(F.lit(1))
+        .over(wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("t"),
+        (
+            F.lit(2) * F.rank().over(wr)
+            - 1
+            + F.count(F.lit(1)).over(
+                wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )
+        ).alias("r2"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("w2_plus"),
+        F.sum(F.when(F.col("d") < 0, F.col("r2")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("w2_minus"),
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0)).cast("bigint").alias("n_tied"),
+    )
+    nd = F.col("n").cast("double")
+    wp = F.col("w2_plus").cast("double") / F.lit(2.0)
+    return s.filter(F.col("n") > 0).select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        dround(wp, 1).alias("w_plus"),
+        dround(F.col("w2_minus").cast("double") / F.lit(2.0), 1).alias("w_minus"),
+        "n_tied",
+        dround(
+            (wp - nd * (nd + F.lit(1.0)) / F.lit(4.0))
+            / F.sqrt(
+                nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0)) / F.lit(24.0)
+            ),
+            6,
+        ).alias("z_approx"),
+    )

@@ -110,6 +110,9 @@ EXTENDED = [
     "events_window_funnel",
     "graph_kcore",
     "dedup_lsh_quality",
+    # round-7 heavy newcomers (extended tier; never on the driver record)
+    "geo_dbscan_grid",
+    "graph_clustering_coeff",
 ]
 
 

@@ -3295,3 +3295,304 @@ def test_kyle_lambda_matches_python_replay(spark):
         assert g.n_days == n
         assert abs(g.kyle_lambda - round(num / dq, 6)) < 1e-6
         assert abs(g.flow_ret_corr - round(num / m.sqrt(dq * float(dr)), 6)) < 1e-9
+
+
+def test_jarque_bera_matches_python_replay(spark):
+    """JB statistic replayed in pure Python from exact power sums with
+    the identical central-moment chain."""
+    import duckdb
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(ROUND(value, 0) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    got = {
+        r.event_type: r
+        for r in registry()["stats_jarque_bera"].fn(spark, sf).collect()
+    }
+    for g, xs in groups.items():
+        n = len(xs)
+        s1 = sum(xs)
+        s2 = sum(v * v for v in xs)
+        s3 = sum(v**3 for v in xs)
+        s4 = sum(v**4 for v in xs)
+        mu, r2, r3, r4 = s1 / n, s2 / n, s3 / n, s4 / n
+        m2 = r2 - mu * mu
+        m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+        m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+        skew = m3 / m.sqrt(m2 * m2 * m2)
+        kurt = m4 / (m2 * m2)
+        jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+        r = got[g]
+        assert r.n == n
+        assert abs(r.skewness - round(skew, 6)) < 1e-9
+        assert abs(r.kurtosis - round(kurt, 6)) < 1e-9
+        assert abs(r.jb_stat - round(jb, 4)) < 1e-6
+
+
+def test_lift_gains_matches_python_replay(spark):
+    """Decile lift/gains replayed in pure Python with the same ntile
+    remainder rule (earlier buckets get the extra rows)."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_eval import _LIFT_BUCKETS
+
+    sf = "/root/testdata/sf0.001"
+    units = duckdb.connect().execute(
+        "SELECT user_id, CAST(ts AS DATE), "
+        " SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END), "
+        " MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    rows = sorted((-s, u, d, lab) for u, d, s, lab in units)
+    n = len(rows)
+    base, extra = divmod(n, _LIFT_BUCKETS)
+    per = {}
+    i = 0
+    for dec in range(1, _LIFT_BUCKETS + 1):
+        size = base + (1 if dec <= extra else 0)
+        chunk = rows[i : i + size]
+        i += size
+        per[dec] = (len(chunk), sum(r[3] for r in chunk))
+    n_total = sum(v[0] for v in per.values())
+    pos_total = sum(v[1] for v in per.values())
+    got = {r.decile: r for r in registry()["ml_lift_gains"].fn(spark, sf).collect()}
+    cum = 0
+    for dec in range(1, _LIFT_BUCKETS + 1):
+        nd, pd = per[dec]
+        cum += pd
+        g = got[dec]
+        assert (g.n, g.n_pos) == (nd, pd)
+        assert abs(g.response_rate - round(pd / nd, 6)) < 1e-9
+        assert abs(g.lift - round(pd * n_total / (nd * pos_total), 6)) < 1e-9
+        assert abs(g.cum_gain - round(cum / pos_total, 6)) < 1e-9
+    # the table is non-degenerate (the synthetic score is in fact
+    # ANTI-predictive — low-activity user-days are purchase-only days —
+    # which is itself signal; direction is the analyst's call)
+    lifts = [got[d].lift for d in range(1, _LIFT_BUCKETS + 1)]
+    assert max(lifts) > 1.0 > min(lifts)
+
+
+def test_cross_correlation_matches_python_replay(spark):
+    """Lead-lag CCF replayed in pure Python from the aligned
+    integer-ln-grid return series."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import _CCF_MAX_LAG
+
+    closes = _daily_closes_py()
+    series = {}
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        ilns = [round(m.log(closes[(et, d)]) * 1e8) for d in days]
+        series[et] = {
+            days[i]: ilns[i] - ilns[i - 1] for i in range(1, len(days))
+        }
+    common = sorted(set(series["view"]) & set(series["purchase"]))
+    rv = [series["view"][d] for d in common]
+    rp = [series["purchase"][d] for d in common]
+    got = {
+        r.lag: (r.n_pairs, r.ccf)
+        for r in registry()["events_cross_correlation"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for lg in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1):
+        pts = [
+            (rv[t], rp[t + lg])
+            for t in range(len(common))
+            if 0 <= t + lg < len(common)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if not (dx > 0 and dy > 0):
+            assert lg not in got
+            continue
+        ccf = (n * sxy - sx * sy) / m.sqrt(dx * float(dy))
+        assert got[lg][0] == n
+        assert abs(got[lg][1] - round(ccf, 6)) < 1e-9
+    assert len(got) == 2 * _CCF_MAX_LAG + 1
+
+
+def test_ulcer_index_matches_python_replay(spark):
+    """Ulcer index replayed in pure Python on the integer drawdown
+    grid over replayed daily closes."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    got = {
+        r.event_type: r
+        for r in registry()["events_ulcer_index"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        peak = 0
+        dds = []
+        for d in days:
+            c = closes[(et, d)]
+            peak = max(peak, c)
+            if peak > 0:
+                dds.append(((peak - c) * 1000000) // peak)
+        g = got[et]
+        assert g.n_days == len(dds)
+        assert g.max_dd_u == max(dds)
+        assert abs(g.max_drawdown_pct - round(max(dds) / 10000.0, 4)) < 1e-9
+        ui = m.sqrt(sum(v * v for v in dds) / len(dds)) / 10000.0
+        assert abs(g.ulcer_pct - round(ui, 6)) < 1e-9
+        assert g.max_dd_u > 0  # the fixture draws down somewhere
+
+
+def test_two_hop_reach_matches_python_replay(spark):
+    """Friends-of-friends reach replayed in pure Python over the same
+    capped similarity graph as the clustering-coefficient replay."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_profile import (
+        _REACH_TOP,
+        _TRI_MAX_DEGREE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    parts = duckdb.connect().execute(
+        f"SELECT p_partkey, p_name FROM read_parquet('{sf}/part.parquet')"
+    ).fetchall()
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    blocks = {}
+    for k, name in parts:
+        blocks.setdefault((name.split(" ")[0], len(name) // 4), []).append((k, name))
+    raw = set()
+    for members in blocks.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if lev(members[i][1], members[j][1]) <= 3:
+                    raw.add((members[i][0], members[j][0]))
+    deg0 = {}
+    for a, b in raw:
+        deg0[a] = deg0.get(a, 0) + 1
+        deg0[b] = deg0.get(b, 0) + 1
+    ok = {n for n, d in deg0.items() if d <= _TRI_MAX_DEGREE}
+    adj = {}
+    for a, b in raw:
+        if a in ok and b in ok:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    want = []
+    for v, ns in adj.items():
+        two = set()
+        for u in ns:
+            two |= adj[u]
+        two -= ns
+        two.discard(v)
+        want.append((v, len(ns), len(two)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    got = registry()["graph_two_hop_reach"].fn(spark, sf).collect()
+    assert len(got) == min(_REACH_TOP, len(want))
+    for g, (v, n1, n2) in zip(got, want[: len(got)]):
+        assert (g.node, g.n_1hop, g.n_2hop) == (v, n1, n2)
+        assert abs(g.amplification - round(n2 / n1, 6)) < 1e-9
+
+
+def test_wilcoxon_signed_rank_matches_python_replay(spark):
+    """W+ / W- / z replayed in pure Python with tie-averaged ranks on
+    the doubled-integer device."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    days = sorted(
+        d for (t, d) in closes if t == "view" and ("purchase", d) in closes
+    )
+    ds = [
+        closes[("view", d)] - closes[("purchase", d)]
+        for d in days
+        if closes[("view", d)] != closes[("purchase", d)]
+    ]
+    srt = sorted(abs(d) for d in ds)
+    # tie-averaged rank of |d|, doubled: 2a = 2r - 1 + t
+    first = {}
+    count = {}
+    for i, ad in enumerate(srt, start=1):
+        first.setdefault(ad, i)
+        count[ad] = count.get(ad, 0) + 1
+    w2p = sum(
+        2 * first[abs(d)] - 1 + count[abs(d)] for d in ds if d > 0
+    )
+    w2m = sum(
+        2 * first[abs(d)] - 1 + count[abs(d)] for d in ds if d < 0
+    )
+    n = len(ds)
+    n_tied = sum(1 for d in ds if count[abs(d)] > 1)
+    wp = w2p / 2.0
+    z = (wp - n * (n + 1.0) / 4.0) / m.sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0)
+    g = registry()["stats_wilcoxon_signed_rank"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert g.n_pairs == n and g.n_tied == n_tied
+    assert abs(g.w_plus - round(wp, 1)) < 1e-9
+    assert abs(g.w_minus - round(w2m / 2.0, 1)) < 1e-9
+    assert abs(g.z_approx - round(z, 6)) < 1e-9
+    # rank-sum identity: W+ + W- = n(n+1)/2
+    assert w2p + w2m == n * (n + 1)
+
+
+def test_trimmed_mean_matches_python_replay(spark):
+    """10% positional trim replayed in pure Python per group."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(ROUND(value*100,0) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    groups = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    got = {
+        r.event_type: r
+        for r in registry()["agg_trimmed_mean"].fn(spark, sf).collect()
+    }
+    for g, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        k = n // 10
+        kept = xs[k : n - k]
+        tm = sum(kept) / len(kept) / 100.0
+        fm = sum(xs) / n / 100.0
+        r = got[g]
+        assert (r.n, r.n_trimmed_each, r.n_kept) == (n, k, len(kept))
+        assert abs(r.trimmed_mean - round(tm, 6)) < 1e-6
+        assert abs(r.shift_vs_mean - round(tm - fm, 6)) < 1e-6
