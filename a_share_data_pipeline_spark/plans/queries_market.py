@@ -2622,3 +2622,119 @@ def events_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ulcer_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 56: Kendall tau-b — the concordance rank correlation between the
+# two aligned daily return series
+# ---------------------------------------------------------------------------
+
+_TAU_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+ret AS (
+  SELECT event_type, day,
+         {_ILN_SQL} - lag({_ILN_SQL}) OVER w AS r
+  FROM daily WHERE close_c > 0
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+aligned AS (
+  SELECT v.day, v.r AS x, p.r AS y,
+         row_number() OVER (ORDER BY v.day) AS t
+  FROM (SELECT day, r FROM ret WHERE event_type = 'view' AND r IS NOT NULL) v
+  JOIN (SELECT day, r FROM ret WHERE event_type = 'purchase' AND r IS NOT NULL) p
+    ON p.day = v.day
+),
+pairs AS (
+  SELECT CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END AS cx,
+         CASE WHEN a.y < b.y THEN -1 WHEN a.y > b.y THEN 1 ELSE 0 END AS cy
+  FROM aligned a JOIN aligned b ON b.t > a.t
+),
+s AS (
+  SELECT COUNT(*)::BIGINT AS n_pairs,
+         SUM(CASE WHEN cx * cy = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+         SUM(CASE WHEN cx * cy = -1 THEN 1 ELSE 0 END)::BIGINT AS d,
+         SUM(CASE WHEN cx = 0 AND cy <> 0 THEN 1 ELSE 0 END)::BIGINT AS tx,
+         SUM(CASE WHEN cy = 0 AND cx <> 0 THEN 1 ELSE 0 END)::BIGINT AS ty
+  FROM pairs
+)
+SELECT n_pairs, c, d, tx, ty,
+       ROUND(CAST(c - d AS DOUBLE)
+             / sqrt(CAST((c + d + tx) AS DOUBLE) * CAST((c + d + ty) AS DOUBLE)),
+             6) AS tau_b
+FROM s WHERE c + d + tx > 0 AND c + d + ty > 0
+"""
+
+
+@register(
+    "events_kendall_tau",
+    _TAU_SQL,
+    doc=(
+        "Kendall tau-b — concordance rank correlation between the "
+        "aligned view/purchase daily return series, the "
+        "tie-corrected, outlier-immune sibling of "
+        "agg_spearman_corr and the correlation row of the robust "
+        "trio's machinery (same day-reduce + bounded pair fan-out as "
+        "theil_sen): every i<j pair classifies by two integer sign "
+        "comparisons, the five counts are exact, and tau-b's "
+        "tie-corrected denominator is one sqrt chain at emit. "
+        "O(days^2) pairs AFTER the daily reduce — calendar-bounded, "
+        "never data-bounded; O(1) output"
+    ),
+)
+def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).filter(F.col("close_c") > 0)
+    wo = W.partitionBy("event_type").orderBy("day")
+    iln = dround(F.log("close_c") * 100000000, 0).cast("bigint")
+    ret = daily.select(
+        "event_type", "day", (iln - F.lag(iln).over(wo)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    v = ret.filter(F.col("event_type") == "view").select("day", F.col("r").alias("x"))
+    p = ret.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("r").alias("y")
+    )
+    aligned = (
+        v.join(p, "day")
+        .select("x", "y", F.row_number().over(W.orderBy("day")).alias("t"))
+        .localCheckpoint(eager=True)  # both sides of the pair join
+    )
+    b = aligned.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("t").alias("bt")
+    )
+    sgn = lambda a, bb: (  # noqa: E731
+        F.when(a < bb, -1).when(a > bb, 1).otherwise(0)
+    )
+    pairs = (
+        aligned.join(b, F.col("bt") > F.col("t"))
+        .select(
+            sgn(F.col("x"), F.col("bx")).alias("cx"),
+            sgn(F.col("y"), F.col("by")).alias("cy"),
+        )
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("cx") * F.col("cy") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(F.col("cx") * F.col("cy") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when((F.col("cx") == 0) & (F.col("cy") != 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tx"),
+        F.sum(F.when((F.col("cy") == 0) & (F.col("cx") != 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ty"),
+    )
+    c, d, tx, ty = F.col("c"), F.col("d"), F.col("tx"), F.col("ty")
+    return s.filter((c + d + tx > 0) & (c + d + ty > 0)).select(
+        "n_pairs",
+        "c",
+        "d",
+        "tx",
+        "ty",
+        dround(
+            (c - d).cast("double")
+            / F.sqrt((c + d + tx).cast("double") * (c + d + ty).cast("double")),
+            6,
+        ).alias("tau_b"),
+    )

@@ -238,3 +238,124 @@ def rec_user_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 56: beyond-accuracy metrics — intra-list diversity + catalog
+# coverage over the top-N lists (the recsys-eval completion)
+# ---------------------------------------------------------------------------
+
+_BA_SQL = f"""
+WITH {_SIMS_CTES},
+knn AS (
+  SELECT item_a, item_b,
+         CAST(FLOOR(cosine * 1000000) AS BIGINT) AS sim_ppm
+  FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY item_a ORDER BY cosine DESC, item_b
+    ) AS rnk
+    FROM sims s
+  )
+  WHERE rnk <= {_TOPK_NEIGHBORS}
+),
+scored AS (
+  SELECT i.user_id, k.item_b AS item, SUM(k.sim_ppm) AS score_ppm
+  FROM interactions i JOIN knn k ON k.item_a = i.item
+  WHERE NOT EXISTS (
+    SELECT 1 FROM interactions h
+    WHERE h.user_id = i.user_id AND h.item = k.item_b
+  )
+  GROUP BY 1, 2
+),
+recs AS (
+  SELECT user_id, item FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY user_id ORDER BY score_ppm DESC, item
+    ) AS rnk
+    FROM scored s
+  ) WHERE rnk <= {_TOPN_RECS}
+),
+dpairs AS (
+  SELECT a.user_id,
+         CASE WHEN substring(a.item, 7, 1) <> substring(b.item, 7, 1)
+              THEN 1 ELSE 0 END AS diff
+  FROM recs a JOIN recs b ON b.user_id = a.user_id AND a.item < b.item
+),
+per_user AS (
+  SELECT user_id, (SUM(diff) * 1000000) // COUNT(*) AS ild_u
+  FROM dpairs GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*)::BIGINT AS n_users, SUM(ild_u)::HUGEINT AS s FROM per_user
+),
+cov AS (SELECT COUNT(DISTINCT item)::BIGINT AS n_rec FROM recs),
+cat AS (SELECT COUNT(DISTINCT p_brand)::BIGINT AS n_cat FROM part)
+SELECT agg.n_users,
+       ROUND(CAST(agg.s AS DOUBLE) / agg.n_users / 1000000.0, 6) AS avg_ild,
+       cov.n_rec AS n_items_recommended,
+       cat.n_cat AS n_items_catalog,
+       ROUND(CAST(cov.n_rec AS DOUBLE) / cat.n_cat, 6) AS coverage
+FROM agg CROSS JOIN cov CROSS JOIN cat
+"""
+
+
+@register(
+    "rec_beyond_accuracy",
+    _BA_SQL,
+    doc=(
+        "beyond-accuracy recommender metrics — the two numbers every "
+        "recsys eval needs NEXT to precision (search_ndcg_eval / "
+        "ml_average_precision cover accuracy): intra-list diversity "
+        "(fraction of within-list pairs from DIFFERENT manufacturers "
+        "— the attribute-based ILD) and catalog coverage (distinct "
+        "recommended / distinct catalog items). The top-{n} lists "
+        "come from rec_user_topn's exact pipeline; per-user ILD "
+        "floors onto the 1e-6 integer grid via pure integer division "
+        "so the cross-user average is an exact fold; single-item "
+        "lists have no pairs and drop (documented). Per-user pair "
+        "fan-out is C({n},2) — constant. O(1) output"
+    ).format(n=_TOPN_RECS),
+)
+def rec_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs = rec_user_topn(spark, sf_dir).select("user_id", "item").localCheckpoint(
+        eager=True
+    )  # pair join (twice) + coverage
+    mfr = lambda c: F.substring(c, 7, 1)  # noqa: E731  Brand#MN -> M
+    b = recs.select(F.col("user_id"), F.col("item").alias("item_b"))
+    dpairs = (
+        recs.join(b, "user_id")
+        .filter(F.col("item") < F.col("item_b"))
+        .select(
+            "user_id",
+            F.when(mfr(F.col("item")) != mfr(F.col("item_b")), 1)
+            .otherwise(0)
+            .alias("diff"),
+        )
+    )
+    per_user = dpairs.groupBy("user_id").agg(
+        F.expr("(SUM(diff) * 1000000) div COUNT(*)").alias("ild_u")
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("ild_u").cast("decimal(38,0)").alias("s"),
+    )
+    cov = recs.agg(F.count_distinct("item").cast("bigint").alias("n_rec"))
+    cat = (
+        load_table(spark, sf_dir, "part")
+        .agg(F.count_distinct("p_brand").cast("bigint").alias("n_cat"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_users",
+            dround(
+                F.col("s").cast("double") / F.col("n_users") / F.lit(1000000.0), 6
+            ).alias("avg_ild"),
+            F.col("n_rec").alias("n_items_recommended"),
+            F.col("n_cat").alias("n_items_catalog"),
+            dround(F.col("n_rec").cast("double") / F.col("n_cat"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

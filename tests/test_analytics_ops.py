@@ -3596,3 +3596,70 @@ def test_trimmed_mean_matches_python_replay(spark):
         assert (r.n, r.n_trimmed_each, r.n_kept) == (n, k, len(kept))
         assert abs(r.trimmed_mean - round(tm, 6)) < 1e-6
         assert abs(r.shift_vs_mean - round(tm - fm, 6)) < 1e-6
+
+
+def test_kendall_tau_matches_python_replay(spark):
+    """tau-b replayed in pure Python over the aligned return series."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    series = {}
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        ilns = [round(m.log(closes[(et, d)]) * 1e8) for d in days]
+        series[et] = {days[i]: ilns[i] - ilns[i - 1] for i in range(1, len(days))}
+    common = sorted(set(series["view"]) & set(series["purchase"]))
+    xs = [series["view"][d] for d in common]
+    ys = [series["purchase"][d] for d in common]
+    C = D = Tx = Ty = 0
+    n = len(common)
+    for i in range(n):
+        for j in range(i + 1, n):
+            cx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+            cy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+            if cx * cy == 1:
+                C += 1
+            elif cx * cy == -1:
+                D += 1
+            elif cx == 0 and cy != 0:
+                Tx += 1
+            elif cy == 0 and cx != 0:
+                Ty += 1
+    tau = (C - D) / m.sqrt((C + D + Tx) * float(C + D + Ty))
+    g = registry()["events_kendall_tau"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert (g.n_pairs, g.c, g.d, g.tx, g.ty) == (n * (n - 1) // 2, C, D, Tx, Ty)
+    assert abs(g.tau_b - round(tau, 6)) < 1e-9
+
+
+def test_beyond_accuracy_consistent_with_topn(spark):
+    """ILD/coverage recomputed in pure Python from the (already
+    oracle-verified) rec_user_topn output."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    recs = {}
+    for r in registry()["rec_user_topn"].fn(spark, sf).collect():
+        recs.setdefault(r.user_id, []).append(r.item)
+    ild_us = []
+    for items in recs.values():
+        pairs = [
+            (a, b) for i, a in enumerate(items) for b in items[i + 1 :]
+        ]
+        pairs = [(min(a, b), max(a, b)) for a, b in pairs]
+        if not pairs:
+            continue
+        diff = sum(1 for a, b in pairs if a[6] != b[6])
+        ild_us.append((diff * 1000000) // len(pairs))
+    n_users = len(ild_us)
+    avg_ild = sum(ild_us) / n_users / 1e6
+    n_rec = len({i for items in recs.values() for i in items})
+    g = registry()["rec_beyond_accuracy"].fn(spark, sf).collect()[0]
+    assert g.n_users == n_users
+    assert abs(g.avg_ild - round(avg_ild, 6)) < 1e-9
+    assert g.n_items_recommended == n_rec
+    assert g.n_items_catalog == 25
+    assert abs(g.coverage - round(n_rec / 25, 6)) < 1e-9
