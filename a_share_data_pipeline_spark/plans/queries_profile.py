@@ -908,8 +908,18 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "blk"
     )
     dist = F.levenshtein("name_a", "name_b")
+    # compute-heavy-small-data correction: the part table is a couple MB,
+    # so the scan is 1 input split and AQE coalesces by BYTES — the whole
+    # quadratic in-block levenshtein then runs in ONE task (measured ~20s
+    # at sf0.1 while 31 cores idled). An EXPLICIT repartition on the block
+    # key (explicit N is exempt from AQE coalescing) spreads blocks across
+    # the executor; the shuffle itself is 20k rows — free. At real scale
+    # the scan has many splits and this exchange coalesces back — the
+    # plan is the same either way.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
-        a.join(b, "blk")
+        a.repartition(n_part, "blk")
+        .join(b, "blk")
         .filter((F.col("key_a") < F.col("key_b")) & (dist <= 3))
         .select("key_a", "key_b", dist.cast("long").alias("dist"))
     )
@@ -1161,8 +1171,13 @@ FROM comp c JOIN sizes s ON s.component = c.component
 def er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
-    pairs = join_fuzzy_blocked(spark, sf_dir).select(
-        F.col("key_a").alias("a"), F.col("key_b").alias("b")
+    # eager checkpoint: nodes + the CC edge feed both consume the
+    # levenshtein block join — materialize it once (same discipline as
+    # the triangle-family queries)
+    pairs = (
+        join_fuzzy_blocked(spark, sf_dir)
+        .select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
+        .localCheckpoint(eager=True)
     )
     nodes = (
         pairs.select(F.col("a").alias("id"))
@@ -1251,8 +1266,14 @@ ORDER BY p.tri_cnt DESC, p.node LIMIT {_TRI_TOP}
     ),
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs_raw = join_fuzzy_blocked(spark, sf_dir).select(
-        F.col("key_a").alias("ka"), F.col("key_b").alias("kb")
+    # eager checkpoint: the levenshtein block join is the dominant cost
+    # and BOTH the degree pass and the capped probe consume it — without
+    # materialization the fuzzy join executes twice (measured ~2x at
+    # sf0.1, where the 3.9M-pair raw graph is the whole query cost)
+    pairs_raw = (
+        join_fuzzy_blocked(spark, sf_dir)
+        .select(F.col("key_a").alias("ka"), F.col("key_b").alias("kb"))
+        .localCheckpoint(eager=True)
     )
     deg = (
         pairs_raw.select(F.col("ka").alias("node"))
@@ -1271,14 +1292,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = pairs.select(F.col("ka").alias("b"), F.col("kb").alias("c"))
     e3 = pairs.select(F.col("ka").alias("a"), F.col("kb").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # ONE wedge-join execution: explode the three corners map-side
+    # instead of a 3-way union (each union branch re-ran the join —
+    # measured 3x the query cost at sf0.1), and derive the global
+    # total from the per-node counts (every triangle contributes
+    # exactly 3 corner rows) instead of a 4th scan
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_cnt"))
+        .localCheckpoint(eager=True)  # top-k + the derived total
     )
-    tot = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    tot = per_node.agg(F.expr("sum(tri_cnt) div 3").alias("n_triangles"))
     return (
         per_node.crossJoin(F.broadcast(tot))
         .select(
@@ -1518,8 +1543,14 @@ ORDER BY cc.cc_u DESC, cc.node LIMIT {_CC_TOP}
     ).format(top=_CC_TOP),
 )
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs_raw = join_fuzzy_blocked(spark, sf_dir).select(
-        F.col("key_a").alias("ka"), F.col("key_b").alias("kb")
+    # eager checkpoint: the levenshtein block join is the dominant cost
+    # and BOTH the degree pass and the capped probe consume it — without
+    # materialization the fuzzy join executes twice (measured ~2x at
+    # sf0.1, where the 3.9M-pair raw graph is the whole query cost)
+    pairs_raw = (
+        join_fuzzy_blocked(spark, sf_dir)
+        .select(F.col("key_a").alias("ka"), F.col("key_b").alias("kb"))
+        .localCheckpoint(eager=True)
     )
     deg0 = (
         pairs_raw.select(F.col("ka").alias("node"))
@@ -1544,10 +1575,10 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = pairs.select(F.col("ka").alias("b"), F.col("kb").alias("c"))
     e3 = pairs.select(F.col("ka").alias("a"), F.col("kb").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # single wedge-join execution: map-side corner explode, not a
+    # 3-way union of the join (graph_triangles lesson — 3x cost)
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
     )
@@ -1670,8 +1701,14 @@ ORDER BY n_2hop DESC, node LIMIT {_REACH_TOP}
     ).format(top=_REACH_TOP),
 )
 def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs_raw = join_fuzzy_blocked(spark, sf_dir).select(
-        F.col("key_a").alias("ka"), F.col("key_b").alias("kb")
+    # eager checkpoint: the levenshtein block join is the dominant cost
+    # and BOTH the degree pass and the capped probe consume it — without
+    # materialization the fuzzy join executes twice (measured ~2x at
+    # sf0.1, where the 3.9M-pair raw graph is the whole query cost)
+    pairs_raw = (
+        join_fuzzy_blocked(spark, sf_dir)
+        .select(F.col("key_a").alias("ka"), F.col("key_b").alias("kb"))
+        .localCheckpoint(eager=True)
     )
     deg0 = (
         pairs_raw.select(F.col("ka").alias("node"))
