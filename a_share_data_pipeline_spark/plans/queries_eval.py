@@ -994,3 +994,95 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 57: Matthews correlation coefficient — the confusion-matrix
+# summary robust to class imbalance
+# ---------------------------------------------------------------------------
+
+_MCC_THRESHOLD = 3  # predict "purchase day" when non-purchase activity < 3
+
+_MCC_SQL = f"""
+WITH units AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY 1, 2
+),
+conf AS (
+  SELECT
+    SUM(CASE WHEN score < {_MCC_THRESHOLD} AND label = 1 THEN 1 ELSE 0 END)::HUGEINT AS tp,
+    SUM(CASE WHEN score < {_MCC_THRESHOLD} AND label = 0 THEN 1 ELSE 0 END)::HUGEINT AS fp,
+    SUM(CASE WHEN score >= {_MCC_THRESHOLD} AND label = 1 THEN 1 ELSE 0 END)::HUGEINT AS fn,
+    SUM(CASE WHEN score >= {_MCC_THRESHOLD} AND label = 0 THEN 1 ELSE 0 END)::HUGEINT AS tn
+  FROM units
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+         AS accuracy,
+       ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                    * CAST((tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc
+FROM conf
+WHERE (tp + fp) * (tp + fn) > 0 AND (tn + fp) * (tn + fn) > 0
+"""
+
+
+@register(
+    "ml_mcc_confusion",
+    _MCC_SQL,
+    doc=(
+        "Matthews correlation coefficient — the single "
+        "imbalance-robust confusion summary (accuracy lies when one "
+        "class dominates; MCC = the phi correlation of the 2x2 "
+        "table) completing the eval row set beside auc (ranking), "
+        "kappa (agreement) and calibration: the low-activity rule "
+        "thresholds the AUC scoring frame into predictions, the four "
+        "cells are ONE exact integer aggregate over the scan, and "
+        "MCC = (TP*TN - FP*FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)) "
+        "is one fixed chain over 128-bit products with integer "
+        "marginal guards. O(1) output; at 100 TB the cells "
+        "partial-aggregate map-side — the cheapest eval there is"
+    ),
+)
+def ml_mcc_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).alias(
+            "score"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "label"
+        ),
+    )
+    pred = F.col("score") < _MCC_THRESHOLD
+    pos = F.col("label") == 1
+    d38 = "decimal(38,0)"
+    conf = units.agg(
+        F.sum(F.when(pred & pos, 1).otherwise(0)).cast(d38).alias("tp"),
+        F.sum(F.when(pred & ~pos, 1).otherwise(0)).cast(d38).alias("fp"),
+        F.sum(F.when(~pred & pos, 1).otherwise(0)).cast(d38).alias("fn"),
+        F.sum(F.when(~pred & ~pos, 1).otherwise(0)).cast(d38).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return conf.filter(
+        ((tp + fp) * (tp + fn) > 0) & ((tn + fp) * (tn + fn) > 0)
+    ).select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        dround(
+            (tp + tn).cast("double") / (tp + fp + fn + tn).cast("double"), 6
+        ).alias("accuracy"),
+        dround(
+            (tp * tn - fp * fn).cast("double")
+            / F.sqrt(
+                ((tp + fp) * (tp + fn)).cast("double")
+                * ((tn + fp) * (tn + fn)).cast("double")
+            ),
+            6,
+        ).alias("mcc"),
+    )

@@ -1437,3 +1437,116 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 57: Friedman test — k related samples blocked by day (the
+# repeated-measures rank test completing the nonparametric family)
+# ---------------------------------------------------------------------------
+
+_FRIEDMAN_SQL = """
+WITH cents AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+cell AS (
+  SELECT g, day, CAST(SUM(c) AS HUGEINT) AS s, COUNT(*)::HUGEINT AS n
+  FROM cents GROUP BY 1, 2
+),
+complete AS (
+  SELECT day FROM cell GROUP BY day HAVING COUNT(*) = 5
+),
+valcell AS (
+  SELECT c.g, c.day, c.s, c.n FROM cell c JOIN complete USING (day)
+),
+ranked AS (
+  SELECT g, day,
+         2 * (RANK() OVER (PARTITION BY day ORDER BY s * 1.0 / n)) - 1
+           + COUNT(*) OVER (PARTITION BY day, s * 1.0 / n) AS r2
+  FROM valcell
+),
+per_g AS (
+  SELECT g, SUM(r2)::HUGEINT AS r2sum, COUNT(*)::BIGINT AS n_blocks
+  FROM ranked GROUP BY g
+),
+s AS (
+  SELECT CAST(ANY_VALUE(n_blocks) AS DOUBLE) AS n, 5.0 AS k,
+         SUM(CAST(r2sum AS DOUBLE) / 2.0 * (CAST(r2sum AS DOUBLE) / 2.0)) AS rr
+  FROM per_g
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS INT) AS k,
+       ROUND(12.0 / (n * k * (k + 1.0)) * rr - 3.0 * n * (k + 1.0), 4)
+         AS friedman_chi2
+FROM s
+"""
+
+
+@register(
+    "stats_friedman",
+    _FRIEDMAN_SQL,
+    doc=(
+        "Friedman test — the repeated-measures rank test (do the five "
+        "event types differ, judged WITHIN each day-block?) completing "
+        "the nonparametric family (mann_whitney unpaired, wilcoxon "
+        "paired, friedman k-related): per-(type, day) mean cents rank "
+        "within each complete day-block via the doubled tie-averaged "
+        "rank device (2a = 2r-1+t, exact integers; the mean itself "
+        "compares as one deterministic division both engines share), "
+        "per-type rank sums are exact integer folds, and chi2_F = "
+        "12/(nk(k+1)) * sum R_j^2 - 3n(k+1) is one fixed chain. "
+        "Incomplete blocks drop (the classical requirement). One "
+        "cell reduce + one O(days*k) rank window; O(1) output"
+    ),
+)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    cell = cents.groupBy("g", "day").agg(
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    complete = cell.groupBy("day").agg(F.count(F.lit(1)).alias("kc")).filter(
+        F.col("kc") == 5
+    ).select("day")
+    valcell = cell.join(F.broadcast(complete), "day")
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    wr = W.partitionBy("day").orderBy(mean)
+    wt = W.partitionBy("day", mean)
+    ranked = valcell.select(
+        "g",
+        "day",
+        (
+            F.lit(2) * F.rank().over(wr)
+            - 1
+            + F.count(F.lit(1)).over(
+                wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )
+        ).alias("r2"),
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.sum("r2").cast("decimal(38,0)").alias("r2sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    half = F.col("r2sum").cast("double") / F.lit(2.0)
+    s = per_g.agg(
+        F.first("n_blocks").cast("double").alias("n"),
+        F.lit(5.0).alias("k"),
+        F.sum(half * half).alias("rr"),
+    )
+    n, k = F.col("n"), F.col("k")
+    return s.select(
+        n.cast("bigint").alias("n_blocks"),
+        k.cast("int").alias("k"),
+        dround(
+            F.lit(12.0) / (n * k * (k + F.lit(1.0))) * F.col("rr")
+            - F.lit(3.0) * n * (k + F.lit(1.0)),
+            4,
+        ).alias("friedman_chi2"),
+    )

@@ -3663,3 +3663,76 @@ def test_beyond_accuracy_consistent_with_topn(spark):
     assert g.n_items_recommended == n_rec
     assert g.n_items_catalog == 25
     assert abs(g.coverage - round(n_rec / 25, 6)) < 1e-9
+
+
+def test_friedman_matches_python_replay(spark):
+    """Friedman chi2 replayed in pure Python with tie-averaged
+    within-block ranks over per-(type, day) means."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE), "
+        "CAST(ROUND(value*100,0) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    cells = {}
+    for g, day, c in rows:
+        s, n = cells.get((g, day), (0, 0))
+        cells[(g, day)] = (s + c, n + 1)
+    days = {}
+    for (g, day), (s, n) in cells.items():
+        days.setdefault(day, []).append((g, s / n))
+    r2sum = {}
+    n_blocks = 0
+    for day, pairs in days.items():
+        if len(pairs) != 5:
+            continue
+        n_blocks += 1
+        vals = sorted(v for _, v in pairs)
+        first = {}
+        count = {}
+        for i, v in enumerate(vals, start=1):
+            first.setdefault(v, i)
+            count[v] = count.get(v, 0) + 1
+        for g, v in pairs:
+            r2sum[g] = r2sum.get(g, 0) + 2 * first[v] - 1 + count[v]
+    k = 5.0
+    n = float(n_blocks)
+    rr = sum((v / 2.0) * (v / 2.0) for v in r2sum.values())
+    chi2 = 12.0 / (n * k * (k + 1.0)) * rr - 3.0 * n * (k + 1.0)
+    g = registry()["stats_friedman"].fn(spark, sf).collect()[0]
+    assert g.n_blocks == n_blocks and g.k == 5
+    assert abs(g.friedman_chi2 - round(chi2, 4)) < 1e-6
+
+
+def test_mcc_matches_python_replay(spark):
+    """Confusion cells + MCC replayed in pure Python."""
+    import duckdb
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_eval import _MCC_THRESHOLD
+
+    sf = "/root/testdata/sf0.001"
+    units = duckdb.connect().execute(
+        "SELECT SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END), "
+        " MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        "GROUP BY user_id, CAST(ts AS DATE)"
+    ).fetchall()
+    tp = fp = fn = tn = 0
+    for score, label in units:
+        if score < _MCC_THRESHOLD:
+            tp, fp = tp + (label == 1), fp + (label == 0)
+        else:
+            fn, tn = fn + (label == 1), tn + (label == 0)
+    mcc = (tp * tn - fp * fn) / m.sqrt(
+        (tp + fp) * (tp + fn) * float((tn + fp) * (tn + fn))
+    )
+    g = registry()["ml_mcc_confusion"].fn(spark, sf).collect()[0]
+    assert (g.tp, g.fp, g.fn, g.tn) == (tp, fp, fn, tn)
+    assert abs(g.accuracy - round((tp + tn) / len(units), 6)) < 1e-9
+    assert abs(g.mcc - round(mcc, 6)) < 1e-9

@@ -962,3 +962,40 @@ def test_poisson_bootstrap_partial_aggregates_before_shuffle(spark):
     p = plan_str(q)
     assert p.count("HashAggregate") >= 2, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_fuzzy_block_join_spreads_compute(spark):
+    """join_fuzzy_blocked: the in-block levenshtein is compute-heavy
+    over a BYTE-small table, so the probe side must carry an explicit
+    hash repartition on the block key — without it AQE coalesces the
+    2MB scan to one task and the whole O(block^2) pass serializes
+    (measured ~20s single-task at sf0.1 vs 6.6s spread; round-7
+    SCALE.md lesson: partition count must track compute, not bytes)."""
+    q = registry()["join_fuzzy_blocked"].fn(spark, SF)
+    p = plan_str(q)
+    assert "levenshtein" in p, p
+    # the explicit repartition survives planning, keyed on the block
+    # column; REPARTITION_BY_NUM shuffles are exempt from AQE coalescing
+    assert "hashpartitioning(blk" in p, p
+    assert "REPARTITION_BY_NUM" in p, p
+
+
+def test_triangle_corners_single_join_execution(spark):
+    """graph_triangles / graph_clustering_coeff: the per-node corner
+    counts must come from ONE wedge-join execution (map-side explode),
+    never a 3-way union of the join — each union branch re-ran the
+    join (3x cost, caught in the round-7 bench)."""
+    # The expensive levenshtein pair source must appear in NO final plan
+    # (eagerly checkpointed — computed exactly once per query), and the
+    # corner expansion must be explode-based where it is still visible.
+    # graph_triangles checkpoints per_node too, so its final plan reads
+    # only checkpoint RDDs; clustering's plan shows the explode lane.
+    for name, want_explode in (
+        ("graph_triangles", False),
+        ("graph_clustering_coeff", True),
+    ):
+        q = registry()[name].fn(spark, SF)
+        p = plan_str(q)
+        assert "levenshtein" not in p, (name, p)
+        if want_explode:
+            assert "explode" in p, (name, p)
