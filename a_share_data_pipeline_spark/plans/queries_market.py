@@ -2738,3 +2738,193 @@ def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 58: mean-reversion half-life + Ljung-Box — how fast does the
+# pairs spread revert, and is the return series white noise at all?
+# ---------------------------------------------------------------------------
+
+_HL_LN2 = math.log(2.0)
+
+_HALF_LIFE_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+aligned AS (
+  SELECT v.day, v.close_c - p.close_c AS s
+  FROM (SELECT day, close_c FROM daily WHERE event_type = 'view') v
+  JOIN (SELECT day, close_c FROM daily WHERE event_type = 'purchase') p
+    ON p.day = v.day
+),
+pairs AS (
+  SELECT s AS y, lag(s) OVER (ORDER BY day) AS x FROM aligned
+),
+m AS (
+  SELECT COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pairs WHERE x IS NOT NULL
+),
+r AS (
+  SELECT CAST(n AS BIGINT) AS n_pairs,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           AS rho
+  FROM m WHERE n * sxx - sx * sx > 0
+)
+SELECT n_pairs, ROUND(rho, 6) AS ar1_rho,
+       CASE WHEN rho > 0 AND rho < 1
+            THEN ROUND(-{_HL_LN2!r} / ln(rho), 4) END AS half_life_days
+FROM r
+"""
+
+
+@register(
+    "events_half_life",
+    _HALF_LIFE_SQL,
+    doc=(
+        "mean-reversion half-life — the holding-period number that "
+        "turns events_pairs_spread_zscore's entry signal into a "
+        "trade plan: fit AR(1) on the view/purchase close spread "
+        "(rho from four exact 128-bit moments, one division) and "
+        "report half-life = -ln2/ln(rho) under the OU "
+        "discretization. rho outside (0,1) -> NULL half-life (no "
+        "reversion or oscillation — the estimator's documented "
+        "undefined region, no NaN lanes). One day equi-join + one "
+        "lag window over the O(days) frame; O(1) output"
+    ),
+)
+def events_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    v = daily.filter(F.col("event_type") == "view").select(
+        "day", F.col("close_c").alias("vc")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("close_c").alias("pc")
+    )
+    aligned = v.join(p, "day").select("day", (F.col("vc") - F.col("pc")).alias("s"))
+    w = W.orderBy("day")
+    pairs = aligned.select(
+        F.col("s").alias("y"), F.lag("s").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    d38 = "decimal(38,0)"
+    m = pairs.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("y")).cast("decimal(26,0)"))
+        .cast(d38)
+        .alias("sxy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x")).cast("decimal(26,0)"))
+        .cast(d38)
+        .alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    den = n * F.col("sxx") - sx * sx
+    rho = (n * F.col("sxy") - sx * sy).cast("double") / den.cast("double")
+    r = m.filter(den > 0).select(
+        n.cast("bigint").alias("n_pairs"), rho.alias("rho")
+    )
+    return r.select(
+        "n_pairs",
+        dround(F.col("rho"), 6).alias("ar1_rho"),
+        F.when(
+            (F.col("rho") > 0) & (F.col("rho") < 1),
+            dround(F.lit(-_HL_LN2) / F.log(F.col("rho")), 4),
+        ).alias("half_life_days"),
+    )
+
+
+_LB_LAGS = 5
+
+_LB_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+mom AS (
+  SELECT COUNT(*)::HUGEINT AS n, SUM(c)::HUGEINT AS s FROM daily
+),
+centered AS (
+  SELECT d.day, (SELECT n FROM mom) * d.c - (SELECT s FROM mom) AS y,
+         (SELECT CAST(n AS BIGINT) FROM mom) AS n
+  FROM daily d
+),
+lagged AS (
+  SELECT y, n,
+         {", ".join(f"lag(y, {k}) OVER (ORDER BY day) AS l{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM centered
+),
+agg AS (
+  SELECT ANY_VALUE(n) AS n,
+         SUM(CAST(y AS HUGEINT) * y) AS denom,
+         {", ".join(f"SUM(CAST(y AS HUGEINT) * l{k}) AS num{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM lagged
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       {", ".join(f"ROUND(CAST(num{k} AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS rho{k}" for k in range(1, _LB_LAGS + 1))},
+       ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * (
+         {" + ".join(f"(CAST(num{k} AS DOUBLE) / CAST(denom AS DOUBLE)) * (CAST(num{k} AS DOUBLE) / CAST(denom AS DOUBLE)) / (CAST(n AS DOUBLE) - {k}.0)" for k in range(1, _LB_LAGS + 1))}
+       ), 4) AS ljung_box_q
+FROM agg WHERE denom > 0
+"""
+
+
+@register(
+    "events_ljung_box",
+    _LB_SQL,
+    doc=(
+        "Ljung-Box portmanteau test — is the daily purchase-count "
+        "series white noise across the first {lags} lags at once? "
+        "(the joint upgrade of events_autocorrelation's per-lag "
+        "view): mean-centering rides the n-scaled integer device "
+        "y_t = n*x_t - S (exact, no division), each lag's "
+        "autocovariance and the common denominator are exact 128-bit "
+        "integer sums over ONE shared lag window, and "
+        "Q = n(n+2) * sum rho_k^2/(n-k) is a fixed literal chain "
+        "over the {lags} pivoted columns — never a float fold. "
+        "Compare Q against chi2({lags}) downstream. O(1) output; "
+        "the window runs over the O(days) reduced frame"
+    ).format(lags=_LB_LAGS),
+)
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+    )
+    centered = daily.crossJoin(F.broadcast(mom)).select(
+        "day",
+        (F.col("n") * F.col("c").cast("decimal(19,0)") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    w = W.orderBy("day")
+    lagged = centered.select(
+        "y",
+        "n",
+        *[F.lag("y", k).over(w).alias(f"l{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    aggs = [
+        F.first("n").alias("n"),
+        F.sum(F.col("y") * F.col("y")).alias("denom"),
+    ]
+    for k in range(1, _LB_LAGS + 1):
+        aggs.append(F.sum(F.col("y") * F.col(f"l{k}")).alias(f"num{k}"))
+    agg = lagged.agg(*aggs)
+    nd = F.col("n").cast("double")
+    rhos = [
+        (F.col(f"num{k}").cast("double") / F.col("denom").cast("double"))
+        for k in range(1, _LB_LAGS + 1)
+    ]
+    qsum = None
+    for k, r in enumerate(rhos, start=1):
+        term = r * r / (nd - F.lit(float(k)))
+        qsum = term if qsum is None else qsum + term
+    out = [F.col("n").cast("bigint").alias("n_days")]
+    out += [dround(r, 6).alias(f"rho{k}") for k, r in enumerate(rhos, start=1)]
+    out.append(dround(nd * (nd + F.lit(2.0)) * qsum, 4).alias("ljung_box_q"))
+    return agg.filter(F.col("denom") > 0).select(*out)

@@ -3736,3 +3736,61 @@ def test_mcc_matches_python_replay(spark):
     assert (g.tp, g.fp, g.fn, g.tn) == (tp, fp, fn, tn)
     assert abs(g.accuracy - round((tp + tn) / len(units), 6)) < 1e-9
     assert abs(g.mcc - round(mcc, 6)) < 1e-9
+
+
+def test_half_life_matches_python_replay(spark):
+    """AR(1) rho + OU half-life replayed in pure Python over the
+    replayed close spread."""
+    import math as m
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    days = sorted(
+        d for (t, d) in closes if t == "view" and ("purchase", d) in closes
+    )
+    s = [closes[("view", d)] - closes[("purchase", d)] for d in days]
+    pts = list(zip(s[:-1], s[1:]))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    rho = (n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    g = registry()["events_half_life"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert g.n_pairs == n
+    assert abs(g.ar1_rho - round(rho, 6)) < 1e-9
+    if 0 < rho < 1:
+        assert abs(g.half_life_days - round(-m.log(2.0) / m.log(rho), 4)) < 1e-9
+    else:
+        assert g.half_life_days is None
+
+
+def test_ljung_box_matches_python_replay(spark):
+    """Q statistic replayed in pure Python on the n-scaled centered
+    integer device."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import _LB_LAGS
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT CAST(ts AS DATE) AS day, COUNT(*) FROM read_parquet("
+        f"'{sf}/events.parquet') WHERE event_type = 'purchase' "
+        "GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    xs = [c for _, c in rows]
+    n = len(xs)
+    s = sum(xs)
+    ys = [n * x - s for x in xs]
+    denom = sum(y * y for y in ys)
+    g = registry()["events_ljung_box"].fn(spark, sf).collect()[0]
+    assert g.n_days == n
+    q = 0.0
+    for k in range(1, _LB_LAGS + 1):
+        num = sum(ys[t] * ys[t - k] for t in range(k, n))
+        rho = num / denom
+        assert abs(getattr(g, f"rho{k}") - round(rho, 6)) < 1e-9
+        q = q + rho * rho / (n - float(k))
+    assert abs(g.ljung_box_q - round(n * (n + 2.0) * q, 4)) < 1e-6
