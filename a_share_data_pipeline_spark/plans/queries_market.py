@@ -2928,3 +2928,248 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     out += [dround(r, 6).alias(f"rho{k}") for k, r in enumerate(rhos, start=1)]
     out.append(dround(nd * (nd + F.lit(2.0)) * qsum, 4).alias("ljung_box_q"))
     return agg.filter(F.col("denom") > 0).select(*out)
+
+
+# ---------------------------------------------------------------------------
+# Wave 59: Chow structural-break test + underwater duration — known-date
+# regime check and the time dimension of drawdown risk
+# ---------------------------------------------------------------------------
+
+_CHOW_BREAK = "2024-01-16"  # known candidate break: the sample midpoint
+
+
+def _chow_ssr_sql(pred: str) -> str:
+    """SSR of close ~ t over the rows satisfying ``pred`` — exact
+    integer moments, SSR = (Syy - Sxy^2/Sxx scaled) in one chain."""
+    return f"""
+  SELECT COUNT(*)::HUGEINT AS n, SUM(t)::HUGEINT AS sx,
+         SUM(close_c)::HUGEINT AS sy,
+         SUM(CAST(t AS HUGEINT) * close_c) AS sxy,
+         SUM(CAST(t AS HUGEINT) * t) AS sxx,
+         SUM(CAST(close_c AS HUGEINT) * close_c) AS syy
+  FROM tseries WHERE {pred}"""
+
+
+_CHOW_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+tseries AS (
+  SELECT event_type, close_c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         day
+  FROM daily WHERE event_type = 'view'
+),
+pooled AS ({_chow_ssr_sql("TRUE")}),
+seg1 AS ({_chow_ssr_sql(f"day < DATE '{_CHOW_BREAK}'")}),
+seg2 AS ({_chow_ssr_sql(f"day >= DATE '{_CHOW_BREAK}'")}),
+ssr AS (
+  SELECT
+    (CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE)
+     - CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+       * CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+       / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)) / CAST(p.n AS DOUBLE)
+      AS ssr_pooled,
+    (CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE)
+     - CAST(a.n * a.sxy - a.sx * a.sy AS DOUBLE)
+       * CAST(a.n * a.sxy - a.sx * a.sy AS DOUBLE)
+       / CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)) / CAST(a.n AS DOUBLE)
+      AS ssr_1,
+    (CAST(b.n * b.syy - b.sy * b.sy AS DOUBLE)
+     - CAST(b.n * b.sxy - b.sx * b.sy AS DOUBLE)
+       * CAST(b.n * b.sxy - b.sx * b.sy AS DOUBLE)
+       / CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)) / CAST(b.n AS DOUBLE)
+      AS ssr_2,
+    CAST(p.n AS DOUBLE) AS n
+  FROM pooled p CROSS JOIN seg1 a CROSS JOIN seg2 b
+  WHERE a.n > 2 AND b.n > 2
+    AND a.n * a.sxx - a.sx * a.sx > 0 AND b.n * b.sxx - b.sx * b.sx > 0
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(ssr_pooled / 10000.0, 4) AS ssr_pooled,
+       ROUND((ssr_1 + ssr_2) / 10000.0, 4) AS ssr_split,
+       ROUND(((ssr_pooled - (ssr_1 + ssr_2)) / 2.0)
+             / ((ssr_1 + ssr_2) / (n - 4.0)), 4) AS chow_f
+FROM ssr
+"""
+
+
+@register(
+    "events_chow_test",
+    _CHOW_SQL,
+    doc=(
+        "Chow structural-break test — did the close~time regression "
+        "CHANGE at a known date? (the inferential complement of "
+        "events_cusum_changepoint's unknown-break scan): three "
+        "linear fits (pooled, pre, post) share one daily reduce, "
+        "each SSR comes from six exact 128-bit integer moments via "
+        "SSR/n = (nSyy - Sy^2 - (nSxy - SxSy)^2/(nSxx - Sx^2))/n^2 "
+        "collapsed to one fixed chain, and "
+        "F = ((SSR_p - SSR_1 - SSR_2)/k) / ((SSR_1+SSR_2)/(n-2k)) "
+        "with k=2 params. Degenerate segments drop via integer "
+        "radicand guards. O(1) output; three scans of the O(days) "
+        "frame (one at scale — the predicate is a partition filter)"
+    ),
+)
+def events_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir).filter(F.col("event_type") == "view")
+    w = W.partitionBy("event_type").orderBy("day")
+    tseries = daily.select(
+        "close_c", F.row_number().over(w).alias("t"), "day"
+    ).localCheckpoint(eager=True)  # pooled + two segment consumers
+
+    d38 = "decimal(38,0)"
+
+    def moments(df):
+        return df.agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("t").cast(d38).alias("sx"),
+            F.sum("close_c").cast(d38).alias("sy"),
+            F.sum(
+                (F.col("t").cast("decimal(19,0)") * F.col("close_c")).cast(
+                    "decimal(26,0)"
+                )
+            )
+            .cast(d38)
+            .alias("sxy"),
+            F.sum((F.col("t").cast("decimal(19,0)") * F.col("t")).cast("decimal(26,0)"))
+            .cast(d38)
+            .alias("sxx"),
+            F.sum(
+                (F.col("close_c").cast("decimal(19,0)") * F.col("close_c")).cast(
+                    "decimal(26,0)"
+                )
+            )
+            .cast(d38)
+            .alias("syy"),
+        )
+
+    brk = F.lit(_CHOW_BREAK).cast("date")
+
+    def ssr(prefix, m):
+        n, sx, sy = F.col(f"{prefix}n"), F.col(f"{prefix}sx"), F.col(f"{prefix}sy")
+        sxy, sxx, syy = (
+            F.col(f"{prefix}sxy"),
+            F.col(f"{prefix}sxx"),
+            F.col(f"{prefix}syy"),
+        )
+        num = (n * sxy - sx * sy).cast("double")
+        return (
+            (n * syy - sy * sy).cast("double")
+            - num * num / (n * sxx - sx * sx).cast("double")
+        ) / n.cast("double")
+
+    p = moments(tseries)
+    a = moments(tseries.filter(F.col("day") < brk))
+    b = moments(tseries.filter(F.col("day") >= brk))
+    ren = lambda df, pre: df.select(  # noqa: E731
+        *[F.col(c).alias(f"{pre}{c}") for c in df.columns]
+    )
+    j = (
+        ren(p, "p_")
+        .crossJoin(F.broadcast(ren(a, "a_")))
+        .crossJoin(F.broadcast(ren(b, "b_")))
+    )
+    an, bn = F.col("a_n"), F.col("b_n")
+    rada = an * F.col("a_sxx") - F.col("a_sx") * F.col("a_sx")
+    radb = bn * F.col("b_sxx") - F.col("b_sx") * F.col("b_sx")
+    j = j.filter((an > 2) & (bn > 2) & (rada > 0) & (radb > 0))
+    nd = F.col("p_n").cast("double")
+    s_p, s_1, s_2 = ssr("p_", j), ssr("a_", j), ssr("b_", j)
+    return j.select(
+        F.col("p_n").cast("bigint").alias("n_days"),
+        dround(s_p / F.lit(10000.0), 4).alias("ssr_pooled"),
+        dround((s_1 + s_2) / F.lit(10000.0), 4).alias("ssr_split"),
+        dround(
+            ((s_p - (s_1 + s_2)) / F.lit(2.0)) / ((s_1 + s_2) / (nd - F.lit(4.0))),
+            4,
+        ).alias("chow_f"),
+    )
+
+
+_UW_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+runmax AS (
+  SELECT event_type, day, close_c,
+         MAX(close_c) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS peak_c
+  FROM daily
+),
+flagged AS (
+  SELECT event_type, day,
+         CASE WHEN close_c < peak_c THEN 1 ELSE 0 END AS uw
+  FROM runmax
+),
+islands AS (
+  SELECT event_type, day, uw,
+         row_number() OVER (PARTITION BY event_type ORDER BY day)
+           - row_number() OVER (PARTITION BY event_type, uw ORDER BY day)
+           AS grp
+  FROM flagged
+),
+spells AS (
+  SELECT event_type, grp, COUNT(*)::BIGINT AS len,
+         MIN(day) AS start_day
+  FROM islands WHERE uw = 1
+  GROUP BY event_type, grp
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_spells,
+       CAST(MAX(len) AS BIGINT) AS max_underwater_days,
+       CAST(SUM(len) AS BIGINT) AS total_underwater_days,
+       MIN(start_day) AS first_underwater_day
+FROM spells GROUP BY event_type
+"""
+
+
+@register(
+    "events_underwater_duration",
+    _UW_SQL,
+    doc=(
+        "underwater duration — the TIME dimension of drawdown risk "
+        "(events_ulcer_index measures depth; this measures how LONG "
+        "below the running peak): below-peak flags from the integer "
+        "running max, consecutive spells via the gaps-and-islands "
+        "double-row_number device (the events_streaks discipline), "
+        "and per-series spell count / longest spell / total days as "
+        "exact integer aggregates. All windows over the O(days) "
+        "reduced frame, per-instrument partitioned at scale"
+    ),
+)
+def events_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    wo = W.partitionBy("event_type").orderBy("day")
+    runmax = daily.select(
+        "event_type",
+        "day",
+        "close_c",
+        F.max("close_c").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "peak_c"
+        ),
+    )
+    flagged = runmax.select(
+        "event_type",
+        "day",
+        F.when(F.col("close_c") < F.col("peak_c"), 1).otherwise(0).alias("uw"),
+    )
+    islands = flagged.select(
+        "event_type",
+        "day",
+        "uw",
+        (
+            F.row_number().over(wo)
+            - F.row_number().over(W.partitionBy("event_type", "uw").orderBy("day"))
+        ).alias("grp"),
+    )
+    spells = (
+        islands.filter(F.col("uw") == 1)
+        .groupBy("event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+            F.min("day").alias("start_day"),
+        )
+    )
+    return spells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+        F.max("len").cast("bigint").alias("max_underwater_days"),
+        F.sum("len").cast("bigint").alias("total_underwater_days"),
+        F.min("start_day").alias("first_underwater_day"),
+    )

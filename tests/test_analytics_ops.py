@@ -3794,3 +3794,78 @@ def test_ljung_box_matches_python_replay(spark):
         assert abs(getattr(g, f"rho{k}") - round(rho, 6)) < 1e-9
         q = q + rho * rho / (n - float(k))
     assert abs(g.ljung_box_q - round(n * (n + 2.0) * q, 4)) < 1e-6
+
+
+def test_chow_test_matches_python_replay(spark):
+    """Three-regression Chow F replayed in pure Python from exact
+    integer moments."""
+    import datetime
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import _CHOW_BREAK
+
+    closes = _daily_closes_py()
+    days = sorted(d for (t, d) in closes if t == "view")
+    pts = [(i + 1, closes[("view", d)], d) for i, d in enumerate(days)]
+    brk = datetime.date.fromisoformat(_CHOW_BREAK)
+
+    def ssr(sub):
+        n = len(sub)
+        sx = sum(t for t, _, _ in sub)
+        sy = sum(c for _, c, _ in sub)
+        sxy = sum(t * c for t, c, _ in sub)
+        sxx = sum(t * t for t, _, _ in sub)
+        syy = sum(c * c for _, c, _ in sub)
+        num = float(n * sxy - sx * sy)
+        return (float(n * syy - sy * sy) - num * num / float(n * sxx - sx * sx)) / n
+
+    s_p = ssr(pts)
+    s_1 = ssr([p for p in pts if p[2] < brk])
+    s_2 = ssr([p for p in pts if p[2] >= brk])
+    n = len(pts)
+    f = ((s_p - (s_1 + s_2)) / 2.0) / ((s_1 + s_2) / (n - 4.0))
+    g = registry()["events_chow_test"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert g.n_days == n
+    assert abs(g.ssr_pooled - round(s_p / 10000.0, 4)) < 1e-6
+    assert abs(g.ssr_split - round((s_1 + s_2) / 10000.0, 4)) < 1e-6
+    assert abs(g.chow_f - round(f, 4)) < 1e-6
+
+
+def test_underwater_duration_matches_python_replay(spark):
+    """Below-peak spell lengths replayed in pure Python."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    closes = _daily_closes_py()
+    got = {
+        r.event_type: r
+        for r in registry()["events_underwater_duration"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for et in ("view", "purchase"):
+        days = sorted(d for (t, d) in closes if t == et)
+        peak = 0
+        spells = []
+        cur_len = 0
+        cur_start = None
+        first = None
+        for d in days:
+            c = closes[(et, d)]
+            peak = max(peak, c)
+            if c < peak:
+                if cur_len == 0:
+                    cur_start = d
+                cur_len += 1
+                if first is None:
+                    first = d
+            else:
+                if cur_len:
+                    spells.append(cur_len)
+                cur_len = 0
+        if cur_len:
+            spells.append(cur_len)
+        g = got[et]
+        assert g.n_spells == len(spells)
+        assert g.max_underwater_days == max(spells)
+        assert g.total_underwater_days == sum(spells)
+        assert g.first_underwater_day == first
