@@ -239,9 +239,27 @@ _REGISTRY: dict[str, Query] = {}
 # vote), events_pairs_spread_zscore / events_roll_spread
 # (mean-reversion monitor + implied spread).
 #
-# CONCRETE r8 rotation plan (apply FIRST THING in round 8, before the
-# driver's r8 correctness run — never mid-round, or the r7 newcomers
-# lose their driver-green chance). IN (never-driver-verified
+# CONCRETE r9 rotation plan (apply FIRST THING in round 9, before the
+# driver's r9 correctness run — never mid-round, or the r8 newcomers
+# below lose their driver-green chance). IN (never-driver-verified
+# families, VERDICT r7 item 4's shortlist): events_funnel +
+# events_retention (the product-analytics core pair — ordered
+# conversion steps and cohort day-N return), audit_referential_
+# integrity (the multi-table ingest gate), join_bloom_prune (the
+# sketch-prune shuffle primitive), stats_welch_ttest (the inference
+# family's unequal-variance witness; profile_mad_outliers is the
+# robust-stats alternate if a slot frees up). OUT (subsumable,
+# driver-green history stands — pick five of): agg_approx_distinct
+# (HLL bound contract ⊂ agg_sketch_merge's merged-shard HLL row),
+# join_full_outer (⊂ canonical_assembly's outer-concat J1 +
+# join_semi_anti's null-handling), events_tumbling (fixed windows ⊂
+# events_sessionize's harder gap windows + stream lanes),
+# udf_pandas_scalar (arrow scalar lane ⊂ udf_grouped_map's heavier
+# grouped-map arrow lane), sql_in_subquery (decorrelation ⊂
+# join_semi_anti's LeftSemi plan shape, gated locally).
+#
+# Round-8 rotation (VERDICT r7 item 1) — APPLIED at the top of round
+# 8, reflected in CORE_WINDOW above. IN (never-driver-verified
 # families): stats_benjamini_hochberg (the inference family's first
 # window row — multiple-testing control, A&S erfc device),
 # geo_dbscan_grid (the geo family's first window row — grid join +
@@ -325,8 +343,11 @@ CORE_WINDOW: tuple[str, ...] = (
     # sort / set ops
     "sort_topk",
     "set_ops",
-    # sketch algebra: re-aggregatable HLL shards (r7)
+    # sketch algebra: re-aggregatable HLL shards (r7) + algebraic moments (r8)
     "agg_sketch_merge",
+    "agg_moments_merge",
+    # inference: multiple-testing control (r8)
+    "stats_benjamini_hochberg",
     # join shapes
     "join_regional_revenue",
     "join_semi_anti",
@@ -336,13 +357,13 @@ CORE_WINDOW: tuple[str, ...] = (
     "asof_join",
     # scalar function library
     "scalar_string",
-    "json_extract",
     # SQL front end / subquery decorrelation
     "sql_in_subquery",
     # pipeline / incrementality / time windows / storage layout
     "incremental_delta",
     "rollup_incremental",
     "cdc_apply",
+    "cdc_time_travel",
     "scd2_dim_history",
     "incremental_join_delta",
     "events_tumbling",
@@ -360,11 +381,8 @@ CORE_WINDOW: tuple[str, ...] = (
     # LLM-training-data operators
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_incremental",
     "dedup_semantic",
     "dedup_components",
-    "dedup_keep_canonical",
-    "sim_cosine_topk",
     "sim_ann_ivfpq",
     "sim_ann_index_scan",
     "kmeans_embeddings",
@@ -372,9 +390,11 @@ CORE_WINDOW: tuple[str, ...] = (
     "text_bm25",
     "graph_pagerank",
     "curation_pipeline",
-    "curation_pii_redact",
+    "curation_model_filter",
     "curation_line_dedup",
     "sample_mixture",
+    # geo: grid-blocked DBSCAN capstone (r8)
+    "geo_dbscan_grid",
     "multimodal_features",
 )
 

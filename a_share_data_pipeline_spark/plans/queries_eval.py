@@ -85,7 +85,9 @@ def assoc_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     items = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # no broadcast hint: part is SF-scaled — stats-based AQE
+        # decides from the projected size (VERDICT r7 item 5)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
         .distinct()
         .localCheckpoint(eager=True)  # consumers: basket count, item

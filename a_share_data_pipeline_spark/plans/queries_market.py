@@ -1213,13 +1213,21 @@ def events_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ok")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Integer `div` on the bigint cumsum (matching the oracle's `//`):
+    # double division loses exactness past 2^53 cumulative cents, so
+    # bar boundaries could diverge cross-engine at the 100 TB target
+    # (ADVICE r7). Both operands are non-negative, so truncating div
+    # == floor div.
     barred = ticks.select(
         "event_type",
         "c",
         "ok",
-        ((F.sum("c").over(wc) - F.col("c")) / _DB_THRESHOLD)
-        .cast("bigint")
-        .alias("bar"),
+        (F.sum("c").over(wc) - F.col("c")).alias("cum_excl"),
+    ).select(
+        "event_type",
+        "c",
+        "ok",
+        F.expr(f"cum_excl div {_DB_THRESHOLD}").alias("bar"),
     )
     return barred.groupBy("event_type", "bar").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
@@ -1308,13 +1316,18 @@ def events_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
     d = F.col("c") - F.lag("c").over(wo)
     nz = F.when(d > 0, 1).when(d < 0, -1)
+    # Integer `div` matching the oracle's `//` — see events_dollar_bars
+    # (double division is inexact past 2^53 cumulative cents).
     signed = ticks.select(
         "event_type",
         "c",
         F.coalesce(F.last(nz, ignorenulls=True).over(wc), F.lit(1)).alias("sgn"),
-        ((F.sum("c").over(wc) - F.col("c")) / _DB_THRESHOLD)
-        .cast("bigint")
-        .alias("bar"),
+        (F.sum("c").over(wc) - F.col("c")).alias("cum_excl"),
+    ).select(
+        "event_type",
+        "c",
+        "sgn",
+        F.expr(f"cum_excl div {_DB_THRESHOLD}").alias("bar"),
     )
     bars = signed.groupBy("event_type", "bar").agg(
         F.sum(F.when(F.col("sgn") == 1, F.col("c")).otherwise(0))

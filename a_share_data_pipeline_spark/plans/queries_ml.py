@@ -996,8 +996,15 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.select("q_id", "qv"),
         k=_KNN_K,
     )
+    # No broadcast hints on the label joins: refs is corpus-sized (90%
+    # of the embeddings FACT table) and queries is SF-scaled too — the
+    # r6 dedup_jaccard_prefix lesson (forced fact-sized broadcasts ship
+    # the corpus to every executor at scale). `top` (|queries|·k rows)
+    # is the small side; AQE's stats-based planner picks the right
+    # strategy per SF (queries_analytics.py policy). Plan-gated by
+    # test_knn_classifier_never_hints_a_corpus_broadcast.
     votes = (
-        top.join(F.broadcast(refs.select("c_id", "label")), "c_id")
+        top.join(refs.select("c_id", "label"), "c_id")
         .groupBy("q_id", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
     )
@@ -1006,7 +1013,7 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vr") == 1
     )
     return pick.join(
-        F.broadcast(queries.select("q_id", "true_label")), "q_id"
+        queries.select("q_id", "true_label"), "q_id"
     ).select(
         "q_id",
         F.col("label").alias("pred_label"),

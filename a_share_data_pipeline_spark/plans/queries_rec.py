@@ -76,7 +76,10 @@ def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # no broadcast hint: part is SF-scaled (200k rows/SF) — per the
+        # repo's stats-based-AQE policy the planner decides from the
+        # projected 2-column size, not a forced hint (VERDICT r7 item 5)
+        .join(part, li.l_partkey == part.p_partkey)
         .select(F.col("o_custkey").alias("user_id"), F.col("p_brand").alias("item"))
         .distinct()
     )

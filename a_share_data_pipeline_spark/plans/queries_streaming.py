@@ -443,10 +443,14 @@ def _inc_minhash_oracle() -> str:
         "is found exactly once — by the batch where its later member "
         "arrives — so the union over batches equals the one-shot "
         "batch answer, and the oracle IS dedup_incremental's SQL. "
-        "Note the hot-bucket guard applies to bucket sizes AS OF each "
-        "batch; a bucket that crosses the cap mid-stream would differ "
-        "from the batch guard (not reachable at fixture sizes, where "
-        "buckets are far below the cap)"
+        "The hot-bucket guard applies to bucket sizes AS OF each "
+        "batch — pairs verified at arrival stand (never retracted), "
+        "members arriving after a bucket crosses the cap form no "
+        "pairs through it; at a mid-stream crossing the stream is a "
+        "strict superset of the one-shot batch guard. That contract "
+        "is pinned by test_stream_cap_semantics_as_of_batch (the "
+        "fixture corpus itself stays far below the cap, so the "
+        "oracle equality here is exact)"
     ),
 )
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

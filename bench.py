@@ -105,14 +105,20 @@ EXTENDED = [
     "skyline_pareto",
     "graph_sssp_weighted",
     "stats_bootstrap_ci",
-    "cdc_time_travel",
     "window_rolling_median",
     "events_window_funnel",
     "graph_kcore",
     "dedup_lsh_quality",
     # round-7 heavy newcomers (extended tier; never on the driver record)
-    "geo_dbscan_grid",
+    # (cdc_time_travel and geo_dbscan_grid moved INTO the r8 window)
     "graph_clustering_coeff",
+    # r8 rotation: the five rotated-out window names keep their
+    # round-over-round series here (driver-green history stands)
+    "dedup_keep_canonical",
+    "sim_cosine_topk",
+    "dedup_incremental",
+    "curation_pii_redact",
+    "json_extract",
 ]
 
 
@@ -235,9 +241,13 @@ def main() -> None:
     # the driver captures a 2,000-char stdout tail; rounds 4 AND 6 went
     # parsed:null when catalog growth pushed the per-query map past it.
     # The compact record has no per-query content, so this can never
-    # grow with the catalog — the assert is a tripwire against someone
-    # folding a map back in.
-    assert len(line) < 1800, f"final bench line {len(line)} chars risks driver tail truncation"
+    # grow with the catalog — the tripwire guards against someone
+    # folding a map back in. RuntimeError, not assert: the protection
+    # must survive `python -O` (ADVICE r7).
+    if len(line) >= 1800:
+        raise RuntimeError(
+            f"final bench line {len(line)} chars risks driver tail truncation"
+        )
     print(line)
 
 

@@ -76,7 +76,33 @@ def diff(old: dict, new: dict) -> str:
     return "\n".join(lines)
 
 
+def _latest_stamped() -> list[str]:
+    """The committed round-stamped quiet-machine records
+    (``BENCH_DETAIL_r{NN}.json``), sorted by round. Preferred over the
+    working-tree ``BENCH_DETAIL.json``, which the driver's (noisier,
+    contended) per-round run overwrites — VERDICT r7 measured that
+    overwrite as a uniform ~15% same-direction contention shift."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+    return sorted(paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+
+
 if __name__ == "__main__":
-    if len(sys.argv) != 3:
+    if len(sys.argv) == 1:
+        stamped = _latest_stamped()
+        if len(stamped) < 2:
+            raise SystemExit(
+                "need two BENCH_DETAIL_r*.json records for the no-arg mode; "
+                "found: " + (", ".join(stamped) or "none") + "\n" + __doc__
+            )
+        a, b = stamped[-2], stamped[-1]
+        print(f"# {a} -> {b} (round-stamped quiet-machine series)")
+        print(diff(_load(a), _load(b)))
+    elif len(sys.argv) == 3:
+        print(diff(_load(sys.argv[1]), _load(sys.argv[2])))
+    else:
         raise SystemExit(__doc__)
-    print(diff(_load(sys.argv[1]), _load(sys.argv[2])))

@@ -811,6 +811,61 @@ def test_jaccard_prefix_never_hints_a_corpus_broadcast(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_dbscan_grid_keeps_the_salt_guard(spark, monkeypatch):
+    """geo_dbscan_grid (VERDICT r7 item 7): the DBSCAN path must keep
+    _grid_candidates' hot-cell salt guard with the production
+    parameters — the eager localCheckpoint hides the candidate join
+    from the final plan, so gate at build time via a spy: exactly one
+    _grid_candidates call, default (guarded) hot_cap/n_salts, and
+    `salt` is a live join key in the candidate plan (the hot-cell
+    pair-identity + bucket-spread behavior itself is property-tested in
+    test_geo_salt_guard_is_pair_identical_and_spreads_hot_cells)."""
+    import a_share_data_pipeline_spark.plans.queries_geo as G
+
+    calls = []
+    orig = G._grid_candidates
+
+    def spy(cells, hot_cap=G._HOT_CELL_CAP, n_salts=G._N_SALTS):
+        calls.append((hot_cap, n_salts))
+        out = orig(cells, hot_cap=hot_cap, n_salts=n_salts)
+        p = plan_str(out)
+        assert "salt" in p, p
+        return out
+
+    monkeypatch.setattr(G, "_grid_candidates", spy)
+    G.geo_dbscan_grid(spark, SF)
+    assert calls == [(G._HOT_CELL_CAP, G._N_SALTS)]
+    assert G._N_SALTS > 1 and G._HOT_CELL_CAP >= 1
+
+
+def test_knn_classifier_never_hints_a_corpus_broadcast(spark):
+    """ml_knn_classifier (VERDICT r7 item 2): the label joins touch
+    refs (90% of the embeddings FACT table) and queries (the other
+    10%) — both corpus-sized, so neither may carry an explicit
+    broadcast HINT. The ONLY hint allowed in the whole plan is the
+    brute-force scorer's documented baseline-lane broadcast of the
+    queries VECTORS (operators/similarity.py:70 — ANN lanes replace
+    that scorer at corpus scale; the vote algebra stays). With
+    stats-based auto-broadcast disabled, any BroadcastExchange can
+    only come from a hint — assert exactly the scorer's one
+    survives."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = registry()["ml_knn_classifier"].fn(spark, SF)
+        p = executed_plan_str(q)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    final = p.split("Initial Plan")[0]
+    n_bcast = sum(
+        1
+        for ln in final.splitlines()
+        if ln.lstrip(":+- *(0123456789) ").startswith("BroadcastExchange")
+    )
+    assert n_bcast == 1, final
+    assert "CartesianProduct" not in final, final
+
+
 def test_winnow_pairs_no_cartesian_single_expansion(spark):
     """dedup_winnow_pairs: candidates meet ONLY through the fingerprint
     posting list (guarded single-aggregation pair expansion) — never an

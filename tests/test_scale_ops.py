@@ -645,10 +645,11 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # round-3 rotation: the round-2 operator families must sit INSIDE
     # the driver window, witnessed by these exact (stable) names
     # (sim_ann_pq rotated back out in r5 — its encode+ADC path is
-    # composed verbatim inside the in-window sim_ann_ivfpq)
-    for name in ("curation_pipeline", "dedup_incremental",
-                 "dedup_keep_canonical", "curation_pii_redact"):
-        assert name in CORE_WINDOW, name
+    # composed verbatim inside the in-window sim_ann_ivfpq;
+    # dedup_incremental / dedup_keep_canonical / curation_pii_redact
+    # rotated back out in r8, subsumed by stream_incremental_dedup,
+    # dedup_components and curation_pipeline respectively)
+    assert "curation_pipeline" in CORE_WINDOW
     # round-4 rotation (VERDICT r3 item 5): the last never-driver-
     # verified families now sit inside the window
     for name in ("layout_zorder", "source_jsonl", "sample_mixture"):
@@ -672,6 +673,14 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     for name in ("sim_ann_index_scan", "stream_incremental_dedup",
                  "scd2_dim_history", "incremental_join_delta",
                  "agg_sketch_merge"):
+        assert name in CORE_WINDOW, name
+    # round-8 rotation (VERDICT r7 item 1): five never-driver-verified
+    # families enter — multiple-testing control, grid-blocked DBSCAN,
+    # multi-version AS OF, learned quality-filter apply, algebraic
+    # moment merge
+    for name in ("stats_benjamini_hochberg", "geo_dbscan_grid",
+                 "cdc_time_travel", "curation_model_filter",
+                 "agg_moments_merge"):
         assert name in CORE_WINDOW, name
     assert any(n.startswith("stream_") for n in CORE_WINDOW)
 
