@@ -919,3 +919,154 @@ def curation_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         score,
         ((F.lit(_MF_BIAS) + fdiv) >= _MF_THRESHOLD).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (wave 60)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOP = 25
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang = '{_DSIR_TARGET_LANG}' AS is_t,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.doc_id, a.is_t,
+         ('0x' || substr(md5(a.w || '|' || b.w), 1, 8))::BIGINT
+           % {_DSIR_BUCKETS} AS bucket
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+per_db AS (
+  SELECT doc_id, is_t, bucket, COUNT(*)::BIGINT AS n
+  FROM big GROUP BY 1, 2, 3
+),
+btab AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_t THEN n ELSE 0 END)::BIGINT AS ct,
+         SUM(CASE WHEN NOT is_t THEN n ELSE 0 END)::BIGINT AS cr
+  FROM per_db GROUP BY 1
+),
+tot AS (
+  SELECT SUM(ct)::BIGINT AS t_tot, SUM(cr)::BIGINT AS r_tot FROM btab
+),
+w AS (
+  SELECT bucket,
+         (CAST(ROUND(LN(ct + 1) * 100000000, 0) AS BIGINT)
+          - CAST(ROUND(LN(t_tot + {_DSIR_BUCKETS}) * 100000000, 0) AS BIGINT)
+          - CAST(ROUND(LN(cr + 1) * 100000000, 0) AS BIGINT)
+          + CAST(ROUND(LN(r_tot + {_DSIR_BUCKETS}) * 100000000, 0) AS BIGINT)
+         ) AS wgt
+  FROM btab CROSS JOIN tot
+),
+scored AS (
+  SELECT p.doc_id, SUM(p.n * w.wgt)::BIGINT AS s, SUM(p.n)::BIGINT AS n_bigrams
+  FROM per_db p JOIN w USING (bucket) GROUP BY 1
+)
+SELECT s.doc_id, d.lang, s.n_bigrams,
+       ROUND(s.s / 100000000.0, 6) AS dsir_weight
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.s DESC, s.doc_id LIMIT {_DSIR_TOP}
+"""
+
+
+@register(
+    "curation_dsir_importance",
+    _DSIR_SQL,
+    doc=(
+        "DSIR importance resampling (Data Selection via Importance "
+        "Resampling, Xie et al. 2023) — the published target-domain "
+        "selection step beside the heuristic and learned filters: "
+        "hashed word-bigram features (md5 % buckets), two smoothed "
+        "bag-of-ngrams models (target = the '"
+        + _DSIR_TARGET_LANG
+        + "' slice, raw = the rest, add-1 over the bucket space), and "
+        "per-document importance log-weight Σ n_f·(ln θ_t[f] − "
+        "ln θ_r[f]). Every ln takes an INTEGER argument, so the "
+        "1e-8 integer-ln device applies (the text_pmi_bigrams "
+        "discipline): per-bucket weights are exact int64, the "
+        "per-doc fold is an exact integer dot product, one division "
+        "at emit. Scale: the bucket table is O(buckets) and "
+        "broadcasts; scoring is the per-(doc,bucket) shuffle + one "
+        "per-doc reduce; output is top-"
+        f"{_DSIR_TOP} by weight (TakeOrdered, no global sort)"
+    ),
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == _DSIR_TARGET_LANG).alias("is_t"),
+        F.split(F.col("text"), " ").alias("t"),
+    ).filter(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, '|', b))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    per_db = big.groupBy("doc_id", "is_t", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_db = per_db.localCheckpoint(eager=True)  # consumers: bucket
+    # table (model fit) + per-doc scoring
+    btab = per_db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum(F.when(~F.col("is_t"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("cr"),
+    )
+    tot = btab.agg(
+        F.sum("ct").cast("bigint").alias("t_tot"),
+        F.sum("cr").cast("bigint").alias("r_tot"),
+    )
+
+    def iln8(col: F.Column) -> F.Column:
+        return dround(F.log(col) * 100000000, 0).cast("bigint")
+
+    w = btab.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            iln8(F.col("ct") + 1)
+            - iln8(F.col("t_tot") + _DSIR_BUCKETS)
+            - iln8(F.col("cr") + 1)
+            + iln8(F.col("r_tot") + _DSIR_BUCKETS)
+        ).alias("wgt"),
+    )
+    scored = (
+        per_db.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("wgt")).cast("bigint").alias("s"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            dround(F.col("s") / 100000000.0, 6).alias("dsir_weight"),
+        )
+    )

@@ -79,6 +79,10 @@ def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+# lexicographic upper half of the 3×3 neighborhood + the self cell:
+# for any nonzero Δ exactly one of {Δ, -Δ} is in this set, so each
+# cross-cell pair is probed by exactly one side (half-pair generation)
+_HALF_OFFSETS = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
 
 # hot-cell salt guard (VERDICT r6 item 6): a cell with n points makes
 # n×n candidate pairs land in ONE join task; above the cap the build
@@ -111,8 +115,20 @@ def _grid_candidates(
         F.col("cy").alias("pcy"),
         (F.col("n") > hot_cap).alias("is_hot"),
     )
+    # HALF-PAIR generation (r8): each unordered pair joins exactly once
+    # — same-cell pairs via the (0,0) probe with an id< filter,
+    # cross-cell pairs from the lexicographically LOWER cell only (the
+    # 4 upper-half offsets; Δ and -Δ are covered by exactly one side).
+    # The directed view both geo consumers expect is restored by a
+    # MAP-SIDE swap-explode after the join — never a union of two
+    # projections, which would re-execute the join (the r7
+    # triangle-corners lesson). Halves the probe fan-out (9→5 offsets)
+    # and the join output.
     off = F.array(
-        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in _OFFSETS]
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _HALF_OFFSETS
+        ]
     )
     # fan out the offset struct first, then derive both probe
     # coordinates from it (explode appears once per select)
@@ -124,6 +140,7 @@ def _grid_candidates(
             F.col("y").alias("ay"),
             (F.col("cx") + F.col("o.dx")).alias("pcx"),
             (F.col("cy") + F.col("o.dy")).alias("pcy"),
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same_cell"),
         )
         .join(F.broadcast(hot), ["pcx", "pcy"], "left")
         .select(
@@ -132,6 +149,7 @@ def _grid_candidates(
             "ay",
             "pcx",
             "pcy",
+            "same_cell",
             F.explode(
                 F.when(
                     F.coalesce(F.col("is_hot"), F.lit(False)),
@@ -166,11 +184,27 @@ def _grid_candidates(
     dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
-    return (
+    half = (
         probes.join(b, ["pcx", "pcy", "salt"])
-        .filter(F.col("neighbor") != F.col("a_id"))
-        .select(F.col("a_id").alias("id"), "neighbor", dist2.alias("dist2"))
+        # same-cell pairs (only the (0,0) probe can produce them) keep
+        # one orientation; cross-cell pairs are already unique because
+        # only the lower cell probes
+        .filter(
+            F.when(F.col("same_cell"), F.col("a_id") < F.col("neighbor")).otherwise(
+                F.col("neighbor") != F.col("a_id")
+            )
+        )
+        .select("a_id", "neighbor", dist2.alias("dist2"))
     )
+    return half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("id"), F.col("neighbor").alias("neighbor")),
+                F.struct(F.col("neighbor").alias("id"), F.col("a_id").alias("neighbor")),
+            )
+        ).alias("p"),
+        "dist2",
+    ).select("p.id", "p.neighbor", "dist2")
 
 
 _GRID_KNN_SQL = f"""
@@ -540,8 +574,12 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = neigh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     core = cnt.filter(F.col("n") >= _DB_MINPTS - 1).select("id")
+    # a<b keeps ONE row per unordered core pair: connected_components
+    # symmetrizes internally (sym = a→b ∪ b→a), so feeding the directed
+    # neighbor list would carry every pair 4× through each CC round
     cedge = (
-        neigh.join(core.withColumnRenamed("id", "id"), "id")
+        neigh.filter(F.col("id") < F.col("neighbor"))
+        .join(core.withColumnRenamed("id", "id"), "id")
         .join(core.withColumnRenamed("id", "neighbor"), "neighbor")
         .select(F.col("id").alias("a"), F.col("neighbor").alias("b"))
     )

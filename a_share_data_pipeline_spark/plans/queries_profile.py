@@ -1764,3 +1764,64 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_2hop").desc(), "node")
         .limit(_REACH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable bottom-k uniform sample (wave 60)
+# ---------------------------------------------------------------------------
+
+_BK_K = 32
+
+_BK_SQL = f"""
+SELECT rank, doc_id, source FROM (
+  SELECT ROW_NUMBER() OVER (
+           ORDER BY md5('bk|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank,
+         doc_id, source
+  FROM documents
+) WHERE rank <= {_BK_K}
+"""
+
+
+@register(
+    "sample_bottom_k_merge",
+    _BK_SQL,
+    doc=(
+        "mergeable bottom-k uniform sample — the distributed "
+        "reservoir-sampling equivalent: every row gets a deterministic "
+        "md5 priority, each shard (source) keeps only its k smallest "
+        "priorities (per-shard window top-k, WindowGroupLimit prunes "
+        "before the shuffle), and the merged sketch's global bottom-k "
+        "IS the corpus bottom-k — each shard retains a superset of "
+        "its contribution to the global k, so merge(sketches) == "
+        "one-shot, which is exactly what the ORACLE computes (the "
+        "equality is the mergeability proof, same device as "
+        "agg_sketch_merge). The md5 priority makes the sample "
+        "uniform, reproducible and engine-independent (no RNG). "
+        "Scale: per-shard passes are one window each over the "
+        "shard's rows; the merge input is k·shards rows regardless "
+        f"of corpus size (k={_BK_K})"
+    ),
+)
+def sample_bottom_k_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit("bk|"), F.col("doc_id").cast("string"))).alias("pri"),
+    )
+    shard_w = W.partitionBy("source").orderBy("pri", "doc_id")
+    sketches = (
+        docs.withColumn("srk", F.row_number().over(shard_w))
+        .filter(F.col("srk") <= _BK_K)
+        .select("doc_id", "source", "pri")
+    )
+    # merged sketch is k·shards rows — a bounded frame, so the single-
+    # partition final ranking window is safe at any corpus size
+    merge_w = W.orderBy("pri", "doc_id")
+    return (
+        sketches.withColumn("rank", F.row_number().over(merge_w))
+        .filter(F.col("rank") <= _BK_K)
+        .select(F.col("rank").cast("bigint").alias("rank"), "doc_id", "source")
+    )

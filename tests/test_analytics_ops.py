@@ -3869,3 +3869,88 @@ def test_underwater_duration_matches_python_replay(spark):
         assert g.max_underwater_days == max(spells)
         assert g.total_underwater_days == sum(spells)
         assert g.first_underwater_day == first
+
+
+def test_dsir_importance_matches_python_replay(spark):
+    """DSIR hashed-bigram importance weights replayed in pure Python
+    (Counter models + math.log on the 1e-8 integer grid)."""
+    import duckdb
+    import hashlib
+    import math
+    from collections import Counter
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_curation import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET_LANG,
+        _DSIR_TOP,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, lang, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+
+    def iln8(x: int) -> int:
+        return math.floor(math.log(x) * 1e8 + 0.5)
+
+    ct, cr = Counter(), Counter()
+    per_doc = {}
+    lang_of = {}
+    for doc_id, lang, text in rows:
+        toks = text.split(" ")
+        lang_of[doc_id] = lang
+        if len(toks) < 2:
+            continue
+        c = Counter(
+            int(hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:8], 16)
+            % _DSIR_BUCKETS
+            for a, b in zip(toks, toks[1:])
+        )
+        per_doc[doc_id] = c
+        (ct if lang == _DSIR_TARGET_LANG else cr).update(c)
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    wgt = {
+        f: iln8(ct[f] + 1)
+        - iln8(t_tot + _DSIR_BUCKETS)
+        - iln8(cr[f] + 1)
+        + iln8(r_tot + _DSIR_BUCKETS)
+        for f in set(ct) | set(cr)
+    }
+    scores = {
+        d: sum(n * wgt[f] for f, n in c.items()) for d, c in per_doc.items()
+    }
+    top = sorted(scores, key=lambda d: (-scores[d], d))[:_DSIR_TOP]
+    got = registry()["curation_dsir_importance"].fn(spark, sf).collect()
+    assert [r.doc_id for r in got] == top
+    for r in got:
+        assert r.lang == lang_of[r.doc_id]
+        assert r.n_bigrams == sum(per_doc[r.doc_id].values())
+        # emit rounding is dround (floor(x*1e6+0.5)) of an exact ratio
+        want = scores[r.doc_id] / 1e8
+        assert abs(r.dsir_weight - want) < 1e-6
+    # the target slice should score higher on average than the raw
+    # slice (the models were fit to separate exactly these two)
+    t_scores = [s for d, s in scores.items() if lang_of[d] == _DSIR_TARGET_LANG]
+    r_scores = [s for d, s in scores.items() if lang_of[d] != _DSIR_TARGET_LANG]
+    assert sum(t_scores) / len(t_scores) > sum(r_scores) / len(r_scores)
+
+
+def test_bottom_k_merge_equals_global_bottom_k(spark):
+    """Per-shard bottom-k sketches merged == one-shot global bottom-k
+    (the mergeability property), replayed with hashlib."""
+    import duckdb
+    import hashlib
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_profile import _BK_K
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, source FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    pri = {d: hashlib.md5(f"bk|{d}".encode()).hexdigest() for d, _ in rows}
+    want = sorted(rows, key=lambda r: (pri[r[0]], r[0]))[:_BK_K]
+    got = registry()["sample_bottom_k_merge"].fn(spark, sf).collect()
+    assert [(r.doc_id, r.source) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
