@@ -258,6 +258,23 @@ _REGISTRY: dict[str, Query] = {}
 # grouped-map arrow lane), sql_in_subquery (decorrelation ⊂
 # join_semi_anti's LeftSemi plan shape, gated locally).
 #
+# Round-8 waves 60-67 added a further candidate tier for r9/r10
+# (never-driver-verified, strongest first): stream_scd2_apply (the
+# streaming upsert production shape — foreachBatch copy-on-write,
+# order-insensitive rebuild), source_txn_log_snapshot (the lakehouse
+# log-replay read path), curation_dsir_importance (published
+# target-domain selection), curation_bloom_decontaminate (the
+# two-stage eval-overlap gate), sample_bottom_k_merge (the mergeable
+# uniform-sample primitive), events_shapley_attribution (coalition
+# algebra entirely post-reduction), stats_kruskal_wallis /
+# stats_nemenyi_posthoc (inference completion), forecast_holt_winters
+# (bit-stable cross-engine float recursion), multimodal_audio_vad +
+# multimodal_crossmodal_retrieval (audio + alignment halves of the
+# multimodal story), embedding_matryoshka_truncate (truncated-index
+# eval), graph_closeness_sampled (distance centrality),
+# events_page_hinkley (online drift), privacy_l_diversity (entropy /
+# recursive (c,l)).
+#
 # Round-8 rotation (VERDICT r7 item 1) — APPLIED at the top of round
 # 8, reflected in CORE_WINDOW above. IN (never-driver-verified
 # families): stats_benjamini_hochberg (the inference family's first

@@ -4575,3 +4575,348 @@ def join_bucketed_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy / recursive l-diversity (wave 61)
+# ---------------------------------------------------------------------------
+
+_LDIV_ILN2 = 69314718  # round(ln(2) * 1e8) — the entropy-l=2 bar
+
+_LDIV_SQL = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv,
+         COUNT(*)::BIGINT AS cs
+  FROM customer GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         SUM(cs)::BIGINT AS n,
+         COUNT(*)::BIGINT AS distinct_l,
+         MAX(cs)::BIGINT AS r1,
+         SUM(cs * CAST(ROUND(LN(cs) * 100000000, 0) AS BIGINT))::BIGINT AS slnl
+  FROM cells GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, n, distinct_l, r1,
+       ROUND((n * CAST(ROUND(LN(n) * 100000000, 0) AS BIGINT) - slnl)
+             / (n * CAST(100000000 AS DOUBLE)), 6) AS entropy,
+       (n * CAST(ROUND(LN(n) * 100000000, 0) AS BIGINT) - slnl)
+         >= n * {_LDIV_ILN2} AS entropy_l2_ok,
+       r1 < 2 * (n - r1) AS recursive_c2_ok
+FROM cls
+"""
+
+
+@register(
+    "privacy_l_diversity",
+    _LDIV_SQL,
+    doc=(
+        "entropy and recursive (c,l)-diversity — the two published "
+        "strengthenings of the distinct-count l-diversity that "
+        "profile_k_anonymity reports (Machanavajjhala et al.): per "
+        "equivalence class (nation, segment QIs; acctbal-thousand "
+        "sensitive buckets), entropy H = ln(n) − Σ c_s·ln(c_s)/n on "
+        "the 1e-8 integer-ln device — the scaled numerator "
+        "n·iln(n) − Σ c_s·iln(c_s) is exact int64, ONE division at "
+        "emit, and the H ≥ ln(2) test compares integers (numerator "
+        "vs n·iln(2)) so the verdict column is float-free; recursive "
+        "(2,2)-diversity is the pure-integer r1 < 2·(n − r1). Both "
+        "shuffles are class-bounded: per-(class, sensitive) counts "
+        "then per-class reduce — output is |QI-combinations| rows at "
+        "any corpus scale"
+    ),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+
+    def iln8(col: F.Column) -> F.Column:
+        return dround(F.log(col) * 100000000, 0).cast("bigint")
+
+    cells = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sv"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cs"))
+    cls = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_l"),
+        F.max("cs").cast("bigint").alias("r1"),
+        F.sum(F.col("cs") * iln8(F.col("cs"))).cast("bigint").alias("slnl"),
+    )
+    hs = F.col("n") * iln8(F.col("n")) - F.col("slnl")
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        "distinct_l",
+        "r1",
+        dround(hs / (F.col("n") * F.lit(100000000).cast("double")), 6).alias(
+            "entropy"
+        ),
+        (hs >= F.col("n") * _LDIV_ILN2).alias("entropy_l2_ok"),
+        (F.col("r1") < 2 * (F.col("n") - F.col("r1"))).alias("recursive_c2_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive forecast (wave 61)
+# ---------------------------------------------------------------------------
+
+_HW_M = 7      # weekly season
+_HW_H = 7      # forecast horizon
+# smoothing constants: written as literal doubles in BOTH engines (with
+# their 1-x complements as literals too) so every step is the same
+# IEEE op sequence — the recursion is then bit-identical cross-engine
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = "0.2", "0.1", "0.3"
+_HW_IA, _HW_IB, _HW_IG = "0.8", "0.9", "0.7"
+
+_HW_SQL = f"""
+WITH RECURSIVE
+daily AS (
+  SELECT event_type, date_trunc('day', ts)::DATE AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         cents,
+         cents / CAST(100 AS DOUBLE) AS y
+  FROM daily
+),
+n_t AS (
+  SELECT event_type, MAX(t) AS n FROM seq GROUP BY 1
+  HAVING MAX(t) >= {2 * _HW_M + 1}
+),
+agg AS (
+  SELECT event_type,
+         SUM(cents) FILTER (WHERE t BETWEEN 1 AND {_HW_M}) AS c1,
+         SUM(cents) FILTER (WHERE t BETWEEN {_HW_M + 1} AND {2 * _HW_M}) AS c2
+  FROM seq GROUP BY 1
+),
+s0 AS (
+  SELECT s.event_type,
+         list(s.y - a.c1 / CAST({_HW_M * 100} AS DOUBLE) ORDER BY s.t) AS slist
+  FROM seq s JOIN agg a USING (event_type)
+  WHERE s.t <= {_HW_M} GROUP BY 1
+),
+hw AS (
+  SELECT a.event_type, CAST({_HW_M} AS BIGINT) AS t,
+         a.c1 / CAST({_HW_M * 100} AS DOUBLE) AS l,
+         (a.c2 / CAST({_HW_M * 100} AS DOUBLE)
+          - a.c1 / CAST({_HW_M * 100} AS DOUBLE)) / CAST({_HW_M} AS DOUBLE) AS b,
+         s0.slist AS s
+  FROM agg a JOIN s0 USING (event_type) JOIN n_t USING (event_type)
+  UNION ALL
+  SELECT h.event_type, h.t + 1,
+         {_HW_ALPHA}::DOUBLE * (q.y - h.s[1]) + {_HW_IA}::DOUBLE * (h.l + h.b),
+         {_HW_BETA}::DOUBLE * (({_HW_ALPHA}::DOUBLE * (q.y - h.s[1])
+                                + {_HW_IA}::DOUBLE * (h.l + h.b)) - h.l)
+           + {_HW_IB}::DOUBLE * h.b,
+         h.s[2:{_HW_M}] || [{_HW_GAMMA}::DOUBLE * (q.y
+             - ({_HW_ALPHA}::DOUBLE * (q.y - h.s[1])
+                + {_HW_IA}::DOUBLE * (h.l + h.b)))
+           + {_HW_IG}::DOUBLE * h.s[1]]
+  FROM hw h JOIN seq q ON q.event_type = h.event_type AND q.t = h.t + 1
+),
+fin AS (
+  SELECT h.event_type, h.l, h.b, h.s
+  FROM hw h JOIN n_t n ON n.event_type = h.event_type AND h.t = n.n
+)
+SELECT event_type, CAST(hz.h AS BIGINT) AS horizon,
+       ROUND(l + hz.h * b + s[((hz.h - 1) % {_HW_M}) + 1], 6) AS forecast
+FROM fin CROSS JOIN (SELECT unnest(range(1, {_HW_H + 1})) AS h) hz
+"""
+
+_HW_EXPR = f"""
+aggregate(
+  slice(tys, {_HW_M + 1}, size(tys) - {_HW_M}),
+  named_struct(
+    'l', aggregate(slice(tys, 1, {_HW_M}), 0L, (a, x) -> a + x.cents)
+           / CAST({_HW_M * 100} AS DOUBLE),
+    'b', (aggregate(slice(tys, {_HW_M + 1}, {_HW_M}), 0L, (a, x) -> a + x.cents)
+            / CAST({_HW_M * 100} AS DOUBLE)
+          - aggregate(slice(tys, 1, {_HW_M}), 0L, (a, x) -> a + x.cents)
+            / CAST({_HW_M * 100} AS DOUBLE)) / CAST({_HW_M} AS DOUBLE),
+    's', transform(slice(tys, 1, {_HW_M}),
+          x -> x.cents / CAST(100 AS DOUBLE)
+               - aggregate(slice(tys, 1, {_HW_M}), 0L, (a, y) -> a + y.cents)
+                 / CAST({_HW_M * 100} AS DOUBLE))
+  ),
+  (st, x) -> named_struct(
+    'l', {_HW_ALPHA}D * (x.cents / CAST(100 AS DOUBLE) - st.s[0])
+           + {_HW_IA}D * (st.l + st.b),
+    'b', {_HW_BETA}D * (({_HW_ALPHA}D * (x.cents / CAST(100 AS DOUBLE) - st.s[0])
+                         + {_HW_IA}D * (st.l + st.b)) - st.l)
+           + {_HW_IB}D * st.b,
+    's', concat(slice(st.s, 2, {_HW_M - 1}),
+          array({_HW_GAMMA}D * (x.cents / CAST(100 AS DOUBLE)
+                    - ({_HW_ALPHA}D * (x.cents / CAST(100 AS DOUBLE) - st.s[0])
+                       + {_HW_IA}D * (st.l + st.b)))
+                + {_HW_IG}D * st.s[0]))
+  )
+)
+"""
+
+
+@register(
+    "forecast_holt_winters",
+    _HW_SQL,
+    doc=(
+        "additive Holt-Winters (triple exponential smoothing, weekly "
+        "season m=7) — the classical seasonal forecaster beside "
+        "forecast_linear's trend fit: per series the daily level "
+        "(exact int64 cent totals — integer SUM is order-free, so "
+        "both engines see the same doubles), textbook init (level = "
+        "first-week mean, trend = week-over-week mean diff / m, "
+        "seasonals = first-week residuals), then the l/b/s recursion "
+        "folds ONCE over the remaining days. Spark runs it as an "
+        "aggregate() lambda over the per-series day array (the "
+        "series is days-bounded — the collect_list is calendar-, "
+        "never corpus-sized); the oracle replays the identical "
+        "IEEE op sequence in a recursive CTE, so the match is "
+        "bit-stable with ONE rounding at emit (every constant is a "
+        "literal double in both engines, the seasonal vector "
+        "ROTATES so no index arithmetic enters the float path). "
+        "Scale: one partial-aggregated shuffle to days, one "
+        "per-series fold; h=7 forecasts per series"
+    ),
+)
+def forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    seq = daily.select("event_type", F.row_number().over(w).alias("t"), "cents")
+    ser = seq.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("t", "cents"))).alias("tys")
+    ).filter(F.size("tys") >= 2 * _HW_M + 1)
+    st = ser.select("event_type", F.expr(_HW_EXPR).alias("st"))
+    h = F.col("horizon")
+    season = F.element_at(
+        F.col("st.s"), ((h - 1) % _HW_M + 1).cast("int")
+    )
+    return st.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(_HW_H))).alias("horizon"),
+        "st",
+    ).select(
+        "event_type",
+        h.cast("bigint").alias("horizon"),
+        dround(F.col("st.l") + h * F.col("st.b") + season, 6).alias("forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampled-source bounded-horizon closeness centrality (wave 62)
+# ---------------------------------------------------------------------------
+
+_CLOSE_SEEDS = ("c1", "c2", "c3", "c4", "c5")
+_CLOSE_HOPS = 3
+
+
+def _closeness_sql() -> str:
+    seeds = ", ".join(f"'{s}'" for s in _CLOSE_SEEDS)
+    rounds = []
+    prev = "d0"
+    for i in range(1, _CLOSE_HOPS + 1):
+        rounds.append(f"""
+d{i} AS (
+  SELECT seed, node, MIN(hops) AS hops FROM (
+    SELECT seed, node, hops FROM {prev}
+    UNION ALL
+    SELECT p.seed, e.dst AS node, p.hops + 1 AS hops
+    FROM {prev} p JOIN edges e ON e.src = p.node
+  ) u GROUP BY 1, 2
+)""")
+        prev = f"d{i}"
+    return f"""
+WITH {_EDGES_CTE},
+seeds AS (SELECT unnest([{seeds}]) AS seed),
+d0 AS (SELECT seed, seed AS node, 0 AS hops FROM seeds),
+{','.join(rounds)}
+SELECT seed,
+       COUNT(*) FILTER (WHERE hops > 0)::BIGINT AS n_reached,
+       COALESCE(SUM(hops) FILTER (WHERE hops > 0), 0)::BIGINT AS sum_hops,
+       COALESCE(SUM(1000000 // hops) FILTER (WHERE hops > 0), 0)::BIGINT
+         AS harmonic_micro
+FROM {prev}
+GROUP BY seed
+"""
+
+
+@register(
+    "graph_closeness_sampled",
+    _closeness_sql(),
+    doc=(
+        "sampled-source bounded-horizon closeness centrality — the "
+        "distance-based centrality completing the family (PageRank = "
+        "flow, HITS = endorsement, closeness = how NEAR everything "
+        "is; exact betweenness is deliberately omitted: its "
+        "all-pairs path counting has no bounded-output oracle). Per "
+        f"seed ({len(_CLOSE_SEEDS)} fixed sources, the Eppstein-Wang "
+        "sampling estimator shape), a per-seed BFS keyed by "
+        "(seed, node) runs the same dense min-relaxation as "
+        f"graph_bfs_hops for {_CLOSE_HOPS} rounds — ONE frame for "
+        "all seeds, so k sources cost one join per round, not k. "
+        "Harmonic closeness Σ 1/d accumulates as exact integer "
+        "micro-units (1000000 div d — float-free and "
+        "disconnection-safe); n_reached and sum_hops cover the "
+        "classic variant. At corpus scale the bounded horizon is "
+        "the honest estimator: k seeds × r rounds touches a local "
+        "ball, never the full graph"
+    ),
+)
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _edges(spark, sf_dir)
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = spark.createDataFrame(
+        [(s, s, 0) for s in _CLOSE_SEEDS], "seed string, node string, hops int"
+    )
+    for _ in range(_CLOSE_HOPS):
+        cand = (
+            d.join(edges, d["node"] == edges["src"])
+            .select("seed", F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        d = (
+            d.unionByName(cand)
+            .groupBy("seed", "node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    r = d.filter(F.col("hops") > 0)
+    return (
+        d.select("seed")
+        .distinct()
+        .join(
+            r.groupBy("seed").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+                F.sum("hops").cast("bigint").alias("sum_hops"),
+                F.sum(F.expr("1000000 div hops")).cast("bigint").alias("harmonic_micro"),
+            ),
+            "seed",
+            "left",
+        )
+        .select(
+            "seed",
+            F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+            F.coalesce("sum_hops", F.lit(0)).alias("sum_hops"),
+            F.coalesce("harmonic_micro", F.lit(0)).alias("harmonic_micro"),
+        )
+    )

@@ -1070,3 +1070,82 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("s") / 100000000.0, 6).alias("dsir_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (wave 66)
+# ---------------------------------------------------------------------------
+
+_BLOOM_DECON_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - {_DECON_N - 2}),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+  FROM t WHERE len(t) >= {_DECON_N}
+),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, g FROM g WHERE doc_id % {_BENCH_MOD} <> 0),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hits
+  FROM corpus c JOIN bench b ON c.g = b.g
+  GROUP BY c.doc_id
+)
+SELECT (SELECT COUNT(*) FROM hits)::BIGINT AS n_flagged_docs,
+       (SELECT COALESCE(SUM(n_hits), 0) FROM hits)::BIGINT AS total_hits,
+       (SELECT COUNT(*) FROM corpus)::BIGINT AS total_corpus_grams
+"""
+
+
+@register(
+    "curation_bloom_decontaminate",
+    _BLOOM_DECON_SQL,
+    doc=(
+        "Bloom-prefiltered decontamination — the two-stage form of "
+        "curation_decontaminate a 100 TB corpus actually runs: the "
+        "benchmark's distinct 5-grams build an 8 KiB Bloom bitset "
+        "(operators/sketch.py — expression-built, collect bounded at "
+        "1024 longs no matter the eval-set size), every corpus gram "
+        "is probed MAP-SIDE inside codegen (no join, no shuffle for "
+        "the overwhelming non-candidate majority), and only Bloom "
+        "survivors pay the exact gram join that removes false "
+        "positives — so the flagged-doc set is EXACT and the oracle "
+        "is the one-stage SQL aggregated. Versus the broadcast gram "
+        "set, the bitset is size-independent: a 10M-gram eval suite "
+        "broadcasts 8 KiB, not hundreds of MB. Summary output "
+        "(flagged docs / hits / corpus grams) keeps the result "
+        "corpus-bounded"
+    ),
+)
+def curation_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch as SK
+    from ..operators.dedup import word_shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench_grams = bench.select(
+        F.explode(word_shingles_col("text", _DECON_N)).alias("g")
+    ).distinct()
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(word_shingles_col("text", _DECON_N)).alias("g")
+    ).localCheckpoint(eager=False)
+    words = SK.bloom_build(bench_grams, "g")
+    cand = SK.bloom_might_contain(corpus_grams, "g", words)
+    exact_hits = cand.join(F.broadcast(bench_grams), "g", "left_semi")
+    hits = exact_hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        hits.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_flagged_docs"),
+            F.coalesce(F.sum("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("total_hits"),
+        )
+        .crossJoin(
+            F.broadcast(
+                corpus_grams.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("total_corpus_grams")
+                )
+            )
+        )
+    )

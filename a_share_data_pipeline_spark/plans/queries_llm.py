@@ -2326,3 +2326,289 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("anchor_id", "j", "neg_id")
     )
+
+
+_VAD_THRESHOLD = 500_000
+
+_VAD_SQL = f"""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, h,
+         unnest(range(4)) AS frame_idx,
+         n
+  FROM p
+),
+f AS (
+  SELECT doc_id, frame_idx, h,
+         LEAST(n - frame_idx * 256, 256) AS len
+  FROM fr WHERE frame_idx * 256 < n
+),
+b AS (
+  SELECT doc_id, frame_idx, len, h,
+         unnest(range(len)) AS i
+  FROM f
+),
+s AS (
+  SELECT doc_id, frame_idx, len,
+         ('0x' || substr(h, CAST((frame_idx * 256 + i) * 2 + 1 AS BIGINT), 2))::BIGINT AS byte
+  FROM b
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(len AS BIGINT) AS n_samples,
+       SUM((byte - 128) * (byte - 128))::BIGINT AS energy,
+       SUM((byte - 128) * (byte - 128)) > {_VAD_THRESHOLD} AS voiced
+FROM s GROUP BY doc_id, frame_idx, len
+"""
+
+
+@register(
+    "multimodal_audio_vad",
+    _VAD_SQL,
+    doc=(
+        "voice-activity detection over binary payloads — the AUDIO "
+        "half of the multimodal story beside the image/video lanes "
+        "(features/resize/frames/blockhash): payload bytes read as "
+        "8-bit PCM, per-256-byte-frame energy Σ(b−128)² as an exact "
+        "integer, voiced = energy > threshold (≈37% of fixture "
+        "frames — non-degenerate at both SFs). Spark side is the "
+        "production shape: Arrow-batched mapInPandas with numpy "
+        "int64 frame math and a 1→N fan-out inside the batch "
+        "iterator, zero shuffle, decode honestly stubbed "
+        "(operators/multimodal.py real_decode); the oracle rebuilds "
+        "the same frames byte-by-byte from hex"
+    ),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.vad_frames(
+        MM.documents_as_binary(docs), threshold=_VAD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation quality (wave 65)
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+_MRL_K = 5
+
+_MRL_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+full_s AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+  FROM q, e c WHERE c.vec_id <> q.q_id
+),
+full_r AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+  FROM full_s
+),
+tr_s AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         ROUND(list_dot_product(q.qv[1:{_MRL_DIM}], c.v[1:{_MRL_DIM}])
+               / (sqrt(list_dot_product(q.qv[1:{_MRL_DIM}], q.qv[1:{_MRL_DIM}]))
+                  * sqrt(list_dot_product(c.v[1:{_MRL_DIM}], c.v[1:{_MRL_DIM}]))), 6) AS cos
+  FROM q, e c WHERE c.vec_id <> q.q_id
+),
+tr_r AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+  FROM tr_s
+)
+SELECT f.q_id,
+       COUNT(t.c_id)::BIGINT AS n_overlap,
+       ROUND(COUNT(t.c_id) / CAST({_MRL_K} AS DOUBLE), 6) AS recall_at_k
+FROM (SELECT * FROM full_r WHERE rnk <= {_MRL_K}) f
+LEFT JOIN (SELECT * FROM tr_r WHERE rnk <= {_MRL_K}) t
+  ON t.q_id = f.q_id AND t.c_id = f.c_id
+GROUP BY f.q_id
+"""
+
+
+@register(
+    "embedding_matryoshka_truncate",
+    _MRL_SQL,
+    doc=(
+        "Matryoshka truncation quality (MRL, Kusupati et al. 2022) — "
+        "the modern embedding-pipeline question 'how much recall do I "
+        "keep if I index only the first d dims?': full-dim top-"
+        f"{_MRL_K} vs first-{_MRL_DIM}-dims top-{_MRL_K} for the same "
+        "8 queries, per-query overlap and recall@k. Both rankings use "
+        "the engine-independent rounded-cosine + id tie-break "
+        "(brute_force_topk), the truncated side is a map-side "
+        "slice() — no second scan of the vector table — and the "
+        "overlap is a k·|q|-row join, corpus-independent. At scale "
+        "this is the eval you run BEFORE switching the ANN index to "
+        "truncated vectors (4x memory / bandwidth saving here)"
+    ),
+)
+def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.as_double_vec("embedding", "v")
+    )
+    emb = emb.localCheckpoint(eager=True)  # consumers: full + truncated lanes
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    vectors = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    full = SIM.brute_force_topk(vectors, queries, k=_MRL_K).select("q_id", "c_id")
+    tq = queries.select("q_id", F.slice("qv", 1, _MRL_DIM).alias("qv"))
+    tv = vectors.select("c_id", F.slice("cv", 1, _MRL_DIM).alias("cv"))
+    trunc = SIM.brute_force_topk(tv, tq, k=_MRL_K).select(
+        "q_id", F.col("c_id").alias("t_id")
+    )
+    hit = full.join(
+        trunc,
+        (full["q_id"] == trunc["q_id"]) & (full["c_id"] == trunc["t_id"]),
+        "left",
+    ).select(full["q_id"].alias("q_id"), "t_id")
+    return hit.groupBy("q_id").agg(
+        F.count("t_id").cast("bigint").alias("n_overlap"),
+        dround(
+            F.count("t_id") / F.lit(float(_MRL_K)), 6
+        ).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal retrieval eval (wave 66)
+# ---------------------------------------------------------------------------
+
+_XM_DIMS = 64
+_XM_QUERIES = 8
+
+_XM_SQL = f"""
+WITH q AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < {_XM_QUERIES}
+),
+dims AS (SELECT unnest(range({_XM_DIMS})) AS d),
+comp AS (
+  SELECT doc_id, dims.d AS d,
+         SUM(('0x' || substr(md5(tok || '|' || CAST(dims.d AS VARCHAR)), 1, 8))::BIGINT
+             % 2001 - 1000)::BIGINT AS comp
+  FROM q CROSS JOIN dims GROUP BY 1, 2
+),
+nq AS (SELECT doc_id, SUM(comp * comp)::BIGINT AS nq FROM comp GROUP BY 1),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS ei
+  FROM embeddings
+),
+eu AS (
+  SELECT vec_id, unnest(ei) AS ev, generate_subscripts(ei, 1) - 1 AS d FROM e
+),
+ne AS (SELECT vec_id, SUM(ev * ev)::BIGINT AS ne FROM eu GROUP BY 1),
+dot AS (
+  SELECT c.doc_id, u.vec_id, SUM(c.comp * u.ev)::BIGINT AS dot
+  FROM comp c JOIN eu u ON u.d = c.d GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_id, d.vec_id,
+         ROUND(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nq AS DOUBLE)) * sqrt(CAST(ne.ne AS DOUBLE))), 6) AS cos
+  FROM dot d JOIN nq USING (doc_id) JOIN ne USING (vec_id)
+),
+r AS (
+  SELECT doc_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS true_rank,
+       CAST(1000000 // rnk AS BIGINT) AS rr_micro
+FROM r WHERE vec_id = doc_id
+"""
+
+
+@register(
+    "multimodal_crossmodal_retrieval",
+    _XM_SQL,
+    doc=(
+        "cross-modal retrieval eval (the CLIP-alignment check): text "
+        "queries embed via the hashing trick (md5 bag-of-words into "
+        f"{_XM_DIMS} dims — INTEGER component sums, order-free), the "
+        "'image' side is the embeddings table quantized to exact "
+        "integer milli-units, and each query ranks ALL candidates by "
+        "the rounded cosine (integer dot and norms, ONE float chain "
+        "at emit) to find the rank of its true pair (vec_id == "
+        "doc_id). Output is the per-query true rank + reciprocal-rank "
+        "micro-units — the MRR witness. Honest fixture caveat: text "
+        "and vectors are independent here, so ranks sit at chance; "
+        "the witness is the exact rank/tie-break algebra (the "
+        "ml_knn_classifier precedent). Scale: text projection is "
+        "map-only, the 8-query frame broadcasts against the vector "
+        "corpus, per-query ranking is one WindowGroupLimit"
+    ),
+)
+def multimodal_crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = F.array(*[F.lit(d) for d in range(_XM_DIMS)])
+    toks = docs.filter(F.col("doc_id") < _XM_QUERIES).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    comp = (
+        toks.select("doc_id", "tok", F.explode(dims).alias("d"))
+        .select(
+            "doc_id",
+            "d",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("tok"), F.lit("|"), F.col("d").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2001
+                - 1000
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "d")
+        .agg(F.sum("w").cast("bigint").alias("comp"))
+    )
+    qvec = comp.groupBy("doc_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(d, comp))), x -> x.comp)").alias("qv"),
+        F.sum(F.col("comp") * F.col("comp")).cast("bigint").alias("nq"),
+    )
+    evec = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+        ).alias("ei"),
+    ).select(
+        "vec_id",
+        "ei",
+        F.expr("aggregate(transform(ei, x -> x * x), 0L, (a, x) -> a + x)").alias("ne"),
+    )
+    pairs = evec.crossJoin(F.broadcast(qvec))
+    dot = F.expr("aggregate(zip_with(qv, ei, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+    scored = pairs.select(
+        "doc_id",
+        "vec_id",
+        dround(
+            dot.cast("double")
+            / (F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ne").cast("double"))),
+            6,
+        ).alias("cos"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("cos").desc(), "vec_id")
+    r = scored.withColumn("rnk", F.row_number().over(w))
+    return r.filter(F.col("vec_id") == F.col("doc_id")).select(
+        "doc_id",
+        F.col("rnk").cast("bigint").alias("true_rank"),
+        F.expr("CAST(1000000 div rnk AS BIGINT)").alias("rr_micro"),
+    )

@@ -3186,3 +3186,225 @@ def events_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("bigint").alias("total_underwater_days"),
         F.min("start_day").alias("first_underwater_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift detector (wave 63)
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 50      # tolerance, cents
+_PH_LAMBDA = 20_000  # alarm threshold, cents
+
+_PH_SQL = f"""
+WITH {_DAILY_CLOSE_SQL},
+seq AS (
+  SELECT event_type, day, close_c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         SUM(close_c) OVER (PARTITION BY event_type ORDER BY day) AS s
+  FROM daily
+),
+term AS (
+  SELECT event_type, day, t,
+         close_c - s // t - {_PH_DELTA} AS term
+  FROM seq
+),
+m AS (
+  SELECT event_type, day, t,
+         SUM(term) OVER (PARTITION BY event_type ORDER BY t) AS m
+  FROM term
+),
+ph AS (
+  SELECT event_type, day,
+         m - MIN(m) OVER (PARTITION BY event_type ORDER BY t) AS ph
+  FROM m
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_days,
+       MAX(ph)::BIGINT AS max_ph,
+       COUNT(*) FILTER (WHERE ph > {_PH_LAMBDA})::BIGINT AS n_alarm_days,
+       MIN(day) FILTER (WHERE ph > {_PH_LAMBDA}) AS first_alarm_day
+FROM ph
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_page_hinkley",
+    _PH_SQL,
+    doc=(
+        "Page-Hinkley drift detector over the daily close series — "
+        "the sequential mean-shift monitor beside "
+        "events_cusum_changepoint (CUSUM scans for ONE retrospective "
+        "break; PH is the ONLINE alarm a production monitor runs): "
+        "m_t = Σ(x_i − x̄_i − δ), PH_t = m_t − min m, alarm when PH "
+        "exceeds λ. Integer-cent discipline end to end — the running "
+        "mean is the floor-div S_i div i (both engines truncate "
+        "identically on the non-negative cumsum), so every term, "
+        "cumulative m and PH value is exact int64; NULL-safe "
+        "first-alarm via a filtered MIN. One window chain over the "
+        "already-reduced daily frame (four window functions share "
+        "the (type, day-order) sort); "
+        f"δ={_PH_DELTA}c, λ={_PH_LAMBDA}c give alarm and no-alarm "
+        "series at the fixture SFs (purchase drifts, view does not "
+        "at sf0.01) — both verdicts exercised"
+    ),
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_close(spark, sf_dir)
+    wt = W.partitionBy("event_type").orderBy("day")
+    wcum = wt.rowsBetween(W.unboundedPreceding, W.currentRow)
+    seq = daily.select(
+        "event_type",
+        "day",
+        "close_c",
+        F.row_number().over(wt).alias("t"),
+        F.sum("close_c").over(wcum).alias("s"),
+    )
+    term = seq.select(
+        "event_type",
+        "day",
+        "t",
+        (F.col("close_c") - F.expr("s div t") - _PH_DELTA).alias("term"),
+    )
+    m = term.select(
+        "event_type", "day", "t", F.sum("term").over(wcum).alias("m")
+    )
+    ph = m.select(
+        "event_type",
+        "day",
+        (F.col("m") - F.min("m").over(wcum)).alias("ph"),
+    )
+    return ph.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("ph").cast("bigint").alias("max_ph"),
+        F.sum((F.col("ph") > _PH_LAMBDA).cast("bigint"))
+        .cast("bigint")
+        .alias("n_alarm_days"),
+        F.min(F.when(F.col("ph") > _PH_LAMBDA, F.col("day"))).alias(
+            "first_alarm_day"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value attribution (wave 67)
+# ---------------------------------------------------------------------------
+
+_SHAP_LOOKBACK_DAYS = 3
+_SHAP_N_CH = 4
+
+_SHAP_SQL = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, event_id % {_SHAP_N_CH} AS channel
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+masks AS (
+  SELECT p.p_id, BIT_OR(1 << c.channel) AS mask
+  FROM p JOIN c ON c.user_id = p.user_id
+             AND c.ts <= p.p_ts
+             AND c.ts >= p.p_ts - INTERVAL {_SHAP_LOOKBACK_DAYS} DAY
+  GROUP BY p.p_id
+),
+mcnt AS (SELECT mask, COUNT(*)::BIGINT AS n FROM masks GROUP BY mask),
+subsets AS (SELECT unnest(range(16)) AS s),
+v AS (
+  SELECT s.s, COALESCE(SUM(m.n), 0)::BIGINT AS v
+  FROM subsets s LEFT JOIN mcnt m ON (m.mask & ~s.s & 15) = 0
+  GROUP BY s.s
+),
+chans AS (SELECT unnest(range({_SHAP_N_CH})) AS ch),
+phi AS (
+  SELECT ch.ch AS channel,
+         SUM((CASE bit_count(s.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                  WHEN 2 THEN 2 ELSE 6 END)
+             * (v1.v - v0.v))::BIGINT AS shapley_x24
+  FROM chans ch
+  JOIN subsets s ON (s.s & (1 << ch.ch)) = 0
+  JOIN v v1 ON v1.s = (s.s | (1 << ch.ch))
+  JOIN v v0 ON v0.s = s.s
+  GROUP BY ch.ch
+)
+SELECT CAST(channel AS BIGINT) AS channel, shapley_x24,
+       CAST((shapley_x24 * 1000000) // 24 AS BIGINT) AS credit_micro
+FROM phi
+"""
+
+
+@register(
+    "events_shapley_attribution",
+    _SHAP_SQL,
+    doc=(
+        "Shapley-value attribution — the game-theoretic credit split "
+        "beside events_attribution's last-touch/linear rules (the "
+        "marketing-analytics standard; Shapley 1953 axioms are the "
+        "only split that is efficient + symmetric + additive): each "
+        "conversion's touched-channel SET becomes a 4-bit mask, the "
+        "characteristic function v(S) = conversions reachable with "
+        "channels ⊆ S materializes for all 2⁴ coalitions from the "
+        "mask histogram (a 16-row subset join — the corpus reduces "
+        "to ≤16 mask counts FIRST, so the combinatorics never touch "
+        "raw data), and φ_c·4! = Σ |S|!(4−|S|−1)!·[v(S∪c) − v(S)] "
+        "stays an exact integer — one integer division to micro "
+        "units at emit, zero floats anywhere. Efficiency axiom "
+        "(Σφ = v(full)) is the replay test's identity. At 100 TB "
+        "the only corpus-sized work is the touch join + mask "
+        "histogram; everything after is O(2^k · k)"
+    ),
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", (F.col("event_id") % _SHAP_N_CH).alias("channel")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    masks = (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("ts") <= F.col("p_ts"))
+            & (
+                F.col("ts")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {_SHAP_LOOKBACK_DAYS} DAY")
+            )
+        )
+        .groupBy("p_id")
+        .agg(F.bit_or(F.expr("shiftleft(1, CAST(channel AS INT))")).alias("mask"))
+    )
+    mcnt = masks.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(mcnt, F.expr("(mask & ~s & 15) = 0"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)  # consumers: v1 and v0 joins
+    )
+    chans = spark.range(_SHAP_N_CH).select(F.col("id").cast("int").alias("ch"))
+    w = (
+        F.when(F.bit_count("s") == 0, 6)
+        .when(F.bit_count("s") == 1, 2)
+        .when(F.bit_count("s") == 2, 2)
+        .otherwise(6)
+    )
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    phi = (
+        chans.join(subsets, F.expr("(s & shiftleft(1, ch)) = 0"))
+        .join(v1, F.col("s1") == F.expr("s | shiftleft(1, ch)"))
+        .join(v0, F.col("s0") == F.col("s"))
+        .groupBy("ch")
+        .agg(F.sum(w * (F.col("v1") - F.col("v0"))).cast("bigint").alias("shapley_x24"))
+    )
+    return phi.select(
+        F.col("ch").cast("bigint").alias("channel"),
+        "shapley_x24",
+        F.expr("CAST((shapley_x24 * 1000000) div 24 AS BIGINT)").alias(
+            "credit_micro"
+        ),
+    )

@@ -2621,3 +2621,89 @@ def audit_temporal_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("n_facts") * F.lit(1.0) / F.col("n"), 6).alias("frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log snapshot read (wave 63): the lakehouse-format core
+# ---------------------------------------------------------------------------
+
+_TXN_SQL = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS total_cents
+FROM orders
+WHERE o_orderkey % 4 IN (0, 2, 3) OR o_orderkey % 8 = 1
+GROUP BY 1
+"""
+
+
+@register(
+    "source_txn_log_snapshot",
+    _TXN_SQL,
+    doc=(
+        "transaction-log snapshot read — the Delta/Iceberg protocol "
+        "core, built from first principles: data files land as "
+        "parquet (4 key-range buckets), a JSONL _log records "
+        "add/remove actions across three commits (v0 adds b0-b2, v1 "
+        "adds b3 and removes b1, v2 adds b1's rewrite containing "
+        "only the rows surviving a delete), and the READ path never "
+        "lists the directory — it replays the log with an EXPLICIT "
+        "schema, resolves each file's LAST action (one window over "
+        "the log, which is O(commits), not O(data)), and scans only "
+        "live files. The collect() is log-sized — file metadata, "
+        "the thing every table format keeps driver-side by design. "
+        "Snapshot isolation falls out: a reader replaying through v1 "
+        "would see b1's pre-delete rows; the oracle is the v2 "
+        "predicate over the raw table, proving replay == the "
+        "declared live set"
+    ),
+)
+def source_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    from urllib.parse import urlparse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    root = f"{wh}/orders_txnlog"
+    k = F.col("o_orderkey")
+    for b in range(4):
+        orders.filter(k % 4 == b).write.mode("overwrite").parquet(
+            f"{root}/b{b}.parquet"
+        )
+    orders.filter((k % 4 == 1) & (k % 8 == 1)).write.mode("overwrite").parquet(
+        f"{root}/b1v2.parquet"
+    )
+    log_dir = f"{root}/_log"
+    os.makedirs(log_dir, exist_ok=True)
+    commits = {
+        "000": [
+            {"v": 0, "action": "add", "file": "b0.parquet"},
+            {"v": 0, "action": "add", "file": "b1.parquet"},
+            {"v": 0, "action": "add", "file": "b2.parquet"},
+        ],
+        "001": [
+            {"v": 1, "action": "add", "file": "b3.parquet"},
+            {"v": 1, "action": "remove", "file": "b1.parquet"},
+        ],
+        "002": [{"v": 2, "action": "add", "file": "b1v2.parquet"}],
+    }
+    for name, entries in commits.items():
+        with open(os.path.join(log_dir, f"{name}.json"), "w") as f:
+            f.write("\n".join(json.dumps(e) for e in entries) + "\n")
+    log = spark.read.schema("v long, action string, file string").json(log_dir)
+    wlast = W.partitionBy("file").orderBy(F.col("v").desc())
+    live = (
+        log.withColumn("rn", F.row_number().over(wlast))
+        .filter((F.col("rn") == 1) & (F.col("action") == "add"))
+        .select("file")
+        .collect()
+    )
+    snap = spark.read.parquet(*[f"{root}/{r.file}" for r in live])
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dround(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )

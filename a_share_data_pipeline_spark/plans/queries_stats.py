@@ -1444,6 +1444,47 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repeated-measures rank test completing the nonparametric family)
 # ---------------------------------------------------------------------------
 
+def _friedman_per_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(g, r2sum, n_blocks): doubled tie-averaged within-day rank sums
+    over complete blocks — shared by the Friedman statistic and the
+    Nemenyi post-hoc."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    cell = cents.groupBy("g", "day").agg(
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    complete = cell.groupBy("day").agg(F.count(F.lit(1)).alias("kc")).filter(
+        F.col("kc") == 5
+    ).select("day")
+    valcell = cell.join(F.broadcast(complete), "day")
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    wr = W.partitionBy("day").orderBy(mean)
+    wt = W.partitionBy("day", mean)
+    ranked = valcell.select(
+        "g",
+        "day",
+        (
+            F.lit(2) * F.rank().over(wr)
+            - 1
+            + F.count(F.lit(1)).over(
+                wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )
+        ).alias("r2"),
+    )
+    return ranked.groupBy("g").agg(
+        F.sum("r2").cast("decimal(38,0)").alias("r2sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+
+
+
 _FRIEDMAN_SQL = """
 WITH cents AS (
   SELECT event_type AS g, date_trunc('day', ts) AS day,
@@ -1500,40 +1541,7 @@ FROM s
     ),
 )
 def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    ev = load_table(spark, sf_dir, "events")
-    cents = ev.select(
-        F.col("event_type").alias("g"),
-        F.date_trunc("day", "ts").cast("date").alias("day"),
-        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
-    )
-    cell = cents.groupBy("g", "day").agg(
-        F.sum("c").cast("decimal(38,0)").alias("s"),
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-    )
-    complete = cell.groupBy("day").agg(F.count(F.lit(1)).alias("kc")).filter(
-        F.col("kc") == 5
-    ).select("day")
-    valcell = cell.join(F.broadcast(complete), "day")
-    mean = F.col("s") * F.lit(1.0) / F.col("n")
-    wr = W.partitionBy("day").orderBy(mean)
-    wt = W.partitionBy("day", mean)
-    ranked = valcell.select(
-        "g",
-        "day",
-        (
-            F.lit(2) * F.rank().over(wr)
-            - 1
-            + F.count(F.lit(1)).over(
-                wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-            )
-        ).alias("r2"),
-    )
-    per_g = ranked.groupBy("g").agg(
-        F.sum("r2").cast("decimal(38,0)").alias("r2sum"),
-        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
-    )
+    per_g = _friedman_per_g(spark, sf_dir)
     half = F.col("r2sum").cast("double") / F.lit(2.0)
     s = per_g.agg(
         F.first("n_blocks").cast("double").alias("n"),
@@ -1549,4 +1557,227 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(3.0) * n * (k + F.lit(1.0)),
             4,
         ).alias("friedman_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nemenyi post-hoc (wave 65): which pairs differ, after Friedman fires
+# ---------------------------------------------------------------------------
+
+_NEMENYI_Q05_K5 = "2.727774"  # studentized-range q(0.05, k=5, inf)/sqrt(2)
+
+_NEMENYI_SQL = f"""
+WITH cents AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+cell AS (
+  SELECT g, day, CAST(SUM(c) AS HUGEINT) AS s, COUNT(*)::HUGEINT AS n
+  FROM cents GROUP BY 1, 2
+),
+complete AS (
+  SELECT day FROM cell GROUP BY day HAVING COUNT(*) = 5
+),
+valcell AS (
+  SELECT c.g, c.day, c.s, c.n FROM cell c JOIN complete USING (day)
+),
+ranked AS (
+  SELECT g, day,
+         2 * (RANK() OVER (PARTITION BY day ORDER BY s * 1.0 / n)) - 1
+           + COUNT(*) OVER (PARTITION BY day, s * 1.0 / n) AS r2
+  FROM valcell
+),
+per_g AS (
+  SELECT g, SUM(r2)::HUGEINT AS r2sum, COUNT(*)::BIGINT AS n_blocks
+  FROM ranked GROUP BY g
+)
+SELECT a.g AS g_a, b.g AS g_b,
+       ROUND(ABS(CAST(a.r2sum - b.r2sum AS DOUBLE))
+             / (2.0 * CAST(a.n_blocks AS DOUBLE)), 6) AS rank_diff,
+       ROUND({_NEMENYI_Q05_K5}::DOUBLE
+             * sqrt(5.0 * 6.0 / (12.0 * CAST(a.n_blocks AS DOUBLE))), 6) AS cd,
+       ABS(CAST(a.r2sum - b.r2sum AS DOUBLE))
+         / (2.0 * CAST(a.n_blocks AS DOUBLE))
+         > {_NEMENYI_Q05_K5}::DOUBLE
+           * sqrt(5.0 * 6.0 / (12.0 * CAST(a.n_blocks AS DOUBLE)))
+         AS significant
+FROM per_g a JOIN per_g b ON a.g < b.g
+"""
+
+
+@register(
+    "stats_nemenyi_posthoc",
+    _NEMENYI_SQL,
+    doc=(
+        "Nemenyi post-hoc — WHICH treatment pairs differ once "
+        "stats_friedman rejects (the critical-difference test behind "
+        "every CD diagram in ML benchmarking, Demšar 2006): mean-rank "
+        "differences |R_i − R_j| from the SAME doubled tie-averaged "
+        "integer rank sums the Friedman statistic uses "
+        "(_friedman_per_g — exact int until ONE division), compared "
+        "against CD = q_0.05 · sqrt(k(k+1)/12n) with the q constant a "
+        "shared literal, so the float chain is identical in both "
+        "engines (sqrt is IEEE-correctly-rounded — safe, unlike "
+        "ln/exp). All 10 pairs of the 5 treatments emit via one "
+        "self-join of the 5-row rank-sum frame — O(k²) output, "
+        "corpus-independent"
+    ),
+)
+def stats_nemenyi_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_g = _friedman_per_g(spark, sf_dir).localCheckpoint(eager=True)
+    a = per_g.select(
+        F.col("g").alias("g_a"),
+        F.col("r2sum").alias("ra"),
+        F.col("n_blocks").alias("n_blocks"),
+    )
+    b = per_g.select(F.col("g").alias("g_b"), F.col("r2sum").alias("rb"))
+    nd = F.col("n_blocks").cast("double")
+    diff = F.abs((F.col("ra") - F.col("rb")).cast("double")) / (F.lit(2.0) * nd)
+    cd = F.lit(float(_NEMENYI_Q05_K5)) * F.sqrt(
+        F.lit(5.0) * F.lit(6.0) / (F.lit(12.0) * nd)
+    )
+    return (
+        a.join(b, F.col("g_a") < F.col("g_b"))
+        .select(
+            "g_a",
+            "g_b",
+            dround(diff, 6).alias("rank_diff"),
+            dround(cd, 6).alias("cd"),
+            (diff > cd).alias("significant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis (wave 67): the unpaired k-sample rank test
+# ---------------------------------------------------------------------------
+
+_KW_SQL = """
+WITH cents AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+cell AS (
+  SELECT g, day, SUM(c) * 1.0 / COUNT(*) AS m FROM cents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g,
+         2 * (RANK() OVER (ORDER BY m)) - 1
+           + COUNT(*) OVER (PARTITION BY m) AS r2
+  FROM cell
+),
+per_g AS (
+  SELECT g, SUM(r2)::HUGEINT AS r2sum, COUNT(*)::BIGINT AS n_g
+  FROM ranked GROUP BY g
+),
+ties AS (
+  SELECT COALESCE(SUM(t * t * t - t), 0)::HUGEINT AS tsum FROM (
+    SELECT COUNT(*)::HUGEINT AS t FROM cell GROUP BY m HAVING COUNT(*) > 1
+  ) z
+),
+tot AS (SELECT SUM(n_g)::BIGINT AS n, COUNT(*)::BIGINT AS k FROM per_g),
+h AS (
+  SELECT tot.n, tot.k, ties.tsum,
+         SUM(CAST(r2sum AS DOUBLE) / 2.0 * (CAST(r2sum AS DOUBLE) / 2.0)
+             / CAST(n_g AS DOUBLE)) AS rr
+  FROM per_g CROSS JOIN tot CROSS JOIN ties
+  GROUP BY tot.n, tot.k, ties.tsum
+)
+SELECT CAST(n AS BIGINT) AS n_cells, CAST(k AS INT) AS k,
+       CAST(tsum AS BIGINT) AS tie_term,
+       ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * rr
+              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tsum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(n AS DOUBLE))), 4) AS kw_h
+FROM h
+"""
+
+
+@register(
+    "stats_kruskal_wallis",
+    _KW_SQL,
+    doc=(
+        "Kruskal-Wallis H — the UNPAIRED k-sample rank test completing "
+        "the nonparametric trio (mann_whitney k=2 unpaired, friedman "
+        "k blocked, KW k unblocked): per-(type, day) mean cells rank "
+        "GLOBALLY with the doubled tie-averaged integer device "
+        "(2·RANK − 1 + tie-count), per-group rank sums and the "
+        "Σ(t³−t) tie correction stay exact integers, and H with the "
+        "tie divisor is one literal float chain rounded at emit (the "
+        "stats_friedman discipline — the 5-term Σ R_j²/n_j fold is "
+        "ulp-safe under the 4-decimal emit grid). Ranking the "
+        "REDUCED day-cell frame, not raw events, keeps the global "
+        "window calendar-bounded at any corpus scale"
+    ),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    cell = cents.groupBy("g", "day").agg(
+        (F.sum("c") * F.lit(1.0) / F.count(F.lit(1))).alias("m")
+    )
+    cell = cell.localCheckpoint(eager=True)  # consumers: ranks + ties
+    wr = W.orderBy("m")
+    wt = W.partitionBy("m")
+    ranked = cell.select(
+        "g",
+        (
+            F.lit(2) * F.rank().over(wr)
+            - 1
+            + F.count(F.lit(1)).over(
+                wt.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )
+        ).alias("r2"),
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.sum("r2").cast("decimal(38,0)").alias("r2sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+    )
+    ties = (
+        cell.groupBy("m")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tsum")
+        )
+    )
+    tot = per_g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    half = F.col("r2sum").cast("double") / F.lit(2.0)
+    h = (
+        per_g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .groupBy("n", "k", "tsum")
+        .agg(F.sum(half * half / F.col("n_g").cast("double")).alias("rr"))
+    )
+    nd = F.col("n").cast("double")
+    return h.select(
+        F.col("n").cast("bigint").alias("n_cells"),
+        F.col("k").cast("int").alias("k"),
+        F.col("tsum").cast("bigint").alias("tie_term"),
+        dround(
+            (
+                F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("rr")
+                - F.lit(3.0) * (nd + F.lit(1.0))
+            )
+            / (
+                F.lit(1.0)
+                - F.col("tsum").cast("double") / (nd * nd * nd - nd)
+            ),
+            4,
+        ).alias("kw_h"),
     )

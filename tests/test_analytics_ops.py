@@ -3954,3 +3954,495 @@ def test_bottom_k_merge_equals_global_bottom_k(spark):
     got = registry()["sample_bottom_k_merge"].fn(spark, sf).collect()
     assert [(r.doc_id, r.source) for r in got] == want
     assert [r.rank for r in got] == list(range(1, len(want) + 1))
+
+
+def test_l_diversity_matches_python_replay(spark):
+    """Entropy / recursive (c,l)-diversity replayed with Counter +
+    math.log on the integer grid."""
+    import duckdb
+    import math
+    from collections import Counter
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal/1000) AS BIGINT) "
+        f"FROM read_parquet('{sf}/customer.parquet')"
+    ).fetchall()
+    classes = {}
+    for nk, seg, sv in rows:
+        classes.setdefault((nk, seg), Counter())[sv] += 1
+
+    def iln8(x: int) -> int:
+        return math.floor(math.log(x) * 1e8 + 0.5)
+
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in registry()["privacy_l_diversity"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(classes)
+    for key, cnt in classes.items():
+        n = sum(cnt.values())
+        r1 = max(cnt.values())
+        hs = n * iln8(n) - sum(c * iln8(c) for c in cnt.values())
+        r = got[key]
+        assert (r.n, r.distinct_l, r.r1) == (n, len(cnt), r1)
+        assert abs(r.entropy - hs / (n * 1e8)) < 1e-6
+        assert r.entropy_l2_ok == (hs >= n * 69314718)
+        assert r.recursive_c2_ok == (r1 < 2 * (n - r1))
+
+
+def test_holt_winters_matches_python_replay(spark):
+    """The additive Holt-Winters recursion replayed in pure Python —
+    same IEEE op order, so equality holds to the emit rounding."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_analytics import (
+        _HW_H,
+        _HW_M,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT event_type, date_trunc('day', ts)::DATE AS day, "
+        "SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS cents "
+        f"FROM read_parquet('{sf}/events.parquet') "
+        "WHERE event_type IN ('view','purchase') GROUP BY 1,2 ORDER BY 1,2"
+    ).fetchall()
+    series = {}
+    for et, _, cents in rows:
+        series.setdefault(et, []).append(cents)
+    want = {}
+    for et, cs in series.items():
+        if len(cs) < 2 * _HW_M + 1:
+            continue
+        m = _HW_M
+        l = sum(cs[:m]) / (m * 100.0)
+        b = (sum(cs[m:2 * m]) / (m * 100.0) - sum(cs[:m]) / (m * 100.0)) / float(m)
+        s = [c / 100.0 - sum(cs[:m]) / (m * 100.0) for c in cs[:m]]
+        for c in cs[m:]:
+            y = c / 100.0
+            l_new = 0.2 * (y - s[0]) + 0.8 * (l + b)
+            b_new = 0.1 * ((0.2 * (y - s[0]) + 0.8 * (l + b)) - l) + 0.9 * b
+            s_new = 0.3 * (y - (0.2 * (y - s[0]) + 0.8 * (l + b))) + 0.7 * s[0]
+            s = s[1:] + [s_new]
+            l, b = l_new, b_new
+        want[et] = (l, b, s)
+    got = registry()["forecast_holt_winters"].fn(spark, sf).collect()
+    assert {r.event_type for r in got} == set(want)
+    assert sorted(r.horizon for r in got if r.event_type == "view") == list(
+        range(1, _HW_H + 1)
+    )
+    for r in got:
+        l, b, s = want[r.event_type]
+        f = l + r.horizon * b + s[(r.horizon - 1) % _HW_M]
+        assert abs(r.forecast - f) < 1e-6, (r, f)
+
+
+def test_audio_vad_matches_python_replay(spark):
+    """Frame energies replayed with numpy over the utf-8 payloads."""
+    import duckdb
+    import numpy as np
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_llm import _VAD_THRESHOLD
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for did, text in rows:
+        buf = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+        for fi in range(4):
+            fr = buf[fi * 256 : (fi + 1) * 256]
+            if len(fr) == 0:
+                break
+            e = int(((fr - 128) ** 2).sum())
+            want[(did, fi)] = (len(fr), e, e > _VAD_THRESHOLD)
+    got = registry()["multimodal_audio_vad"].fn(spark, sf).collect()
+    assert {(r.doc_id, r.frame_idx) for r in got} == set(want)
+    for r in got:
+        assert (r.n_samples, r.energy, r.voiced) == want[(r.doc_id, r.frame_idx)]
+    # non-degenerate: both voiced and unvoiced frames exist
+    assert 0 < sum(r.voiced for r in got) < len(got)
+
+
+def test_closeness_matches_python_replay(spark):
+    """Per-seed bounded BFS + harmonic micro-sum replayed in Python."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_analytics import (
+        _CLOSE_HOPS,
+        _CLOSE_SEEDS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR), "
+        "'s' || CAST(l_suppkey AS VARCHAR) "
+        f"FROM read_parquet('{sf}/orders.parquet') o "
+        f"JOIN read_parquet('{sf}/lineitem.parquet') l ON o_orderkey = l_orderkey"
+    ).fetchall()
+    adj = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {r.seed: r for r in registry()["graph_closeness_sampled"].fn(spark, sf).collect()}
+    assert set(got) == set(_CLOSE_SEEDS)
+    for seed in _CLOSE_SEEDS:
+        dist = {seed: 0}
+        frontier = [seed]
+        for d in range(1, _CLOSE_HOPS + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        reached = [h for h in dist.values() if h > 0]
+        r = got[seed]
+        assert r.n_reached == len(reached)
+        assert r.sum_hops == sum(reached)
+        assert r.harmonic_micro == sum(1000000 // h for h in reached)
+
+
+def test_page_hinkley_matches_python_replay(spark):
+    """PH recursion replayed in pure integer Python."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import (
+        _PH_DELTA,
+        _PH_LAMBDA,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(f"""
+      WITH d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               arg_max(CAST(ROUND(value*100,0) AS BIGINT),
+                       lpad(CAST(epoch_us(ts) AS VARCHAR),20,'0')
+                       || lpad(CAST(event_id AS VARCHAR),12,'0')) AS c
+        FROM read_parquet('{sf}/events.parquet')
+        WHERE event_type IN ('view','purchase') GROUP BY 1,2)
+      SELECT event_type, list(c ORDER BY day), list(day ORDER BY day)
+      FROM d GROUP BY 1""").fetchall()
+    got = {r.event_type: r for r in registry()["events_page_hinkley"].fn(spark, sf).collect()}
+    assert set(got) == {et for et, _, _ in rows}
+    for et, cs, days in rows:
+        S = m = mn = mx = alarms = 0
+        first = None
+        for i, (x, day) in enumerate(zip(cs, days), 1):
+            S += x
+            m += x - S // i - _PH_DELTA
+            mn = min(mn, m)
+            ph = m - mn
+            mx = max(mx, ph)
+            if ph > _PH_LAMBDA:
+                alarms += 1
+                first = day if first is None else first
+        r = got[et]
+        assert (r.n_days, r.max_ph, r.n_alarm_days) == (len(cs), mx, alarms)
+        want_day = first.date() if hasattr(first, "date") else first
+        assert r.first_alarm_day == want_day
+    # both verdicts exercised across the table at the fixture
+    assert any(r.n_alarm_days > 0 for r in got.values())
+
+
+def test_txn_log_time_travel_sees_pre_delete_rows(spark):
+    """Replaying the transaction log only through v1 must expose b1's
+    pre-delete rows and not yet the v2 rewrite — the snapshot-
+    isolation property the docstring claims."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    register_out = registry()["source_txn_log_snapshot"].fn(spark, sf)
+    n_latest = register_out.agg(F.sum("n")).collect()[0][0]
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    root = f"{wh}/orders_txnlog"
+    log = spark.read.schema("v long, action string, file string").json(
+        f"{root}/_log"
+    )
+    for v_as_of, expect_pred in ((0, "k % 4 IN (0, 1, 2)"), (1, "k % 4 IN (0, 2, 3)")):
+        wlast = W.partitionBy("file").orderBy(F.col("v").desc())
+        live = (
+            log.filter(F.col("v") <= v_as_of)
+            .withColumn("rn", F.row_number().over(wlast))
+            .filter((F.col("rn") == 1) & (F.col("action") == "add"))
+            .collect()
+        )
+        snap = spark.read.parquet(*[f"{root}/{r.file}" for r in live])
+        import duckdb
+
+        want = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM (SELECT o_orderkey AS k FROM "
+            f"read_parquet('{sf}/orders.parquet')) WHERE {expect_pred}"
+        ).fetchone()[0]
+        assert snap.count() == want, (v_as_of, want)
+    # and the latest snapshot differs from both (the delete applied)
+    assert n_latest not in (None, 0)
+
+
+def test_nemenyi_matches_python_replay(spark):
+    """Rank sums + CD chain replayed in Python; pins pair count and
+    that significance agrees with the float chain."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(f"""
+      WITH cents AS (
+        SELECT event_type AS g, date_trunc('day', ts) AS day,
+               CAST(ROUND(value*100,0) AS BIGINT) AS c
+        FROM read_parquet('{sf}/events.parquet')),
+      cell AS (SELECT g, day, SUM(c)*1.0/COUNT(*) AS m FROM cents GROUP BY 1,2),
+      complete AS (SELECT day FROM cell GROUP BY day HAVING COUNT(*)=5)
+      SELECT c.g, c.day, c.m FROM cell c JOIN complete USING (day)
+    """).fetchall()
+    by_day = defaultdict(list)
+    for g, day, m in rows:
+        by_day[day].append((g, m))
+    r2sum = defaultdict(int)
+    nb = defaultdict(int)
+    for day, cells in by_day.items():
+        svals = sorted(m for _, m in cells)
+        for g, m in cells:
+            lo = 1 + sum(1 for x in svals if x < m)
+            t = sum(1 for x in svals if x == m)
+            r2sum[g] += 2 * lo - 1 + t  # doubled tie-averaged rank
+            nb[g] += 1
+    got = registry()["stats_nemenyi_posthoc"].fn(spark, sf).collect()
+    assert len(got) == 10  # C(5,2)
+    for r in got:
+        n = nb[r.g_a]
+        diff = abs(r2sum[r.g_a] - r2sum[r.g_b]) / (2.0 * n)
+        cd = 2.727774 * math.sqrt(5.0 * 6.0 / (12.0 * n))
+        assert abs(r.rank_diff - diff) < 1e-6
+        assert abs(r.cd - cd) < 1e-6
+        assert r.significant == (diff > cd)
+
+
+def test_matryoshka_matches_python_replay(spark):
+    """Full vs truncated top-k overlap replayed with numpy rankings
+    under the same rounded-cosine + id tie-break."""
+    import duckdb
+    import numpy as np
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_llm import _MRL_DIM, _MRL_K
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    vecs = {vid: np.array(v, dtype=np.float64) for vid, v in rows}
+
+    def topk(dim):
+        out = {}
+        for q in [v for v in vecs if v < 8]:
+            qv = vecs[q][:dim]
+            scored = []
+            for c, cv in vecs.items():
+                if c == q:
+                    continue
+                cv = cv[:dim]
+                cos = float(qv @ cv) / (
+                    np.sqrt(float(qv @ qv)) * np.sqrt(float(cv @ cv))
+                )
+                scored.append((-np.floor(cos * 1e6 + 0.5) / 1e6, c))
+            scored.sort()
+            out[q] = {c for _, c in scored[:_MRL_K]}
+        return out
+
+    full, tr = topk(64), topk(_MRL_DIM)
+    got = registry()["embedding_matryoshka_truncate"].fn(spark, sf).collect()
+    assert {r.q_id for r in got} == set(full)
+    for r in got:
+        assert r.n_overlap == len(full[r.q_id] & tr[r.q_id]), r
+        assert abs(r.recall_at_k - r.n_overlap / _MRL_K) < 1e-6
+    # non-degenerate: truncation costs SOME recall but not all
+    total = sum(r.n_overlap for r in got)
+    assert 0 < total < _MRL_K * len(got)
+
+
+def test_bloom_decontaminate_matches_exact_stage(spark):
+    """The Bloom prefilter must not change the flagged-doc answer —
+    compare the summary to curation_decontaminate's per-doc rows, and
+    check the bitset actually prunes at the gram level."""
+    from pyspark.sql import functions as F
+
+    from a_share_data_pipeline_spark.operators import sketch as SK
+    from a_share_data_pipeline_spark.operators.dedup import word_shingles_col
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_curation import (
+        _BENCH_MOD,
+        _DECON_N,
+    )
+    from a_share_data_pipeline_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = registry()["curation_bloom_decontaminate"].fn(spark, sf).collect()[0]
+    exact = registry()["curation_decontaminate"].fn(spark, sf).collect()
+    assert got.n_flagged_docs == len(exact)
+    assert got.total_hits == sum(r.n_hits for r in exact)
+    # bloom prune factor at the gram level: survivors ≤ corpus grams,
+    # and ≥ the exact hits (no false negatives by construction)
+    docs = load_table(spark, sf, "documents")
+    bench_grams = (
+        docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode(word_shingles_col("text", _DECON_N)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = docs.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.explode(word_shingles_col("text", _DECON_N)).alias("g")
+    )
+    words = SK.bloom_build(bench_grams, "g")
+    n_total = corpus_grams.count()
+    n_cand = SK.bloom_might_contain(corpus_grams, "g", words).count()
+    assert got.total_hits <= n_cand <= n_total
+    assert got.total_corpus_grams == n_total
+
+
+def test_crossmodal_retrieval_matches_python_replay(spark):
+    """Hashing-trick text embedding + integer cosine rank replayed in
+    Python for every query doc."""
+    import duckdb
+    import hashlib
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_llm import (
+        _XM_DIMS,
+        _XM_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        f"WHERE doc_id < {_XM_QUERIES}"
+    ).fetchall()
+    embs = con.execute(
+        "SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "x -> CAST(ROUND(x*1000,0) AS BIGINT)) "
+        f"FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    got = {r.doc_id: r for r in registry()["multimodal_crossmodal_retrieval"].fn(spark, sf).collect()}
+    assert set(got) == {d for d, _ in docs}
+    for did, text in docs:
+        comp = [0] * _XM_DIMS
+        for tok in text.split(" "):
+            for d in range(_XM_DIMS):
+                comp[d] += h(f"{tok}|{d}") % 2001 - 1000
+        nq = sum(c * c for c in comp)
+        scored = []
+        for vid, ei in embs:
+            dot = sum(c * e for c, e in zip(comp, ei))
+            ne = sum(e * e for e in ei)
+            cos = dot / (nq**0.5 * ne**0.5)
+            import math
+
+            scored.append((-math.floor(cos * 1e6 + 0.5) / 1e6, vid))
+        scored.sort()
+        rank = 1 + [v for _, v in scored].index(did)
+        r = got[did]
+        assert (r.true_rank, r.rr_micro) == (rank, 1000000 // rank), (did, rank)
+
+
+def test_kruskal_wallis_matches_python_replay(spark):
+    """KW H with tie correction replayed in Python over day cells."""
+    import duckdb
+    from collections import Counter
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(f"""
+      WITH cents AS (
+        SELECT event_type AS g, date_trunc('day', ts) AS day,
+               CAST(ROUND(value*100,0) AS BIGINT) AS c
+        FROM read_parquet('{sf}/events.parquet'))
+      SELECT g, SUM(c)*1.0/COUNT(*) FROM cents GROUP BY g, day
+    """).fetchall()
+    vals = sorted(m for _, m in rows)
+    r2 = {}
+    for m in set(vals):
+        lo = 1 + sum(1 for x in vals if x < m)
+        t = sum(1 for x in vals if x == m)
+        r2[m] = 2 * lo - 1 + t
+    groups = {}
+    for g, m in rows:
+        groups.setdefault(g, []).append(m)
+    n = len(rows)
+    rr = sum(
+        (sum(r2[m] for m in ms) / 2.0) ** 2 / len(ms) for ms in groups.values()
+    )
+    tc = Counter(vals)
+    tsum = sum(t**3 - t for t in tc.values() if t > 1)
+    h = (12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1.0)) / (
+        1.0 - tsum / (float(n) ** 3 - n)
+    )
+    r = registry()["stats_kruskal_wallis"].fn(spark, sf).collect()[0]
+    assert (r.n_cells, r.k, r.tie_term) == (n, len(groups), tsum)
+    assert abs(r.kw_h - h) < 1e-3
+
+
+def test_shapley_attribution_efficiency_axiom(spark):
+    """Σ φ_c == v(all channels) — the Shapley efficiency axiom — plus
+    a full Python replay of the coalition algebra."""
+    import duckdb
+    from collections import Counter
+    from itertools import combinations
+    from math import factorial
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_market import (
+        _SHAP_LOOKBACK_DAYS,
+        _SHAP_N_CH,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    masks = duckdb.connect().execute(f"""
+      WITH c AS (SELECT event_id, user_id, ts, event_id % {_SHAP_N_CH} AS ch
+                 FROM read_parquet('{sf}/events.parquet') WHERE event_type='click'),
+      p AS (SELECT event_id p_id, user_id, ts p_ts
+            FROM read_parquet('{sf}/events.parquet') WHERE event_type='purchase')
+      SELECT BIT_OR(1 << c.ch) FROM p JOIN c ON c.user_id = p.user_id
+        AND c.ts <= p.p_ts AND c.ts >= p.p_ts - INTERVAL {_SHAP_LOOKBACK_DAYS} DAY
+      GROUP BY p.p_id
+    """).fetchall()
+    mc = Counter(m for (m,) in masks)
+
+    def v(S):
+        sm = sum(1 << ch for ch in S)
+        return sum(n for m, n in mc.items() if m & ~sm & 15 == 0)
+
+    got = {r.channel: r for r in registry()["events_shapley_attribution"].fn(spark, sf).collect()}
+    phis = {}
+    for ch in range(_SHAP_N_CH):
+        others = [x for x in range(_SHAP_N_CH) if x != ch]
+        p24 = 0
+        for size in range(_SHAP_N_CH):
+            for S in combinations(others, size):
+                w = factorial(size) * factorial(_SHAP_N_CH - size - 1)
+                p24 += w * (v(S + (ch,)) - v(S))
+        phis[ch] = p24
+        assert got[ch].shapley_x24 == p24
+        assert got[ch].credit_micro == (p24 * 1000000) // 24
+    assert sum(phis.values()) == 24 * v(tuple(range(_SHAP_N_CH)))

@@ -101,6 +101,7 @@ def test_no_row_python_in_builtin_queries(spark):
         "multimodal_features",
         "multimodal_frames",
         "multimodal_resize",
+        "multimodal_audio_vad",
         "stream_stateful_totals",
         "text_compression_ratio",
     }

@@ -396,3 +396,39 @@ def test_stream_cap_semantics_as_of_batch(spark):
         ).count()
         > 0
     )
+
+
+def test_scd2_stream_maintenance_is_order_insensitive(spark, tmp_path):
+    """stream_scd2_apply's docstring claims the per-key REBUILD makes
+    the maintenance order-insensitive: drive the same absorb closure
+    with batches split by event_id parity (so a key's changes arrive
+    interleaved and out of event-time order across batches) and assert
+    the final dimension equals the one-shot batch SCD2."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_streaming import (
+        _SCD2_DIM_SCHEMA,
+        _scd2_make_absorb,
+    )
+    from a_share_data_pipeline_spark.sources.readers import load_table
+    from a_share_data_pipeline_spark.functions.rounding import dround
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    upd = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", dround(F.col("value"), 2).alias("tier")
+    )
+    dim = str(tmp_path / "dim")
+    absorb = _scd2_make_absorb(spark, dim)
+    # 3 scrambled batches: event_id % 3 interleaves every key's history
+    for bid in range(3):
+        absorb(upd.filter(F.col("event_id") % 3 == bid), bid)
+    got = (
+        spark.read.schema(_SCD2_DIM_SCHEMA)
+        .parquet(dim)
+        .select("user_id", "tier", "valid_from", "valid_to", "is_current")
+    )
+    want = registry()["scd2_dim_history"].fn(spark, sf)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
