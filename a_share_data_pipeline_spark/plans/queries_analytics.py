@@ -4920,3 +4920,97 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("harmonic_micro", F.lit(0)).alias("harmonic_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DP-shaped histogram release (wave 69)
+# ---------------------------------------------------------------------------
+
+# round(ln(2^32) * 1e8) — shared literal on both engines
+_DP_ILN_2_32 = 2218070978
+_DP_EPS = 1  # epsilon (sensitivity-1 count histogram)
+
+_DP_SQL = f"""
+WITH h AS (
+  SELECT c_mktsegment AS segment, COUNT(*)::BIGINT AS true_n
+  FROM customer GROUP BY 1
+),
+u AS (
+  SELECT segment, true_n,
+         ('0x' || substr(md5('dp|' || segment), 1, 8))::BIGINT AS hv
+  FROM h
+),
+lap AS (
+  SELECT segment, true_n,
+         CASE WHEN 2 * hv - 4294967296 < 0 THEN -1 ELSE 1 END AS sgn,
+         GREATEST(4294967296 - ABS(2 * hv - 4294967296), 1) AS m
+  FROM u
+),
+noise AS (
+  SELECT segment, true_n,
+         sgn * ({_DP_ILN_2_32} - CAST(ROUND(LN(m) * 100000000, 0) AS BIGINT))
+           // {_DP_EPS} AS noise_1e8
+  FROM lap
+)
+SELECT segment, true_n, noise_1e8,
+       GREATEST(true_n + noise_1e8 // 100000000, 0)::BIGINT AS released_n
+FROM noise
+"""
+
+
+@register(
+    "privacy_dp_histogram",
+    _DP_SQL,
+    doc=(
+        "differentially-private histogram release SHAPE — the "
+        "Laplace mechanism on a sensitivity-1 count histogram "
+        "(ε=1), completing the privacy family (erasure, "
+        "generalization, k-anonymity, l-diversity, DP release): "
+        "noise = (1/ε)·sign·ln(uniform) inverted from a "
+        "deterministic md5 uniform via the INTEGER-ln device "
+        "(iln(2³²) is a shared literal, m ≥ 1 guards ln(0)), "
+        "integer-truncated onto counts, post-processing clamp at 0. "
+        "HONEST STUB, stated plainly: the md5 'uniform' makes the "
+        "release reproducible for the oracle, which is a feature "
+        "here and a privacy bug in production — a real deployment "
+        "swaps in a secure RNG seed and drops the true_n column; "
+        "the mechanism algebra, sensitivity bookkeeping and clamp "
+        "are exactly the production shape. Scale: one segment-keyed "
+        "reduce; noise math is per-cell literal arithmetic"
+    ),
+)
+def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    h = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp|"), F.col("segment"))), 1, 8), 16, 10
+    ).cast("bigint")
+    lap = h.select(
+        "segment",
+        "true_n",
+        F.when(F.lit(2) * hv - F.lit(4294967296) < 0, -1).otherwise(1).alias("sgn"),
+        F.greatest(
+            F.lit(4294967296) - F.abs(F.lit(2) * hv - F.lit(4294967296)), F.lit(1)
+        ).alias("m"),
+    )
+    noise = lap.select(
+        "segment",
+        "true_n",
+        F.expr(
+            f"(sgn * ({_DP_ILN_2_32} - CAST({{iln}} AS BIGINT))) div {_DP_EPS}".format(
+                iln="round(ln(m) * 100000000, 0)"
+            )
+        ).alias("noise_1e8"),
+    )
+    return noise.select(
+        "segment",
+        "true_n",
+        "noise_1e8",
+        F.greatest(
+            F.col("true_n") + F.expr("noise_1e8 div 100000000"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("released_n"),
+    )

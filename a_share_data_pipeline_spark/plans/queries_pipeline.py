@@ -2707,3 +2707,64 @@ def source_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution read (wave 68)
+# ---------------------------------------------------------------------------
+
+_PE_CUTOFF = "2024-01-16"  # mid-range of the 2024-01 fixture month
+
+_PE_SQL = f"""
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))::BIGINT AS cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "source_partition_evolution",
+    _PE_SQL,
+    doc=(
+        "partition-spec evolution read — the lakehouse migration "
+        "nobody plans for: history landed UNPARTITIONED (one flat "
+        "parquet dir), the table later adopted "
+        "partitionBy(event_type), and every query must read BOTH "
+        "layouts as one table. The old half carries event_type as a "
+        "DATA column; the new half carries it as a DIRECTORY column "
+        "the reader reconstructs from paths (and can prune on — "
+        "planning-time PartitionFilters apply only to the new half, "
+        "which is exactly Iceberg's partition-evolution contract: "
+        "old files keep the old spec). unionByName reconciles the "
+        "differing column orders; the oracle checks the stitched "
+        "read is lossless vs the raw table. The cutoff split is "
+        "event-time (< {cutoff} flat, >= partitioned), mirroring a "
+        "real migration date"
+    ).format(cutoff=_PE_CUTOFF),
+)
+def source_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urllib.parse import urlparse
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    old_dir = f"{wh}/events_flat_v1"
+    new_dir = f"{wh}/events_parted_v2"
+    cutoff = F.lit(_PE_CUTOFF).cast("timestamp")
+    ev.filter(F.col("ts") < cutoff).write.mode("overwrite").parquet(old_dir)
+    ev.filter(F.col("ts") >= cutoff).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(new_dir)
+    old = spark.read.parquet(old_dir)
+    new = spark.read.parquet(new_dir)  # event_type comes back as a
+    # partition column (path-derived, last in schema) — unionByName
+    # reconciles the order difference
+    both = old.unionByName(new.select(*old.columns))
+    return both.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dround(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

@@ -1781,3 +1781,127 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("kw_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion power analysis (wave 68)
+# ---------------------------------------------------------------------------
+
+_POW_MDES = ("0.01", "0.02", "0.05")  # absolute-lift grid, literal doubles
+_POW_ZCRIT = 1.959964  # z_{alpha/2} at alpha = 0.05
+
+
+def _phi_sql(x: str) -> str:
+    """Φ(x) via the A&S 7.1.26 erfc polynomial (the stats_benjamini_
+    hochberg device) — identical literals on both engines."""
+    t = f"(1.0 / (1.0 + {0.3275911!r} * (ABS({x}) * {_BH_INV_SQRT2!r})))"
+    erfc = (
+        f"((((({1.061405429!r} * {t} - {1.453152027!r}) * {t}"
+        f" + {1.421413741!r}) * {t} - {0.284496736!r}) * {t}"
+        f" + {0.254829592!r}) * {t}"
+        f" * exp(-((ABS({x}) * {_BH_INV_SQRT2!r}) * (ABS({x}) * {_BH_INV_SQRT2!r}))))"
+    )
+    return f"(CASE WHEN {x} >= 0 THEN 1.0 - {erfc} / 2.0 ELSE {erfc} / 2.0 END)"
+
+
+def _power_sql() -> str:
+    mdes = ", ".join(f"({m}::DOUBLE)" for m in _POW_MDES)
+    x = (
+        "(mde / sqrt(p0 * (1.0 - p0) * 2.0 / n_arm)"
+        f" - {_POW_ZCRIT!r})"
+    )
+    return f"""
+WITH base AS (
+  SELECT COUNT(*)::BIGINT AS n_events,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_conv
+  FROM events
+),
+grid AS (SELECT unnest([{mdes}]) AS mde),
+p AS (
+  SELECT g.mde, b.n_events, b.n_conv,
+         CAST(b.n_conv AS DOUBLE) / CAST(b.n_events AS DOUBLE) AS p0,
+         CAST(b.n_events // 2 AS DOUBLE) AS n_arm
+  FROM grid g CROSS JOIN base b
+)
+SELECT ROUND(mde, 6) AS mde, n_events, n_conv,
+       CAST(n_arm AS BIGINT) AS n_per_arm,
+       ROUND(p0, 6) AS p_base,
+       ROUND({_phi_sql(x)}, 6) AS power
+FROM p
+"""
+
+
+@register(
+    "stats_proportion_power",
+    _power_sql(),
+    doc=(
+        "two-proportion power analysis — the PLANNING half of "
+        "stats_ab_test (before running the experiment: at the "
+        "observed baseline purchase PROPORTION over events — the "
+        "per-user rate saturates to 1.0 at sf0.001 and would "
+        "degenerate SE — and a 50/50 split, what lift is "
+        "detectable?): power = "
+        "Φ(δ/SE − z_crit) over a literal MDE grid, with Φ from the "
+        "stats_benjamini_hochberg A&S 7.1.26 erfc device (identical "
+        "literal chain on both engines; the 1e-6 emit grid absorbs "
+        "exp's last-ulp libm variation). The corpus reduces to TWO "
+        "integers (users, converters) in one aggregate — everything "
+        "after is per-grid-row literal arithmetic, so the query's "
+        "scale cost is one map-side count no matter the corpus"
+    ),
+)
+def stats_proportion_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("n_conv"),
+    )
+    grid = spark.createDataFrame(
+        [(float(m),) for m in _POW_MDES], "mde double"
+    )
+    p = grid.crossJoin(F.broadcast(base)).select(
+        "mde",
+        "n_events",
+        "n_conv",
+        (F.col("n_conv").cast("double") / F.col("n_events").cast("double")).alias(
+            "p0"
+        ),
+        F.expr("CAST(n_events div 2 AS DOUBLE)").alias("n_arm"),
+    )
+    x = (
+        F.col("mde")
+        / F.sqrt(
+            F.col("p0") * (F.lit(1.0) - F.col("p0")) * F.lit(2.0) / F.col("n_arm")
+        )
+        - F.lit(_POW_ZCRIT)
+    )
+    t = F.lit(1.0) / (
+        F.lit(1.0) + F.lit(0.3275911) * (F.abs(x) * F.lit(_BH_INV_SQRT2))
+    )
+    erfc = (
+        (
+            (
+                (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            - F.lit(0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t * F.exp(
+        -((F.abs(x) * F.lit(_BH_INV_SQRT2)) * (F.abs(x) * F.lit(_BH_INV_SQRT2)))
+    )
+    phi = F.when(x >= 0, F.lit(1.0) - erfc / F.lit(2.0)).otherwise(
+        erfc / F.lit(2.0)
+    )
+    return p.select(
+        dround(F.col("mde"), 6).alias("mde"),
+        "n_events",
+        "n_conv",
+        F.col("n_arm").cast("bigint").alias("n_per_arm"),
+        dround(F.col("p0"), 6).alias("p_base"),
+        dround(phi, 6).alias("power"),
+    )

@@ -4446,3 +4446,84 @@ def test_shapley_attribution_efficiency_axiom(spark):
         assert got[ch].shapley_x24 == p24
         assert got[ch].credit_micro == (p24 * 1000000) // 24
     assert sum(phis.values()) == 24 * v(tuple(range(_SHAP_N_CH)))
+
+
+def test_proportion_power_matches_python_replay(spark):
+    """Power chain (A&S erfc Φ) replayed in Python; sanity: power is
+    monotone in the MDE and in (0, 1)."""
+    import duckdb
+    import math
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_stats import (
+        _POW_MDES,
+        _POW_ZCRIT,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n, conv = duckdb.connect().execute(
+        "SELECT COUNT(*), SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()
+
+    def phi(x):
+        t = 1.0 / (1.0 + 0.3275911 * (abs(x) * 0.7071067811865476))
+        e = (
+            ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+              - 0.284496736) * t + 0.254829592) * t
+            * math.exp(-((abs(x) * 0.7071067811865476) ** 2))
+        )
+        return 1.0 - e / 2.0 if x >= 0 else e / 2.0
+
+    p0 = conv / n
+    n_arm = float(n // 2)
+    got = sorted(
+        registry()["stats_proportion_power"].fn(spark, sf).collect(),
+        key=lambda r: r.mde,
+    )
+    assert [r.mde for r in got] == [float(m) for m in _POW_MDES]
+    prev = -1.0
+    for r in got:
+        se = math.sqrt(p0 * (1 - p0) * 2.0 / n_arm)
+        want = phi(float(r.mde) / se - _POW_ZCRIT)
+        assert abs(r.power - want) < 1e-6
+        assert 0.0 < r.power < 1.0
+        assert r.power > prev  # monotone in MDE
+        prev = r.power
+        assert (r.n_events, r.n_conv) == (n, conv)
+
+
+def test_dp_histogram_matches_python_replay(spark):
+    """Laplace-inverse-CDF integer algebra replayed with hashlib; both
+    noise signs must occur at the fixture (5 segments)."""
+    import duckdb
+    import hashlib
+    import math
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_analytics import (
+        _DP_EPS,
+        _DP_ILN_2_32,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT c_mktsegment, COUNT(*) FROM "
+        f"read_parquet('{sf}/customer.parquet') GROUP BY 1"
+    ).fetchall()
+    got = {r.segment: r for r in registry()["privacy_dp_histogram"].fn(spark, sf).collect()}
+    assert set(got) == {s for s, _ in rows}
+    signs = set()
+    for seg, n in rows:
+        hv = int(hashlib.md5(f"dp|{seg}".encode()).hexdigest()[:8], 16)
+        sgn = -1 if 2 * hv - 2**32 < 0 else 1
+        m = max(2**32 - abs(2 * hv - 2**32), 1)
+        iln_m = math.floor(math.log(m) * 1e8 + 0.5)
+        noise = sgn * (_DP_ILN_2_32 - iln_m)
+        noise = int(noise / _DP_EPS) if noise >= 0 else -((-noise) // _DP_EPS)
+        r = got[seg]
+        assert (r.true_n, r.noise_1e8) == (n, noise)
+        step = noise // 10**8 if noise >= 0 else -((-noise) // 10**8)
+        assert r.released_n == max(n + step, 0)
+        signs.add(sgn)
+    assert signs == {-1, 1}

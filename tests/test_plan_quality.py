@@ -1055,3 +1055,22 @@ def test_triangle_corners_single_join_execution(spark):
         assert "levenshtein" not in p, (name, p)
         if want_explode:
             assert "explode" in p, (name, p)
+
+
+def test_partition_evolution_prunes_the_partitioned_half(spark):
+    """source_partition_evolution's new-layout half must expose
+    event_type as a PARTITION column the planner prunes on
+    (PartitionFilters, zero data files read for a filtered-out type) —
+    the Iceberg partition-evolution contract: new files get the new
+    spec's pruning, old files scan."""
+    from urllib.parse import urlparse
+
+    registry()["source_partition_evolution"].fn(spark, SF).collect()
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    new = spark.read.parquet(f"{wh}/events_parted_v2")
+    p = plan_str(new.filter(F.col("event_type") == "purchase"))
+    assert "PartitionFilters" in p, p
+    assert "isnotnull(event_type" in p or "event_type" in p.split("PartitionFilters")[1].split("]")[0], p
+    # pruned read touches exactly one partition's rows
+    n_one = new.filter(F.col("event_type") == "purchase").count()
+    assert 0 < n_one < new.count()
