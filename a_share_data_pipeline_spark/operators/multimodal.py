@@ -238,3 +238,64 @@ def vad_frames(
             )
 
     return binary_df.mapInPandas(run, schema=VAD_SCHEMA)
+
+
+SHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("boundary_idx", T.LongType()),
+        T.StructField("diff_energy", T.LongType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ]
+)
+
+
+def shot_boundaries(
+    binary_df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    frame_bytes: int = 64,
+    stride: int = 256,
+    max_frames: int = 4,
+    threshold: int = 1800,
+) -> DataFrame:
+    """Shot-boundary detection over a binary column (the video-cut
+    analog, pairing with sample_frames' keyframe lane): consecutive
+    sampled frames compare by L1 byte distance Σ|b−b'| (exact
+    integer), a cut fires above the threshold. Same honest-stub
+    contract as the other multimodal lanes — real decode is stubbed,
+    the Arrow-batched mapInPandas plumbing, numpy int64 math and
+    1→N-1 pair fan-out are the production shape."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bis, des, cuts = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col], strict=True):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                frames = []
+                for fi in range(max_frames):
+                    fr = buf[fi * stride : fi * stride + frame_bytes]
+                    if len(fr) < frame_bytes:
+                        break
+                    frames.append(fr)
+                for bi, (a, b) in enumerate(zip(frames, frames[1:])):
+                    de = int(np.abs(a - b).sum())
+                    ids.append(int(doc_id))
+                    bis.append(bi)
+                    des.append(de)
+                    cuts.append(de > threshold)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "boundary_idx": pd.Series(bis, dtype="int64"),
+                    "diff_energy": pd.Series(des, dtype="int64"),
+                    "is_cut": pd.Series(cuts, dtype="bool"),
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=SHOT_SCHEMA)

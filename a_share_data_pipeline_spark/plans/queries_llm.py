@@ -2612,3 +2612,60 @@ def multimodal_crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("rnk").cast("bigint").alias("true_rank"),
         F.expr("CAST(1000000 div rnk AS BIGINT)").alias("rr_micro"),
     )
+
+
+_SHOT_THRESHOLD = 1800
+
+_SHOT_SQL = f"""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, h, unnest(range(4)) AS fi, n FROM p
+),
+f AS (
+  SELECT doc_id, fi, h FROM fr WHERE fi * 256 + 64 <= n
+),
+b AS (
+  SELECT doc_id, fi, unnest(range(64)) AS i, h FROM f
+),
+s AS (
+  SELECT doc_id, fi, i,
+         ('0x' || substr(h, CAST((fi * 256 + i) * 2 + 1 AS BIGINT), 2))::BIGINT AS byte
+  FROM b
+),
+d AS (
+  SELECT a.doc_id, a.fi AS boundary_idx,
+         SUM(ABS(a.byte - c.byte))::BIGINT AS diff_energy
+  FROM s a JOIN s c ON c.doc_id = a.doc_id AND c.fi = a.fi + 1 AND c.i = a.i
+  GROUP BY 1, 2
+)
+SELECT doc_id, boundary_idx, diff_energy,
+       diff_energy > {_SHOT_THRESHOLD} AS is_cut
+FROM d
+"""
+
+
+@register(
+    "multimodal_shot_boundaries",
+    _SHOT_SQL,
+    doc=(
+        "shot-boundary detection — the video-cut analog completing "
+        "the multimodal lanes (features/resize/frames/blockhash/VAD/"
+        "cross-modal): consecutive sampled frames (64 bytes at "
+        "stride 256, the sample_frames geometry) compare by exact "
+        "integer L1 byte distance inside an Arrow mapInPandas with "
+        "a 1→N−1 pair fan-out; cuts fire above "
+        f"{_SHOT_THRESHOLD} (≈48% of fixture boundaries — both "
+        "verdicts live at both SFs). The oracle rebuilds frames "
+        "byte-by-byte from hex and self-joins on (doc, frame+1, "
+        "byte-pos). Decode honestly stubbed as in every multimodal "
+        "lane; zero shuffle on the Spark side"
+    ),
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.shot_boundaries(
+        MM.documents_as_binary(docs), threshold=_SHOT_THRESHOLD
+    )

@@ -3114,3 +3114,126 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (wave 70)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "a", "of", "and", "is")
+_RAKE_MAX_LEN = 6
+_RAKE_TOP = 20
+
+
+def _rake_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         (w IN ({stops}) OR w = '') AS is_stop
+  FROM tok
+),
+grp AS (
+  SELECT doc_id, pos, w, is_stop,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM marked
+),
+phrases AS (
+  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM grp WHERE NOT is_stop
+  GROUP BY doc_id, pid
+  HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+),
+pw AS (SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM phrases),
+wsc AS (
+  SELECT w, (SUM(plen) * 1000000) // COUNT(*) AS wscore
+  FROM pw GROUP BY w
+),
+dp AS (SELECT DISTINCT phrase FROM phrases),
+dpw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dp),
+score AS (
+  SELECT d.phrase, COUNT(*)::BIGINT AS n_words,
+         SUM(ws.wscore)::BIGINT AS score_micro
+  FROM dpw d JOIN wsc ws USING (w) GROUP BY d.phrase
+)
+SELECT phrase, n_words, score_micro
+FROM score ORDER BY score_micro DESC, phrase LIMIT {_RAKE_TOP}
+"""
+
+
+@register(
+    "text_keyword_rake",
+    _rake_sql(),
+    doc=(
+        "RAKE keyword extraction (Rose et al. 2010) — the classic "
+        "unsupervised keyphrase method beside tf-idf/BM25's "
+        "term-level scoring: candidate phrases are maximal "
+        "non-stopword runs (gaps-and-islands over the stopword "
+        "flags — one cumulative window per doc), word scores are "
+        "degree/frequency where degree sums the lengths of phrases "
+        "containing the word, and a phrase scores the sum of its "
+        "member word scores. The division lands on the 1e-6 integer "
+        "grid (floor micro-units — a documented deterministic "
+        "variant of RAKE's exact ratio), so phrase scores are exact "
+        "int64 sums and the top-" f"{_RAKE_TOP}" " is a TakeOrdered. "
+        "Scale: phrase building is one window + one groupBy on "
+        "(doc, run); word stats are vocabulary-sized; phrase "
+        f"length caps at {_RAKE_MAX_LEN}"
+    ),
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        (F.col("w").isin(*_RAKE_STOPS) | (F.col("w") == "")).alias("is_stop"),
+    )
+    wrun = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    grp = marked.withColumn(
+        "pid", F.sum(F.col("is_stop").cast("int")).over(wrun)
+    )
+    phrases = (
+        grp.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list(struct(pos, w))),"
+                " x -> x.w), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    phrases = phrases.localCheckpoint(eager=True)  # consumers: word
+    # stats + distinct-phrase scoring
+    pw = phrases.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+    wsc = pw.groupBy("w").agg(
+        F.expr("(SUM(plen) * 1000000) div COUNT(*)").alias("wscore")
+    )
+    dp = phrases.select("phrase").distinct()
+    dpw = dp.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    score = (
+        dpw.join(F.broadcast(wsc), "w")
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("wscore").cast("bigint").alias("score_micro"),
+        )
+    )
+    return score.orderBy(F.col("score_micro").desc(), "phrase").limit(_RAKE_TOP)

@@ -1905,3 +1905,122 @@ def stats_proportion_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("p0"), 6).alias("p_base"),
         dround(phi, 6).alias("power"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (wave 71): k related binary treatments
+# ---------------------------------------------------------------------------
+
+_COCHRAN_SQL = """
+WITH cents AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+cell AS (
+  SELECT g, day, SUM(c)::HUGEINT AS s FROM cents GROUP BY 1, 2
+),
+complete AS (
+  SELECT day FROM cell GROUP BY day HAVING COUNT(*) = 5
+),
+per_g AS (
+  SELECT g, SUM(s)::HUGEINT AS stot, COUNT(*)::HUGEINT AS dtot
+  FROM cell JOIN complete USING (day) GROUP BY g
+),
+x AS (
+  -- success: the day's total beats the treatment's average day,
+  -- compared exactly by cross-multiplication (s*D > S)
+  SELECT c.g, c.day,
+         CASE WHEN c.s * p.dtot > p.stot THEN 1 ELSE 0 END AS x
+  FROM cell c JOIN complete USING (day) JOIN per_g p ON p.g = c.g
+),
+cols AS (SELECT g, SUM(x)::HUGEINT AS cj FROM x GROUP BY g),
+rows_ AS (SELECT day, SUM(x)::HUGEINT AS ri FROM x GROUP BY day),
+s AS (
+  SELECT (SELECT COUNT(*) FROM cols)::HUGEINT AS k,
+         (SELECT SUM(cj) FROM cols)::HUGEINT AS n,
+         (SELECT SUM(cj * cj) FROM cols)::HUGEINT AS c2,
+         (SELECT SUM(ri * ri) FROM rows_)::HUGEINT AS r2,
+         (SELECT COUNT(*) FROM rows_)::BIGINT AS n_blocks
+)
+SELECT CAST(k AS INT) AS k, n_blocks, CAST(n AS BIGINT) AS n_success,
+       ROUND(CAST(k * (k - 1) AS DOUBLE) * CAST(k * c2 - n * n AS DOUBLE)
+             / CAST(k * n - r2 AS DOUBLE), 4) AS cochran_q
+FROM s
+"""
+
+
+@register(
+    "stats_cochran_q",
+    _COCHRAN_SQL,
+    doc=(
+        "Cochran's Q — the k-related-samples test for BINARY outcomes "
+        "(the Friedman family's dichotomous member; McNemar's k-way "
+        "generalization): per complete day-block, each treatment "
+        "scores success iff its daily total beats its own average "
+        "day — an EXACT integer cross-multiplication (s·D > S), no "
+        "division enters the indicator. Column totals C_j, row "
+        "totals R_i and Q = k(k−1)[kΣC_j² − N²]/(kN − ΣR_i²) stay "
+        "integers until ONE double division at emit (4-decimal "
+        "grid). Same calendar-bounded shuffle shape as "
+        "stats_friedman: one (type, day) reduce, then O(k + blocks) "
+        "frames"
+    ),
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.col("event_type").alias("g"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        dround(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    cell = cents.groupBy("g", "day").agg(
+        F.sum("c").cast("decimal(38,0)").alias("s")
+    )
+    cell = cell.localCheckpoint(eager=True)  # consumers: complete-day
+    # filter, per-treatment totals, the indicator join
+    complete = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("kc"))
+        .filter(F.col("kc") == 5)
+        .select("day")
+    )
+    val = cell.join(F.broadcast(complete), "day")
+    per_g = val.groupBy("g").agg(
+        F.sum("s").cast("decimal(38,0)").alias("stot"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("dtot"),
+    )
+    x = val.join(F.broadcast(per_g), "g").select(
+        "g",
+        "day",
+        F.when(F.col("s") * F.col("dtot") > F.col("stot"), 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    x = x.localCheckpoint(eager=True)  # consumers: column + row totals
+    cols = x.groupBy("g").agg(F.sum("x").cast("decimal(38,0)").alias("cj"))
+    rows_ = x.groupBy("day").agg(F.sum("x").cast("decimal(38,0)").alias("ri"))
+    s = cols.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("cj").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cj") * F.col("cj")).cast("decimal(38,0)").alias("c2"),
+    ).crossJoin(
+        F.broadcast(
+            rows_.agg(
+                F.sum(F.col("ri") * F.col("ri")).cast("decimal(38,0)").alias("r2"),
+                F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            )
+        )
+    )
+    k, n = F.col("k"), F.col("n")
+    return s.select(
+        k.cast("int").alias("k"),
+        "n_blocks",
+        n.cast("bigint").alias("n_success"),
+        dround(
+            (k * (k - 1)).cast("double")
+            * (k * F.col("c2") - n * n).cast("double")
+            / (k * n - F.col("r2")).cast("double"),
+            4,
+        ).alias("cochran_q"),
+    )

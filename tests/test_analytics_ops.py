@@ -4527,3 +4527,173 @@ def test_dp_histogram_matches_python_replay(spark):
         assert r.released_n == max(n + step, 0)
         signs.add(sgn)
     assert signs == {-1, 1}
+
+
+def test_rake_matches_python_replay(spark):
+    """RAKE phrase scoring replayed in Python."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_quality import (
+        _RAKE_MAX_LEN,
+        _RAKE_STOPS,
+        _RAKE_TOP,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    phrases = []
+    for (text,) in rows:
+        run = []
+        for w in text.split(" "):
+            if w in _RAKE_STOPS or w == "":
+                if run and len(run) <= _RAKE_MAX_LEN:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run and len(run) <= _RAKE_MAX_LEN:
+            phrases.append(tuple(run))
+    deg, freq = defaultdict(int), Counter()
+    for p in phrases:
+        for w in p:
+            deg[w] += len(p)
+            freq[w] += 1
+    wscore = {w: (deg[w] * 1000000) // freq[w] for w in deg}
+    scores = {
+        " ".join(p): sum(wscore[w] for w in p) for p in set(phrases)
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_RAKE_TOP]
+    got = registry()["text_keyword_rake"].fn(spark, sf).collect()
+    assert [(r.phrase, r.score_micro) for r in got] == want
+    for r in got:
+        assert r.n_words == len(r.phrase.split(" "))
+
+
+def test_effective_diameter_is_monotone_and_saturates(spark):
+    """Coverage curve replayed via BFS; monotone in h and (on the
+    dense bipartite purchase graph) reaches 90% by h=3."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_analytics import (
+        _CLOSE_HOPS,
+        _CLOSE_SEEDS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR), "
+        "'s' || CAST(l_suppkey AS VARCHAR) "
+        f"FROM read_parquet('{sf}/orders.parquet') o "
+        f"JOIN read_parquet('{sf}/lineitem.parquet') l ON o_orderkey = l_orderkey"
+    ).fetchall()
+    adj = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_nodes = len(adj)
+    denom = len(_CLOSE_SEEDS) * n_nodes
+    per_h = {h: 0 for h in range(_CLOSE_HOPS + 1)}
+    for seed in _CLOSE_SEEDS:
+        dist = {seed: 0}
+        frontier = [seed]
+        for dd in range(1, _CLOSE_HOPS + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dd
+                        nxt.append(v)
+            frontier = nxt
+        for h in per_h:
+            per_h[h] += sum(1 for x in dist.values() if x <= h)
+    got = {r.h: r for r in registry()["graph_effective_diameter"].fn(spark, sf).collect()}
+    assert set(got) == set(per_h)
+    prev = -1
+    for h in sorted(per_h):
+        r = got[h]
+        assert r.n_pairs == per_h[h]
+        assert r.frac_micro == (per_h[h] * 1000000) // denom
+        assert r.n_pairs >= prev
+        prev = r.n_pairs
+    assert got[_CLOSE_HOPS].reaches_90pct
+    assert not got[0].reaches_90pct
+
+
+def test_shot_boundaries_matches_python_replay(spark):
+    """Frame L1 distances replayed with numpy; both cut verdicts live."""
+    import duckdb
+    import numpy as np
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_llm import _SHOT_THRESHOLD
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for did, text in rows:
+        buf = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+        frames = []
+        for fi in range(4):
+            fr = buf[fi * 256 : fi * 256 + 64]
+            if len(fr) < 64:
+                break
+            frames.append(fr)
+        for bi, (a, b) in enumerate(zip(frames, frames[1:])):
+            de = int(np.abs(a - b).sum())
+            want[(did, bi)] = (de, de > _SHOT_THRESHOLD)
+    got = registry()["multimodal_shot_boundaries"].fn(spark, sf).collect()
+    assert {(r.doc_id, r.boundary_idx) for r in got} == set(want)
+    for r in got:
+        assert (r.diff_energy, r.is_cut) == want[(r.doc_id, r.boundary_idx)]
+    assert 0 < sum(r.is_cut for r in got) < len(got)
+
+
+def test_cochran_q_matches_python_replay(spark):
+    """Cochran's Q replayed in exact integer Python."""
+    import duckdb
+    from collections import defaultdict
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(f"""
+      WITH cents AS (
+        SELECT event_type AS g, date_trunc('day', ts) AS day,
+               CAST(ROUND(value*100,0) AS BIGINT) AS c
+        FROM read_parquet('{sf}/events.parquet'))
+      SELECT g, day, SUM(c) FROM cents GROUP BY 1, 2
+    """).fetchall()
+    by_day = defaultdict(dict)
+    for g, day, s in rows:
+        by_day[day][g] = s
+    complete = {d: cells for d, cells in by_day.items() if len(cells) == 5}
+    stot, dtot = defaultdict(int), defaultdict(int)
+    for cells in complete.values():
+        for g, s in cells.items():
+            stot[g] += s
+            dtot[g] += 1
+    x = {
+        (g, d): 1 if cells[g] * dtot[g] > stot[g] else 0
+        for d, cells in complete.items()
+        for g in cells
+    }
+    cj = defaultdict(int)
+    ri = defaultdict(int)
+    for (g, d), v in x.items():
+        cj[g] += v
+        ri[d] += v
+    k = len(cj)
+    n = sum(cj.values())
+    c2 = sum(v * v for v in cj.values())
+    r2 = sum(v * v for v in ri.values())
+    q = (k * (k - 1)) * (k * c2 - n * n) / (k * n - r2)
+    r = registry()["stats_cochran_q"].fn(spark, sf).collect()[0]
+    assert (r.k, r.n_blocks, r.n_success) == (k, len(complete), n)
+    assert abs(r.cochran_q - q) < 1e-3

@@ -102,6 +102,7 @@ def test_no_row_python_in_builtin_queries(spark):
         "multimodal_frames",
         "multimodal_resize",
         "multimodal_audio_vad",
+        "multimodal_shot_boundaries",
         "stream_stateful_totals",
         "text_compression_ratio",
     }
