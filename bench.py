@@ -119,6 +119,12 @@ EXTENDED = [
     "dedup_incremental",
     "curation_pii_redact",
     "json_extract",
+    # r8 wave newcomers with non-trivial cost shapes (start their
+    # series now; the cheap sub-2s wave rows stay off the record)
+    "stream_scd2_apply",
+    "graph_closeness_sampled",
+    "curation_dsir_importance",
+    "source_txn_log_snapshot",
 ]
 
 
