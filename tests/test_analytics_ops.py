@@ -4781,3 +4781,60 @@ def test_late_data_audit_matches_batch_survivors(spark):
     """).fetchone()
     assert n_streamed == kept
     assert kept < total  # late rows actually dropped
+
+
+def test_allen_relations_matches_python_replay(spark):
+    """13-relation classification replayed in Python; six relations
+    live at the fixture and the census sums to the joined pair count."""
+    import duckdb
+    from collections import Counter
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    spans = {}
+    for et in ("view", "click"):
+        for u, d, s, e in con.execute(
+            f"SELECT user_id, date_trunc('day', ts), MIN(ts), MAX(ts) "
+            f"FROM read_parquet('{sf}/events.parquet') "
+            f"WHERE event_type = '{et}' GROUP BY 1, 2"
+        ).fetchall():
+            spans.setdefault(et, {})[(u, d)] = (s, e)
+
+    def classify(a_s, a_e, b_s, b_e):
+        if a_e < b_s:
+            return "precedes"
+        if a_e == b_s:
+            return "meets"
+        if b_e < a_s:
+            return "preceded_by"
+        if b_e == a_s:
+            return "met_by"
+        if a_s == b_s and a_e == b_e:
+            return "equals"
+        if a_s == b_s and a_e < b_e:
+            return "starts"
+        if a_s == b_s:
+            return "started_by"
+        if a_e == b_e and a_s > b_s:
+            return "finishes"
+        if a_e == b_e:
+            return "finished_by"
+        if a_s > b_s and a_e < b_e:
+            return "during"
+        if a_s < b_s and a_e > b_e:
+            return "contains"
+        if a_s < b_s:
+            return "overlaps"
+        return "overlapped_by"
+
+    want = Counter()
+    for key, (a_s, a_e) in spans["view"].items():
+        if key in spans["click"]:
+            b_s, b_e = spans["click"][key]
+            want[classify(a_s, a_e, b_s, b_e)] += 1
+    got = {r.relation: r.n for r in registry()["events_allen_relations"].fn(spark, sf).collect()}
+    assert got == dict(want)
+    assert sum(got.values()) == sum(want.values())
+    assert len(got) >= 4  # several relations live at the fixture
