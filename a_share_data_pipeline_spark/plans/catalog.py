@@ -239,24 +239,42 @@ _REGISTRY: dict[str, Query] = {}
 # vote), events_pairs_spread_zscore / events_roll_spread
 # (mean-reversion monitor + implied spread).
 #
-# CONCRETE r9 rotation plan (apply FIRST THING in round 9, before the
-# driver's r9 correctness run — never mid-round, or the r8 newcomers
-# below lose their driver-green chance). IN (never-driver-verified
-# families, VERDICT r7 item 4's shortlist): events_funnel +
-# events_retention (the product-analytics core pair — ordered
-# conversion steps and cohort day-N return), audit_referential_
-# integrity (the multi-table ingest gate), join_bloom_prune (the
-# sketch-prune shuffle primitive), stats_welch_ttest (the inference
-# family's unequal-variance witness; profile_mad_outliers is the
-# robust-stats alternate if a slot frees up). OUT (subsumable,
-# driver-green history stands — pick five of): agg_approx_distinct
+# Round-9 rotation (VERDICT r8 item 1) — APPLIED at the top of round
+# 9, reflected in CORE_WINDOW below, exactly as planned in r8. IN
+# (never-driver-verified families): events_funnel + events_retention
+# (the product-analytics core pair — ordered conversion steps and
+# cohort day-N return), audit_referential_integrity (the multi-table
+# ingest gate), join_bloom_prune (the sketch-prune shuffle primitive),
+# stats_welch_ttest (the inference family's unequal-variance witness).
+# OUT (subsumable, driver-green history stands): agg_approx_distinct
 # (HLL bound contract ⊂ agg_sketch_merge's merged-shard HLL row),
 # join_full_outer (⊂ canonical_assembly's outer-concat J1 +
 # join_semi_anti's null-handling), events_tumbling (fixed windows ⊂
 # events_sessionize's harder gap windows + stream lanes),
 # udf_pandas_scalar (arrow scalar lane ⊂ udf_grouped_map's heavier
 # grouped-map arrow lane), sql_in_subquery (decorrelation ⊂
-# join_semi_anti's LeftSemi plan shape, gated locally).
+# join_semi_anti's LeftSemi plan shape, gated locally — the sql_
+# front-end family leaves the must-witness prefix list with that
+# documented subsumption).
+#
+# CONCRETE r10 rotation plan (apply FIRST THING in round 10 — never
+# mid-round). IN (never-driver-verified families, strongest
+# production shapes first): stream_scd2_apply (the streaming upsert
+# production shape — foreachBatch copy-on-write, order-insensitive
+# rebuild), source_txn_log_snapshot (the lakehouse log-replay read
+# path), curation_bloom_decontaminate (the two-stage eval-overlap
+# gate — the 100 TB decontamination shape), curation_dsir_importance
+# (published target-domain selection), sample_bottom_k_merge (the
+# mergeable uniform-sample primitive; graph_closeness_sampled is the
+# alternate if a slot frees up). OUT (subsumable, driver-green
+# history stands — pick five of): cdc_apply (I/U/D apply ⊂
+# cdc_time_travel's multi-version AS OF over the same change-log),
+# rollup_incremental (insert-side IVM ⊂ incremental_join_delta's
+# harder join IVM), scalar_string (scalar lane ⊂ the window's
+# canonical_assembly F1-F6 surface + local scalar_* oracle diffs),
+# source_jsonl (lines-read lane ⊂ source_txn_log_snapshot's harder
+# log-replay read incoming), layout_zorder (write-layout lane ⊂
+# sim_ann_index_scan's stored partition-pruned layout).
 #
 # Round-8 waves 60-67 added a further candidate tier for r9/r10
 # (never-driver-verified, strongest first): stream_scd2_apply (the
@@ -353,7 +371,6 @@ CORE_WINDOW: tuple[str, ...] = (
     # flagship + aggregation surface
     "canonical_assembly",
     "agg_stats",
-    "agg_approx_distinct",
     "agg_grouping_sets",
     # windows
     "window_rank",
@@ -363,19 +380,20 @@ CORE_WINDOW: tuple[str, ...] = (
     # sketch algebra: re-aggregatable HLL shards (r7) + algebraic moments (r8)
     "agg_sketch_merge",
     "agg_moments_merge",
-    # inference: multiple-testing control (r8)
+    # inference: multiple-testing control (r8) + unequal-variance t (r9)
     "stats_benjamini_hochberg",
-    # join shapes
+    "stats_welch_ttest",
+    # join shapes (+ sketch-prune shuffle primitive, r9)
     "join_regional_revenue",
     "join_semi_anti",
-    "join_full_outer",
     "join_range",
     "join_interval_overlap",
+    "join_bloom_prune",
     "asof_join",
     # scalar function library
     "scalar_string",
-    # SQL front end / subquery decorrelation
-    "sql_in_subquery",
+    # multi-table ingest gate (r9)
+    "audit_referential_integrity",
     # pipeline / incrementality / time windows / storage layout
     "incremental_delta",
     "rollup_incremental",
@@ -383,7 +401,9 @@ CORE_WINDOW: tuple[str, ...] = (
     "cdc_time_travel",
     "scd2_dim_history",
     "incremental_join_delta",
-    "events_tumbling",
+    # product analytics: ordered conversion + cohort return (r9)
+    "events_funnel",
+    "events_retention",
     "events_sessionize",
     "events_macd",
     "bucketed_ma",
@@ -392,8 +412,8 @@ CORE_WINDOW: tuple[str, ...] = (
     # Structured Streaming (deterministic AvailableNow cycle, full oracle)
     "stream_stream_join",
     "stream_incremental_dedup",
-    # UDF lanes
-    "udf_pandas_scalar",
+    # UDF lanes (arrow scalar lane rotated out r9, subsumed by the
+    # heavier grouped-map arrow lane below)
     "udf_grouped_map",
     # LLM-training-data operators
     "dedup_exact",

@@ -86,9 +86,8 @@ EXTENDED = [
     "curation_pack_sequences",
     "sample_stratified",
     "profile_expectations",
-    "events_funnel",
-    "events_retention",
-    "join_bloom_prune",
+    # (events_funnel / events_retention / join_bloom_prune moved INTO
+    # the r9 window — their series continue on the headline record)
     "text_winnow_fingerprint",
     "dedup_winnow_pairs",
     "profile_skew_report",
@@ -125,6 +124,13 @@ EXTENDED = [
     "graph_closeness_sampled",
     "curation_dsir_importance",
     "source_txn_log_snapshot",
+    # r9 rotation: the five rotated-out window names keep their
+    # round-over-round series here (driver-green history stands)
+    "agg_approx_distinct",
+    "join_full_outer",
+    "events_tumbling",
+    "udf_pandas_scalar",
+    "sql_in_subquery",
 ]
 
 

@@ -638,9 +638,14 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     assert len(CORE_WINDOW) == 50
     assert tuple(names[:50]) == tuple(CORE_WINDOW)
     # every family prefix that must be driver-verified has a witness
-    for prefix in ("agg_", "window_", "join_", "scalar_", "sql_", "udf_",
+    # (sql_ left the list in r9: sql_in_subquery rotated out, its
+    # decorrelation ⊂ join_semi_anti's LeftSemi plan shape, gated
+    # locally by test_plan_quality; stats_/geo_/audit_ joined as their
+    # families gained window rows in r8/r9)
+    for prefix in ("agg_", "window_", "join_", "scalar_", "udf_",
                    "dedup_", "sim_", "text_", "events_", "multimodal_",
-                   "curation_", "sample_"):
+                   "curation_", "sample_", "stats_", "geo_", "audit_",
+                   "stream_"):
         assert any(n.startswith(prefix) for n in CORE_WINDOW), prefix
     # round-3 rotation: the round-2 operator families must sit INSIDE
     # the driver window, witnessed by these exact (stable) names
@@ -681,6 +686,14 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     for name in ("stats_benjamini_hochberg", "geo_dbscan_grid",
                  "cdc_time_travel", "curation_model_filter",
                  "agg_moments_merge"):
+        assert name in CORE_WINDOW, name
+    # round-9 rotation (VERDICT r8 item 1): five never-driver-verified
+    # families enter — ordered conversion funnel, cohort retention,
+    # multi-table referential-integrity audit, Bloom-sketch join prune,
+    # unequal-variance inference
+    for name in ("events_funnel", "events_retention",
+                 "audit_referential_integrity", "join_bloom_prune",
+                 "stats_welch_ttest"):
         assert name in CORE_WINDOW, name
     assert any(n.startswith("stream_") for n in CORE_WINDOW)
 
