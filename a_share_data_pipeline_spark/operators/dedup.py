@@ -55,15 +55,22 @@ def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> Dat
     return df.withColumn("shingles", word_shingles_col(text_col, n))
 
 
-def exploded_shingles(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", spread: bool = True
+) -> DataFrame:
     """(id, shingle) pairs, distinct per doc.
 
     Repartitions the input first (common.spread): document tables often
     arrive in a handful of file splits, and the explode fans out
     50-100× — without the repartition all that expansion (and the md5
     work downstream) runs in as few tasks as there are splits.
+    ``spread=False`` skips that shuffle — for callers exploding an
+    already-candidate-restricted handful of docs (the LSH verify step),
+    where the repartition costs a whole extra stage to balance work
+    that fits in one task anyway.
     """
-    df = _spread(df, id_col)
+    if spread:
+        df = _spread(df, id_col)
     # explode the EXPRESSION, not a withColumn alias: exploding a named
     # column makes Catalyst infer `size(c)>0 AND c IS NOT NULL`,
     # substitute the full shingle expression into it, and push that
@@ -181,9 +188,33 @@ def lsh_incremental_candidates(
     JOIN rather than an array expansion, so the guard is a pre-join
     bucket-size filter: buckets above the cap are dropped from the
     corpus side (which removes every pair through them) BEFORE the join,
-    counted and logged — never silent."""
-    bands = _band_buckets(signatures, id_col)
+    counted and logged — never silent.
+
+    Only buckets TOUCHED by a new doc can form a pair, so the whole
+    probe — including the hot-bucket size count — is restricted to the
+    touched buckets first with a map-side broadcast semi-join during
+    the single corpus scan. An untouched bucket forms no pair whether
+    or not it is hot, so the output is identical, but the bucket-size
+    aggregation shuffles O(touched) rows instead of O(corpus) — the
+    difference between an absorb step that scales with the batch and
+    one that re-aggregates the store every batch (round-9 profile:
+    this count was the second-largest per-batch cost in
+    stream_incremental_dedup)."""
+    # O(batch): the new docs' bands, computed from a broadcast-restricted
+    # slice of the signature frame — never from the full corpus scan
+    sig_new = signatures.join(F.broadcast(new_ids.select(id_col)), id_col, "left_semi")
+    new_bands = _band_buckets(sig_new, id_col)
+    touched = new_bands.select("bucket").distinct()
+    # single corpus scan, map-side filtered to touched buckets
+    bands = _band_buckets(signatures, id_col).join(
+        F.broadcast(touched), "bucket", "left_semi"
+    )
     if max_bucket is not None:
+        # the guard adds a second consumer of `bands` (the size count
+        # below, then the pair join) — without an eager pin the corpus
+        # scan runs once per consumer. The restricted frame is
+        # O(batch bands + collisions) rows, so pinning it is cheap
+        bands = bands.localCheckpoint(eager=True)
         hot = (
             bands.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("__bn"))
@@ -194,14 +225,18 @@ def lsh_incremental_candidates(
         if n_hot:
             _LOG.warning(
                 "lsh_incremental_candidates: dropping %d hot band bucket(s) "
-                "with > %d members before the bucket join (stop-shingle filter)",
+                "(touched by this batch) with > %d members before the bucket "
+                "join (stop-shingle filter; untouched hot buckets form no "
+                "pairs and are skipped without counting)",
                 n_hot,
                 max_bucket,
             )
             # hot buckets are few by construction (each holds > max_bucket
-            # of a finite corpus) — broadcast the anti-join side
+            # of a finite corpus) — broadcast the anti-join side; the
+            # probe side (new_bands) must drop them too, or a new doc
+            # could still pair THROUGH a capped bucket via the join below
             bands = bands.join(F.broadcast(hot), "bucket", "left_anti")
-    new_bands = bands.join(F.broadcast(new_ids.select(id_col)), id_col, "left_semi")
+            new_bands = new_bands.join(F.broadcast(hot), "bucket", "left_anti")
     n = new_bands.select(F.col(id_col).alias("__n_id"), "bucket")
     pairs = (
         bands.join(F.broadcast(n), "bucket")
@@ -220,6 +255,7 @@ def pair_overlap(
     min_overlap: int = 1,
     counts: DataFrame | None = None,
     max_bucket: int | None = None,
+    restrict: bool = True,
 ) -> DataFrame:
     """(a, b, n_inter, n_a, n_b) per doc pair sharing >= ``min_overlap``
     shingles — the shared core every set-resemblance measure divides
@@ -235,12 +271,16 @@ def pair_overlap(
     before the quadratic pair expansion; intersections through such
     shingles are not counted, which is the standard near-dup trade
     (stop-shingles carry no signal and their buckets are the OOM risk).
+    ``restrict=False`` asserts the caller ALREADY semi-joined
+    ``shingled`` down to the candidate docs, skipping the internal
+    restriction (one broadcast build + one semi-join per call — visible
+    overhead in per-micro-batch use).
     """
     if counts is None:
         counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     else:
         counts = counts.select("doc_id", "n_sh")
-    if pairs is not None:
+    if pairs is not None and restrict:
         # verify path: only candidate docs enter the shingle self-join —
         # the candidate set is tiny relative to the corpus, so this
         # turns an O(corpus-pairs) join into O(candidate-docs) work
@@ -277,6 +317,7 @@ def pair_jaccard(
     min_overlap: int = 1,
     counts: DataFrame | None = None,
     max_bucket: int | None = None,
+    restrict: bool = True,
 ) -> DataFrame:
     """Jaccard similarity per doc pair via shingle-bucket join — the
     symmetric-resemblance ratio over :func:`pair_overlap`'s counts
@@ -288,6 +329,7 @@ def pair_jaccard(
         min_overlap=min_overlap,
         counts=counts,
         max_bucket=max_bucket,
+        restrict=restrict,
     ).select(
         "a",
         "b",

@@ -257,24 +257,56 @@ _REGISTRY: dict[str, Query] = {}
 # front-end family leaves the must-witness prefix list with that
 # documented subsumption).
 #
+# FAMILY-WITNESS ROTATION QUEUE (VERDICT r8 item 2): at the SURVEY
+# §2.12 capability-row granularity, ~21 families still have zero
+# driver-record history. Each names its single best witness below;
+# rotations r10+ drain this queue IN ORDER (5/round closes every
+# family hole by ~r14), never re-promoting an already-witnessed
+# family while a hole remains.
+#
 # CONCRETE r10 rotation plan (apply FIRST THING in round 10 — never
-# mid-round). IN (never-driver-verified families, strongest
-# production shapes first): stream_scd2_apply (the streaming upsert
-# production shape — foreachBatch copy-on-write, order-insensitive
-# rebuild), source_txn_log_snapshot (the lakehouse log-replay read
-# path), curation_bloom_decontaminate (the two-stage eval-overlap
-# gate — the 100 TB decontamination shape), curation_dsir_importance
-# (published target-domain selection), sample_bottom_k_merge (the
-# mergeable uniform-sample primitive; graph_closeness_sampled is the
-# alternate if a slot frees up). OUT (subsumable, driver-green
-# history stands — pick five of): cdc_apply (I/U/D apply ⊂
-# cdc_time_travel's multi-version AS OF over the same change-log),
-# rollup_incremental (insert-side IVM ⊂ incremental_join_delta's
-# harder join IVM), scalar_string (scalar lane ⊂ the window's
-# canonical_assembly F1-F6 surface + local scalar_* oracle diffs),
-# source_jsonl (lines-read lane ⊂ source_txn_log_snapshot's harder
-# log-replay read incoming), layout_zorder (write-layout lane ⊂
-# sim_ann_index_scan's stored partition-pruned layout).
+# mid-round). IN (each the best witness of a never-witnessed §2.12
+# family): dedup_jaccard_prefix (prefix-filtered similarity join —
+# PPJoin pruning, oracle proves the no-false-negative guarantee),
+# profile_distribution_drift (drift monitoring — integer-exact TVD,
+# the PSI slot of ML ops), events_attribution (multi-touch
+# attribution — integer-ppm credit; the experimentation half stays
+# witnessed via stats_welch_ttest), table_diff (snapshot diff /
+# data versioning — md5-row-hash full-outer diff),
+# source_txn_log_snapshot (lakehouse log-replay read path — also the
+# r8 production-shape shortlist's top name). OUT (subsumable,
+# driver-green history stands — pick five of): cdc_apply (I/U/D
+# apply ⊂ cdc_time_travel's multi-version AS OF over the same
+# change-log), rollup_incremental (insert-side IVM ⊂
+# incremental_join_delta's harder join IVM), scalar_string (scalar
+# lane ⊂ the window's canonical_assembly F1-F6 surface + local
+# scalar_* oracle diffs), source_jsonl (lines-read lane ⊂
+# source_txn_log_snapshot's harder log-replay read incoming),
+# layout_zorder (write-layout lane ⊂ sim_ann_index_scan's stored
+# partition-pruned layout).
+#
+# r11+ family-witness queue (one witness per remaining hole, in
+# priority order; pick OUT names by the same subsumption discipline):
+#   r11: stream_scd2_apply (streaming upsert — also closes streaming
+#        SCD2), sql_recursive_cte (Spark-4 SQL surface; json_variant
+#        is the alternate), events_streaks (engagement/value curves),
+#        privacy_generalize (privacy enforcement; l-diversity/DP stay
+#        local witnesses), forecast_linear (forecasting/rolling).
+#   r12: agg_hll_intersect (sketch set algebra), events_multires_rollup
+#        (time hierarchy/reshape), split_temporal_embargo (temporal ML
+#        splits; split_leakage_safe is the alternate),
+#        dedup_containment (containment dedup), events_seasonal_decompose
+#        (seasonal decomposition).
+#   r13: stream_dedup (streaming exact dedup), profile_chi_square
+#        (dependence/concentration audits), events_markov_transitions
+#        (sequential patterns; events_session_paths alternate),
+#        search_rrf (hybrid search + gap-fill family; events_gapfill
+#        alternate), events_anomaly_mad (robust/distribution stats).
+#   r14: abc_classification (ABC/Pareto), basket_pairs (market-basket),
+#        events_trending (trending rank), then the strongest
+#        already-witnessed-family production shapes resume
+#        (curation_bloom_decontaminate, curation_dsir_importance,
+#        sample_bottom_k_merge, graph_closeness_sampled, ...).
 #
 # Round-8 waves 60-67 added a further candidate tier for r9/r10
 # (never-driver-verified, strongest first): stream_scd2_apply (the

@@ -4930,6 +4930,57 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DP_ILN_2_32 = 2218070978
 _DP_EPS = 1  # epsilon (sensitivity-1 count histogram)
 
+
+def dp_laplace_noise_1e8(df: DataFrame, cell: str, eps: int = _DP_EPS) -> DataFrame:
+    """Adds `noise_1e8`: Laplace(1/ε) noise in 1e-8 units for a
+    sensitivity-1 count cell, inverted from a uniform via the
+    integer-ln device — sign·(iln(2³²) − iln(m))/ε where m folds the
+    uniform onto (0, 2³²].
+
+    SECURITY SEAM — NOT PRIVATE AS SHIPPED. The "uniform" here is
+    md5('dp|' || cell), a DETERMINISTIC function of the released cell
+    key: reproducible on both engines (which is what the DuckDB oracle
+    needs) and trivially re-computable by any adversary (which is what
+    differential privacy forbids). A production deployment must swap
+    THIS function — and only this function — for one drawing each
+    uniform from a secure RNG at release time, and must drop the
+    true_n column from the release. The mechanism algebra around it
+    (sensitivity bookkeeping, ε scaling, integer truncation onto
+    counts, post-processing clamp at 0) is the production shape and is
+    pinned by tests/test_analytics_ops.py::
+    test_dp_release_clamp_is_load_bearing."""
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp|"), F.col(cell))), 1, 8), 16, 10
+    ).cast("bigint")
+    staged = df.withColumn(
+        "__dp_sgn", F.when(F.lit(2) * hv - F.lit(4294967296) < 0, -1).otherwise(1)
+    ).withColumn(
+        "__dp_m",
+        F.greatest(
+            F.lit(4294967296) - F.abs(F.lit(2) * hv - F.lit(4294967296)), F.lit(1)
+        ),
+    )
+    return staged.withColumn(
+        "noise_1e8",
+        F.expr(
+            f"(__dp_sgn * ({_DP_ILN_2_32} - "
+            f"CAST(round(ln(__dp_m) * 100000000, 0) AS BIGINT))) div {eps}"
+        ),
+    ).drop("__dp_sgn", "__dp_m")
+
+
+def dp_release_counts(noised: DataFrame, count_col: str = "true_n") -> DataFrame:
+    """The release step: integer-truncate the 1e-8 noise onto the raw
+    count and clamp at zero (post-processing — the one property of the
+    release the oracle CAN check, and the reason a negative noised
+    count can never leak that a cell was small). Adds `released_n`."""
+    return noised.withColumn(
+        "released_n",
+        F.greatest(
+            F.col(count_col) + F.expr("noise_1e8 div 100000000"), F.lit(0)
+        ).cast("bigint"),
+    )
+
 _DP_SQL = f"""
 WITH h AS (
   SELECT c_mktsegment AS segment, COUNT(*)::BIGINT AS true_n
@@ -4972,11 +5023,14 @@ FROM noise
         "integer-truncated onto counts, post-processing clamp at 0. "
         "HONEST STUB, stated plainly: the md5 'uniform' makes the "
         "release reproducible for the oracle, which is a feature "
-        "here and a privacy bug in production — a real deployment "
-        "swaps in a secure RNG seed and drops the true_n column; "
-        "the mechanism algebra, sensitivity bookkeeping and clamp "
-        "are exactly the production shape. Scale: one segment-keyed "
-        "reduce; noise math is per-cell literal arithmetic"
+        "here and a privacy bug in production — the swap point is "
+        "the ONE named function dp_laplace_noise_1e8 (its docstring "
+        "carries the security contract), and a real deployment also "
+        "drops the true_n column; the mechanism algebra, sensitivity "
+        "bookkeeping and clamp are exactly the production shape, the "
+        "clamp pinned by test_dp_release_clamp_is_load_bearing. "
+        "Scale: one segment-keyed reduce; noise math is per-cell "
+        "literal arithmetic"
     ),
 )
 def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4984,35 +5038,9 @@ def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).cast("bigint").alias("true_n")
     )
-    hv = F.conv(
-        F.substring(F.md5(F.concat(F.lit("dp|"), F.col("segment"))), 1, 8), 16, 10
-    ).cast("bigint")
-    lap = h.select(
-        "segment",
-        "true_n",
-        F.when(F.lit(2) * hv - F.lit(4294967296) < 0, -1).otherwise(1).alias("sgn"),
-        F.greatest(
-            F.lit(4294967296) - F.abs(F.lit(2) * hv - F.lit(4294967296)), F.lit(1)
-        ).alias("m"),
-    )
-    noise = lap.select(
-        "segment",
-        "true_n",
-        F.expr(
-            f"(sgn * ({_DP_ILN_2_32} - CAST({{iln}} AS BIGINT))) div {_DP_EPS}".format(
-                iln="round(ln(m) * 100000000, 0)"
-            )
-        ).alias("noise_1e8"),
-    )
-    return noise.select(
-        "segment",
-        "true_n",
-        "noise_1e8",
-        F.greatest(
-            F.col("true_n") + F.expr("noise_1e8 div 100000000"), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("released_n"),
+    noised = dp_laplace_noise_1e8(h, cell="segment", eps=_DP_EPS)
+    return dp_release_counts(noised).select(
+        "segment", "true_n", "noise_1e8", "released_n"
     )
 
 

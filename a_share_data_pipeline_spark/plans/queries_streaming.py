@@ -464,8 +464,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(root, "pairs")
     land_dir = os.path.join(root, "landing")
 
+    # The SOURCE TABLE is the standing document store — production
+    # never copies the corpus to dedup it; absorbed batches land as
+    # appended files beside it (docs_dir starts empty) and `seen_docs`
+    # below is the union of the two, with the standing filter pushed
+    # into the source scan. Only the DERIVED signature store must be
+    # materialized (the per-batch probe reads it instead of re-hashing
+    # the corpus — that is the whole point of a signature store).
     standing = docs.filter(F.col("doc_id") < _INC_NEW_MIN)
-    standing.write.mode("overwrite").parquet(docs_dir)
+    docs.limit(0).coalesce(1).write.parquet(docs_dir)
     sh0 = D.exploded_shingles(standing)
     D.minhash_signatures(sh0, with_counts=True).write.mode("overwrite").parquet(sig_dir)
 
@@ -487,23 +494,36 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             D.exploded_shingles(batch), with_counts=True
         ).localCheckpoint(eager=True)
         all_sigs = sigs_seen.unionByName(sig_batch)
+        # the candidate-pair frame is tiny (LSH collisions of one batch)
+        # but its lineage holds the full corpus-band scan, and it feeds
+        # THREE consumers below (cand_ids, pair_jaccard's internal
+        # candidate-doc restriction, and the final left-semi) — without
+        # an eager pin Spark re-runs that scan per consumer (the
+        # round-4 broadcast re-execution lesson; round-9 profile showed
+        # it as the largest per-batch cost here)
         cand = D.lsh_incremental_candidates(
             all_sigs, batch.select("doc_id"), max_bucket=_JACCARD_MAX_BUCKET
-        )
+        ).localCheckpoint(eager=True)
         cand_ids = (
             cand.select(F.col("a").alias("doc_id"))
             .union(cand.select(F.col("b").alias("doc_id")))
             .distinct()
         )
-        seen_docs = spark.read.schema(docs.schema).parquet(docs_dir)
+        seen_docs = standing.unionByName(
+            spark.read.schema(docs.schema).parquet(docs_dir)
+        )
         cand_docs = (
             seen_docs.unionByName(batch)
             .join(F.broadcast(cand_ids), "doc_id", "left_semi")
         )
+        # cand_docs is already the candidate restriction (semi-join
+        # above), so skip pair_jaccard's internal re-restriction and
+        # the spread shuffle — a handful of docs explodes in place
         ver = D.pair_jaccard(
-            D.exploded_shingles(cand_docs),
+            D.exploded_shingles(cand_docs, spread=False),
             pairs=cand,
             counts=all_sigs.select("doc_id", "n_sh"),
+            restrict=False,
         ).filter(F.col("jaccard") >= 0.5)
         ver.select("a", "b", dround("jaccard", 6).alias("jaccard")).write.mode(
             "append"

@@ -64,6 +64,17 @@ REPRESENTATIVES = [
 
 HEADLINE = list(CORE_WINDOW) + REPRESENTATIVES
 
+# Committed per-rep spreads exceeded the ±15% band for these across
+# r5-r8 (dedup_components swung 3.0↔4.2s on byte-identical code;
+# graph_cc_incremental and geo_dbscan_grid are the iterative/spatial
+# heavies whose rep-to-rep drift repeatedly crossed the band) — they
+# run 4-6 reps instead of 2-4 so the recorded min is a real floor.
+_HIGH_VARIANCE = {
+    "dedup_components",
+    "graph_cc_incremental",
+    "geo_dbscan_grid",
+}
+
 # The previous (round-6) 87-query headline minus the new frozen set:
 # still benchable, separately recorded, never on the driver record.
 EXTENDED = [
@@ -187,9 +198,17 @@ def main() -> None:
         # at 4: JIT warm-up keeps lowering times through rep 4 for
         # many queries (measured), so a lower cap would inflate the
         # recorded minima.
+        # entries whose committed per-rep spread exceeded the ±15% noise
+        # band across r5-r8 (the dedup_components ping-pong and the two
+        # iterative/spatial heavies) get a raised floor AND ceiling so
+        # their recorded minimum rests on enough draws to be trustworthy
+        # (VERDICT r8 item 4); everything else keeps the adaptive 2..4
+        min_reps, max_reps = (
+            (4, 6) if name in _HIGH_VARIANCE else (2, 4)
+        )
         times: list[float] = []
         isolate(full=True)
-        while len(times) < 4:
+        while len(times) < max_reps:
             if times:
                 isolate(full=False)
             t0 = time.perf_counter()
@@ -207,7 +226,7 @@ def main() -> None:
                 _F.xxhash64(*[_F.col(c) for c in df.columns]).alias("__h")
             ).agg(_F.count("__h"), _F.max("__h")).collect()
             times.append(time.perf_counter() - t0)
-            if len(times) >= 2:
+            if len(times) >= min_reps:
                 lo, lo2 = sorted(times)[:2]
                 if lo2 <= lo * 1.10 and max(times) <= lo * 1.20:
                     break

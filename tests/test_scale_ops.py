@@ -238,6 +238,26 @@ def test_lsh_band_candidates_cap_drops_hot_band_bucket(spark, caplog):
     assert any("hot bucket" in r.message for r in caplog.records)
 
 
+def test_pair_jaccard_restrict_false_equals_caller_restriction(spark):
+    """`restrict=False` asserts the caller already semi-joined the
+    shingle set to the candidate docs; on such an input it must return
+    exactly what the internal restriction would — the per-micro-batch
+    job-cut in stream_incremental_dedup rides on this equivalence."""
+    from a_share_data_pipeline_spark.operators import dedup as D
+
+    rows = [(i, f"s{j}") for i in range(8) for j in range(i, i + 4)]
+    shingled = spark.createDataFrame(rows, "doc_id long, shingle string")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+    cand_docs = spark.createDataFrame([(0,), (1,), (2,), (3,)], "doc_id long")
+    pre = shingled.join(cand_docs, "doc_id", "left_semi")
+
+    full = {(r.a, r.b, round(r.jaccard, 9))
+            for r in D.pair_jaccard(shingled, pairs=pairs).collect()}
+    fast = {(r.a, r.b, round(r.jaccard, 9))
+            for r in D.pair_jaccard(pre, pairs=pairs, restrict=False).collect()}
+    assert full == fast and full  # non-vacuous
+
+
 def test_lsh_incremental_candidates_cap_filters_before_bucket_join(spark, caplog):
     """The incremental path forms pairs via a bucket JOIN, so its guard
     is a pre-join bucket-size filter: a new doc landing in a hot bucket
