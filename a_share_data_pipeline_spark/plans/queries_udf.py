@@ -190,7 +190,16 @@ WINDOW w AS (PARTITION BY o_custkey)
     doc=(
         "grouped-map applyInPandas (per-customer z-score): each group "
         "arrives as ONE Arrow-backed pandas frame — the lane for "
-        "whole-group Python logic; oracle proves it ≡ window functions"
+        "whole-group Python logic; oracle proves it ≡ window functions. "
+        "Bench note (measured r9, sf0.1: 150k rows / 15k groups): an "
+        "IDENTITY applyInPandas over the same grouping costs ~12s vs "
+        "~10.5s for this query vs 0.4s for the window-function "
+        "equivalent — the cost IS the per-group Arrow-slice + pandas "
+        "dispatch floor, so this entry cannot be faster while staying "
+        "in this lane, and the lane exists to be demonstrated (small "
+        "many-group z-scores belong in window functions; applyInPandas "
+        "earns its overhead on few/large groups running real "
+        "vectorized Python per group)"
     ),
 )
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
