@@ -1075,3 +1075,28 @@ def test_partition_evolution_prunes_the_partitioned_half(spark):
     # pruned read touches exactly one partition's rows
     n_one = new.filter(F.col("event_type") == "purchase").count()
     assert 0 < n_one < new.count()
+
+
+def test_drift_monitor_joins_only_one_row_broadcasts(spark):
+    """profile_distribution_drift (r10 rotation IN): the event value
+    frame must never be pair-shuffled — every join in the plan is a
+    broadcast of a ONE-ROW reduced frame (span, decile cuts, totals,
+    max-shift). A SortMergeJoin/ShuffledHashJoin here would mean the
+    monitor shuffles the corpus to compare two histograms."""
+    q = registry()["profile_distribution_drift"].fn(spark, SF)
+    p = executed_plan_str(q)
+    assert "SortMergeJoin" not in p, p
+    assert "ShuffledHashJoin" not in p, p
+
+
+def test_txn_log_snapshot_scans_only_live_files(spark):
+    """source_txn_log_snapshot (r10 rotation IN): snapshot isolation is
+    a property of the SCAN, not just the answer — the replayed log must
+    resolve to exactly the live file set {b0, b2, b3, b1v2} and the
+    removed b1.parquet must never be opened."""
+    q = registry()["source_txn_log_snapshot"].fn(spark, SF)
+    files = q.inputFiles()
+    assert files, "snapshot scan resolved no input files"
+    for live in ("b0.parquet", "b2.parquet", "b3.parquet", "b1v2.parquet"):
+        assert any(f"/{live}/" in f for f in files), (live, files)
+    assert not any("/b1.parquet/" in f for f in files), files
