@@ -73,6 +73,15 @@ _HIGH_VARIANCE = {
     "dedup_components",
     "graph_cc_incremental",
     "geo_dbscan_grid",
+    # r9 additions: NON-MONOTONIC rep curves in BENCH_DETAIL_r09 (a
+    # late rep reads worse than rep 1 — true jitter, not JIT warm-up;
+    # all three are temp-dir parquet writers, i.e. the disk axis the
+    # slow r9 host exposed: sim_ann_ivfpq [2.34, 1.72, 2.02, 3.71],
+    # sim_ann_index_scan [4.81, 4.16, 3.01, 4.74], kmeans_embeddings
+    # [3.78, 3.03, 3.11, 3.62])
+    "sim_ann_ivfpq",
+    "sim_ann_index_scan",
+    "kmeans_embeddings",
 }
 
 # The previous (round-6) 87-query headline minus the new frozen set:
