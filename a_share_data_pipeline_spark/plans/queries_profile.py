@@ -887,7 +887,17 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
         "plan is a hash/sort-merge join, never a nested loop over the "
         "cross product. Blocking trades recall for tractability "
         "exactly like LSH banding does for minhash — same guarded "
-        "pattern, string-edit metric"
+        "pattern, string-edit metric. Scale note (measured r9): this "
+        "fixture is duplicate-DENSE (~19% of in-block candidates "
+        "genuinely match at dist<=3), so the OUTPUT is Theta(n^2) in "
+        "corpus size — 400 / 38k / 3.9M matched pairs at sf0.001/0.01/"
+        "0.1 — and no blocking scheme can beat its own output size. "
+        "What blocking controls is the candidate/match ratio, and it "
+        "holds CONSTANT at 5.3-5.4x across all three SFs: the "
+        "levenshtein work is within a fixed factor of the rows the "
+        "query must emit, which is the optimality statement for "
+        "blocked ER on dense data (on production entity data the "
+        "match density is sparse and the same plan is output-linear)"
     ),
 )
 def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
