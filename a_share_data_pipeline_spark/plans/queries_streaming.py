@@ -525,20 +525,13 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts=all_sigs.select("doc_id", "n_sh"),
             restrict=False,
         ).filter(F.col("jaccard") >= 0.5)
-        # batch-sized deltas write as ONE file each: the signature
-        # store is re-listed and re-read EVERY batch, and a 32-file
-        # append of a few-thousand-row delta triples the store's file
-        # count per batch (list + open overhead compounds across the
-        # stream's lifetime). At cluster scale the same rule holds —
-        # delta files are sized to a target byte count, which a
-        # batch-sized frame fits in one of.
-        ver.select("a", "b", dround("jaccard", 6).alias("jaccard")).coalesce(
-            1
-        ).write.mode("append").parquet(out_dir)
+        ver.select("a", "b", dround("jaccard", 6).alias("jaccard")).write.mode(
+            "append"
+        ).parquet(out_dir)
         # absorb AFTER pairing so the batch never pairs against itself
         # through the store (it pairs against itself via all_sigs)
-        batch.coalesce(1).write.mode("append").parquet(docs_dir)
-        sig_batch.coalesce(1).write.mode("append").parquet(sig_dir)
+        batch.write.mode("append").parquet(docs_dir)
+        sig_batch.write.mode("append").parquet(sig_dir)
 
     stream = ST.read_file_stream(
         spark, land_dir, docs.schema, max_files_per_trigger=1
