@@ -27,7 +27,14 @@ Scale design:
   clusters are near-cliques (diameter ≤ ~3), so 3-5 rounds finish.
   For adversarial long-chain graphs switch `fold_edges=True`, which
   additionally rewrites each edge endpoint to its current label
-  (pointer-doubling-style contraction, O(log n) rounds on chains),
+  (pointer-doubling-style contraction, O(log n) rounds on chains).
+  Measured rule of thumb (r9, sf0.1): fold pays ONLY when diameter
+  is large (geo percolation chains — required there, the plain loop
+  would exceed max_iters); on hub-dominated small-diameter graphs
+  the per-round contraction (two joins + distinct + re-symmetrize)
+  costs more than it saves — the 587k-edge bipartite co-purchase
+  graph benched 3.3-3.6s plain vs 3.8-4.2s folded, so
+  graph_cc_incremental/er_resolve/dedup stay fold-free,
 - convergence is detected with a count of changed labels — one extra
   cheap action per round on an already-checkpointed frame.
 """
