@@ -265,7 +265,12 @@ _REGISTRY: dict[str, Query] = {}
 # family while a hole remains.
 #
 # CONCRETE r10 rotation plan (apply FIRST THING in round 10 — never
-# mid-round). IN (each the best witness of a never-witnessed §2.12
+# mid-round). All five IN names (and the r11 queue behind them) were
+# PRE-VERIFIED exact against DuckDB at sf0.1 in round 9 — see
+# SCALE.md "Round-9 pre-verification" and the full-catalog sweep
+# record SWEEP_SF01_r09.jsonl — so the rotation promotes nothing
+# whose cross-SF behavior is unprobed.
+# IN (each the best witness of a never-witnessed §2.12
 # family): dedup_jaccard_prefix (prefix-filtered similarity join —
 # PPJoin pruning, oracle proves the no-false-negative guarantee),
 # profile_distribution_drift (drift monitoring — integer-exact TVD,
