@@ -41,12 +41,18 @@ from a_share_data_pipeline_spark.session import get_spark  # noqa: E402
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "SWEEP_SF01.jsonl")
 ORACLE_TIMEOUT_S = 150
-PRESKIP = {
-    "geo_dbscan_grid": (
-        "recursive-closure oracle quadratic at sf0.1; independent "
-        "union-find replay verified exact (SCALE.md round 9)"
-    ),
-}
+# sf0.1-only: at sf0.001/sf0.01 the components are small and the
+# recursive oracle is the driver-facing contract — run it there.
+PRESKIP = (
+    {
+        "geo_dbscan_grid": (
+            "recursive-closure oracle quadratic at sf0.1; independent "
+            "union-find replay verified exact (SCALE.md round 9)"
+        ),
+    }
+    if "sf0.1" in SF
+    else {}
+)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings"
 
