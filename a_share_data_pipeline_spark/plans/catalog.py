@@ -264,12 +264,13 @@ _REGISTRY: dict[str, Query] = {}
 # family hole by ~r14), never re-promoting an already-witnessed
 # family while a hole remains.
 #
-# CONCRETE r10 rotation plan (apply FIRST THING in round 10 — never
-# mid-round). All five IN names (and the r11 queue behind them) were
-# PRE-VERIFIED exact against DuckDB at sf0.1 in round 9 — see
-# SCALE.md "Round-9 pre-verification" and the full-catalog sweep
-# record SWEEP_SF01_r09.jsonl — so the rotation promotes nothing
-# whose cross-SF behavior is unprobed.
+# Round-10 rotation (VERDICT r9 item 1) — APPLIED at the top of round
+# 10, reflected in CORE_WINDOW below, exactly as planned in r9. All
+# five IN names (and the r11 queue behind them) were PRE-VERIFIED
+# exact against DuckDB at sf0.1 in round 9 — see SCALE.md "Round-9
+# pre-verification" and the full-catalog sweep record
+# SWEEP_SF01_r09.jsonl — so the rotation promotes nothing whose
+# cross-SF behavior is unprobed.
 # IN (each the best witness of a never-witnessed §2.12
 # family): dedup_jaccard_prefix (prefix-filtered similarity join —
 # PPJoin pruning, oracle proves the no-false-negative guarantee),
@@ -427,34 +428,35 @@ CORE_WINDOW: tuple[str, ...] = (
     "join_interval_overlap",
     "join_bloom_prune",
     "asof_join",
-    # scalar function library
-    "scalar_string",
-    # multi-table ingest gate (r9)
+    # multi-table ingest gate (r9) + snapshot diff / data versioning (r10)
     "audit_referential_integrity",
-    # pipeline / incrementality / time windows / storage layout
+    "table_diff",
+    # pipeline / incrementality / time windows / log-replay read (r10)
     "incremental_delta",
-    "rollup_incremental",
-    "cdc_apply",
     "cdc_time_travel",
     "scd2_dim_history",
     "incremental_join_delta",
-    # product analytics: ordered conversion + cohort return (r9)
+    "source_txn_log_snapshot",
+    # product analytics: ordered conversion + cohort return (r9) +
+    # multi-touch attribution (r10)
     "events_funnel",
     "events_retention",
+    "events_attribution",
     "events_sessionize",
     "events_macd",
     "bucketed_ma",
-    "layout_zorder",
-    "source_jsonl",
+    # drift monitoring — integer-exact TVD (r10)
+    "profile_distribution_drift",
     # Structured Streaming (deterministic AvailableNow cycle, full oracle)
     "stream_stream_join",
     "stream_incremental_dedup",
     # UDF lanes (arrow scalar lane rotated out r9, subsumed by the
     # heavier grouped-map arrow lane below)
     "udf_grouped_map",
-    # LLM-training-data operators
+    # LLM-training-data operators (+ PPJoin prefix-filter join, r10)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_jaccard_prefix",
     "dedup_semantic",
     "dedup_components",
     "sim_ann_ivfpq",

@@ -54,7 +54,8 @@ REPRESENTATIVES = [
     "graph_label_propagation",  # iterative semi-supervised labeling
     "feature_pca_power",      # integer-grid Gram + power iteration
     "geo_grid_knn",           # 9-cell spatial probe join
-    "dedup_jaccard_prefix",   # PPJoin prefix-filter candidate prune
+    # (dedup_jaccard_prefix moved INTO the r10 window — its series
+    # continues on the headline record as a CORE_WINDOW name)
     "dedup_content_chunking", # positional-explode CDC chunker
     "stats_permutation_test", # ×100 md5-resample fan-out
     "rec_user_topn",          # user-key pair expansion (item CF)
@@ -118,9 +119,9 @@ EXTENDED = [
     "events_kdj",
     "graph_bfs_hops",
     "dedup_containment",
-    "events_attribution",
+    # (events_attribution / profile_distribution_drift moved INTO the
+    # r10 window — their series continue on the headline record)
     "events_multires_rollup",
-    "profile_distribution_drift",
     "skyline_pareto",
     "graph_sssp_weighted",
     "stats_bootstrap_ci",
@@ -143,7 +144,8 @@ EXTENDED = [
     "stream_scd2_apply",
     "graph_closeness_sampled",
     "curation_dsir_importance",
-    "source_txn_log_snapshot",
+    # (source_txn_log_snapshot moved INTO the r10 window — its series
+    # continues on the headline record)
     # r9 rotation: the five rotated-out window names keep their
     # round-over-round series here (driver-green history stands)
     "agg_approx_distinct",
@@ -151,6 +153,12 @@ EXTENDED = [
     "events_tumbling",
     "udf_pandas_scalar",
     "sql_in_subquery",
+    # r10 rotation: ditto for the five r10 rotated-out names
+    "cdc_apply",
+    "rollup_incremental",
+    "scalar_string",
+    "source_jsonl",
+    "layout_zorder",
 ]
 
 

@@ -660,12 +660,15 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # every family prefix that must be driver-verified has a witness
     # (sql_ left the list in r9: sql_in_subquery rotated out, its
     # decorrelation ⊂ join_semi_anti's LeftSemi plan shape, gated
-    # locally by test_plan_quality; stats_/geo_/audit_ joined as their
-    # families gained window rows in r8/r9)
-    for prefix in ("agg_", "window_", "join_", "scalar_", "udf_",
+    # locally by test_plan_quality; scalar_ left in r10: scalar_string
+    # rotated out, the scalar surface ⊂ canonical_assembly's F1-F6
+    # date/string casts + the local scalar_* oracle diffs;
+    # stats_/geo_/audit_ joined as their families gained window rows
+    # in r8/r9, profile_/table_/source_ in r10)
+    for prefix in ("agg_", "window_", "join_", "udf_",
                    "dedup_", "sim_", "text_", "events_", "multimodal_",
                    "curation_", "sample_", "stats_", "geo_", "audit_",
-                   "stream_"):
+                   "profile_", "table_", "source_", "stream_"):
         assert any(n.startswith(prefix) for n in CORE_WINDOW), prefix
     # round-3 rotation: the round-2 operator families must sit INSIDE
     # the driver window, witnessed by these exact (stable) names
@@ -676,9 +679,11 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # dedup_components and curation_pipeline respectively)
     assert "curation_pipeline" in CORE_WINDOW
     # round-4 rotation (VERDICT r3 item 5): the last never-driver-
-    # verified families now sit inside the window
-    for name in ("layout_zorder", "source_jsonl", "sample_mixture"):
-        assert name in CORE_WINDOW, name
+    # verified families entered the window (layout_zorder and
+    # source_jsonl rotated back out in r10 with driver-green history —
+    # write-layout ⊂ sim_ann_index_scan's stored partition-pruned
+    # layout, lines-read ⊂ source_txn_log_snapshot's log-replay read)
+    assert "sample_mixture" in CORE_WINDOW
     # round-5 rotation (VERDICT r4 item 2): the strongest round-4
     # families enter; the PQ family stays witnessed via sim_ann_ivfpq
     # (dedup_substring rotated back out in r7: fingerprint-window
@@ -687,9 +692,12 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
                  "stream_stream_join", "sim_ann_ivfpq"):
         assert name in CORE_WINDOW, name
     # round-6 rotation (VERDICT r5 item 1): five never-driver-verified
-    # operator FAMILIES enter — iterative rank, I/U/D change apply,
+    # operator FAMILIES entered — iterative rank, I/U/D change apply,
     # ranked retrieval, chained-window kline indicator, interval join
-    for name in ("graph_pagerank", "cdc_apply", "text_bm25",
+    # (cdc_apply rotated back out in r10 with driver-green history:
+    # I/U/D apply ⊂ cdc_time_travel's multi-version AS OF over the
+    # same change-log)
+    for name in ("graph_pagerank", "text_bm25",
                  "events_macd", "join_interval_overlap"):
         assert name in CORE_WINDOW, name
     # round-7 rotation (VERDICT r6 item 2): five never-driver-verified
@@ -714,6 +722,14 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     for name in ("events_funnel", "events_retention",
                  "audit_referential_integrity", "join_bloom_prune",
                  "stats_welch_ttest"):
+        assert name in CORE_WINDOW, name
+    # round-10 rotation (VERDICT r9 item 1): five never-driver-verified
+    # families enter — PPJoin prefix-filter similarity join, drift
+    # monitoring (integer-exact TVD), multi-touch attribution,
+    # snapshot diff / data versioning, lakehouse log-replay read
+    for name in ("dedup_jaccard_prefix", "profile_distribution_drift",
+                 "events_attribution", "table_diff",
+                 "source_txn_log_snapshot"):
         assert name in CORE_WINDOW, name
     assert any(n.startswith("stream_") for n in CORE_WINDOW)
 
