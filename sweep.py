@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Full-catalog cross-SF differential sweep: every registered query's
 Spark side vs its DuckDB oracle, one JSONL line per query (appended
-incrementally, resumable — re-running skips names already recorded).
+incrementally, resumable — re-running keeps green rows and RE-PROBES
+any recorded failure, so a stamped artifact can never carry a stale
+red row).
 
 Usage:  python sweep.py [SF_DIR] [OUT_JSONL]
 Defaults: /root/testdata/sf0.1, SWEEP_SF01.jsonl next to this file.
@@ -9,19 +11,27 @@ Defaults: /root/testdata/sf0.1, SWEEP_SF01.jsonl next to this file.
 This is the 10x-assurance layer above the driver's per-round gate:
 the driver verifies the 50-query window at sf0.01; tests verify all
 queries at sf0.001; this sweep verifies the ENTIRE catalog at sf0.1
-(first run: round 9 — `SWEEP_SF01_r09.jsonl`, 367/367 accounted for).
+(first run: round 9 — `SWEEP_SF01_r09.jsonl`).
 
-Known-super-linear ORACLES (engine sides all run fine at sf0.1) are
-handled two ways:
-- `geo_dbscan_grid` is pre-skipped: its recursive min-label closure is
-  quadratic on the percolated sf0.1 cluster; its sf0.1 lane is the
-  independent Python union-find replay recorded in SCALE.md round 9.
-- anything else that exceeds ORACLE_TIMEOUT_S is interrupted and
-  recorded `oracle-timeout` — round 9 saw exactly two (`er_resolve`,
-  `graph_cc_incremental`, both percolated-closure shapes), and both
-  were then verified exact by the same union-find replay device
-  (pairs from the oracle's own cheap CTE prefix; clustering re-derived
-  in plain Python; receipts in SCALE.md).
+Known-super-linear ORACLES (engine sides all run fine at sf0.1) fall
+through to the REPLAY lane (VERDICT r9 item 3 — committed code, not
+SCALE.md prose): candidate pairs come from the oracle's own cheap
+CTE prefix (so the replay shares the oracle's blocking semantics,
+not the engine's), the recursive min-label closure is re-derived by
+a plain-Python union-find, and the FULL row set is compared. The lane
+runs automatically whenever an oracle is interrupted at
+ORACLE_TIMEOUT_S or is pre-skipped, and records
+``status: "replay-exact"`` / ``"replay-MISMATCH"``. Round 9's three
+sf0.1 replay verdicts (er_resolve 20,000 rows, graph_cc_incremental
+15,999, geo_dbscan_grid 1) were produced by this exact device run
+by hand; `tests/test_sweep_replay.py` pins replay ≡ direct oracle at
+the SFs where the recursive CTE is affordable.
+
+Float compare note: rows are compared by repr() equality. That is
+deliberate — every catalog query rounds its float outputs through
+``functions/rounding.dround`` with DuckDB-binary semantics on BOTH
+engine sides, so floats are expected BIT-exact; a ulp difference is
+a real finding, not noise.
 """
 import json
 import math
@@ -41,30 +51,210 @@ from a_share_data_pipeline_spark.session import get_spark  # noqa: E402
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "SWEEP_SF01.jsonl")
 ORACLE_TIMEOUT_S = 150
-# sf0.1-only: at sf0.001/sf0.01 the components are small and the
-# recursive oracle is the driver-facing contract — run it there.
-PRESKIP = (
+# sf0.1-only (matched on the directory BASENAME — a path merely
+# containing 'sf0.1' like .../sf0.12 must not trigger it): at
+# sf0.001/sf0.01 the components are small and the recursive oracle is
+# the driver-facing contract — run it there. geo_dbscan_grid's
+# min-label closure is quadratic on the percolated sf0.1 cluster, so
+# its oracle is not even attempted at that SF; the replay lane below
+# is its sf0.1 verification, same as an oracle-timeout fall-through.
+_IS_SF01 = os.path.basename(SF.rstrip("/")) == "sf0.1"
+ORACLE_PRESKIP = (
     {
         "geo_dbscan_grid": (
-            "recursive-closure oracle quadratic at sf0.1; independent "
-            "union-find replay verified exact (SCALE.md round 9)"
+            "recursive-closure oracle quadratic at sf0.1 "
+            "(O(|component|*|labels|) on the percolated cluster); "
+            "verified via the union-find replay lane instead"
         ),
     }
-    if "sf0.1" in SF
+    if _IS_SF01
     else {}
 )
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings"
 
+# Statuses that count as verified on resume; anything else (MISMATCH,
+# spark-error, oracle-error, oracle-timeout without a replay verdict)
+# is RE-PROBED on the next run and its stale line dropped from the
+# artifact (ADVICE r9: the r9 sweep kept a stale spark-error row for
+# a query that had since been re-verified exact).
+GREEN = {"exact", "replay-exact", "rows-only", "preskip"}
+
+# canon(None) must be a value no real column can produce — '~' (the
+# r9 sentinel) collides with a literal '~' string (ADVICE r9).
+_NULL = "\x00NULL"
+
 
 def canon(v):
     if v is None:
-        return "~"
+        return _NULL
     if isinstance(v, float):
         return "nan" if math.isnan(v) else repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
+
+
+# ---------------------------------------------------------------------------
+# Replay lane: plain-Python union-find over the oracle's cheap CTE
+# prefix, for the queries whose DuckDB formulation (a recursive
+# min-label closure) goes super-linear when the graph percolates.
+# The prefix SQL is SLICED FROM THE ORACLE STRING ITSELF, so the
+# replay can never drift from the blocking/candidate semantics the
+# committed oracle states.
+# ---------------------------------------------------------------------------
+
+
+def _uf_min_label(edges, seeds=()):
+    """Union-find; returns {node: min-id of its component} over every
+    node in ``edges`` plus isolated ``seeds``. Matches the oracles'
+    LEAST(node, MIN(reach.r)) / MIN(label) min-label convention."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for n in seeds:
+        parent.setdefault(n, n)
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    groups = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    label = {}
+    for members in groups.values():
+        m = min(members)
+        for n in members:
+            label[n] = m
+    return label
+
+
+def _prefix(sql, stop_cte, select):
+    """The oracle text up to (not including) ``stop_cte``, closed with
+    ``select`` — i.e. the cheap non-recursive prefix of the WITH chain."""
+    head = sql.split(stop_cte)[0].rstrip().rstrip(",")
+    return head + "\n" + select
+
+
+def _replay_er_resolve(con, srows, scols):
+    from a_share_data_pipeline_spark.plans.queries_profile import _ER_SQL
+
+    pairs = con.execute(
+        _prefix(_ER_SQL, "sym AS (", "SELECT key_a, key_b FROM pairs")
+    ).fetchall()
+    comp = _uf_min_label(pairs)
+    sizes = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    expect = sorted((n, c, sizes[c]) for n, c in comp.items())
+    idx = [scols.index(c) for c in ("p_partkey", "canonical_key", "n_members")]
+    got = sorted((r[idx[0]], r[idx[1]], r[idx[2]]) for r in srows)
+    return expect == got, {"pairs": len(pairs), "rows": len(expect)}
+
+
+def _replay_graph_cc_incremental(con, srows, scols):
+    from a_share_data_pipeline_spark.plans.queries_analytics import _CCI_SQL
+
+    edges = con.execute(
+        _prefix(_CCI_SQL, "sym AS (", "SELECT a, b FROM e0")
+    ).fetchall()
+    comp = _uf_min_label(edges)
+
+    def dec(x):
+        return ("c" if x % 2 == 0 else "s") + str(x // 2)
+
+    expect = sorted((dec(n), dec(c)) for n, c in comp.items())
+    idx = [scols.index(c) for c in ("node", "component")]
+    got = sorted((r[idx[0]], r[idx[1]]) for r in srows)
+    return expect == got, {"edges": len(edges), "rows": len(expect)}
+
+
+def _replay_geo_dbscan_grid(con, srows, scols):
+    from a_share_data_pipeline_spark.plans.queries_geo import (
+        _DB_MINPTS,
+        _DB_TOP,
+        _DBSCAN_SQL,
+    )
+
+    cand = con.execute(
+        _prefix(_DBSCAN_SQL, "cnt AS (", "SELECT id, neighbor FROM cand")
+    ).fetchall()
+    n_points = con.execute(
+        _prefix(_DBSCAN_SQL, "cand AS (", "SELECT COUNT(*) FROM points")
+    ).fetchone()[0]
+    cnt = {}
+    for i, _ in cand:
+        cnt[i] = cnt.get(i, 0) + 1
+    core = {i for i, n in cnt.items() if n >= _DB_MINPTS - 1}
+    cedge = [(s, d) for s, d in cand if s in core and d in core]
+    comp = _uf_min_label(cedge, seeds=core)  # isolated cores self-label
+    border = {}
+    for i, nb in cand:
+        if i not in core and nb in comp:
+            c = comp[nb]
+            border[i] = c if i not in border else min(border[i], c)
+    summary = {}
+    for c in comp.values():
+        s = summary.setdefault(c, [0, 0])
+        s[0] += 1
+    for c in border.values():
+        summary.setdefault(c, [0, 0])[1] += 1
+    n_clusters = len(summary)
+    n_noise = n_points - len(comp) - len(border)
+    rows = sorted(
+        (
+            (c, nc, nb, nc + nb, n_clusters, n_noise)
+            for c, (nc, nb) in summary.items()
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[:_DB_TOP]
+    idx = [
+        scols.index(c)
+        for c in ("cluster", "n_core", "n_border", "n_total", "n_clusters", "n_noise")
+    ]
+    got = sorted(
+        (tuple(r[i] for i in idx) for r in srows), key=lambda r: (-r[3], r[0])
+    )
+    return rows == got, {"cand": len(cand), "rows": len(rows)}
+
+
+REPLAY = {
+    "er_resolve": _replay_er_resolve,
+    "graph_cc_incremental": _replay_graph_cc_incremental,
+    "geo_dbscan_grid": _replay_geo_dbscan_grid,
+}
+
+
+def _load_resume(path):
+    """Parse an existing artifact: last record wins per name; green
+    rows are kept (and the file rewritten to exactly those, dropping
+    stale failures), everything else is re-probed."""
+    if not os.path.exists(path):
+        return set()
+    last, order = {}, []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if rec["name"] not in last:
+                order.append(rec["name"])
+            last[rec["name"]] = rec
+    kept = [last[n] for n in order if last[n].get("status") in GREEN]
+    if len(kept) != sum(1 for _ in order):
+        with open(path, "w") as f:
+            for rec in kept:
+                f.write(json.dumps(rec) + "\n")
+    return {rec["name"] for rec in kept}
 
 
 def main() -> None:
@@ -76,44 +266,71 @@ def main() -> None:
         )
 
     def run_oracle(sql):
-        timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+        fired = threading.Event()
+
+        def _interrupt():
+            fired.set()
+            con.interrupt()
+
+        timer = threading.Timer(ORACLE_TIMEOUT_S, _interrupt)
         timer.start()
         try:
             cur = con.execute(sql)
             return [d[0].lower() for d in cur.description], cur.fetchall()
         finally:
             timer.cancel()
+            if fired.is_set():
+                # absorb a pending interrupt flag so it cannot abort
+                # the NEXT query's oracle (ADVICE r9 timer race: the
+                # interrupt can land between fetchall() and cancel())
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:  # noqa: BLE001 — flag absorbed
+                    pass
+
+    def run_spark(fn):
+        sdf = fn(spark, SF)
+        scols = [c.lower() for c in sdf.columns]
+        return scols, [tuple(r) for r in sdf.collect()]
 
     qs, oracles = E.queries(), E.oracle_sql()
-    done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            done = {json.loads(line)["name"] for line in f if line.strip()}
+    done = _load_resume(OUT)
 
     out = open(OUT, "a", buffering=1)
     for name in sorted(qs):
         if name in done:
             continue
         rec = {"name": name}
-        if name in PRESKIP:
-            rec["status"], rec["why"] = "preskip", PRESKIP[name]
-            out.write(json.dumps(rec) + "\n")
-            continue
         t0 = time.time()
         try:
-            sdf = qs[name](spark, SF)
-            scols = [c.lower() for c in sdf.columns]
-            srows = [tuple(r) for r in sdf.collect()]
-            rec["spark_s"] = round(time.time() - t0, 1)
-            rec["rows"] = len(srows)
-        except Exception as e:  # noqa: BLE001 — recorded, sweep continues
-            rec["status"] = "spark-error"
-            rec["why"] = f"{type(e).__name__}: {e}"[:300]
-            out.write(json.dumps(rec) + "\n")
-            continue
+            scols, srows = run_spark(qs[name])
+        except Exception as e:  # noqa: BLE001 — retry once: the only
+            # sweep red in r9 was a transient Python-worker crash
+            # (VERDICT r9 item 7); a second failure is recorded
+            rec["retries"] = 1
+            try:
+                scols, srows = run_spark(qs[name])
+            except Exception as e2:  # noqa: BLE001
+                rec["status"] = "spark-error"
+                rec["why"] = f"{type(e2).__name__}: {e2}"[:300]
+                out.write(json.dumps(rec) + "\n")
+                continue
+            del e
+        rec["spark_s"] = round(time.time() - t0, 1)
+        rec["rows"] = len(srows)
         if name not in oracles:
             rec["status"] = "rows-only"
             out.write(json.dumps(rec) + "\n")
+            continue
+
+        def _replay(reason):
+            ok, info = REPLAY[name](con, srows, scols)
+            rec["status"] = "replay-exact" if ok else "replay-MISMATCH"
+            rec["why"] = {"oracle": reason, **info}
+            out.write(json.dumps(rec) + "\n")
+
+        if name in ORACLE_PRESKIP:
+            _replay(f"preskip: {ORACLE_PRESKIP[name]}")
             continue
         t0 = time.time()
         try:
@@ -121,9 +338,11 @@ def main() -> None:
             rec["oracle_s"] = round(time.time() - t0, 1)
         except Exception as e:  # noqa: BLE001
             msg = f"{type(e).__name__}: {e}"
-            rec["status"] = (
-                "oracle-timeout" if "INTERRUPT" in msg.upper() else "oracle-error"
-            )
+            timed_out = "INTERRUPT" in msg.upper()
+            if timed_out and name in REPLAY:
+                _replay(f"timeout at {ORACLE_TIMEOUT_S}s")
+                continue
+            rec["status"] = "oracle-timeout" if timed_out else "oracle-error"
             rec["why"] = msg[:300]
             out.write(json.dumps(rec) + "\n")
             continue
