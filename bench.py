@@ -172,7 +172,32 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("bench")
+    # VERDICT r9 item 4: the write-path queries (layout_zorder,
+    # source_jsonl, bucketed_ma, sim_ann_*, kmeans_embeddings) swung
+    # ±2-4s across rounds on byte-identical code — roaming host disk
+    # latency, not plans. The bench measures the PLAN, so pin every
+    # temp/warehouse write to tmpfs when available: TMPDIR covers the
+    # queries' tempfile.mkdtemp sites, warehouse.dir covers
+    # saveAsTable/warehouse-path writes. Evaluation and isolation are
+    # untouched (method label unchanged); the record carries
+    # "tmpfs": true so a reader can see which substrate a series ran
+    # on. Shuffle spill (spark.local.dir) deliberately stays on disk —
+    # it is part of the plan cost a cluster would pay.
+    import tempfile
+
+    bench_tmp = None
+    if os.path.isdir("/dev/shm"):
+        bench_tmp = tempfile.mkdtemp(prefix="bench_shm_", dir="/dev/shm")
+        os.environ["TMPDIR"] = bench_tmp
+        tempfile.tempdir = None  # re-read TMPDIR on next mkdtemp
+        spark = get_spark(
+            "bench",
+            extra_conf={
+                "spark.sql.warehouse.dir": f"file://{bench_tmp}/warehouse"
+            },
+        )
+    else:
+        spark = get_spark("bench")
     reg = registry()
 
     # warmup: spin executors + codegen + parquet reader infra once,
@@ -264,6 +289,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "method": method,
+        "tmpfs": bench_tmp is not None,
         "queries": timings,
         "detail": detail,
         "sf": sf,
@@ -296,6 +322,10 @@ def main() -> None:
         raise RuntimeError(
             f"final bench line {len(line)} chars risks driver tail truncation"
         )
+    if bench_tmp is not None:  # tmpfs is RAM — free it
+        import shutil
+
+        shutil.rmtree(bench_tmp, ignore_errors=True)
     print(line)
 
 

@@ -1097,6 +1097,12 @@ def test_txn_log_snapshot_scans_only_live_files(spark):
     q = registry()["source_txn_log_snapshot"].fn(spark, SF)
     files = q.inputFiles()
     assert files, "snapshot scan resolved no input files"
+    # compare PATH SEGMENTS, not substrings (ADVICE r9): a raw
+    # '/b1.parquet/' substring match goes vacuous if the fixture ever
+    # switches from directory-style to single-file writes — segment
+    # matching covers '.../b1.parquet/part-*.parquet' AND a plain
+    # '.../b1.parquet' file equally
+    segs = [set(f.strip("/").split("/")) for f in files]
     for live in ("b0.parquet", "b2.parquet", "b3.parquet", "b1v2.parquet"):
-        assert any(f"/{live}/" in f for f in files), (live, files)
-    assert not any("/b1.parquet/" in f for f in files), files
+        assert any(live in s for s in segs), (live, files)
+    assert not any("b1.parquet" in s for s in segs), files
