@@ -291,13 +291,32 @@ _REGISTRY: dict[str, Query] = {}
 # layout_zorder (write-layout lane ⊂ sim_ann_index_scan's stored
 # partition-pruned layout).
 #
-# r11+ family-witness queue (one witness per remaining hole, in
+# CONCRETE r11 rotation plan (apply FIRST THING in round 11 — never
+# mid-round). All five IN names were differentially verified exact
+# against DuckDB at sf0.1 in BOTH the round-9 pre-verification
+# (SCALE.md) and round 10's full-catalog sweep (SWEEP_SF01_r10.jsonl),
+# so the rotation promotes nothing whose cross-SF behavior is
+# unprobed.
+# IN (each the best witness of a never-witnessed §2.12 family):
+# stream_scd2_apply (streaming upsert — foreachBatch copy-on-write;
+# also closes streaming SCD2), sql_recursive_cte (Spark-4 SQL
+# surface; json_variant is the alternate), events_streaks
+# (gaps-and-islands engagement curves), privacy_generalize (privacy
+# enforcement; l-diversity/DP stay local witnesses), forecast_linear
+# (forecasting/rolling). OUT (subsumable, driver-green history
+# stands): stats_benjamini_hochberg (multiple-testing control ⊂ the
+# inference family's retained stats_welch_ttest window row + local
+# stats_* oracle diffs), curation_model_filter (learned-filter APPLY
+# ⊂ curation_pipeline's composed gate surface), agg_moments_merge
+# (algebraic moment merge ⊂ agg_sketch_merge's merged-shard sketch
+# algebra), cdc_time_travel (multi-version AS OF — the cdc_ family is
+# fully driver-witnessed r6-r10 across both halves, cdc_apply r6-r9 +
+# time_travel r8-r10), events_macd (chained-EMA kline indicator ⊂
+# bucketed_ma's frame windows + the events_ family's five remaining
+# window rows incl. events_streaks incoming).
+#
+# r12+ family-witness queue (one witness per remaining hole, in
 # priority order; pick OUT names by the same subsumption discipline):
-#   r11: stream_scd2_apply (streaming upsert — also closes streaming
-#        SCD2), sql_recursive_cte (Spark-4 SQL surface; json_variant
-#        is the alternate), events_streaks (engagement/value curves),
-#        privacy_generalize (privacy enforcement; l-diversity/DP stay
-#        local witnesses), forecast_linear (forecasting/rolling).
 #   r12: agg_hll_intersect (sketch set algebra), events_multires_rollup
 #        (time hierarchy/reshape), split_temporal_embargo (temporal ML
 #        splits; split_leakage_safe is the alternate),
