@@ -291,12 +291,12 @@ _REGISTRY: dict[str, Query] = {}
 # layout_zorder (write-layout lane ⊂ sim_ann_index_scan's stored
 # partition-pruned layout).
 #
-# CONCRETE r11 rotation plan (apply FIRST THING in round 11 — never
-# mid-round). All five IN names were differentially verified exact
-# against DuckDB at sf0.1 in BOTH the round-9 pre-verification
-# (SCALE.md) and round 10's full-catalog sweep (SWEEP_SF01_r10.jsonl),
-# so the rotation promotes nothing whose cross-SF behavior is
-# unprobed.
+# Round-11 rotation (VERDICT r10 item 1) — APPLIED at the top of
+# round 11, reflected in CORE_WINDOW below, exactly as planned in
+# r10. All five IN names were differentially verified exact against
+# DuckDB at sf0.1 in BOTH the round-9 pre-verification (SCALE.md) and
+# round 10's full-catalog sweep (SWEEP_SF01_r10.jsonl), so the
+# rotation promotes nothing whose cross-SF behavior is unprobed.
 # IN (each the best witness of a never-witnessed §2.12 family):
 # stream_scd2_apply (streaming upsert — foreachBatch copy-on-write;
 # also closes streaming SCD2), sql_recursive_cte (Spark-4 SQL
@@ -315,19 +315,41 @@ _REGISTRY: dict[str, Query] = {}
 # bucketed_ma's frame windows + the events_ family's five remaining
 # window rows incl. events_streaks incoming).
 #
-# r12+ family-witness queue (one witness per remaining hole, in
+# CONCRETE r12 rotation plan (VERDICT r10 item 3 — apply FIRST THING
+# in round 12, never mid-round). All five IN names pre-verified exact
+# at sf0.1 in SWEEP_SF01_r10.jsonl AND re-stamped in this round's
+# SWEEP_SF01_r11.jsonl, so the rotation promotes nothing whose
+# cross-SF behavior is unprobed.
+# IN (each the best witness of a never-driver-witnessed §2.12
+# family, per the r10 verdict's shortlist): abc_classification
+# (ABC/Pareto), assoc_market_basket (market-basket 2-itemset mining;
+# basket_pairs is the alternate), search_rrf (hybrid search +
+# gap-fill family; events_gapfill alternate), split_temporal_embargo
+# (temporal ML splits; split_leakage_safe alternate),
+# events_multires_rollup (time hierarchy/reshape — the Expand-based
+# GROUPING SETS multires rollup; reshape_unpivot alternate).
+# OUT (subsumable, driver-green history stands): join_range (range
+# predicate ⊂ join_interval_overlap's bucketized interval join over
+# the same shape), agg_grouping_sets (Expand/grouping-sets shape ⊂
+# events_multires_rollup's multires rollup incoming + local
+# agg_rollup/agg_cube oracle diffs), set_ops (INTERSECT/EXCEPT
+# compile to the semi/anti plan shapes ⊂ join_semi_anti retained +
+# local set_ops_all bag-semantics oracle), dedup_exact (exact
+# hash-groupBy dedup ⊂ curation_line_dedup's exact line-hash dedup +
+# dedup_components' canonical-survivor pick), events_retention
+# (cohort day-N return ⊂ the events_ family's remaining window rows:
+# funnel + attribution + sessionize + streaks; r9-r11 history
+# stands).
+#
+# r13+ family-witness queue (one witness per remaining hole, in
 # priority order; pick OUT names by the same subsumption discipline):
-#   r12: agg_hll_intersect (sketch set algebra), events_multires_rollup
-#        (time hierarchy/reshape), split_temporal_embargo (temporal ML
-#        splits; split_leakage_safe is the alternate),
-#        dedup_containment (containment dedup), events_seasonal_decompose
-#        (seasonal decomposition).
 #   r13: stream_dedup (streaming exact dedup), profile_chi_square
 #        (dependence/concentration audits), events_markov_transitions
 #        (sequential patterns; events_session_paths alternate),
-#        search_rrf (hybrid search + gap-fill family; events_gapfill
-#        alternate), events_anomaly_mad (robust/distribution stats).
-#   r14: abc_classification (ABC/Pareto), basket_pairs (market-basket),
+#        agg_hll_intersect (sketch set algebra),
+#        events_anomaly_mad (robust/distribution stats).
+#   r14: dedup_containment (containment dedup),
+#        events_seasonal_decompose (seasonal decomposition),
 #        events_trending (trending rank), then the strongest
 #        already-witnessed-family production shapes resume
 #        (curation_bloom_decontaminate, curation_dsir_importance,
@@ -434,11 +456,11 @@ CORE_WINDOW: tuple[str, ...] = (
     # sort / set ops
     "sort_topk",
     "set_ops",
-    # sketch algebra: re-aggregatable HLL shards (r7) + algebraic moments (r8)
+    # sketch algebra: re-aggregatable HLL shards (r7; algebraic moments
+    # rotated out r11 — ⊂ this row's merged-shard sketch algebra)
     "agg_sketch_merge",
-    "agg_moments_merge",
-    # inference: multiple-testing control (r8) + unequal-variance t (r9)
-    "stats_benjamini_hochberg",
+    # inference: unequal-variance t (r9; BH multiple-testing control
+    # rotated out r11 — ⊂ this row + local stats_* oracle diffs)
     "stats_welch_ttest",
     # join shapes (+ sketch-prune shuffle primitive, r9)
     "join_regional_revenue",
@@ -450,9 +472,10 @@ CORE_WINDOW: tuple[str, ...] = (
     # multi-table ingest gate (r9) + snapshot diff / data versioning (r10)
     "audit_referential_integrity",
     "table_diff",
-    # pipeline / incrementality / time windows / log-replay read (r10)
+    # pipeline / incrementality / time windows / log-replay read (r10;
+    # cdc_time_travel rotated out r11 — the cdc_ family is fully
+    # driver-witnessed r6-r10 across both halves)
     "incremental_delta",
-    "cdc_time_travel",
     "scd2_dim_history",
     "incremental_join_delta",
     "source_txn_log_snapshot",
@@ -462,13 +485,24 @@ CORE_WINDOW: tuple[str, ...] = (
     "events_retention",
     "events_attribution",
     "events_sessionize",
-    "events_macd",
+    # gaps-and-islands engagement streaks (r11; events_macd rotated
+    # out r11 — chained-EMA ⊂ bucketed_ma's frame windows + the
+    # events_ family's remaining window rows)
+    "events_streaks",
     "bucketed_ma",
     # drift monitoring — integer-exact TVD (r10)
     "profile_distribution_drift",
-    # Structured Streaming (deterministic AvailableNow cycle, full oracle)
+    # forecasting / rolling models (r11)
+    "forecast_linear",
+    # privacy enforcement — k-anonymity generalization (r11)
+    "privacy_generalize",
+    # Spark-4 SQL surface — in-engine recursion (r11)
+    "sql_recursive_cte",
+    # Structured Streaming (deterministic AvailableNow cycle, full
+    # oracle) + streaming SCD2 upsert (r11)
     "stream_stream_join",
     "stream_incremental_dedup",
+    "stream_scd2_apply",
     # UDF lanes (arrow scalar lane rotated out r9, subsumed by the
     # heavier grouped-map arrow lane below)
     "udf_grouped_map",
@@ -485,7 +519,6 @@ CORE_WINDOW: tuple[str, ...] = (
     "text_bm25",
     "graph_pagerank",
     "curation_pipeline",
-    "curation_model_filter",
     "curation_line_dedup",
     "sample_mixture",
     # geo: grid-blocked DBSCAN capstone (r8)

@@ -112,7 +112,8 @@ EXTENDED = [
     "text_winnow_fingerprint",
     "dedup_winnow_pairs",
     "profile_skew_report",
-    "sql_recursive_cte",
+    # (sql_recursive_cte moved INTO the r11 window — its series
+    # continues on the headline record)
     "json_variant",
     "events_ema",
     "agg_quantile_sketch",
@@ -141,7 +142,8 @@ EXTENDED = [
     "json_extract",
     # r8 wave newcomers with non-trivial cost shapes (start their
     # series now; the cheap sub-2s wave rows stay off the record)
-    "stream_scd2_apply",
+    # (stream_scd2_apply moved INTO the r11 window — its series
+    # continues on the headline record)
     "graph_closeness_sampled",
     "curation_dsir_importance",
     # (source_txn_log_snapshot moved INTO the r10 window — its series
@@ -159,6 +161,12 @@ EXTENDED = [
     "scalar_string",
     "source_jsonl",
     "layout_zorder",
+    # r11 rotation: ditto for the five r11 rotated-out names
+    "stats_benjamini_hochberg",
+    "curation_model_filter",
+    "agg_moments_merge",
+    "cdc_time_travel",
+    "events_macd",
 ]
 
 

@@ -664,11 +664,14 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # rotated out, the scalar surface ⊂ canonical_assembly's F1-F6
     # date/string casts + the local scalar_* oracle diffs;
     # stats_/geo_/audit_ joined as their families gained window rows
-    # in r8/r9, profile_/table_/source_ in r10)
+    # in r8/r9, profile_/table_/source_ in r10; sql_ REJOINED in r11
+    # via sql_recursive_cte, and privacy_/forecast_ gained their first
+    # window rows in r11)
     for prefix in ("agg_", "window_", "join_", "udf_",
                    "dedup_", "sim_", "text_", "events_", "multimodal_",
                    "curation_", "sample_", "stats_", "geo_", "audit_",
-                   "profile_", "table_", "source_", "stream_"):
+                   "profile_", "table_", "source_", "stream_",
+                   "sql_", "privacy_", "forecast_"):
         assert any(n.startswith(prefix) for n in CORE_WINDOW), prefix
     # round-3 rotation: the round-2 operator families must sit INSIDE
     # the driver window, witnessed by these exact (stable) names
@@ -696,9 +699,11 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # ranked retrieval, chained-window kline indicator, interval join
     # (cdc_apply rotated back out in r10 with driver-green history:
     # I/U/D apply ⊂ cdc_time_travel's multi-version AS OF over the
-    # same change-log)
+    # same change-log; events_macd rotated back out in r11:
+    # chained-EMA ⊂ bucketed_ma's frame windows + the events_
+    # family's remaining window rows)
     for name in ("graph_pagerank", "text_bm25",
-                 "events_macd", "join_interval_overlap"):
+                 "join_interval_overlap"):
         assert name in CORE_WINDOW, name
     # round-7 rotation (VERDICT r6 item 2): five never-driver-verified
     # families enter — stored-index ANN serving, streaming incremental
@@ -708,13 +713,13 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
                  "agg_sketch_merge"):
         assert name in CORE_WINDOW, name
     # round-8 rotation (VERDICT r7 item 1): five never-driver-verified
-    # families enter — multiple-testing control, grid-blocked DBSCAN,
-    # multi-version AS OF, learned quality-filter apply, algebraic
-    # moment merge
-    for name in ("stats_benjamini_hochberg", "geo_dbscan_grid",
-                 "cdc_time_travel", "curation_model_filter",
-                 "agg_moments_merge"):
-        assert name in CORE_WINDOW, name
+    # families entered — of those, only geo_dbscan_grid remains in the
+    # window (the other four rotated back out in r11 with driver-green
+    # r8-r10 history: BH ⊂ stats_welch_ttest + local stats_* diffs,
+    # cdc_time_travel closes the fully-witnessed cdc_ family,
+    # curation_model_filter ⊂ curation_pipeline's composed gates,
+    # agg_moments_merge ⊂ agg_sketch_merge's merged-shard algebra)
+    assert "geo_dbscan_grid" in CORE_WINDOW
     # round-9 rotation (VERDICT r8 item 1): five never-driver-verified
     # families enter — ordered conversion funnel, cohort retention,
     # multi-table referential-integrity audit, Bloom-sketch join prune,
@@ -730,6 +735,14 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     for name in ("dedup_jaccard_prefix", "profile_distribution_drift",
                  "events_attribution", "table_diff",
                  "source_txn_log_snapshot"):
+        assert name in CORE_WINDOW, name
+    # round-11 rotation (VERDICT r10 item 1): five never-driver-verified
+    # families enter — streaming SCD2 upsert, Spark-4 SQL recursion,
+    # gaps-and-islands streaks, k-anonymity generalization,
+    # forecasting/rolling models
+    for name in ("stream_scd2_apply", "sql_recursive_cte",
+                 "events_streaks", "privacy_generalize",
+                 "forecast_linear"):
         assert name in CORE_WINDOW, name
     assert any(n.startswith("stream_") for n in CORE_WINDOW)
 
