@@ -77,8 +77,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # spark-error, oracle-error, oracle-timeout without a replay verdict)
 # is RE-PROBED on the next run and its stale line dropped from the
 # artifact (ADVICE r9: the r9 sweep kept a stale spark-error row for
-# a query that had since been re-verified exact).
-GREEN = {"exact", "replay-exact", "rows-only", "preskip"}
+# a query that had since been re-verified exact). "preskip" is NOT
+# green (ADVICE r10): the sweep no longer emits it — pre-skipped
+# oracles go straight to the replay lane — so a legacy pre-r10 row
+# with that status must be re-probed through the lane on resume, not
+# kept as verified without a replay verdict.
+GREEN = {"exact", "replay-exact", "rows-only"}
 
 # canon(None) must be a value no real column can produce — '~' (the
 # r9 sentinel) collides with a literal '~' string (ADVICE r9).
@@ -140,7 +144,18 @@ def _uf_min_label(edges, seeds=()):
 
 def _prefix(sql, stop_cte, select):
     """The oracle text up to (not including) ``stop_cte``, closed with
-    ``select`` — i.e. the cheap non-recursive prefix of the WITH chain."""
+    ``select`` — i.e. the cheap non-recursive prefix of the WITH chain.
+
+    The slice is taken at the FIRST occurrence of ``stop_cte``, so the
+    marker must be unique in the oracle text (ADVICE r10): an oracle
+    edit that mentions the marker earlier — a comment, an alias —
+    would otherwise silently replay a malformed or wrong prefix."""
+    if sql.count(stop_cte) != 1:
+        raise ValueError(
+            f"replay prefix marker {stop_cte!r} occurs "
+            f"{sql.count(stop_cte)}x in the oracle (need exactly 1); "
+            "the oracle text changed — re-derive the replay slice"
+        )
     head = sql.split(stop_cte)[0].rstrip().rstrip(",")
     return head + "\n" + select
 
@@ -279,8 +294,16 @@ def main() -> None:
             return [d[0].lower() for d in cur.description], cur.fetchall()
         finally:
             timer.cancel()
+            # join the timer THREAD, not just cancel it: cancel() does
+            # not stop a callback that has already started, so without
+            # the join the absorbing probe could run BETWEEN fired.set()
+            # and con.interrupt() — completing first and leaving the
+            # interrupt flag pending for the NEXT oracle (ADVICE r10).
+            # After join(), a started callback has fully returned from
+            # con.interrupt(), so fired ⇒ the flag is really set.
+            timer.join()
             if fired.is_set():
-                # absorb a pending interrupt flag so it cannot abort
+                # absorb the pending interrupt flag so it cannot abort
                 # the NEXT query's oracle (ADVICE r9 timer race: the
                 # interrupt can land between fetchall() and cancel())
                 try:
@@ -308,6 +331,10 @@ def main() -> None:
             # sweep red in r9 was a transient Python-worker crash
             # (VERDICT r9 item 7); a second failure is recorded
             rec["retries"] = 1
+            # reset the clock: spark_s must reflect the attempt that
+            # produced the rows, not include the failed first attempt's
+            # wall time (ADVICE r10)
+            t0 = time.time()
             try:
                 scols, srows = run_spark(qs[name])
             except Exception as e2:  # noqa: BLE001

@@ -107,3 +107,47 @@ def test_null_sentinel_cannot_collide():
     assert sweep.canon(None) != "~"
     assert sweep.canon("~") == "~"
     assert sweep.canon(None) != sweep.canon("")
+
+
+def test_resume_reprobes_legacy_preskip_rows(tmp_path):
+    """ADVICE r10: 'preskip' is a status the sweep no longer emits
+    (pre-skipped oracles go straight to the replay lane). A legacy
+    pre-r10 artifact row carrying it must be RE-PROBED on resume, not
+    kept as verified without a replay verdict."""
+    import json
+
+    p = tmp_path / "sweep.jsonl"
+    rows = [
+        {"name": "a", "status": "exact"},
+        {"name": "b", "status": "preskip", "why": "legacy r9 row"},
+    ]
+    p.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    done = sweep._load_resume(str(p))
+    assert done == {"a"}
+    assert "preskip" not in sweep.GREEN
+
+
+def test_replay_prefix_marker_must_be_unique():
+    """ADVICE r10: _prefix slices at the FIRST marker occurrence; an
+    oracle edit that repeats the marker text (comment, alias) must
+    fail loudly instead of silently replaying a wrong prefix."""
+    sql = "WITH base AS (SELECT 1), sym AS (SELECT 2) SELECT * FROM sym"
+    out = sweep._prefix(sql, "sym AS (", "SELECT * FROM base")
+    assert out.endswith("SELECT * FROM base") and "sym AS (" not in out
+    dup = "WITH sym AS (SELECT 1), x AS (SELECT 2) SELECT 3 -- sym AS ( note"
+    with pytest.raises(ValueError, match="occurs 2x"):
+        sweep._prefix(dup, "sym AS (", "SELECT * FROM base")
+    with pytest.raises(ValueError, match="occurs 0x"):
+        sweep._prefix(sql, "absent AS (", "SELECT * FROM base")
+
+
+def test_retry_timing_reflects_successful_attempt(monkeypatch, tmp_path):
+    """ADVICE r10: on a retried Spark side, spark_s must reflect the
+    attempt that produced the rows, not include the failed first
+    attempt's wall time. Exercised via the committed source: the
+    retry block resets t0 before the second attempt."""
+    import inspect
+
+    src = inspect.getsource(sweep.main)
+    retry = src.split('rec["retries"] = 1')[1].split("except Exception as e2")[0]
+    assert "t0 = time.time()" in retry
