@@ -12,10 +12,18 @@ someone re-adds a map (they are compact by design — use the committed
 local[32] rep-to-rep jitter measured across rounds; per-rep spread
 lives in the record's ``detail`` blob for manual reading.
 
-Two records are comparable ONLY if their ``method`` labels match
-(``xxhash64-full-gc1`` since round 5); the script refuses loudly when
-they differ, because round 5 proved a silent methodology change reads
-as a fake ±17% regression (VERDICT r5 item 2/5).
+Two records are comparable ONLY if their ``method`` labels AND their
+``tmpfs`` substrate flags match (``xxhash64-full-gc1`` since round 5,
+tmpfs write-path pin since round 10 — ADVICE r10: the substrate is
+part of the methodology); the script refuses loudly when either
+differs, because round 5 proved a silent methodology change reads as
+a fake ±17% regression (VERDICT r5 item 2/5). Totals are additionally
+gated on ``members_hash`` equality (VERDICT r10 item 7): across a
+rotation, only the shared-subset delta is meaningful. When both
+records carry the fixed ``canary`` pair (round 11+), the canary
+ratios are printed up front and the shared delta is host-normalized
+by the iterative canary — separating code movement from host
+movement.
 """
 
 from __future__ import annotations
@@ -37,14 +45,52 @@ def _load(path: str) -> dict:
     return rec
 
 
+def _effective_method(rec: dict) -> str:
+    """Comparability key: the frozen method label PLUS the measurement
+    substrate (ADVICE r10: the r10 tmpfs write-path pin changed the
+    substrate under the same 'xxhash64-full-gc1' label, so the r9→r10
+    headline delta silently mixed plan wins with substrate wins). Two
+    records are round-over-round comparable only when BOTH match."""
+    m = rec.get("method", "<unlabeled>")
+    return m + ("+tmpfs" if rec.get("tmpfs") else "")
+
+
 def diff(old: dict, new: dict) -> str:
-    om, nm = old.get("method", "<unlabeled>"), new.get("method", "<unlabeled>")
+    om, nm = _effective_method(old), _effective_method(new)
     lines = []
     if om != nm:
         lines.append(
-            f"!! METHOD MISMATCH: {om} vs {nm} — totals are NOT comparable; "
-            "per-query deltas below are informational only"
+            f"!! METHOD/SUBSTRATE MISMATCH: {om} vs {nm} — totals are NOT "
+            "comparable; per-query deltas below are informational only"
         )
+    oc, nc = old.get("canary"), new.get("canary")
+    host = None
+    if oc and nc:
+        # host-movement estimate (VERDICT r10 item 2): the fixed canary
+        # pair runs on byte-identical code every round, so its ratio IS
+        # the host's movement; a query delta that matches the canary's
+        # is host drift, not a plan change
+        parts = []
+        for k in ("iter", "scan"):
+            a = min(oc.get(f"{k}_first", 1e9), oc.get(f"{k}_last", 1e9))
+            b = min(nc.get(f"{k}_first", 1e9), nc.get(f"{k}_last", 1e9))
+            if a < 1e9 and b < 1e9 and a > 0:
+                parts.append((k, b / a))
+        if parts:
+            host = {k: r for k, r in parts}
+            lines.append(
+                "host canaries (fixed code; ratio new/old): "
+                + ", ".join(f"{k} ×{r:.2f}" for k, r in parts)
+                + " — per-query deltas tracking these ratios are host "
+                "movement, not plan movement"
+            )
+        for rec, tag in ((oc, "old"), (nc, "new")):
+            drift = [
+                f"{k}: {rec.get(f'{k}_first')}→{rec.get(f'{k}_last')}s"
+                for k in ("iter", "scan")
+                if rec.get(f"{k}_first") is not None
+            ]
+            lines.append(f"  in-run canary ({tag}): " + "; ".join(drift))
     oq, nq = old["queries"], new["queries"]
     shared = [k for k in nq if k in oq]
     only_old = sorted(k for k in oq if k not in nq)
@@ -60,19 +106,38 @@ def diff(old: dict, new: dict) -> str:
     lines += [r[1] for r in rows]
     st_o = sum(float(oq[k]) for k in shared)
     st_n = sum(float(nq[k]) for k in shared)
+    rel_shared = (st_n - st_o) / st_o if st_o else float("inf")
     lines.append(
         f"shared {len(shared)} queries: {st_o:.3f}s -> {st_n:.3f}s "
-        f"({(st_n - st_o) / st_o:+.1%}); "
+        f"({rel_shared:+.1%}); "
         f"noise band ±{NOISE_BAND:.0%} ('~' rows are within it)"
     )
+    if host and "iter" in host:
+        # code movement ≈ shared delta with the host's own movement
+        # divided out (iterative canary — the drift-prone cost class)
+        lines.append(
+            f"host-normalized shared delta: ×{(1 + rel_shared) / host['iter']:.3f} "
+            f"(shared ×{1 + rel_shared:.3f} ÷ iter canary ×{host['iter']:.3f})"
+        )
     if only_old:
         lines.append(f"dropped from headline: {', '.join(only_old)}")
     if only_new:
         lines.append(f"new in headline: {', '.join(only_new)}")
-    lines.append(
-        f"totals (all queries): {old.get('value')}s ({len(oq)} q) -> "
-        f"{new.get('value')}s ({len(nq)} q)"
-    )
+    omh = old.get("members_hash", "<pre-r11>")
+    nmh = new.get("members_hash", "<pre-r11>")
+    # pre-r11 records carry no fingerprint — fall back to the queries
+    # maps themselves so a cross-membership total can never print
+    if omh != nmh or set(oq) != set(nq):
+        lines.append(
+            f"!! MEMBERSHIP MISMATCH ({omh} vs {nmh}): totals span different "
+            "query sets and are NOT comparable (VERDICT r10 item 7) — use "
+            "the shared-subset line above"
+        )
+    else:
+        lines.append(
+            f"totals (all queries): {old.get('value')}s ({len(oq)} q) -> "
+            f"{new.get('value')}s ({len(nq)} q)"
+        )
     return "\n".join(lines)
 
 

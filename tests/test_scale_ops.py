@@ -823,7 +823,10 @@ def test_bench_record_stays_driver_parseable():
     assert set(bench.HEADLINE).isdisjoint(bench.EXTENDED)
     assert bench.HEADLINE[: len(CORE_WINDOW)] == list(CORE_WINDOW)
     assert len(bench.HEADLINE) <= 62  # window + ~10 representatives
-    # worst-case compact record: every field at its widest
+    # worst-case compact record: every field at its widest (r11 added
+    # the fixed host-canary pair, the substrate flag and the
+    # membership fingerprint — all fixed-size, so the record still
+    # cannot grow with the catalog)
     record = {
         "metric": "headline_queries_total_sec",
         "value": 99999.999,
@@ -831,9 +834,20 @@ def test_bench_record_stays_driver_parseable():
         "n_queries": len(bench.HEADLINE),
         "sf": 100.0,
         "method": "xxhash64-full-gc1",
+        "tmpfs": True,
+        "members_hash": "a" * 12,
+        "canary": {
+            "iter_first": 99999.999,
+            "scan_first": 99999.999,
+            "iter_last": 99999.999,
+            "scan_last": 99999.999,
+        },
         "n_skipped": len(bench.HEADLINE),
     }
-    assert len(json.dumps(record)) < 500
+    assert len(json.dumps(record)) < 800
+    # the canary names are frozen (never rotated) and resolve to real
+    # callables producing DataFrames at any SF
+    assert set(bench.CANARIES) == {"iter", "scan"}
 
 
 def test_pq_codebook_training_improves_recall(spark):
