@@ -647,6 +647,44 @@ def test_compact_files_sizing_fallback_matches_plan_stats(spark, tmp_path):
     assert abs(jvm - walked) <= max(64, jvm // 100)
 
 
+def test_driver_hist_names_reverified_in_current_sweep():
+    """VERDICT r10 item 6: the 40+ rotated-out names carry driver-green
+    history, but that history AGES as the code evolves — the full-
+    catalog sf0.1 sweep is what re-proves them each round. Pin that
+    every pass-h (driver_hist) name appears GREEN (exact /
+    replay-exact) in the NEWEST committed SWEEP_SF01_r*.jsonl, so a
+    silent regression in a rotated-out name can never hide behind its
+    old CORRECTNESS row."""
+    import glob
+    import json
+    import os
+    import re
+
+    from a_share_data_pipeline_spark.plans.catalog import verification_tiers
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sweeps = sorted(
+        glob.glob(os.path.join(repo, "SWEEP_SF01_r*.jsonl")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    assert sweeps, "no committed sf0.1 sweep artifact"
+    status = {}
+    with open(sweeps[-1]) as f:
+        for line in f:
+            if line.strip():
+                rec = json.loads(line)
+                status[rec["name"]] = rec.get("status")
+    stale = [
+        n
+        for n in verification_tiers(repo)["driver_hist"]
+        if status.get(n) not in ("exact", "replay-exact")
+    ]
+    assert not stale, (
+        f"driver-hist names not re-proved in {os.path.basename(sweeps[-1])}: "
+        f"{stale} — their old driver rows no longer stand for current code"
+    )
+
+
 def test_core_window_is_exactly_the_driver_prefix(spark):
     """The driver verifies only the first ~50 catalog entries; this pins
     that the prefix IS the covering CORE_WINDOW (50 entries, ordered),
