@@ -174,6 +174,8 @@ def lsh_incremental_candidates(
     new_ids: DataFrame,
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-corpus candidates: pairs sharing a band bucket where
     at least ONE side is a new doc. The standing corpus's old×old pairs
@@ -199,22 +201,48 @@ def lsh_incremental_candidates(
     difference between an absorb step that scales with the batch and
     one that re-aggregates the store every batch (round-9 profile:
     this count was the second-largest per-batch cost in
-    stream_incremental_dedup)."""
-    # O(batch): the new docs' bands, computed from a broadcast-restricted
-    # slice of the signature frame — never from the full corpus scan
-    sig_new = signatures.join(F.broadcast(new_ids.select(id_col)), id_col, "left_semi")
-    new_bands = _band_buckets(sig_new, id_col)
+    stream_incremental_dedup).
+
+    ``bands`` / ``new_bands`` (VERDICT r10 item 4): a caller that
+    maintains the band-bucket table as a standing derived store —
+    stream_incremental_dedup pins it across micro-batches — passes it
+    here so the corpus side is a memory-block scan of PRE-HASHED
+    (id, bucket) rows instead of a per-call store scan that recomputes
+    every band hash. ``bands`` must equal ``_band_buckets(signatures)``
+    row-for-row (the caller's invariant); ``new_bands`` is its
+    restriction to ``new_ids`` and is derived here when absent. The
+    output is identical to the self-computed path — pinned by
+    test_lsh_incremental_prebuilt_bands_identical."""
+    if bands is None:
+        # O(batch): the new docs' bands, computed from a broadcast-
+        # restricted slice of the signature frame — never from the
+        # full corpus scan
+        sig_new = signatures.join(
+            F.broadcast(new_ids.select(id_col)), id_col, "left_semi"
+        )
+        new_bands = _band_buckets(sig_new, id_col)
+        all_bands = _band_buckets(signatures, id_col)
+    else:
+        all_bands = bands
+        if new_bands is None:
+            new_bands = bands.join(
+                F.broadcast(new_ids.select(id_col)), id_col, "left_semi"
+            )
+    prebuilt = bands is not None
     touched = new_bands.select("bucket").distinct()
     # single corpus scan, map-side filtered to touched buckets
-    bands = _band_buckets(signatures, id_col).join(
-        F.broadcast(touched), "bucket", "left_semi"
-    )
+    bands = all_bands.join(F.broadcast(touched), "bucket", "left_semi")
     if max_bucket is not None:
         # the guard adds a second consumer of `bands` (the size count
         # below, then the pair join) — without an eager pin the corpus
         # scan runs once per consumer. The restricted frame is
-        # O(batch bands + collisions) rows, so pinning it is cheap
-        bands = bands.localCheckpoint(eager=True)
+        # O(batch bands + collisions) rows, so pinning it is cheap.
+        # With PREBUILT bands the upstream is already checkpointed
+        # memory blocks, so re-running the cheap semi-join filter per
+        # consumer beats paying another checkpoint job per call
+        # (measured in the r11 stream_incremental_dedup floor work)
+        if not prebuilt:
+            bands = bands.localCheckpoint(eager=True)
         hot = (
             bands.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("__bn"))

@@ -423,6 +423,14 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _union_all(parts: list) -> DataFrame:
+    """unionByName over a non-empty list of same-schema frames."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _inc_minhash_oracle() -> str:
     from .queries_llm import _INC_NEW_MIN, _minhash_sql
 
@@ -475,6 +483,23 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.limit(0).coalesce(1).write.parquet(docs_dir)
     sh0 = D.exploded_shingles(standing)
     D.minhash_signatures(sh0, with_counts=True).write.mode("overwrite").parquet(sig_dir)
+    sig_schema0 = D.minhash_signatures(sh0.limit(0), with_counts=True).schema
+
+    # In-memory pinned views of the DERIVED stores, appended per batch
+    # (VERDICT r10 item 4: the remaining floor was each micro-batch
+    # re-reading the signature store AND re-hashing every band — two
+    # full store scans per batch). The parquet store stays the durable
+    # source of truth (still appended below; a restart re-pins from
+    # it); these checkpointed parts are its cache. At 100 TB the
+    # signature/band store is the small derived side (k hashes per
+    # document, not the corpus), which is exactly what an absorb loop
+    # keeps resident between triggers.
+    sigs0 = spark.read.schema(sig_schema0).parquet(sig_dir).localCheckpoint(eager=True)
+    state = {
+        "sig_parts": [sigs0],
+        "band_parts": [D._band_buckets(sigs0).localCheckpoint(eager=True)],
+        "doc_parts": [],  # absorbed batches (the corpus itself stays a source scan)
+    }
 
     # land the new batch as 3 files → 3 micro-batches (range-partitioned
     # so each file is a contiguous id slice; the output SET is
@@ -482,36 +507,45 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.filter(F.col("doc_id") >= _INC_NEW_MIN)
     new_docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(land_dir)
 
-    sig_schema = D.minhash_signatures(sh0.limit(0), with_counts=True).schema
     pair_schema = "a long, b long, jaccard double"
 
     def absorb(batch: DataFrame, _bid: int) -> None:
         if batch.isEmpty():
             return
         batch = batch.localCheckpoint(eager=True)
-        sigs_seen = spark.read.schema(sig_schema).parquet(sig_dir)
+        # spread=False: the spread repartition is an anti-skew device
+        # for corpus-scale explodes; a micro-batch is small, so the
+        # extra shuffle is pure per-job overhead here (signature
+        # values are identical either way). band_batch stays a lazy
+        # projection over the PINNED sig_batch — banding is a cheap
+        # concat, not worth its own checkpoint job per batch.
         sig_batch = D.minhash_signatures(
-            D.exploded_shingles(batch), with_counts=True
+            D.exploded_shingles(batch, spread=False), with_counts=True
         ).localCheckpoint(eager=True)
-        all_sigs = sigs_seen.unionByName(sig_batch)
+        band_batch = D._band_buckets(sig_batch)
+        all_sigs = _union_all(state["sig_parts"] + [sig_batch])
+        all_bands = _union_all(state["band_parts"] + [band_batch])
         # the candidate-pair frame is tiny (LSH collisions of one batch)
-        # but its lineage holds the full corpus-band scan, and it feeds
+        # but its lineage holds the corpus-band scan, and it feeds
         # THREE consumers below (cand_ids, pair_jaccard's internal
         # candidate-doc restriction, and the final left-semi) — without
         # an eager pin Spark re-runs that scan per consumer (the
         # round-4 broadcast re-execution lesson; round-9 profile showed
-        # it as the largest per-batch cost here)
+        # it as the largest per-batch cost here). The pre-built band
+        # store makes that scan memory-resident and hash-free.
         cand = D.lsh_incremental_candidates(
-            all_sigs, batch.select("doc_id"), max_bucket=_JACCARD_MAX_BUCKET
+            all_sigs,
+            batch.select("doc_id"),
+            max_bucket=_JACCARD_MAX_BUCKET,
+            bands=all_bands,
+            new_bands=band_batch,
         ).localCheckpoint(eager=True)
         cand_ids = (
             cand.select(F.col("a").alias("doc_id"))
             .union(cand.select(F.col("b").alias("doc_id")))
             .distinct()
         )
-        seen_docs = standing.unionByName(
-            spark.read.schema(docs.schema).parquet(docs_dir)
-        )
+        seen_docs = _union_all([standing] + state["doc_parts"])
         cand_docs = (
             seen_docs.unionByName(batch)
             .join(F.broadcast(cand_ids), "doc_id", "left_semi")
@@ -529,9 +563,13 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(out_dir)
         # absorb AFTER pairing so the batch never pairs against itself
-        # through the store (it pairs against itself via all_sigs)
+        # through the store (it pairs against itself via all_sigs):
+        # durable parquet append + the in-memory cache parts
         batch.write.mode("append").parquet(docs_dir)
         sig_batch.write.mode("append").parquet(sig_dir)
+        state["sig_parts"].append(sig_batch)
+        state["band_parts"].append(band_batch)
+        state["doc_parts"].append(batch)
 
     stream = ST.read_file_stream(
         spark, land_dir, docs.schema, max_files_per_trigger=1

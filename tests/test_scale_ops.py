@@ -286,6 +286,45 @@ def test_lsh_incremental_candidates_cap_filters_before_bucket_join(spark, caplog
     assert any("hot band bucket" in r.message for r in caplog.records)
 
 
+def test_lsh_incremental_prebuilt_bands_identical(spark):
+    """The prebuilt-bands fast path (VERDICT r10 item 4:
+    stream_incremental_dedup keeps the band store pinned across
+    micro-batches instead of re-hashing it per batch) must produce
+    byte-identical candidate pairs to the self-computed path — with
+    and without the hot-bucket guard."""
+    from a_share_data_pipeline_spark.operators import dedup as D
+
+    rows = [(i, f"x{k}") for i in range(30) for k in range(3)]
+    rows += [(d, f"y{k}") for d in (100, 101) for k in range(3)]
+    shingled = spark.createDataFrame(rows, "doc_id long, shingle string")
+    sig = D.minhash_signatures(shingled)
+    bands = D._band_buckets(sig).localCheckpoint(eager=True)
+    new_ids = spark.createDataFrame([(29,), (101,)], "doc_id long")
+
+    for cap in (None, 10):
+        want = {
+            (r.a, r.b)
+            for r in D.lsh_incremental_candidates(
+                sig, new_ids, max_bucket=cap
+            ).collect()
+        }
+        got = {
+            (r.a, r.b)
+            for r in D.lsh_incremental_candidates(
+                sig, new_ids, max_bucket=cap, bands=bands
+            ).collect()
+        }
+        # and with the probe side pre-restricted by the caller
+        nb = bands.join(F.broadcast(new_ids), "doc_id", "left_semi")
+        got2 = {
+            (r.a, r.b)
+            for r in D.lsh_incremental_candidates(
+                sig, new_ids, max_bucket=cap, bands=bands, new_bands=nb
+            ).collect()
+        }
+        assert want == got == got2 and want, cap
+
+
 def test_salted_join_wins_where_aqe_skew_split_cannot_apply(spark):
     """WHY skew.py exists when AQE has skew-join splitting: AQE splits
     a skewed shuffle partition only when nothing downstream requires
