@@ -4,7 +4,14 @@
 as its FINAL stdout line, ONE compact JSON record:
 
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "n_queries": <int>, "sf": <float>, "method": "xxhash64-full-gc1"}
+   "n_queries": <int>, "sf": <float>, "method": "xxhash64-full-gc1",
+   "tmpfs": <bool>, "members_hash": "<12 hex>",
+   "canary": {"iter_first": s, "scan_first": s,
+              "iter_last": s, "scan_last": s}}
+
+All added fields are fixed-size (the canary pair is a pinned
+synthetic workload + one lineitem scan, run first and last — VERDICT
+r10 item 2), so the record still cannot grow with the catalog.
 
 The final line is deliberately SHORT. The driver captures only a
 2,000-char stdout TAIL and parses the last line; rounds 4 and 6 both
