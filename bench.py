@@ -335,7 +335,13 @@ def main() -> None:
     # host-movement canaries (VERDICT r10 item 2): the fixed pair runs
     # FIRST and LAST so every record carries its own host-speed
     # reading; bench_diff reports each query's delta alongside the
-    # canary's, separating code movement from host movement
+    # canary's, separating code movement from host movement. One
+    # untimed pass first: the canary must measure the HOST, not the
+    # first-call JIT of its own code paths (an r11 run recorded
+    # iter_first=13.65s — JIT + a host stall conflated; the timed
+    # readings start from compiled code so the two axes stay separate)
+    for cfn in CANARIES.values():
+        evaluate(cfn(spark, sf_dir))
     canary = {f"{k}_first": v for k, v in run_canaries().items()}
 
     timings: dict[str, float] = {}
