@@ -315,11 +315,13 @@ _REGISTRY: dict[str, Query] = {}
 # bucketed_ma's frame windows + the events_ family's five remaining
 # window rows incl. events_streaks incoming).
 #
-# CONCRETE r12 rotation plan (VERDICT r10 item 3 — apply FIRST THING
-# in round 12, never mid-round). All five IN names pre-verified exact
-# at sf0.1 in SWEEP_SF01_r10.jsonl AND re-stamped in this round's
-# SWEEP_SF01_r11.jsonl, so the rotation promotes nothing whose
-# cross-SF behavior is unprobed.
+# Round-12 rotation (VERDICT r11 item 1) — APPLIED at the top of
+# round 12, reflected in CORE_WINDOW below, exactly as planned in
+# r10/r11. All five IN names pre-verified exact at sf0.1 in
+# SWEEP_SF01_r10.jsonl AND SWEEP_SF01_r11.jsonl (two independent
+# rounds), plus the r11 judge independently re-executed search_rrf
+# and abc_classification exact at sf0.01, so the rotation promotes
+# nothing whose cross-SF behavior is unprobed.
 # IN (each the best witness of a never-driver-witnessed §2.12
 # family, per the r10 verdict's shortlist): abc_classification
 # (ABC/Pareto), assoc_market_basket (market-basket 2-itemset mining;
@@ -343,14 +345,44 @@ _REGISTRY: dict[str, Query] = {}
 #
 # r13+ family-witness queue (one witness per remaining hole, in
 # priority order; pick OUT names by the same subsumption discipline):
-#   r13: stream_dedup (streaming exact dedup), profile_chi_square
-#        (dependence/concentration audits), events_markov_transitions
-#        (sequential patterns; events_session_paths alternate),
-#        agg_hll_intersect (sketch set algebra),
-#        events_anomaly_mad (robust/distribution stats).
-#   r14: dedup_containment (containment dedup),
+#
+# CONCRETE r13 rotation plan (VERDICT r11 item 3 — apply FIRST THING
+# in round 13, never mid-round). All five IN names are pre-verified
+# exact at sf0.1 in SWEEP_SF01_r11.jsonl AND this round's
+# SWEEP_SF01_r12.jsonl, so the rotation promotes nothing whose
+# cross-SF behavior is unprobed.
+# IN (each the best witness of a family that is still
+# never-driver-witnessed after r12): stream_dedup (streaming exact
+# dedup — also the only §2.12 family whose witness doubles as a
+# SURVEY §2.9 behavior), profile_chi_square (dependence /
+# concentration audits; agg_gini and profile_hhi_concentration are
+# the alternates), events_markov_transitions (sequential patterns;
+# events_session_paths alternate), agg_hll_intersect (HLL sketch set
+# algebra; agg_hll_union alternate), events_trending (trending rank;
+# z-score-vs-trailing-window shape).
+# OUT (subsumable, driver-green history stands): stream_stream_join
+# (watermarked stream-stream interval join ⊂ join_interval_overlap's
+# retained bucketized interval join + stream_ keeps three window rows
+# incl. stream_dedup incoming; r5-r12 history), events_funnel
+# (ordered conversion ⊂ local events_window_funnel oracle + the
+# events_ family's retained attribution/sessionize/streaks rows;
+# r9-r12 history), profile_distribution_drift (integer-exact TVD
+# drift ⊂ profile_chi_square's incoming dependence-audit shape +
+# local profile_* diffs; r10-r12 history), agg_sketch_merge
+# (merged-shard HLL algebra ⊂ agg_hll_intersect's incoming
+# inclusion-exclusion set algebra, which composes the same shard
+# merge; r7-r12 history), join_bloom_prune (Bloom-build broadcast
+# prune ⊂ join_semi_anti's retained LeftSemi shape + local sketch
+# oracles; r9-r12 history).
+# Cascade reminder: update the family-prefix assert list in
+# tests/test_scale_ops.py (events_funnel leaving keeps events_ via
+# four other rows; no prefix vanishes), bench.py EXTENDED gains the
+# five OUT names, COVERAGE/QUERIES regen, members_hash refreshes.
+#
+#   r14 queue: dedup_containment (containment dedup),
 #        events_seasonal_decompose (seasonal decomposition),
-#        events_trending (trending rank), then the strongest
+#        set_ops_all (bag set-op semantics — the last §2.12 family
+#        hole after r13), then the strongest
 #        already-witnessed-family production shapes resume
 #        (curation_bloom_decontaminate, curation_dsir_importance,
 #        sample_bottom_k_merge, graph_closeness_sampled, ...).
@@ -447,25 +479,30 @@ _REGISTRY: dict[str, Query] = {}
 # (the reference-domain VWAP bar), stats_sprt (sequential analysis
 # over integer-nano ln literals).
 CORE_WINDOW: tuple[str, ...] = (
-    # flagship + aggregation surface
+    # flagship + aggregation surface (agg_grouping_sets rotated out
+    # r12 — Expand/grouping-sets shape ⊂ events_multires_rollup's
+    # multires rollup below + local agg_rollup/agg_cube oracle diffs)
     "canonical_assembly",
     "agg_stats",
-    "agg_grouping_sets",
     # windows
     "window_rank",
-    # sort / set ops
+    # sort / top-k (set_ops rotated out r12 — INTERSECT/EXCEPT compile
+    # to the semi/anti plan shapes ⊂ join_semi_anti below + local
+    # set_ops_all bag-semantics oracle)
     "sort_topk",
-    "set_ops",
+    # ABC/Pareto concentration classification (r12)
+    "abc_classification",
     # sketch algebra: re-aggregatable HLL shards (r7; algebraic moments
     # rotated out r11 — ⊂ this row's merged-shard sketch algebra)
     "agg_sketch_merge",
     # inference: unequal-variance t (r9; BH multiple-testing control
     # rotated out r11 — ⊂ this row + local stats_* oracle diffs)
     "stats_welch_ttest",
-    # join shapes (+ sketch-prune shuffle primitive, r9)
+    # join shapes (+ sketch-prune shuffle primitive, r9; join_range
+    # rotated out r12 — range predicate ⊂ join_interval_overlap's
+    # bucketized interval join over the same shape)
     "join_regional_revenue",
     "join_semi_anti",
-    "join_range",
     "join_interval_overlap",
     "join_bloom_prune",
     "asof_join",
@@ -479,10 +516,11 @@ CORE_WINDOW: tuple[str, ...] = (
     "scd2_dim_history",
     "incremental_join_delta",
     "source_txn_log_snapshot",
-    # product analytics: ordered conversion + cohort return (r9) +
-    # multi-touch attribution (r10)
+    # product analytics: ordered conversion (r9) + multi-touch
+    # attribution (r10; events_retention rotated out r12 — cohort
+    # day-N return ⊂ the events_ family's remaining window rows:
+    # funnel + attribution + sessionize + streaks, r9-r11 history)
     "events_funnel",
-    "events_retention",
     "events_attribution",
     "events_sessionize",
     # gaps-and-islands engagement streaks (r11; events_macd rotated
@@ -492,6 +530,15 @@ CORE_WINDOW: tuple[str, ...] = (
     "bucketed_ma",
     # drift monitoring — integer-exact TVD (r10)
     "profile_distribution_drift",
+    # time hierarchy / multi-resolution reshape — Expand-based
+    # GROUPING SETS rollup (r12; carries the grouping-sets plan shape)
+    "events_multires_rollup",
+    # market-basket 2-itemset mining (r12)
+    "assoc_market_basket",
+    # hybrid search: reciprocal-rank fusion over BM25 + ANN lanes (r12)
+    "search_rrf",
+    # temporal ML splits with leakage embargo (r12)
+    "split_temporal_embargo",
     # forecasting / rolling models (r11)
     "forecast_linear",
     # privacy enforcement — k-anonymity generalization (r11)
@@ -506,8 +553,10 @@ CORE_WINDOW: tuple[str, ...] = (
     # UDF lanes (arrow scalar lane rotated out r9, subsumed by the
     # heavier grouped-map arrow lane below)
     "udf_grouped_map",
-    # LLM-training-data operators (+ PPJoin prefix-filter join, r10)
-    "dedup_exact",
+    # LLM-training-data operators (+ PPJoin prefix-filter join, r10;
+    # dedup_exact rotated out r12 — exact hash-groupBy dedup ⊂
+    # curation_line_dedup's exact line-hash dedup below +
+    # dedup_components' canonical-survivor pick)
     "dedup_minhash_lsh",
     "dedup_jaccard_prefix",
     "dedup_semantic",

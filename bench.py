@@ -191,8 +191,8 @@ EXTENDED = [
     "graph_bfs_hops",
     "dedup_containment",
     # (events_attribution / profile_distribution_drift moved INTO the
-    # r10 window — their series continue on the headline record)
-    "events_multires_rollup",
+    # r10 window, events_multires_rollup INTO the r12 window — their
+    # series continue on the headline record)
     "skyline_pareto",
     "graph_sssp_weighted",
     "stats_bootstrap_ci",
@@ -237,6 +237,12 @@ EXTENDED = [
     "agg_moments_merge",
     "cdc_time_travel",
     "events_macd",
+    # r12 rotation: ditto for the five r12 rotated-out names
+    "join_range",
+    "agg_grouping_sets",
+    "set_ops",
+    "dedup_exact",
+    "events_retention",
 ]
 
 

@@ -744,11 +744,15 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # in r8/r9, profile_/table_/source_ in r10; sql_ REJOINED in r11
     # via sql_recursive_cte, and privacy_/forecast_ gained their first
     # window rows in r11)
+    # (abc_/assoc_/search_/split_ gained their first window rows in
+    # r12 via the ABC/Pareto, market-basket, hybrid-search and
+    # temporal-split family witnesses)
     for prefix in ("agg_", "window_", "join_", "udf_",
                    "dedup_", "sim_", "text_", "events_", "multimodal_",
                    "curation_", "sample_", "stats_", "geo_", "audit_",
                    "profile_", "table_", "source_", "stream_",
-                   "sql_", "privacy_", "forecast_"):
+                   "sql_", "privacy_", "forecast_",
+                   "abc_", "assoc_", "search_", "split_"):
         assert any(n.startswith(prefix) for n in CORE_WINDOW), prefix
     # round-3 rotation: the round-2 operator families must sit INSIDE
     # the driver window, witnessed by these exact (stable) names
@@ -798,10 +802,12 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # agg_moments_merge ⊂ agg_sketch_merge's merged-shard algebra)
     assert "geo_dbscan_grid" in CORE_WINDOW
     # round-9 rotation (VERDICT r8 item 1): five never-driver-verified
-    # families enter — ordered conversion funnel, cohort retention,
+    # families entered — ordered conversion funnel, cohort retention,
     # multi-table referential-integrity audit, Bloom-sketch join prune,
-    # unequal-variance inference
-    for name in ("events_funnel", "events_retention",
+    # unequal-variance inference (events_retention rotated back out in
+    # r12 with driver-green r9-r11 history: cohort day-N return ⊂ the
+    # events_ family's remaining window rows)
+    for name in ("events_funnel",
                  "audit_referential_integrity", "join_bloom_prune",
                  "stats_welch_ttest"):
         assert name in CORE_WINDOW, name
@@ -820,6 +826,16 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     for name in ("stream_scd2_apply", "sql_recursive_cte",
                  "events_streaks", "privacy_generalize",
                  "forecast_linear"):
+        assert name in CORE_WINDOW, name
+    # round-12 rotation (VERDICT r11 item 1): five never-driver-verified
+    # families enter — ABC/Pareto classification, market-basket
+    # 2-itemset mining, hybrid-search reciprocal-rank fusion, temporal
+    # ML splits with embargo, multi-resolution time rollup (out:
+    # join_range, agg_grouping_sets, set_ops, dedup_exact,
+    # events_retention — all subsumed, driver-green history stands)
+    for name in ("abc_classification", "assoc_market_basket",
+                 "search_rrf", "split_temporal_embargo",
+                 "events_multires_rollup"):
         assert name in CORE_WINDOW, name
     assert any(n.startswith("stream_") for n in CORE_WINDOW)
 
