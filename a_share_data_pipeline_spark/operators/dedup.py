@@ -213,6 +213,17 @@ def lsh_incremental_candidates(
     restriction to ``new_ids`` and is derived here when absent. The
     output is identical to the self-computed path — pinned by
     test_lsh_incremental_prebuilt_bands_identical."""
+    if bands is None and new_bands is not None:
+        # ADVICE r11: the self-computed branch below derives BOTH band
+        # frames and would silently overwrite a caller-supplied
+        # new_bands — there is no valid "new_bands without bands" call
+        # (new_bands is a restriction OF bands), so fail loudly.
+        raise ValueError(
+            "lsh_incremental_candidates: new_bands was passed without "
+            "bands — new_bands is the new-ids restriction of the "
+            "prebuilt corpus band table and is meaningless alone; pass "
+            "bands (and optionally new_bands), or neither"
+        )
     if bands is None:
         # O(batch): the new docs' bands, computed from a broadcast-
         # restricted slice of the signature frame — never from the

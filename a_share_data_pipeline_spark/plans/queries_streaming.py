@@ -494,11 +494,18 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature/band store is the small derived side (k hashes per
     # document, not the corpus), which is exactly what an absorb loop
     # keeps resident between triggers.
+    # Parts are keyed by micro-batch id (ADVICE r11): foreachBatch
+    # re-delivers a batch under the SAME _bid after a partial failure,
+    # so a retried batch must REPLACE its earlier registration, never
+    # append beside it — list-shaped parts would double the batch into
+    # the candidate space. Key -1 is the pre-stream store. (The durable
+    # parquet appends keep the documented at-least-once hazard; these
+    # in-memory parts are the store's cache and must not add to it.)
     sigs0 = spark.read.schema(sig_schema0).parquet(sig_dir).localCheckpoint(eager=True)
     state = {
-        "sig_parts": [sigs0],
-        "band_parts": [D._band_buckets(sigs0).localCheckpoint(eager=True)],
-        "doc_parts": [],  # absorbed batches (the corpus itself stays a source scan)
+        "sig_parts": {-1: sigs0},
+        "band_parts": {-1: D._band_buckets(sigs0).localCheckpoint(eager=True)},
+        "doc_parts": {},  # absorbed batches (the corpus itself stays a source scan)
     }
 
     # land the new batch as 3 files → 3 micro-batches (range-partitioned
@@ -512,6 +519,11 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def absorb(batch: DataFrame, _bid: int) -> None:
         if batch.isEmpty():
             return
+        # a retried _bid must not see (or keep) its earlier attempt's
+        # parts: drop them up front so the unions below read only
+        # other batches' state, then re-register at the end
+        for parts in state.values():
+            parts.pop(_bid, None)
         batch = batch.localCheckpoint(eager=True)
         # spread=False: the spread repartition is an anti-skew device
         # for corpus-scale explodes; a micro-batch is small, so the
@@ -523,8 +535,8 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             D.exploded_shingles(batch, spread=False), with_counts=True
         ).localCheckpoint(eager=True)
         band_batch = D._band_buckets(sig_batch)
-        all_sigs = _union_all(state["sig_parts"] + [sig_batch])
-        all_bands = _union_all(state["band_parts"] + [band_batch])
+        all_sigs = _union_all(list(state["sig_parts"].values()) + [sig_batch])
+        all_bands = _union_all(list(state["band_parts"].values()) + [band_batch])
         # the candidate-pair frame is tiny (LSH collisions of one batch)
         # but its lineage holds the corpus-band scan, and it feeds
         # THREE consumers below (cand_ids, pair_jaccard's internal
@@ -545,7 +557,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .union(cand.select(F.col("b").alias("doc_id")))
             .distinct()
         )
-        seen_docs = _union_all([standing] + state["doc_parts"])
+        seen_docs = _union_all([standing] + list(state["doc_parts"].values()))
         cand_docs = (
             seen_docs.unionByName(batch)
             .join(F.broadcast(cand_ids), "doc_id", "left_semi")
@@ -567,9 +579,9 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # durable parquet append + the in-memory cache parts
         batch.write.mode("append").parquet(docs_dir)
         sig_batch.write.mode("append").parquet(sig_dir)
-        state["sig_parts"].append(sig_batch)
-        state["band_parts"].append(band_batch)
-        state["doc_parts"].append(batch)
+        state["sig_parts"][_bid] = sig_batch
+        state["band_parts"][_bid] = band_batch
+        state["doc_parts"][_bid] = batch
 
     stream = ST.read_file_stream(
         spark, land_dir, docs.schema, max_files_per_trigger=1

@@ -5,9 +5,16 @@ as its FINAL stdout line, ONE compact JSON record:
 
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "n_queries": <int>, "sf": <float>, "method": "xxhash64-full-gc1",
+   "method_v": "xxhash64-full-gc1+tmpfs+canary2",
    "tmpfs": <bool>, "members_hash": "<12 hex>",
    "canary": {"iter_first": s, "scan_first": s,
               "iter_last": s, "scan_last": s}}
+
+``method_v`` (VERDICT r11 item 7) is the versioned methodology label:
+the frozen evaluation method PLUS the write-path substrate PLUS the
+canary protocol, so incomparable records can never pair by label
+alone. ``bench_diff.py`` keys comparability on it (falling back to a
+composed label for pre-r12 records).
 
 All added fields are fixed-size (the canary pair is a pinned
 synthetic workload + one lineitem scan, run first and last — VERDICT
@@ -404,6 +411,17 @@ def main() -> None:
     # from its predecessor's is NOT round-over-round comparable; never
     # change evaluation and isolation in the same round.
     method = "xxhash64-full-gc1"
+    # versioned methodology label (VERDICT r11 item 7): the bare
+    # "method" string stayed constant across two real methodology
+    # shifts (tmpfs write-path pin in r10, canary pair in r11), so a
+    # reader pairing records by label alone could compare
+    # incomparables. method_v folds the substrate and the canary
+    # protocol into ONE string; bench_diff keys comparability on it.
+    method_v = (
+        method
+        + ("+tmpfs" if bench_tmp is not None else "")
+        + (f"+canary{len(CANARIES)}" if CANARIES else "")
+    )
     # membership fingerprint (VERDICT r10 item 7): rotation moves names
     # between the headline and extended sets, so two records' TOTALS are
     # only comparable when their memberships match — bench_diff refuses
@@ -419,6 +437,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "method": method,
+        "method_v": method_v,
         "tmpfs": bench_tmp is not None,
         "members_hash": members_hash,
         "canary": canary,
@@ -440,6 +459,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
         "method": method,
+        "method_v": method_v,
         "tmpfs": bench_tmp is not None,
         "members_hash": members_hash,
         "canary": canary,

@@ -12,18 +12,20 @@ someone re-adds a map (they are compact by design — use the committed
 local[32] rep-to-rep jitter measured across rounds; per-rep spread
 lives in the record's ``detail`` blob for manual reading.
 
-Two records are comparable ONLY if their ``method`` labels AND their
-``tmpfs`` substrate flags match (``xxhash64-full-gc1`` since round 5,
-tmpfs write-path pin since round 10 — ADVICE r10: the substrate is
-part of the methodology); the script refuses loudly when either
-differs, because round 5 proved a silent methodology change reads as
-a fake ±17% regression (VERDICT r5 item 2/5). Totals are additionally
-gated on ``members_hash`` equality (VERDICT r10 item 7): across a
-rotation, only the shared-subset delta is meaningful. When both
-records carry the fixed ``canary`` pair (round 11+), the canary
-ratios are printed up front and the shared delta is host-normalized
-by the iterative canary — separating code movement from host
-movement.
+Two records are comparable ONLY if their versioned methodology labels
+(``method_v`` — method + tmpfs substrate + canary protocol, written
+by bench.py since r12; composed from the legacy fields for older
+records) AND their scale factors match; the script banners loudly
+when either differs, because round 5 proved a silent methodology
+change reads as a fake ±17% regression (VERDICT r5 item 2/5) and the
+scan canary + every per-query time scale with SF (ADVICE r11).
+Totals are additionally gated on ``members_hash`` equality (VERDICT
+r10 item 7): across a rotation, only the shared-subset delta is
+meaningful. When both records carry the fixed ``canary`` pair (round
+11+), the canary ratios are printed up front and the shared delta is
+host-normalized on BOTH canary axes (iter = scheduler/CPU, scan =
+IO/codegen — ADVICE r11: pick the axis matching the query class that
+moved), separating code movement from host movement.
 """
 
 from __future__ import annotations
@@ -46,13 +48,24 @@ def _load(path: str) -> dict:
 
 
 def _effective_method(rec: dict) -> str:
-    """Comparability key: the frozen method label PLUS the measurement
-    substrate (ADVICE r10: the r10 tmpfs write-path pin changed the
-    substrate under the same 'xxhash64-full-gc1' label, so the r9→r10
-    headline delta silently mixed plan wins with substrate wins). Two
-    records are round-over-round comparable only when BOTH match."""
-    m = rec.get("method", "<unlabeled>")
-    return m + ("+tmpfs" if rec.get("tmpfs") else "")
+    """Comparability key: the versioned methodology label (``method_v``,
+    written by bench.py since r12 — VERDICT r11 item 7) plus the scale
+    factor. Pre-r12 records carry no method_v, so it is composed here
+    from the same ingredients (method + tmpfs substrate + canary
+    protocol — ADVICE r10: the r10 tmpfs pin changed the substrate
+    under the same 'xxhash64-full-gc1' label, so the r9→r10 headline
+    delta silently mixed plan wins with substrate wins). The scan
+    canary scales with SF, and every per-query time obviously does
+    (ADVICE r11): records taken at different scale factors must refuse
+    rather than print a misleading host ratio."""
+    mv = rec.get("method_v")
+    if mv is None:
+        mv = (
+            rec.get("method", "<unlabeled>")
+            + ("+tmpfs" if rec.get("tmpfs") else "")
+            + ("+canary2" if rec.get("canary") else "")
+        )
+    return f"{mv}@sf{rec.get('sf')}"
 
 
 def diff(old: dict, new: dict) -> str:
@@ -112,13 +125,26 @@ def diff(old: dict, new: dict) -> str:
         f"({rel_shared:+.1%}); "
         f"noise band ±{NOISE_BAND:.0%} ('~' rows are within it)"
     )
-    if host and "iter" in host:
+    if host:
         # code movement ≈ shared delta with the host's own movement
-        # divided out (iterative canary — the drift-prone cost class)
-        lines.append(
-            f"host-normalized shared delta: ×{(1 + rel_shared) / host['iter']:.3f} "
-            f"(shared ×{1 + rel_shared:.3f} ÷ iter canary ×{host['iter']:.3f})"
-        )
+        # divided out. The canary pair spans TWO host axes (ADVICE
+        # r11): the iter canary tracks scheduler/CPU movement (the
+        # multi-job iterative class), the scan canary tracks IO/codegen
+        # movement (map-only scans). Print both normalizations so a
+        # reader picks the axis matching the query class that moved —
+        # dividing scan-bound movement by the iter ratio would
+        # mis-attribute it.
+        for axis, note in (
+            ("iter", "scheduler/CPU axis — iterative/multi-job queries"),
+            ("scan", "IO/codegen axis — map-only scan queries"),
+        ):
+            if axis in host:
+                lines.append(
+                    f"host-normalized shared delta ({axis}-class): "
+                    f"×{(1 + rel_shared) / host[axis]:.3f} "
+                    f"(shared ×{1 + rel_shared:.3f} ÷ {axis} canary "
+                    f"×{host[axis]:.3f}; {note})"
+                )
     if only_old:
         lines.append(f"dropped from headline: {', '.join(only_old)}")
     if only_new:

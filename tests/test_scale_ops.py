@@ -325,6 +325,27 @@ def test_lsh_incremental_prebuilt_bands_identical(spark):
         assert want == got == got2 and want, cap
 
 
+def test_lsh_incremental_new_bands_without_bands_rejected(spark):
+    """ADVICE r11: new_bands is the new-ids restriction OF the prebuilt
+    bands table — passing it alone is an invalid combination that the
+    self-computed branch used to silently discard. It must fail loudly,
+    not run the slow path while the caller believes the fast path is
+    live."""
+    import pytest
+
+    from a_share_data_pipeline_spark.operators import dedup as D
+
+    rows = [(i, f"x{k}") for i in range(4) for k in range(3)]
+    shingled = spark.createDataFrame(rows, "doc_id long, shingle string")
+    sig = D.minhash_signatures(shingled)
+    new_ids = spark.createDataFrame([(3,)], "doc_id long")
+    nb = D._band_buckets(sig).join(
+        F.broadcast(new_ids), "doc_id", "left_semi"
+    )
+    with pytest.raises(ValueError, match="new_bands was passed without"):
+        D.lsh_incremental_candidates(sig, new_ids, new_bands=nb)
+
+
 def test_salted_join_wins_where_aqe_skew_split_cannot_apply(spark):
     """WHY skew.py exists when AQE has skew-join splitting: AQE splits
     a skewed shuffle partition only when nothing downstream requires
@@ -895,6 +916,48 @@ def test_coverage_tiers_block_matches_live_history():
     )
 
 
+def test_stamp_bench_acceptance_gates():
+    """VERDICT r11 item 2: 'quietest window observed' must be a rule,
+    not judgment. Pin stamp_bench.accept()'s gates: canary floors,
+    series-minimum, and the shape checks — including the mid-run-stall
+    case (clean canaries, inflated total) that only the series minimum
+    catches."""
+    import stamp_bench as SB
+
+    quiet_canary = {
+        "iter_first": 2.0, "iter_last": 1.8,
+        "scan_first": 0.45, "scan_last": 0.42,
+    }
+    rec = {
+        "value": 100.0, "sf": 0.1, "members_hash": "a" * 12,
+        "method_v": "xxhash64-full-gc1+tmpfs+canary2",
+        "canary": dict(quiet_canary),
+    }
+    logged = [dict(rec)]
+    assert SB.accept(rec, logged) == []
+    # stalled host: iter canary min over floor × tol
+    bad = dict(rec, canary=dict(quiet_canary, iter_first=9.0, iter_last=3.0))
+    assert any("stalled host" in f for f in SB.accept(bad, [bad]))
+    # mid-run stall: clean canaries at both ends, total above the
+    # round's series minimum (the r11 extended +75.7% case)
+    stalled_mid = dict(rec, value=130.0)
+    fails = SB.accept(stalled_mid, [dict(rec), stalled_mid])
+    assert any("series minimum" in f for f in fails)
+    # series gate only compares runs with matching membership+method
+    other = dict(rec, members_hash="b" * 12, value=50.0)
+    assert SB.accept(rec, [other, dict(rec)]) == []
+    # no logged peers at all → refuse (the receipt series is required)
+    assert any("no logged runs" in f for f in SB.accept(rec, [other]))
+    # wrong sf / missing fields refuse
+    assert any("sf=" in f for f in SB.accept(dict(rec, sf=0.01), logged))
+    nomh = {k: v for k, v in rec.items() if k != "method_v"}
+    assert any("method_v" in f for f in SB.accept(nomh, logged))
+    # floors are committed constants — a drive-by loosening shows up
+    # as a diff on BOTH the constant and this pin
+    assert SB.ITER_FLOOR == 1.72 and SB.SCAN_FLOOR == 0.41
+    assert SB.CANARY_TOL == 1.25 and SB.TOTAL_TOL == 1.01
+
+
 def test_bench_record_stays_driver_parseable():
     """The driver captures only a 2,000-char stdout tail and parses the
     LAST line; rounds 4 and 6 both lost their bench record
@@ -927,6 +990,7 @@ def test_bench_record_stays_driver_parseable():
         "n_queries": len(bench.HEADLINE),
         "sf": 100.0,
         "method": "xxhash64-full-gc1",
+        "method_v": "xxhash64-full-gc1+tmpfs+canary2",
         "tmpfs": True,
         "members_hash": "a" * 12,
         "canary": {

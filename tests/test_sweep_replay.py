@@ -141,13 +141,37 @@ def test_replay_prefix_marker_must_be_unique():
         sweep._prefix(sql, "absent AS (", "SELECT * FROM base")
 
 
-def test_retry_timing_reflects_successful_attempt(monkeypatch, tmp_path):
+def test_retry_timing_reflects_successful_attempt():
     """ADVICE r10: on a retried Spark side, spark_s must reflect the
     attempt that produced the rows, not include the failed first
-    attempt's wall time. Exercised via the committed source: the
-    retry block resets t0 before the second attempt."""
-    import inspect
+    attempt's wall time. Behavioral (ADVICE r11 — the old source-text
+    grep broke on benign refactors and could miss a real timing bug):
+    a fake clock advances 10s across the failing first attempt and 2s
+    across the succeeding retry; spark_s must read 2, not 12."""
+    ticks = iter([0.0, 10.0, 12.0])  # t0 #1, t0 reset, success stamp
+    attempts = {"n": 0}
 
-    src = inspect.getsource(sweep.main)
-    retry = src.split('rec["retries"] = 1')[1].split("except Exception as e2")[0]
-    assert "t0 = time.time()" in retry
+    def runner():
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise RuntimeError("transient python-worker crash")
+        return ["c"], [(1,)]
+
+    rec, result = sweep._run_with_retry(runner, clock=lambda: next(ticks))
+    assert result == (["c"], [(1,)])
+    assert rec["retries"] == 1
+    assert rec["spark_s"] == 2.0  # NOT 12.0
+
+
+def test_retry_double_failure_records_spark_error():
+    """The second failure is recorded, not raised: the sweep must keep
+    walking the catalog (VERDICT r9 item 7)."""
+
+    def runner():
+        raise ValueError("boom")
+
+    rec, result = sweep._run_with_retry(runner, clock=lambda: 0.0)
+    assert result is None
+    assert rec["status"] == "spark-error"
+    assert rec["retries"] == 1
+    assert "ValueError: boom" in rec["why"]
