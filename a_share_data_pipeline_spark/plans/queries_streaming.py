@@ -587,13 +587,26 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, land_dir, docs.schema, max_files_per_trigger=1
     )
     ckpt = os.path.join(root, "ckpt")
-    q = (
-        stream.writeStream.foreachBatch(absorb)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # A micro-batch here is ~1/3 of the new slice — kilobytes of
+    # shuffle data across the ~8 per-batch jobs, where 32-way shuffles
+    # are pure task-scheduling overhead (the same sizing rule as
+    # _run_to_table's state_partitions: width follows data volume, not
+    # CPU count; the output set is partition-independent). The standing
+    # corpus setup above already ran at full width; restore before the
+    # batch-side result read.
+    pkey = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(pkey)
+    spark.conf.set(pkey, "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(absorb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(pkey, prev_parts)
     return spark.read.schema(pair_schema).parquet(out_dir)
 
 
