@@ -104,6 +104,9 @@ _HIGH_VARIANCE = {
     "stream_stream_join",
     "stream_scd2_apply",
     "stream_curation_gates",
+    # r13: the rotation brought a fourth streaming lane onto the
+    # headline record — same micro-batch scheduler-latency jitter class
+    "stream_dedup",
 }
 
 # VERDICT r10 item 2: two consecutive rounds of ONE-DIRECTIONAL drift
@@ -250,6 +253,12 @@ EXTENDED = [
     "set_ops",
     "dedup_exact",
     "events_retention",
+    # r13 rotation: ditto for the five r13 rotated-out names
+    "stream_stream_join",
+    "events_funnel",
+    "profile_distribution_drift",
+    "agg_sketch_merge",
+    "join_bloom_prune",
 ]
 
 

@@ -792,9 +792,13 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # round-5 rotation (VERDICT r4 item 2): the strongest round-4
     # families enter; the PQ family stays witnessed via sim_ann_ivfpq
     # (dedup_substring rotated back out in r7: fingerprint-window
-    # family stays witnessed via curation_line_dedup)
+    # family stays witnessed via curation_line_dedup;
+    # stream_stream_join rotated back out in r13 with driver-green
+    # r5-r12 history: watermarked stream-stream interval join ⊂
+    # join_interval_overlap's bucketized interval join, and the
+    # stream_ family keeps three window rows incl. stream_dedup)
     for name in ("dedup_semantic", "curation_line_dedup",
-                 "stream_stream_join", "sim_ann_ivfpq"):
+                 "sim_ann_ivfpq"):
         assert name in CORE_WINDOW, name
     # round-6 rotation (VERDICT r5 item 1): five never-driver-verified
     # operator FAMILIES entered — iterative rank, I/U/D change apply,
@@ -810,9 +814,11 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # round-7 rotation (VERDICT r6 item 2): five never-driver-verified
     # families enter — stored-index ANN serving, streaming incremental
     # dedup, SCD2 temporal dimension, join IVM, sketch algebra
+    # (agg_sketch_merge rotated back out in r13 with driver-green
+    # r7-r12 history: merged-shard HLL algebra ⊂ agg_hll_intersect's
+    # inclusion-exclusion set algebra, which composes the same merge)
     for name in ("sim_ann_index_scan", "stream_incremental_dedup",
-                 "scd2_dim_history", "incremental_join_delta",
-                 "agg_sketch_merge"):
+                 "scd2_dim_history", "incremental_join_delta"):
         assert name in CORE_WINDOW, name
     # round-8 rotation (VERDICT r7 item 1): five never-driver-verified
     # families entered — of those, only geo_dbscan_grid remains in the
@@ -827,16 +833,24 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     # multi-table referential-integrity audit, Bloom-sketch join prune,
     # unequal-variance inference (events_retention rotated back out in
     # r12 with driver-green r9-r11 history: cohort day-N return ⊂ the
-    # events_ family's remaining window rows)
-    for name in ("events_funnel",
-                 "audit_referential_integrity", "join_bloom_prune",
+    # events_ family's remaining window rows; events_funnel rotated
+    # back out in r13 with driver-green r9-r12 history: ordered
+    # conversion ⊂ local events_window_funnel oracle + the family's
+    # retained rows; join_bloom_prune rotated back out in r13 with
+    # driver-green r9-r12 history: Bloom broadcast prune ⊂
+    # join_semi_anti's LeftSemi shape + local sketch oracles)
+    for name in ("audit_referential_integrity",
                  "stats_welch_ttest"):
         assert name in CORE_WINDOW, name
     # round-10 rotation (VERDICT r9 item 1): five never-driver-verified
     # families enter — PPJoin prefix-filter similarity join, drift
     # monitoring (integer-exact TVD), multi-touch attribution,
     # snapshot diff / data versioning, lakehouse log-replay read
-    for name in ("dedup_jaccard_prefix", "profile_distribution_drift",
+    # (profile_distribution_drift rotated back out in r13 with
+    # driver-green r10-r12 history: integer-exact TVD drift ⊂
+    # profile_chi_square's dependence-audit shape + local profile_*
+    # diffs)
+    for name in ("dedup_jaccard_prefix",
                  "events_attribution", "table_diff",
                  "source_txn_log_snapshot"):
         assert name in CORE_WINDOW, name
@@ -857,6 +871,18 @@ def test_core_window_is_exactly_the_driver_prefix(spark):
     for name in ("abc_classification", "assoc_market_basket",
                  "search_rrf", "split_temporal_embargo",
                  "events_multires_rollup"):
+        assert name in CORE_WINDOW, name
+    # round-13 rotation (VERDICT r12 item 1): five never-driver-verified
+    # families enter — streaming exact dedup-within-watermark,
+    # dependence/concentration audits (integer χ²), sequential
+    # patterns (Markov transitions), HLL sketch set algebra
+    # (inclusion-exclusion), trending rank (z-score vs trailing
+    # window) (out: stream_stream_join, events_funnel,
+    # profile_distribution_drift, agg_sketch_merge, join_bloom_prune
+    # — all subsumed, driver-green history stands)
+    for name in ("stream_dedup", "profile_chi_square",
+                 "events_markov_transitions", "agg_hll_intersect",
+                 "events_trending"):
         assert name in CORE_WINDOW, name
     assert any(n.startswith("stream_") for n in CORE_WINDOW)
 
