@@ -465,7 +465,16 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
     from .queries_llm import _INC_NEW_MIN, _JACCARD_MAX_BUCKET
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Conf sandbox (VERDICT r12 item 4): the absorb loop's micro-batch
+    # shuffles run width-8 (volume-not-CPU sizing, set just before the
+    # stream starts below), and that width must not leak to concurrent
+    # queries on the caller's session — so the whole stream runs in a
+    # cloned session (shared SparkContext, isolated SQLConf; every
+    # engine conf lives at builder level in session.py, so the clone
+    # inherits them all). The caller's conf is never touched — pinned
+    # by test_stream_incdedup_width_scoped_to_clone.
+    work = spark.newSession()
+    docs = load_table(work, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="stream_incdedup_")
     docs_dir = os.path.join(root, "docs")
     sig_dir = os.path.join(root, "sigs")
@@ -501,7 +510,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate space. Key -1 is the pre-stream store. (The durable
     # parquet appends keep the documented at-least-once hazard; these
     # in-memory parts are the store's cache and must not add to it.)
-    sigs0 = spark.read.schema(sig_schema0).parquet(sig_dir).localCheckpoint(eager=True)
+    sigs0 = work.read.schema(sig_schema0).parquet(sig_dir).localCheckpoint(eager=True)
     state = {
         "sig_parts": {-1: sigs0},
         "band_parts": {-1: D._band_buckets(sigs0).localCheckpoint(eager=True)},
@@ -515,6 +524,46 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(land_dir)
 
     pair_schema = "a long, b long, jaccard double"
+    absorb = _incdedup_make_absorb(state, standing, out_dir, docs_dir, sig_dir)
+
+    stream = ST.read_file_stream(
+        work, land_dir, docs.schema, max_files_per_trigger=1
+    )
+    ckpt = os.path.join(root, "ckpt")
+    # A micro-batch here is ~1/3 of the new slice — kilobytes of
+    # shuffle data across the ~8 per-batch jobs, where 32-way shuffles
+    # are pure task-scheduling overhead (the same sizing rule as
+    # _run_to_table's state_partitions: width follows data volume, not
+    # CPU count; the output set is partition-independent). Set on the
+    # CLONED session only, after the full-width corpus setup above —
+    # the caller's session keeps its width throughout.
+    work.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # bid-keyed subdirs → recursive lookup; the result read runs on the
+    # caller's session at the caller's width
+    return (
+        spark.read.schema(pair_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+    )
+
+
+def _incdedup_make_absorb(
+    state: dict, standing: DataFrame, out_dir: str, docs_dir: str, sig_dir: str
+):
+    """Build stream_incremental_dedup's foreachBatch closure (module
+    level, like :func:`_scd2_make_absorb`, so the retry contract is
+    directly testable: tests drive it twice with the SAME ``_bid`` and
+    assert both the in-memory parts and the read-back pairs converge
+    instead of doubling)."""
+    from ..operators import dedup as D
+    from .queries_llm import _JACCARD_MAX_BUCKET
 
     def absorb(batch: DataFrame, _bid: int) -> None:
         if batch.isEmpty():
@@ -571,9 +620,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts=all_sigs.select("doc_id", "n_sh"),
             restrict=False,
         ).filter(F.col("jaccard") >= 0.5)
+        # Idempotent per batch (ADVICE r12): out_dir is read back as the
+        # query RESULT, so a retried _bid must REPLACE its earlier
+        # attempt's pairs, never append beside them — each batch owns a
+        # bid-keyed subdirectory written with overwrite (the docs/sigs
+        # appends below keep the documented at-least-once hazard; they
+        # are never read back within a run — the in-memory parts are).
         ver.select("a", "b", dround("jaccard", 6).alias("jaccard")).write.mode(
-            "append"
-        ).parquet(out_dir)
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"bid_{_bid}"))
         # absorb AFTER pairing so the batch never pairs against itself
         # through the store (it pairs against itself via all_sigs):
         # durable parquet append + the in-memory cache parts
@@ -583,31 +638,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["band_parts"][_bid] = band_batch
         state["doc_parts"][_bid] = batch
 
-    stream = ST.read_file_stream(
-        spark, land_dir, docs.schema, max_files_per_trigger=1
-    )
-    ckpt = os.path.join(root, "ckpt")
-    # A micro-batch here is ~1/3 of the new slice — kilobytes of
-    # shuffle data across the ~8 per-batch jobs, where 32-way shuffles
-    # are pure task-scheduling overhead (the same sizing rule as
-    # _run_to_table's state_partitions: width follows data volume, not
-    # CPU count; the output set is partition-independent). The standing
-    # corpus setup above already ran at full width; restore before the
-    # batch-side result read.
-    pkey = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(pkey)
-    spark.conf.set(pkey, "8")
-    try:
-        q = (
-            stream.writeStream.foreachBatch(absorb)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(pkey, prev_parts)
-    return spark.read.schema(pair_schema).parquet(out_dir)
+    return absorb
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ state during each excursion, i.e. the one-page receipt SCALE.md needs.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -135,7 +136,13 @@ def report(path: str) -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
     if sys.argv[1] == "--report":
+        if len(sys.argv) < 3 or not os.path.exists(sys.argv[2]):
+            raise SystemExit(
+                "--report needs an existing samples file\n" + (__doc__ or "")
+            )
         report(sys.argv[2])
     else:
         probe(sys.argv[1], float(sys.argv[2]) if len(sys.argv) > 2 else 7200.0)

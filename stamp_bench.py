@@ -36,6 +36,11 @@ Gates (``accept()`` — pure, pinned by tests/test_scale_ops.py):
   against that).
 - **shape**: the record must carry the canary pair, members_hash and
   method_v at the expected sf (0.1 — the driver's bench SF).
+- **receipt completeness** (ADVICE r12): the candidate run itself must
+  appear in the logged series (matched on value + members_hash +
+  method_v + canary). A run that was never ``log``-ged cannot be
+  stamped, so the committed BENCH_RUNS receipt provably contains the
+  stamped run and can never be silently thinned.
 
 ``--extended`` stamps BENCH_DETAIL_EXTENDED.json →
 BENCH_DETAIL_EXTENDED_r{N}.json against BENCH_RUNS_EXTENDED_r{N}.jsonl
@@ -56,6 +61,15 @@ SCAN_FLOOR = 0.41
 CANARY_TOL = 1.25  # a canary min more than 25% over floor = stalled host
 TOTAL_TOL = 1.01   # stamped total must be the series minimum (±1%)
 EXPECTED_SF = 0.1
+
+
+def _same_run(a: dict, b: dict) -> bool:
+    """Two records describe the same bench run (receipt-completeness
+    identity: total + membership + methodology + the canary pair)."""
+    return all(
+        a.get(k) == b.get(k)
+        for k in ("value", "members_hash", "method_v", "canary")
+    )
 
 
 def _canary_min(canary: dict, axis: str) -> float | None:
@@ -105,6 +119,12 @@ def accept(record: dict, logged: list[dict]) -> list[str]:
                 f"total {record.get('value')}s > series minimum "
                 f"{series_min}s × {TOTAL_TOL} — a quieter window was "
                 "already observed this round; stamp that one (or rerun)"
+            )
+        if not any(_same_run(r, record) for r in peers):
+            fails.append(
+                "candidate run missing from the logged BENCH_RUNS series "
+                "— `stamp_bench.py log N` every run before stamping (the "
+                "committed receipt must provably contain the stamped run)"
             )
     return fails
 

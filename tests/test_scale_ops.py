@@ -974,6 +974,11 @@ def test_stamp_bench_acceptance_gates():
     assert SB.accept(rec, [other, dict(rec)]) == []
     # no logged peers at all → refuse (the receipt series is required)
     assert any("no logged runs" in f for f in SB.accept(rec, [other]))
+    # receipt completeness (ADVICE r12): peers exist but the CANDIDATE
+    # itself was never logged → refuse (the committed receipt must
+    # provably contain the stamped run)
+    unlogged = SB.accept(rec, [dict(rec, value=100.5)])
+    assert any("missing from the logged" in f for f in unlogged)
     # wrong sf / missing fields refuse
     assert any("sf=" in f for f in SB.accept(dict(rec, sf=0.01), logged))
     nomh = {k: v for k, v in rec.items() if k != "method_v"}

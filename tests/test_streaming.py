@@ -432,3 +432,89 @@ def test_scd2_stream_maintenance_is_order_insensitive(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_incdedup_absorb_retry_replaces_pairs_and_parts(spark, tmp_path):
+    """ADVICE r12 (medium): foreachBatch re-delivers a failed batch
+    under the SAME _bid — the retry must REPLACE the earlier attempt
+    everywhere the run reads back: the in-memory parts (r12 fix) AND
+    the bid-keyed pairs directory (r13 fix; the old plain append into
+    out_dir wrote a retried batch's pairs twice, breaking the oracle
+    equality in exactly the failure scenario the parts fix defends
+    against). Drives the factored-out absorb closure twice with the
+    same _bid and asserts the read-back output converges."""
+    from a_share_data_pipeline_spark.operators import dedup as D
+    from a_share_data_pipeline_spark.plans.queries_streaming import (
+        _incdedup_make_absorb,
+    )
+
+    text = "a shared near duplicate paragraph body across mirrors " * 4
+    standing = spark.createDataFrame(
+        [(0, text), (1, text + " tail zero")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, text), (11, text + " tail zero")], "doc_id long, text string"
+    )
+    out_dir = str(tmp_path / "pairs")
+    docs_dir = str(tmp_path / "docs")
+    sig_dir = str(tmp_path / "sigs")
+    sigs0 = D.minhash_signatures(
+        D.exploded_shingles(standing), with_counts=True
+    ).localCheckpoint(eager=True)
+    state = {
+        "sig_parts": {-1: sigs0},
+        "band_parts": {-1: D._band_buckets(sigs0).localCheckpoint(eager=True)},
+        "doc_parts": {},
+    }
+    absorb = _incdedup_make_absorb(state, standing, out_dir, docs_dir, sig_dir)
+    absorb(batch, 0)
+
+    def pairs():
+        return sorted(
+            map(
+                tuple,
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(out_dir)
+                .collect(),
+            )
+        )
+
+    first = pairs()
+    assert first, "fixture must pair across store and batch"
+    # simulated foreachBatch retry: same batch, same _bid
+    absorb(batch, 0)
+    assert pairs() == first, "retried batch doubled its pairs"
+    # in-memory parts singly registered (one entry per _bid, not a pile)
+    for parts in state.values():
+        assert set(parts) <= {-1, 0}
+
+
+def test_stream_incdedup_width_scoped_to_clone(spark, sf_smoke, monkeypatch):
+    """VERDICT r12 item 4: stream_incremental_dedup's width-8 absorb
+    sizing must be invisible to the caller's session — a concurrent
+    query planned on the caller mid-stream keeps the caller's width.
+    Spied via D.pair_jaccard (called inside every micro-batch): at
+    that moment the CALLER session must still read the distinctive
+    width this test pins on it, and it must still read it after."""
+    from a_share_data_pipeline_spark.operators import dedup as D
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    pkey = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(pkey)
+    spark.conf.set(pkey, "12")  # distinctive caller width
+    observed = []
+    real = D.pair_jaccard
+
+    def spy(*a, **k):
+        observed.append(spark.conf.get(pkey))
+        return real(*a, **k)
+
+    monkeypatch.setattr(D, "pair_jaccard", spy)
+    try:
+        out = registry()["stream_incremental_dedup"].fn(spark, sf_smoke)
+        assert out.count() >= 0
+        assert observed, "spy never fired — absorb loop did not run"
+        assert all(w == "12" for w in observed), observed
+        assert spark.conf.get(pkey) == "12"
+    finally:
+        spark.conf.set(pkey, before)
