@@ -4438,11 +4438,23 @@ def cc_incremental_labels(
     varies the cutoff (including empty-base and empty-delta splits)
     and asserts label equality with a one-shot full CC each time,
     pinning the min-label composition argument at EVERY split, not one
-    (VERDICT r6 item 8)."""
+    (VERDICT r6 item 8).
+
+    Width sizing (VERDICT r12 item 5, measured A/B in SCALE.md): the
+    per-round CC frames are pair-graph-sized, far below the session's
+    CPU-sized shuffle width at bench SFs, so late rounds are
+    task-scheduling-floor-bound. The whole pipeline runs in a cloned
+    session (the stream_incremental_dedup conf sandbox — the caller's
+    width is never touched) whose width is sized from the MEASURED
+    edge count after the one full-width ingest shuffle:
+    min(session_width, max(8, ceil(edges/64Ki))). Volume-not-CPU and
+    scale-safe — at 100 TB the edge count dominates and the clone
+    keeps the session's full width."""
     from ..operators.graph import connected_components
 
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    work = spark.newSession()
+    o = load_table(work, sf_dir, "orders")
+    li = load_table(work, sf_dir, "lineitem")
     edges_all = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -4458,6 +4470,13 @@ def cc_incremental_labels(
         .localCheckpoint(eager=True)  # consumers: base CC, delta remap,
         # node frame
     )
+    # edges_all is pinned, so this count is a metadata-cheap read; the
+    # ingest shuffle above already ran at the clone's inherited full
+    # width — only the label-frame rounds below run trimmed
+    pkey = "spark.sql.shuffle.partitions"
+    session_width = int(work.conf.get(pkey))
+    width = min(session_width, max(8, -(-edges_all.count() // 65536)))
+    work.conf.set(pkey, str(width))
     base_e = edges_all.filter(F.col("is_base")).select("a", "b")
     delta_e = edges_all.filter(~F.col("is_base")).select("a", "b")
     base_nodes = (
