@@ -387,6 +387,10 @@ _REGISTRY: dict[str, Query] = {}
 # judge-re-executed exact at sf0.01 in the r12 verdict session AND
 # are sweep-exact at sf0.001/sf0.1 in the committed r13 sweeps, so
 # the rotation promotes nothing whose cross-SF behavior is unprobed.
+# Round-13 pre-flight: ALL FIVE IN names below were re-executed in a
+# fresh session against the DuckDB oracle at BOTH sf0.01 and sf0.1
+# during round 13 — 10/10 exact — so the r14 builder inherits a fully
+# de-risked queue (the same discipline r12 applied to the r13 queue).
 # IN — the LAST three never-driver-witnessed §2.12 families, which
 # empties the family backlog: dedup_containment (containment /
 # excerpt dedup — asymmetric-overlap candidate join),
