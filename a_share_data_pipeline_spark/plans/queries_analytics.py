@@ -161,9 +161,22 @@ FROM {prev}
     ),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width sizing (round 13, same device as cc_incremental_labels —
+    measured A/B in SCALE.md): LPA's per-round shuffles are O(E); at
+    bench SFs that is far below the CPU-sized session width, so the
+    3-round chain is task-scheduling-floor-bound. Runs in a cloned
+    session (caller width untouched) sized from the MEASURED edge
+    count after the full-width ingest shuffle (purchase_iedges is
+    eagerly checkpointed, so the count is metadata-cheap); at scale
+    the edge count dominates and the clone keeps full width."""
     from ..operators.graph import label_propagation
 
-    labels = label_propagation(purchase_iedges(spark, sf_dir), edges_dedup=False)
+    work = spark.newSession()
+    ie = purchase_iedges(work, sf_dir)
+    pkey = "spark.sql.shuffle.partitions"
+    session_width = int(work.conf.get(pkey))
+    work.conf.set(pkey, str(min(session_width, max(8, -(-ie.count() // 65536)))))
+    labels = label_propagation(ie, edges_dedup=False)
     return labels.select(
         decode_purchase_node("node").alias("node"),
         decode_purchase_node("lbl").alias("community"),
