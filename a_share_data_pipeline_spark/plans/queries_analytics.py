@@ -512,7 +512,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_hops
 
     # edges_dedup=False: same bipartite disjoint-range proof as
-    # graph_label_propagation ('c'/'s' prefixes cannot collide)
+    # graph_label_propagation ('c'/'s' prefixes cannot collide).
+    # Measured-width clone deliberately NOT applied (round 13): the
+    # applied-form NEW/OLD A/B read NEW min 3.97 vs OLD min 3.44 at
+    # sf0.1 — the per-hop frontier⋈edges join is COMPUTE-bound, so a
+    # volume-sized width trim costs CPU parallelism (the in-session
+    # conf proxy's win came from trimming the full-width ingest,
+    # which the scale-safe form must keep). OPTIMIZATION_r13.md §6.
     d = bfs_hops(
         _edges(spark, sf_dir).localCheckpoint(eager=True),
         seeds=list(_BFS_SEEDS),
@@ -1941,6 +1947,15 @@ def profile_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PF_T = 0.8  # Jaccard threshold the prefix guarantee is proven against
 
+# positional-filter integers (round 13): with t = p/q exactly, the
+# minimum overlap o of a qualifying pair satisfies o >= t·S/(1+t)
+# (S = n_a + n_b) ⇔ o·(p+q) >= p·S — integer-exact, no float ceil.
+# Fraction(str(0.8)) is 4/5, NOT the binary-float ratio.
+from fractions import Fraction as _Fr
+
+_PF_POS_P = _Fr(str(_PF_T)).numerator  # 4
+_PF_POS_PQ = _Fr(str(_PF_T)).denominator + _PF_POS_P  # 9
+
 # fixture augmentation: the corpus has few >=0.8-Jaccard pairs, so every
 # 41st doc spawns a deterministic truncated twin (first ceil(9/10) of its
 # tokens, id + 20,000,000) with J ~ 0.88 against its parent — both
@@ -2049,6 +2064,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "shingle",
+            "n_sh",
             F.row_number().over(wp).alias("rn"),
             (
                 F.col("n_sh")
@@ -2057,20 +2073,58 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("plen"),
         )
         .filter(F.col("rn") <= F.col("plen"))
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "rn", "n_sh")
     )
-    from ..operators.dedup import _bucket_pairs
-
     # no hot-bucket cap here: the prefix IS the prune (df-ordered
     # prefixes keep buckets tiny), and a cap would break the
     # no-false-negative contract the exhaustive oracle checks; a
-    # production deployment re-adds the drop-and-log cap as a guard
-    cands = (
-        _bucket_pairs(
-            pref.select("doc_id", F.col("shingle").alias("bucket")),
-            "doc_id",
+    # production deployment re-adds the drop-and-log cap as a guard.
+    # Pair expansion is _bucket_pairs' one-aggregation combinator shape,
+    # inlined because each entry carries (rn, n_sh) for the POSITIONAL
+    # filter (PPJoin's second prune, round 13): for a pair with
+    # J >= t, every shared shingle ranks at or after the FIRST shared
+    # one in the global (df, shingle) order, and that first one is a
+    # prefix-prefix collision (the prefix guarantee applied to it
+    # directly) — so overlap <= 1 + min(n_a - rn_a, n_b - rn_b) AT that
+    # collision, and a qualifying pair always has a collision whose
+    # ubound reaches minoverlap = ceil(t/(1+t)·(n_a+n_b)). Keeping
+    # only collisions with ubound >= minoverlap is therefore a pure
+    # candidate prune (no false negatives — the exhaustive oracle and
+    # test_positional_filter_never_drops_a_qualifying_pair both pin
+    # it). Measured at sf0.1: 122,464 -> 13,205 candidate pairs
+    # (-89%), which is 9x fewer rows through the distinct AND the
+    # two per-side verify joins below. Integer-exact comparison via
+    # the module-level _PF_POS_P/_PF_POS_PQ (derived from _PF_T):
+    # o >= t·S/(1+t) ⇔ o·(p+q) >= p·S with t = p/q = 4/5.
+    coll = (
+        pref.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "rn", "n_sh")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    "  y -> if(x.doc_id < y.doc_id,"
+                    "          struct(x AS p, y AS q),"
+                    "          struct(y AS p, x AS q)))))"
+                )
+            ).alias("c")
         )
-        .select("a", "b")
+    )
+    cands = (
+        coll.filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("c.p.n_sh") - F.col("c.p.rn"),
+                    F.col("c.q.n_sh") - F.col("c.q.rn"),
+                )
+            )
+            * _PF_POS_PQ
+            >= (F.col("c.p.n_sh") + F.col("c.q.n_sh")) * _PF_POS_P
+        )
+        .select(F.col("c.p.doc_id").alias("a"), F.col("c.q.doc_id").alias("b"))
         .distinct()
     )
     # exact verify WITHOUT a second pair expansion: candidate pairs join
@@ -4911,6 +4965,11 @@ GROUP BY seed
     ),
 )
 def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured-width clone deliberately NOT applied (round 13): the
+    # applied-form NEW/OLD A/B read NEW min 4.80 vs OLD min 4.20 at
+    # sf0.1 — the per-hop seed-frontier⋈edges joins are COMPUTE-bound
+    # (5 seeds × symmetrized 1.17M-edge probe), so the width trim
+    # costs CPU parallelism. OPTIMIZATION_r13.md §6.
     e0 = _edges(spark, sf_dir)
     edges = (
         e0.unionByName(

@@ -1043,6 +1043,14 @@ def components_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     place; the SQL twins share _COMPONENTS_CTE the same way."""
     from ..operators.graph import connected_components
 
+    # Measured-width clone deliberately NOT applied (round 13): the
+    # clone form needs an extra eager pin + count of the pair frame to
+    # size the CC-round width, and the applied-form NEW/OLD A/B read
+    # it net-negative across this frame's THREE consumers (NEW/OLD
+    # mins: dedup_components 3.18/3.29 — a small win — but
+    # dedup_keep_canonical 4.27/3.56, which recomputes this frame
+    # wholesale, pays the pin+count overhead without enough CC-round
+    # savings to cover it). OPTIMIZATION_r13.md §6.
     docs = load_table(spark, sf_dir, "documents")
     # lazy localCheckpoint: see dedup_components' measured rationale
     shingled = D.exploded_shingles(docs).localCheckpoint(eager=False)

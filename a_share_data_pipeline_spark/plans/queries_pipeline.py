@@ -1510,10 +1510,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer node encoding + decode from the shared bijection in
     # queries_analytics (purchase_iedges/decode_purchase_node): the
     # output decodes back to the same 'c…'/'s…' ids with identical pr
-    # values, so the string-edge oracle is unchanged
+    # values, so the string-edge oracle is unchanged.
+    # Width sizing (round 13, the graph_label_propagation device —
+    # interleaved A/B in OPTIMIZATION_r13.md: 8-wide won 3/4 pairs,
+    # medians 3.41 -> 2.85s): the 3 rank rounds shuffle O(E) frames,
+    # task-scheduling-floor-bound at bench SFs. Cloned session (caller
+    # width untouched), width from the MEASURED edge count after the
+    # full-width ingest (purchase_iedges is eagerly checkpointed, so
+    # the count is metadata-cheap); at scale the count dominates and
+    # the clone keeps the session's full width.
     from .queries_analytics import decode_purchase_node, purchase_iedges
 
-    pr = pagerank(purchase_iedges(spark, sf_dir), damping=0.85, iters=3)
+    work = spark.newSession()
+    ie = purchase_iedges(work, sf_dir)
+    pkey = "spark.sql.shuffle.partitions"
+    session_width = int(work.conf.get(pkey))
+    work.conf.set(pkey, str(min(session_width, max(8, -(-ie.count() // 65536)))))
+    pr = pagerank(ie, damping=0.85, iters=3)
     return pr.select(
         decode_purchase_node("node").alias("node"), F.col("rank").alias("pr")
     )

@@ -720,6 +720,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per consumer, 2^rounds times by the last round.
     from .queries_analytics import decode_purchase_node, purchase_iedges
 
+    # Measured-width clone deliberately NOT applied (round 13): the
+    # applied-form NEW/OLD A/B read NEW min 3.38 vs OLD min 2.55 at
+    # sf0.1 — the per-round degree aggregate over the symmetrized
+    # 1.17M-edge frame is COMPUTE-bound, so the width trim costs CPU
+    # parallelism (the in-session conf proxy's 4/4 win came from
+    # trimming the full-width ingest too, which the scale-safe form
+    # must keep). OPTIMIZATION_r13.md §6.
     e0 = purchase_iedges(spark, sf_dir)
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
