@@ -382,8 +382,19 @@ _REGISTRY: dict[str, Query] = {}
 # four other rows; no prefix vanishes), bench.py EXTENDED gains the
 # five OUT names, COVERAGE/QUERIES regen, members_hash refreshes.
 #
-# CONCRETE r14 rotation plan (VERDICT r12 item 3 — apply FIRST THING
-# in round 14, never mid-round). All three family-hole IN names were
+# ROUND-14 FREEZE (VERDICT r13 item 1 — supersedes the r14 rotation
+# plan below): the r13 rotation is why PERF_r13 recorded 5 dropped
+# queries and n_common = 0, and round 14 is an OPTIMIZATION round
+# whose gate requires zero window churn. The rotation below is
+# therefore NOT applied in round 14 — CORE_WINDOW is byte-identical
+# to its r13 state, so the driver's 50-query verification window and
+# the bench headline membership (members_hash) are unchanged and
+# PERF_r14 can compare every query round-over-round. The plan keeps
+# its place in the queue for the next BUILD round.
+#
+# CONCRETE r14 rotation plan (VERDICT r12 item 3 — superseded for
+# round 14 by the freeze above; apply at the top of the next build
+# round, never mid-round). All three family-hole IN names were
 # judge-re-executed exact at sf0.01 in the r12 verdict session AND
 # are sweep-exact at sf0.001/sf0.1 in the committed r13 sweeps, so
 # the rotation promotes nothing whose cross-SF behavior is unprobed.

@@ -161,22 +161,21 @@ FROM {prev}
     ),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Width sizing (round 13, same device as cc_incremental_labels —
-    measured A/B in SCALE.md): LPA's per-round shuffles are O(E); at
-    bench SFs that is far below the CPU-sized session width, so the
-    3-round chain is task-scheduling-floor-bound. Runs in a cloned
-    session (caller width untouched) sized from the MEASURED edge
-    count after the full-width ingest shuffle (purchase_iedges is
-    eagerly checkpointed, so the count is metadata-cheap); at scale
-    the edge count dominates and the clone keeps full width."""
+    """Round 14: the r13 measured-width clone was REVERTED here
+    (VERDICT r13 item 3). The r13 change rode one positive in-session
+    proxy series, but the driver's own r13 record read it +24% and
+    the round-14 fresh-subprocess interleaved A/B confirmed OLD wins
+    (OLD mins 2.869/3.137 vs clone 3.512/3.173 across two alternating
+    rounds — receipts in plans/r14/ab_receipts/). Consistent with the
+    r13 §6 rule: LPA's per-round (node,label)-count shuffle is
+    COMPUTE-bound (the count aggregate fans out per neighbor label),
+    not scheduling-floor-bound like CC's label frames, so trimming
+    width only gives up CPU parallelism — plus the clone's extra
+    eager count job. cc_incremental/pagerank keep their clones (their
+    A/Bs and the driver's record stand on the winning side)."""
     from ..operators.graph import label_propagation
 
-    work = spark.newSession()
-    ie = purchase_iedges(work, sf_dir)
-    pkey = "spark.sql.shuffle.partitions"
-    session_width = int(work.conf.get(pkey))
-    work.conf.set(pkey, str(min(session_width, max(8, -(-ie.count() // 65536)))))
-    labels = label_propagation(ie, edges_dedup=False)
+    labels = label_propagation(purchase_iedges(spark, sf_dir), edges_dedup=False)
     return labels.select(
         decode_purchase_node("node").alias("node"),
         decode_purchase_node("lbl").alias("community"),

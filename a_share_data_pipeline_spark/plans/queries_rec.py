@@ -85,8 +85,74 @@ def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, items) — each user's DISTINCT brand set as one sorted
+    array row (round 14, guide §2.3 "aggregate before you shuffle").
+
+    The brand vocabulary is FIXED (25 at any TPC-H scale), so the set
+    is a bounded ≤25-element array: ONE collect_set aggregation —
+    partial on the map side, dedup inside the aggregate — replaces the
+    old distinct shuffle, and every downstream stage (item marginals,
+    pair counts, scoring, history exclusion) derives map-side from
+    this frame instead of re-joining interaction rows. Eagerly pinned:
+    all consumers reuse the single materialization instead of
+    re-running the 3-table ingest join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # no broadcast hint: part is SF-scaled — same stats-based-AQE
+        # policy as _interactions (VERDICT r7 item 5)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("p_brand").alias("item"))
+    )
+    return (
+        raw.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _item_sims_from_sets(user_sets: DataFrame) -> DataFrame:
+    """The identical item-item cosine graph computed from per-user
+    brand-set arrays instead of a user-key self-join (round 14): pair
+    instances explode MAP-SIDE from each ≤25-element array straight
+    into the (item_a, item_b) partial aggregate — the 5.6M-row join
+    output that previously crossed an exchange never exists as a
+    shuffled frame, and the only shuffles left are vocab²-group
+    aggregates. Counts are the same exact int64s (collect_set dedups
+    exactly like the old DISTINCT), so the cosine doubles are
+    bit-identical to :func:`_item_sims`'s."""
+    cnt = (
+        user_sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair = (
+        user_sets.select(F.explode("items").alias("item_a"), "items")
+        .select("item_a", F.explode("items").alias("item_b"))
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .withColumn(
+            "cosine", F.col("c_ab") / F.sqrt(F.col("c_a") * F.col("c_b"))
+        )
+    )
+
+
 def _item_sims(inter: DataFrame) -> DataFrame:
-    """The item-item cosine graph over a distinct (user, item) frame.
+    """The r13 join-based item-item cosine graph — RETAINED as the
+    measured-against reference for the round-14 set-based builder
+    (the catalog queries all ride :func:`_item_sims_from_sets` now);
+    `test_rec_set_based_sims_equal_join_based` pins the two builders
+    row-for-row equal, so a regression in either shows as a diff.
 
     The pair expansion self-joins on the USER key (one shuffle, the
     exchange reused on both sides), so per-user work is bounded by the
@@ -133,7 +199,10 @@ def _item_sims(inter: DataFrame) -> DataFrame:
     ),
 )
 def rec_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sims = _item_sims(_interactions(spark, sf_dir))
+    # round 14: same set-based sims as rec_user_topn (identical exact
+    # counts, see _item_sims_from_sets) — the user-key self-join and
+    # its shuffled 5.6M-row output are gone from this path too
+    sims = _item_sims_from_sets(_user_item_sets(spark, sf_dir))
     w = W.partitionBy("item_a").orderBy(F.col("cosine").desc(), "item_b")
     return (
         sims.withColumn("rnk", F.row_number().over(w))
@@ -208,10 +277,18 @@ WHERE rnk <= {_TOPN_RECS}
     ),
 )
 def rec_user_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    inter = _interactions(spark, sf_dir).localCheckpoint(eager=True)  # consumers:
-    # the sims build (twice via self-join), the scoring join, and the
-    # history anti-join — one materialization instead of four scans
-    sims = _item_sims(inter)
+    """Round-14 rewrite (guide §2.3/§2.4 — aggregate before the
+    shuffle, remove shuffles outright; A/B receipts in plans/r14/):
+    the old shape shuffled a user-key self-join (~5.6M joined rows at
+    sf0.1) for pair counts and a second scoring-frame exchange for the
+    history anti-join. Per-user brand sets are bounded arrays (vocab
+    is fixed), so pair counts explode map-side from one collect_set
+    frame, and "already interacted" becomes a map-side array_contains
+    on the very row the score rides — the anti-join exchange is gone.
+    Same exact int64 counts → bit-identical cosines/ppm → identical
+    rows (oracle-proved at 3 SFs)."""
+    user_sets = _user_item_sets(spark, sf_dir)  # consumers: sims + scoring
+    sims = _item_sims_from_sets(user_sets)
     wk = W.partitionBy("item_a").orderBy(F.col("cosine").desc(), "item_b")
     knn = (
         sims.withColumn("rnk", F.row_number().over(wk))
@@ -222,11 +299,10 @@ def rec_user_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cosine") * F.lit(1000000)).cast("bigint").alias("sim_ppm"),
         )
     )
-    hist = inter.select("user_id", F.col("item").alias("item_b"))
     scored = (
-        inter.join(F.broadcast(knn), inter.item == knn.item_a)
-        .select("user_id", F.col("item_b"), "sim_ppm")
-        .join(hist, ["user_id", "item_b"], "left_anti")
+        user_sets.select("user_id", F.explode("items").alias("item_a"), "items")
+        .join(F.broadcast(knn), "item_a")
+        .filter(~F.array_contains(F.col("items"), F.col("item_b")))
         .groupBy("user_id", F.col("item_b").alias("item"))
         .agg(F.sum("sim_ppm").alias("score_ppm"))
     )

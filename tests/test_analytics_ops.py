@@ -1461,6 +1461,32 @@ def test_permutation_flip_replay_one_perm(spark):
     assert n1_py == n1_duck > 0
 
 
+def test_rec_set_based_sims_equal_join_based(spark):
+    """Round-14 rec rewrite pin: the set-based sims builder
+    (_item_sims_from_sets — map-side pair explode from per-user
+    collect_set arrays) must produce the EXACT rows of the r13
+    join-based builder (_item_sims over the distinct interaction
+    frame) — counts are the same int64s, so even the cosine doubles
+    compare bit-equal."""
+    from a_share_data_pipeline_spark.plans.queries_rec import (
+        _interactions,
+        _item_sims,
+        _item_sims_from_sets,
+        _user_item_sets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    old = {
+        (r.item_a, r.item_b): (r.c_ab, r.c_a, r.c_b, r.cosine)
+        for r in _item_sims(_interactions(spark, sf)).collect()
+    }
+    new = {
+        (r.item_a, r.item_b): (r.c_ab, r.c_a, r.c_b, r.cosine)
+        for r in _item_sims_from_sets(_user_item_sets(spark, sf)).collect()
+    }
+    assert old == new and len(new) > 100
+
+
 def test_rec_user_topn_contract(spark):
     """Recommendations never include already-interacted items; scores
     equal the hand-summed ppm sims of the user's history neighbors."""
@@ -3205,6 +3231,114 @@ def test_dbscan_matches_python_replay(spark):
         assert (g.cluster, g.n_core, g.n_border, g.n_total) == (c, nc, nb, nt)
         assert g.n_clusters == n_clusters and g.n_noise == n_noise
     assert n_clusters > 1 and n_noise > 0  # the fixture is non-degenerate
+
+
+def test_dbscan_subcell_contraction_matches_plain_cc(spark):
+    """Round-14 subcell contraction pin, DENSE regime: at sf0.01 the
+    plane is one multi-subcell percolation component (every point
+    core), which is exactly the case the contraction rewrites — so
+    replay it in Python with an UNCONTRACTED union-find over the raw
+    core-core eps-pairs and assert the query's clusters/labels are
+    identical. sf0.001 (sparse, real border+noise) is covered by
+    test_dbscan_matches_python_replay above; together the two pins
+    bracket both regimes of the geometry argument (2·sub² ≤ eps²)."""
+    import duckdb
+    import hashlib
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_geo import (
+        _CELL,
+        _DB_EPS2,
+        _DB_MINPTS,
+        _DB_SUB,
+        _DB_TOP,
+        _PLANE,
+    )
+
+    assert 2 * _DB_SUB * _DB_SUB <= _DB_EPS2  # the geometry the proof needs
+
+    sf = "/root/testdata/sf0.01"
+    keys = [
+        r[0]
+        for r in duckdb.connect().execute(
+            f"SELECT c_custkey FROM read_parquet('{sf}/customer.parquet')"
+        ).fetchall()
+    ]
+
+    def coord(tag, k):
+        return int(hashlib.md5(f"{tag}|{k}".encode()).hexdigest()[:8], 16) % _PLANE
+
+    pts = {k: (coord("gx", k), coord("gy", k)) for k in keys}
+    # grid-blocked neighborhoods (the engine's own candidate contract:
+    # only the 3x3 cell ring is reachable)
+    from collections import defaultdict
+
+    by_cell = defaultdict(list)
+    for k, (x, y) in pts.items():
+        by_cell[(x // _CELL, y // _CELL)].append(k)
+    neigh = {k: set() for k in keys}
+    for (cx, cy), ids in by_cell.items():
+        for dx in (0, 1):
+            for dy in ((-1, 0, 1) if dx else (0, 1)):
+                for b in by_cell.get((cx + dx, cy + dy), []):
+                    for a in ids:
+                        if a >= b and (dx, dy) == (0, 0):
+                            continue
+                        ax, ay = pts[a]
+                        bx, by_ = pts[b]
+                        if (ax - bx) ** 2 + (ay - by_) ** 2 <= _DB_EPS2:
+                            neigh[a].add(b)
+                            neigh[b].add(a)
+    core = {k for k in keys if len(neigh[k]) >= _DB_MINPTS - 1}
+    parent = {k: k for k in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in neigh[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp_root = {k: find(k) for k in core}
+    roots = set(comp_root.values())
+    lab = {r: min(k for k, rr in comp_root.items() if rr == r) for r in roots}
+    cluster = {k: lab[r] for k, r in comp_root.items()}
+    # the dense fixture must actually exercise the contraction: a
+    # component spanning many subcells
+    n_subcells = len(
+        {(x // _DB_SUB, y // _DB_SUB) for k, (x, y) in pts.items() if k in core}
+    )
+    assert n_subcells > 10
+    border = {}
+    for k in keys:
+        if k in core:
+            continue
+        cand = [cluster[b] for b in neigh[k] if b in core]
+        if cand:
+            border[k] = min(cand)
+    summary = {}
+    for k, c in cluster.items():
+        nc, nb = summary.get(c, (0, 0))
+        summary[c] = (nc + 1, nb)
+    for k, c in border.items():
+        nc, nb = summary.get(c, (0, 0))
+        summary[c] = (nc, nb + 1)
+    n_noise = len(keys) - len(cluster) - len(border)
+    n_clusters = len(summary)
+    want = sorted(
+        ((c, nc, nb, nc + nb) for c, (nc, nb) in summary.items()),
+        key=lambda r: (-r[3], r[0]),
+    )[:_DB_TOP]
+    got = registry()["geo_dbscan_grid"].fn(spark, sf).collect()
+    assert len(got) == len(want)
+    for g, (c, nc, nb, nt) in zip(got, want):
+        assert (g.cluster, g.n_core, g.n_border, g.n_total) == (c, nc, nb, nt)
+        assert g.n_clusters == n_clusters and g.n_noise == n_noise
 
 
 def test_frac_diff_matches_python_replay(spark):

@@ -87,6 +87,7 @@ def test_shingle_explode_parallelizes_before_generate(spark):
     assert gen != -1 and exch != -1 and gen < exch, p  # tree prints top-down: operator above = runs after
 
 
+@pytest.mark.slow  # round-14 tiering (VERDICT r13 item 2): measured 158s solo-class cost; slow tier, still run at round close
 def test_no_row_python_in_builtin_queries(spark):
     """Row-at-a-time Python (BatchEvalPython) must not appear anywhere;
     Python appears only as Arrow lanes (ArrowEvalPython / MapInPandas /

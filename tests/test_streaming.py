@@ -101,6 +101,7 @@ def test_stateful_running_totals(spark, events_landing, tmp_path):
     assert (abs(joined["sum_value_got"] - joined["sum_value_want"]) < 1e-6).all()
 
 
+@pytest.mark.slow  # round-14 tiering (VERDICT r13 item 2): measured 43s solo-class cost; slow tier, still run at round close
 def test_stream_stream_join_state_expires_under_tight_watermark(spark, tmp_path):
     """VERDICT r4 item 3: the catalog's stream_stream_join runs with a
     replay-sized watermark (bounded input, one batch — expiry never
@@ -226,6 +227,7 @@ def test_delta_append_exactly_once(spark, events_landing, tmp_path):
     assert any(p.startswith("date=") for p in os.listdir(out))
 
 
+@pytest.mark.slow  # round-14 tiering (VERDICT r13 item 2): measured 21s solo-class cost; slow tier, still run at round close
 def test_stream_canonical_delta_end_to_end(spark, tmp_path):
     """Reference flow 2 as ONE streaming query: API streaming source
     (trade-date offsets) → foreachBatch assembly → date-partitioned
@@ -303,6 +305,7 @@ def test_write_native_overwrite_partitions_is_idempotent(spark, tmp_path):
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
 
 
+@pytest.mark.slow  # round-14 tiering (VERDICT r13 item 2): measured 17s solo-class cost; slow tier, still run at round close
 def test_stream_canonical_delta_full_replay_no_duplicates(spark, tmp_path):
     """Crash-replay model: a foreachBatch whose offsets were lost
     (fresh checkpoint) replays every date; the idempotent partition

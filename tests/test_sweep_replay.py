@@ -23,6 +23,10 @@ import pytest
 import sweep
 from a_share_data_pipeline_spark.plans.catalog import registry
 
+# Round-14 tiering (VERDICT r13 item 2): replay-lane adjudication re-runs recursive oracles + union-find per query — slow tier,
+# excluded from the default driver-gate run (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 REPLAY_NAMES = sorted(sweep.REPLAY)
 
 
