@@ -92,10 +92,20 @@ _HALF_OFFSETS = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
 # knob for density is the cell edge, not candidate loss.
 _HOT_CELL_CAP = 1_000
 _N_SALTS = 8
+# kNN bound-participation cap (round 14): cells denser than this keep
+# the full window path instead of the within-cell bound self-join
+# (whose per-task block is n² — 256² = 65,536 rows, inside the salt
+# guard's design envelope). Purely a cost knob: it changes WHICH ids
+# get pruned, never the query result (the prune is output-invariant).
+_UB_CELL_CAP = 256
 
 
 def _grid_candidates(
-    cells: DataFrame, hot_cap: int = _HOT_CELL_CAP, n_salts: int = _N_SALTS
+    cells: DataFrame,
+    hot_cap: int = _HOT_CELL_CAP,
+    n_salts: int = _N_SALTS,
+    offsets: list[tuple[int, int]] | None = None,
+    cell_bound: DataFrame | None = None,
 ) -> DataFrame:
     """(id, neighbor, dist2) candidate pairs over the 3×3 cell
     neighborhood — the offset fan-out + ONE equi-join on the cell key,
@@ -106,7 +116,28 @@ def _grid_candidates(
     task's pair block at ~(n/s)·n instead of n². Cold cells pay salt=0
     and exactly one probe row — identical to the unguarded plan. Output
     is pair-for-pair identical either way (property-tested), so the
-    exhaustive SQL oracle is unchanged."""
+    exhaustive SQL oracle is unchanged.
+
+    ``offsets`` (round 14) restricts the probe ring: the default is the
+    full half-neighborhood (_HALF_OFFSETS — all 3×3 pairs); ``[(0, 0)]``
+    yields exactly the within-cell pairs (both directions, same salt
+    guard) — the frame geo_grid_knn's upper-bound prune is built from.
+
+    ``cell_bound`` (round 14, geo_grid_knn only): an optional
+    (cx, cy, ubc) frame — GRID-bounded, hence always legitimately
+    broadcastable, exactly like ``hot`` — giving each cell an upper
+    bound on every member point's _KNN-th-NN dist². When present, each
+    side of the half-pair join carries its OWN home cell's bound
+    map-side, and a directed candidate (id → neighbor) is dropped when
+    dist2 exceeds id's bound: at least _KNN strictly-closer candidates
+    exist, so the row can never reach the top-_KNN window frame. Rows
+    whose id sits in a cell without a bound are never dropped. The
+    prune runs BEFORE the swap-explode and before any exchange of the
+    pair volume (guide §2.3) — output equality with the unpruned frame
+    is pinned by test_knn_ub_prune_matches_unpruned plus the unchanged
+    exhaustive oracle."""
+    if offsets is None:
+        offsets = _HALF_OFFSETS
     per_cell = cells.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
     # O(populated cells) rows — a legitimately broadcastable frame
     # (bounded by the grid, not the corpus)
@@ -127,29 +158,40 @@ def _grid_candidates(
     off = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx, dy in _HALF_OFFSETS
+            for dx, dy in offsets
         ]
     )
     # fan out the offset struct first, then derive both probe
     # coordinates from it (explode appears once per select)
-    probes = (
-        cells.select("id", "x", "y", "cx", "cy", F.explode(off).alias("o"))
-        .select(
-            F.col("id").alias("a_id"),
-            F.col("x").alias("ax"),
-            F.col("y").alias("ay"),
-            (F.col("cx") + F.col("o.dx")).alias("pcx"),
-            (F.col("cy") + F.col("o.dy")).alias("pcy"),
-            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same_cell"),
+    a_src = cells.select("id", "x", "y", "cx", "cy", F.explode(off).alias("o")).select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("o.dx")).alias("pcx"),
+        (F.col("cy") + F.col("o.dy")).alias("pcy"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same_cell"),
+        # probe-side HOME cell — needed only to attach the bound
+        F.col("cx").alias("acx"),
+        F.col("cy").alias("acy"),
+    )
+    a_cols = ["a_id", "ax", "ay", "pcx", "pcy", "same_cell"]
+    if cell_bound is not None:
+        a_src = a_src.join(
+            F.broadcast(
+                cell_bound.select(
+                    F.col("cx").alias("acx"),
+                    F.col("cy").alias("acy"),
+                    F.col("ubc").alias("ub_a"),
+                )
+            ),
+            ["acx", "acy"],
+            "left",
         )
-        .join(F.broadcast(hot), ["pcx", "pcy"], "left")
+        a_cols.append("ub_a")
+    probes = (
+        a_src.join(F.broadcast(hot), ["pcx", "pcy"], "left")
         .select(
-            "a_id",
-            "ax",
-            "ay",
-            "pcx",
-            "pcy",
-            "same_cell",
+            *a_cols,
             F.explode(
                 F.when(
                     F.coalesce(F.col("is_hot"), F.lit(False)),
@@ -158,21 +200,32 @@ def _grid_candidates(
             ).alias("salt"),
         )
     )
-    b = (
-        cells.select(
-            F.col("id").alias("neighbor"),
-            F.col("x").alias("bx"),
-            F.col("y").alias("by"),
-            F.col("cx").alias("pcx"),
-            F.col("cy").alias("pcy"),
+    b_src = cells.select(
+        F.col("id").alias("neighbor"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("pcx"),
+        F.col("cy").alias("pcy"),
+    )
+    b_cols = ["neighbor", "bx", "by", "pcx", "pcy"]
+    if cell_bound is not None:
+        # the build side sits in its own cell: home cell == (pcx, pcy)
+        b_src = b_src.join(
+            F.broadcast(
+                cell_bound.select(
+                    F.col("cx").alias("pcx"),
+                    F.col("cy").alias("pcy"),
+                    F.col("ubc").alias("ub_b"),
+                )
+            ),
+            ["pcx", "pcy"],
+            "left",
         )
-        .join(F.broadcast(hot), ["pcx", "pcy"], "left")
+        b_cols.append("ub_b")
+    b = (
+        b_src.join(F.broadcast(hot), ["pcx", "pcy"], "left")
         .select(
-            "neighbor",
-            "bx",
-            "by",
-            "pcx",
-            "pcy",
+            *b_cols,
             F.when(
                 F.coalesce(F.col("is_hot"), F.lit(False)),
                 F.pmod(F.col("neighbor"), F.lit(n_salts)).cast("int"),
@@ -194,17 +247,57 @@ def _grid_candidates(
                 F.col("neighbor") != F.col("a_id")
             )
         )
-        .select("a_id", "neighbor", dist2.alias("dist2"))
     )
-    return half.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a_id").alias("id"), F.col("neighbor").alias("neighbor")),
-                F.struct(F.col("neighbor").alias("id"), F.col("a_id").alias("neighbor")),
+    if cell_bound is None:
+        return (
+            half.select("a_id", "neighbor", dist2.alias("dist2"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a_id").alias("id"),
+                            F.col("neighbor").alias("neighbor"),
+                        ),
+                        F.struct(
+                            F.col("neighbor").alias("id"),
+                            F.col("a_id").alias("neighbor"),
+                        ),
+                    )
+                ).alias("p"),
+                "dist2",
             )
-        ).alias("p"),
-        "dist2",
-    ).select("p.id", "p.neighbor", "dist2")
+            .select("p.id", "p.neighbor", "dist2")
+        )
+    # bounded variant: each orientation carries ITS side's home-cell
+    # bound; a half row dies before the explode when BOTH orientations
+    # exceed their bounds, and each surviving orientation is filtered
+    # exactly — all map-side, before any exchange of the pair volume
+    return (
+        half.select("a_id", "neighbor", "ub_a", "ub_b", dist2.alias("dist2"))
+        .filter(
+            (F.col("ub_a").isNull() | (F.col("dist2") <= F.col("ub_a")))
+            | (F.col("ub_b").isNull() | (F.col("dist2") <= F.col("ub_b")))
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a_id").alias("id"),
+                        F.col("neighbor").alias("neighbor"),
+                        F.col("ub_a").alias("ub"),
+                    ),
+                    F.struct(
+                        F.col("neighbor").alias("id"),
+                        F.col("a_id").alias("neighbor"),
+                        F.col("ub_b").alias("ub"),
+                    ),
+                )
+            ).alias("p"),
+            "dist2",
+        )
+        .filter(F.col("p.ub").isNull() | (F.col("dist2") <= F.col("p.ub")))
+        .select("p.id", "p.neighbor", "dist2")
+    )
 
 
 _GRID_KNN_SQL = f"""
@@ -226,6 +319,55 @@ FROM (
 )
 WHERE rnk <= {_KNN}
 """
+
+
+def _knn_cell_bound(cells: DataFrame) -> DataFrame:
+    """(cx, cy, ubc) — a per-CELL upper bound on every member point's
+    _KNN-th-NN dist², for the map-side candidate prune (round 14,
+    guide §2.3; stage receipt in OPTIMIZATION_r14.md: the candidate
+    join was 0.87s, the row_number window over its 4.74M symmetrized
+    rows ~5s of geo_grid_knn's 5.9s).
+
+    Derivation: within one cell of n points, every member has n−1
+    in-cell neighbors, all of which are real candidates; its _KNN-th
+    smallest in-cell dist² therefore upper-bounds its _KNN-th-NN dist²
+    overall. ubc = max of that over the cell's members bounds EVERY
+    member. Exactness of the prune: a directed candidate (id, x) with
+    dist2 > ubc(id's cell) has at least _KNN candidates with strictly
+    smaller dist2 (id's in-cell top-_KNN), so its row_number under
+    (dist2, neighbor) is ≥ _KNN+1 — dropping it cannot change the
+    window output; ties at dist2 == ubc are KEPT (≤), preserving the
+    tie-break exactly.
+
+    Scale shape: only cells with _KNN+1 ≤ n ≤ _UB_CELL_CAP participate
+    (below: no member has _KNN in-cell neighbors; above: the unsalted
+    within-cell self-join would build an n² block in one task — those
+    cells simply do not prune, they fall back to the full window, and
+    the salted main join still guards them). The bound frame is
+    GRID-bounded (≤ (plane/cell)² rows at any corpus size), hence
+    always legitimately broadcastable — the same argument as the
+    ``hot`` frame. Per-id collect_list is bounded by _UB_CELL_CAP."""
+    per_cell = cells.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    eligible = per_cell.filter(
+        (F.col("n") >= _KNN + 1) & (F.col("n") <= _UB_CELL_CAP)
+    ).select("cx", "cy")
+    pc = cells.join(F.broadcast(eligible), ["cx", "cy"])
+    a = pc.select("cx", "cy", F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = pc.select("cx", "cy", F.col("id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("cx", "cy", "a_id", d2.alias("d2"))
+        .groupBy("cx", "cy", "a_id")
+        # the _KNN-th smallest dist² among in-cell neighbors — equal to
+        # the window's rnk==_KNN dist2 (ties included in the multiset)
+        .agg(F.element_at(F.array_sort(F.collect_list("d2")), _KNN).alias("ub"))
+        .groupBy("cx", "cy")
+        .agg(F.max("ub").alias("ubc"))
+    )
 
 
 @register(
@@ -252,7 +394,18 @@ WHERE rnk <= {_KNN}
     ),
 )
 def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _grid_candidates(_cells(spark, sf_dir))
+    cells = _cells(spark, sf_dir)
+    # Round-14 map-side bounded-candidate prune: the grid-bounded
+    # per-cell bound rides both sides of the half-pair join inside
+    # _grid_candidates, so candidates that provably cannot reach the
+    # top-_KNN die BEFORE the swap-explode and before any exchange of
+    # the pair volume — measured at sf0.1: 4,735,716 → ~60k rows into
+    # the final window, identical output (pinned by
+    # tests/test_analytics_ops.py::test_knn_ub_prune_matches_unpruned
+    # and the unchanged exhaustive oracle). See _knn_cell_bound for the
+    # exactness argument and the scale story (everything broadcast here
+    # is grid-bounded; no corpus-sized frame is ever broadcast).
+    cand = _grid_candidates(cells, cell_bound=_knn_cell_bound(cells))
     w = W.partitionBy("id").orderBy("dist2", "neighbor")
     return (
         cand.withColumn("rnk", F.row_number().over(w))

@@ -107,6 +107,94 @@ FROM v{_ROUNDS} a CROSS JOIN dd
 _PCA_SQL = _pca_sql()
 
 
+def _pca_gram_marg(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(gram, marg) for the PCA phase-1 pass.
+
+    Round-14 rewrite (guide §4.2 "hand whole batches to vectorized
+    native code", §2.3 "aggregate before you shuffle"): the old shape
+    double-posexploded n·d² rows (8.2M at sf0.1) through a JVM
+    decimal-sum hash aggregate — measured 2.9s of the query's 4.9s.
+    Now the quantization stays a JVM expression (element-wise
+    ``transform`` of the SAME dround(x·1e6) the explode applied, so
+    cross-engine rounding is untouched), ONLY the d-long int64 array
+    crosses the Arrow boundary, and each task reduces its whole slice
+    to one d² partial-sum batch (NumPy int64 matmul, exact — see
+    _gram_partials). Equality with the explode formulation is pinned
+    by tests/test_analytics_ops.py::test_pca_gram_arrow_matches_explode and the
+    unchanged DuckDB oracle. marg (per-dimension Σqᵢ and n) stays on a
+    single posexplode — d·n rows, trivial."""
+    # the kernel is NESTED so cloudpickle ships it by value: a
+    # module-level function pickles by reference and the Python worker
+    # would have to import this package (not guaranteed — the driver
+    # adds the repo to sys.path at runtime, which workers never see)
+    def _gram_partials(it):
+        """mapInArrow kernel for the Gram pass (round-14, guide §4.2): the
+        input is ONE int64 column ``qv`` (the JVM-quantized embedding — the
+        exact same dround(x·1e6) values the old double-posexplode produced,
+        so no float op ever happens in Python), and the output is one
+        (i, j, partial-sum) batch of d² rows per task.
+
+        Exactness at ANY scale, proven by construction: per Arrow batch
+        |qi·qj| ≤ 1e12 and batch rows ≤ arrow.maxRecordsPerBatch (10k
+        default) so the NumPy int64 matmul's per-entry sum is ≤ 1e16 ≪ 2⁶³
+        — no wrap; across batches the accumulator is object-dtype (Python
+        ints, arbitrary precision); the partial leaves as decimal(26,0)
+        (≤ 1e26 covers 1e14 rows/task) and Spark's decimal(38) sum merges
+        the per-task partials — the identical integer Σqᵢqⱼ the old
+        decimal-sum aggregate computed, now with d² rows per task crossing
+        the shuffle instead of n·d² rows crossing the explode+aggregate."""
+        import numpy as np
+        import pyarrow as pa
+
+        acc = None
+        d = 0
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            lst = batch.column(0)
+            q = np.asarray(lst.flatten(), dtype=np.int64).reshape(batch.num_rows, -1)
+            d = q.shape[1]
+            g = q.T @ q
+            if acc is None:
+                acc = g.astype(object)
+            else:
+                acc += g
+        if acc is None:
+            return
+        i_idx = np.repeat(np.arange(1, d + 1), d)
+        j_idx = np.tile(np.arange(1, d + 1), d)
+        vals = [int(v) for v in acc.reshape(-1)]
+        yield pa.record_batch(
+            [
+                pa.array(i_idx, type=pa.int32()),
+                pa.array(j_idx, type=pa.int32()),
+                pa.array(vals, type=pa.decimal128(26, 0)),
+            ],
+            names=["i", "j", "p"],
+        )
+
+    qarr = emb.select(
+        F.transform(
+            "embedding", lambda x: dround(x.cast("double") * _Q, 0).cast("bigint")
+        ).alias("qv")
+    )
+    d38 = "decimal(38,0)"
+    gram = (
+        qarr.mapInArrow(_gram_partials, "i int, j int, p decimal(26,0)")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast(d38).alias("sxy"))
+    )
+    q = emb.select(F.posexplode("embedding").alias("i0", "x")).select(
+        (F.col("i0") + 1).alias("i"),
+        dround(F.col("x").cast("double") * _Q, 0).cast("bigint").alias("qi"),
+    )
+    marg = q.groupBy("i").agg(
+        F.sum("qi").cast(d38).alias("s"),
+        F.count(F.lit(1)).cast(d38).alias("n"),
+    )
+    return gram, marg
+
+
 @register(
     "feature_pca_power",
     _PCA_SQL,
@@ -138,43 +226,20 @@ _PCA_SQL = _pca_sql()
     ),
 )
 def feature_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-14 width-clone A/B (the cc_incremental device): a d-derived
+    # trimmed-width clone for the post-gram iteration measured PARITY
+    # in a quiet-window fresh-subprocess interleaved A/B (clone mins
+    # 2.611/2.520 vs plain 2.553/2.781 — split rounds, inside noise;
+    # receipt plans/r14/ab_receipts/feature_pca_power_clone.jsonl), so
+    # the simpler single-session form stays — with the Arrow gram the
+    # iteration's 4096-row frames are no longer the dominant cost.
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        "embedding",
-        F.posexplode("embedding").alias("i0", "x"),
-    ).select(
-        "vec_id",
-        "embedding",
-        (F.col("i0") + 1).alias("i"),
-        dround(F.col("x").cast("double") * _Q, 0).cast("bigint").alias("qi"),
-    )
-    d38 = "decimal(38,0)"
-    pairs = q.select(
-        "i", "qi", F.posexplode("embedding").alias("j0", "xj")
-    ).select(
-        "i",
-        "qi",
-        (F.col("j0") + 1).alias("j"),
-        dround(F.col("xj").cast("double") * _Q, 0).cast("bigint").alias("qj"),
-    )
-    # per-row product cast to decimal BEFORE the sum: |qi|,|qj| ≤ 1e6
-    # so each product is ~1e12, and an int64 accumulator would silently
-    # wrap past ~9.2e6 rows — the oracle sums in HUGEINT, so the engines
-    # would diverge exactly at scale (ADVICE r6). decimal(26,0) per-row
-    # sums into decimal(36,0), inside the 38 cap; same discipline as
-    # ml_multiple_regression / events_periodogram.
-    gram = pairs.groupBy("i", "j").agg(
-        F.sum(
-            (F.col("qi").cast("decimal(19,0)") * F.col("qj")).cast("decimal(26,0)")
-        )
-        .cast(d38)
-        .alias("sxy")
-    )
-    marg = q.groupBy("i").agg(
-        F.sum("qi").cast(d38).alias("s"),
-        F.count(F.lit(1)).cast(d38).alias("n"),
-    )
+    # round-14: Gram via the Arrow int64-matmul kernel — exact-integer
+    # identical to the old n·d² double-posexplode + decimal aggregate
+    # (see _pca_gram_marg; the 128-bit overflow discipline from ADVICE
+    # r6 is preserved end-to-end: int64 per batch, Python int per task,
+    # decimal(26)→decimal(38) across tasks)
+    gram, marg = _pca_gram_marg(emb)
     ma = marg.select(F.col("i"), F.col("s").alias("s_i"), F.col("n"))
     mb = marg.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
     cov = (

@@ -328,29 +328,27 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_s2"),
         F.sum(F.when(F.col("g") == "click", 1).otherwise(0)).cast(d38).alias("o_n2"),
     )
+    # round-14 per-task trim (guide §1.2 step 2 "per-task work";
+    # probe receipt in OPTIMIZATION_r14.md): the ×K fan-out itself is
+    # cheap (0.18s) — the 3.2s was the per-fanned-row expression chain.
+    # Two exact-equivalence rewrites, both pinned by
+    # tests/test_analytics_ops.py::test_perm_flip_parity_rewrite and the
+    # unchanged md5 oracle:
+    # - the per-event "|id" suffix string is built ONCE before the
+    #   explode, and the K perm ids explode as pre-rendered string
+    #   literals, so the fanned row pays one concat + one md5 and no
+    #   casts;
+    # - flip was conv(substring(md5,1,8),16,10) % 2 — the parity of a
+    #   base-16 number is the parity of its least-significant digit
+    #   (16 ≡ 0 mod 2), i.e. of hex char 8 alone; the radix-convert of
+    #   all 8 chars is replaced by a single-char membership test.
     fanned = base.select(
-        "event_id",
+        F.concat(F.lit("|"), F.col("event_id").cast("string")).alias("sfx"),
         "c",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_PERMS - 1))).alias("p"),
+        F.explode(F.array(*[F.lit(str(p)) for p in range(_N_PERMS)])).alias("p"),
     )
-    flip = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("p").cast("string"),
-                        F.lit("|"),
-                        F.col("event_id").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-        == 0
+    flip = F.substring(F.md5(F.concat(F.col("p"), F.col("sfx"))), 8, 1).isin(
+        "0", "2", "4", "6", "8", "a", "c", "e"
     )
     perms = (
         fanned.withColumn("flip", flip)

@@ -5012,3 +5012,137 @@ def test_allen_relations_matches_python_replay(spark):
     assert got == dict(want)
     assert sum(got.values()) == sum(want.values())
     assert len(got) >= 4  # several relations live at the fixture
+
+
+# ---------------------------------------------------------------------------
+# Round-14 optimization pins: each rewrite must equal the shape it replaced
+# ---------------------------------------------------------------------------
+
+
+def test_pca_gram_arrow_matches_explode(spark):
+    """Round-14 PCA pin: the Arrow int64-matmul Gram builder
+    (_pca_gram_marg) must produce the EXACT (i, j, sxy) decimal rows of
+    the r13 double-posexplode + decimal-sum aggregate it replaced —
+    integer arithmetic end to end, so equality is bitwise."""
+    from a_share_data_pipeline_spark.functions.rounding import dround
+    from a_share_data_pipeline_spark.plans.queries_ml import _Q, _pca_gram_marg
+    from a_share_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.select(
+        "vec_id", "embedding", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "embedding",
+        (F.col("i0") + 1).alias("i"),
+        dround(F.col("x").cast("double") * _Q, 0).cast("bigint").alias("qi"),
+    )
+    pairs = q.select("i", "qi", F.posexplode("embedding").alias("j0", "xj")).select(
+        "i",
+        "qi",
+        (F.col("j0") + 1).alias("j"),
+        dround(F.col("xj").cast("double") * _Q, 0).cast("bigint").alias("qj"),
+    )
+    gram_old = pairs.groupBy("i", "j").agg(
+        F.sum(
+            (F.col("qi").cast("decimal(19,0)") * F.col("qj")).cast("decimal(26,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxy")
+    )
+    gram_new, marg_new = _pca_gram_marg(emb)
+    old = {(r.i, r.j): r.sxy for r in gram_old.collect()}
+    new = {(r.i, r.j): r.sxy for r in gram_new.collect()}
+    assert old == new and len(new) == 64 * 64
+    # marg sanity: n equals the embedding count for every dimension
+    n_emb = emb.count()
+    assert all(int(r.n) == n_emb for r in marg_new.collect())
+
+
+def test_perm_flip_parity_rewrite(spark):
+    """Round-14 permutation-test pin: the single-hex-char parity test
+    equals conv(substring(md5,1,8),16,10) % 2 on every row (the parity
+    of a base-16 number is the parity of its least-significant digit),
+    and the pre-exploded string perm ids render identically to
+    CAST(sequence int AS STRING)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        F.concat(
+            (F.col("id") % 100).cast("string"),
+            F.lit("|"),
+            (F.col("id") * 7919).cast("string"),
+        ).alias("s")
+    )
+    old = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("bigint") % 2 == 0
+    )
+    new = F.substring(F.md5(F.col("s")), 8, 1).isin(
+        "0", "2", "4", "6", "8", "a", "c", "e"
+    )
+    assert df.filter(old != new).count() == 0
+    # and both label sets are non-degenerate on this fixture
+    n_even = df.filter(new).count()
+    assert 0 < n_even < 5000
+
+
+def test_knn_ub_prune_matches_unpruned(spark):
+    """Round-14 kNN pin: the in-cell upper-bound prune must leave the
+    row_number window's output untouched — compare the optimized query
+    against the plain window over the FULL candidate set."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from a_share_data_pipeline_spark.plans.catalog import registry
+    from a_share_data_pipeline_spark.plans.queries_geo import (
+        _KNN,
+        _cells,
+        _grid_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    w = W.partitionBy("id").orderBy("dist2", "neighbor")
+    plain = (
+        _grid_candidates(_cells(spark, sf))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("neighbor").cast("bigint").alias("neighbor"),
+            F.col("dist2").cast("bigint").alias("dist2"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+    got = {tuple(r) for r in registry()["geo_grid_knn"].fn(spark, sf).collect()}
+    want = {tuple(r) for r in plain.collect()}
+    # sf0.001 is SPARSE (1500 points / 400 cells): 341 rows, most ids
+    # lack an in-cell ub — the no-ub (keep everything) branch is
+    # genuinely exercised here; the dense regime is pinned at sf0.1 by
+    # the A/B receipt and the unchanged exhaustive oracle
+    assert got == want and len(want) > 300
+
+
+def test_grid_candidates_offsets_incell_subset(spark):
+    """offsets=[(0,0)] yields exactly the same-cell directed pairs of
+    the full candidate set (both orientations, dist2 preserved)."""
+    from a_share_data_pipeline_spark.plans.queries_geo import (
+        _cells,
+        _grid_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cells = _cells(spark, sf)
+    cell_of = {r.id: (r.cx, r.cy) for r in cells.collect()}
+    incell = {
+        (r.id, r.neighbor, r.dist2)
+        for r in _grid_candidates(cells, offsets=[(0, 0)]).collect()
+    }
+    full_incell = {
+        (r.id, r.neighbor, r.dist2)
+        for r in _grid_candidates(cells).collect()
+        if cell_of[r.id] == cell_of[r.neighbor]
+    }
+    assert incell == full_incell and incell
+    # directed symmetry
+    assert all((b, a, d) in incell for a, b, d in incell)

@@ -106,6 +106,10 @@ def test_no_row_python_in_builtin_queries(spark):
         "multimodal_shot_boundaries",
         "stream_stateful_totals",
         "text_compression_ratio",
+        # round-14: the PCA Gram pass reduces n·d² explode rows to one
+        # NumPy int64 matmul per task (guide §4.2) — a deliberate
+        # MapInArrow lane, equality-pinned in test_analytics_ops.py
+        "feature_pca_power",
     }
     for name, q in registry().items():
         if name.startswith("stream_"):
@@ -116,6 +120,7 @@ def test_no_row_python_in_builtin_queries(spark):
             for marker in (
                 "ArrowEvalPython",
                 "MapInPandas",
+                "MapInArrow",
                 "FlatMapGroupsInPandas",
                 "FlatMapGroupsInArrow",
             ):
