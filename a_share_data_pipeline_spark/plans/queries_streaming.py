@@ -223,7 +223,15 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return _run_to_table(spark, res, "append").select("event_id", "user_id", "ts")
+    # round-14: state_partitions=8 — every micro-batch (plus the
+    # no-data finalize batch) commits EVERY dedup state store, and the
+    # state here is kilobytes; width follows state volume, not CPU
+    # count (the _run_to_table contract — results are partition-
+    # independent, the caller conf is restored). A/B receipt:
+    # plans/r14/ab_receipts/stream_dedup.jsonl.
+    return _run_to_table(spark, res, "append", state_partitions=8).select(
+        "event_id", "user_id", "ts"
+    )
 
 
 _STREAM_PEAKS_SQL = """
@@ -1033,7 +1041,16 @@ def _scd2_make_absorb(spark: SparkSession, dim: str):
     ),
 )
 def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # Round-14: the stream runs in a cloned session at width 8 — the
+    # stream_incremental_dedup conf sandbox (VERDICT r12 item 4): each
+    # micro-batch's rebuild window + store read-back shuffle a few
+    # thousand rows, where 32-way shuffles are pure task-scheduling
+    # overhead; width follows data volume, not CPU count, and the
+    # caller's session width is never touched (pinned by
+    # test_stream_scd2_width_scoped_to_clone). Fresh-subprocess
+    # interleaved A/B receipt: plans/r14/ab_receipts/stream_scd2_apply.jsonl.
+    work = spark.newSession()
+    ev = load_table(work, sf_dir, "events")
     upd = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", dround(F.col("value"), 2).alias("tier")
     )
@@ -1042,12 +1059,13 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = os.path.join(root, "dim")
     upd.repartitionByRange(3, "ts", "event_id").write.mode("overwrite").parquet(land)
 
-    absorb = _scd2_make_absorb(spark, dim)
+    absorb = _scd2_make_absorb(work, dim)
 
     stream = ST.read_file_stream(
-        spark, land, upd.schema, max_files_per_trigger=1
+        work, land, upd.schema, max_files_per_trigger=1
     )
     ckpt = os.path.join(root, "ckpt")
+    work.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         stream.writeStream.foreachBatch(absorb)
         .option("checkpointLocation", ckpt)
@@ -1055,6 +1073,7 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the result read runs on the caller's session at the caller's width
     return spark.read.schema(_SCD2_DIM_SCHEMA).parquet(dim).select(
         "user_id", "tier", "valid_from", "valid_to", "is_current"
     )

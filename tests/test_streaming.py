@@ -521,3 +521,26 @@ def test_stream_incdedup_width_scoped_to_clone(spark, sf_smoke, monkeypatch):
         assert spark.conf.get(pkey) == "12"
     finally:
         spark.conf.set(pkey, before)
+
+
+def test_stream_scd2_width_scoped_to_clone(spark, sf_smoke):
+    """Round-14: stream_scd2_apply's width-8 absorb sizing runs in a
+    cloned session — the caller's width must never move, and the
+    result must equal the batch SCD2 oracle shape regardless of the
+    clone width (rebuild is order- and partition-insensitive)."""
+    from a_share_data_pipeline_spark.plans.catalog import registry
+
+    pkey = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(pkey)
+    spark.conf.set(pkey, "12")  # distinctive caller width
+    try:
+        out = registry()["stream_scd2_apply"].fn(spark, sf_smoke)
+        assert out.sparkSession is spark  # result read-back on the caller
+        n = out.count()
+        assert n > 0
+        assert spark.conf.get(pkey) == "12"
+        # exactly one current row per user
+        cur = out.filter("is_current").groupBy("user_id").count()
+        assert cur.filter("count != 1").count() == 0
+    finally:
+        spark.conf.set(pkey, before)
